@@ -1,0 +1,154 @@
+"""Reproducible distributed sampling.
+
+Re-expresses the reference's four sampling modes (``sampling/samplers.py``:
+indexed ``:83-99``, daily ``:125-160``, filtered reservoir ``:352-402``,
+stratified reservoir ``:405-466``; seeded RNG facade ``sampling/rng.py:8-39``)
+on the DataFrame API. The reference's contract is *exact-n uniform sampling
+without replacement, reproducible under a seed* — not a specific RNG stream —
+so the implementations preserve the contract, not the byte stream.
+
+Determinism design
+------------------
+``F.rand(seed)`` is seeded **per partition**, so its output depends on input
+partitioning — fragile across cluster sizes. Instead, when the caller names
+key columns, rows are ranked by ``xxhash64(key..., seed)``: a pure function of
+row content, hence identical on 1 executor or 1000, any partitioning, any file
+split. Sampling = global top-n in hash order, which Spark executes as
+``TakeOrderedAndProject`` — a per-partition O(n) heap + driver merge of
+n·num_partitions candidates, no full sort, no full shuffle. This is the
+scalable analogue of the reference's single-pass reservoir (Algorithm R,
+``samplers.py:352-402``): one scan, O(n) state per partition.
+
+Semantics preserved exactly (SURVEY.md §2.11):
+- without replacement; raises if ``n`` exceeds the row count when
+  ``strict=True`` (reference ``samplers.py:86-87``);
+- stratified: exactly ``n_per_group`` per stratum, fewer iff the stratum is
+  smaller; NULL stratum participates as ``"__NA__"``;
+- filtered sampling: every output row satisfies the predicate; filter columns
+  are scanned but dropped from the output projection.
+
+Intentional deviation (documented in SURVEY.md §7): daily sampling is
+per-day **global**, not per-day-per-file — the reference could emit more than
+``per_day`` rows for a day split across files (``samplers.py:125-160``); the
+global semantics are the ones its README describes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.predicates import compile_filter
+
+_RANK = "__sg_rank__"
+_RN = "__sg_rn__"
+
+
+def _order_key(df: DataFrame, seed: int, key_cols: Sequence[str] | None) -> Column:
+    """Deterministic pseudo-random ordering key.
+
+    With ``key_cols``: content-hash ranking — partitioning-independent and
+    run-to-run stable (the reference guarantees seed-reproducibility,
+    ``README.md:343-349``). Without: ``F.rand(seed)``, reproducible only for
+    a stable input partitioning (documented fallback).
+    """
+    if key_cols:
+        return F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    return F.rand(seed)
+
+
+def sample_uniform(
+    df: DataFrame,
+    n: int,
+    seed: int = 42,
+    key_cols: Sequence[str] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Exact-n uniform sample without replacement (reference "indexed" mode,
+    ``samplers.py:83-99`` + the global ``FileIndex`` it needs,
+    ``indexer.py:14-101`` — the index/binary-search machinery has no Spark
+    equivalent because global top-n in hash order replaces positional fetch).
+
+    ``strict=True`` reproduces the reference's ``n > total_rows`` ValueError
+    (``samplers.py:86-87``) at the cost of one metadata-served count.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if strict:
+        total = df.count()
+        if n > total:
+            raise ValueError(f"Requested sample size {n} > total rows {total}")
+    return df.orderBy(_order_key(df, seed, key_cols)).limit(n)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    seed: int = 42,
+    key_cols: Sequence[str] | None = None,
+    na_bucket: str = "__NA__",
+) -> DataFrame:
+    """Exact ``n_per_group`` rows per distinct value of ``group_col``
+    (reference stratified reservoir, ``samplers.py:405-466``).
+
+    NULL group values participate as one ``na_bucket`` stratum and surface as
+    that sentinel in the output column when the column is a string (reference
+    ``samplers.py:421-423`` rewrites the column via ``fillna("__NA__")``).
+    Undersized strata return all their rows (fill phase never completes,
+    ``samplers.py:457-459``).
+
+    Plan shape: one hash-partition shuffle on ``group_col`` + per-partition
+    sort — rank-within-group via ``row_number``. At 100 TB this is the right
+    primitive; skewed strata are split by AQE skew handling, and the shuffle
+    is on the grouping key we'd need anyway.
+    """
+    if n_per_group <= 0:
+        raise ValueError(f"n_per_group must be > 0, got {n_per_group}")
+    bucket = F.coalesce(F.col(group_col).cast("string"), F.lit(na_bucket))
+    w = Window.partitionBy(bucket).orderBy(_order_key(df, seed, key_cols))
+    out = df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) <= n_per_group)
+    if dict(df.dtypes).get(group_col) == "string":
+        out = out.withColumn(group_col, F.coalesce(F.col(group_col), F.lit(na_bucket)))
+    return out.drop(_RN)
+
+
+def sample_daily(
+    df: DataFrame,
+    per_day: int,
+    seed: int = 42,
+    day_col: str = "Day",
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Fixed-n per day (reference "daily" mode, ``samplers.py:125-160``),
+    with per-day-global semantics (intentional deviation — see module doc)."""
+    if day_col not in df.columns:
+        raise ValueError(f"Column {day_col!r} not present")
+    return sample_per_group(df, day_col, per_day, seed=seed, key_cols=key_cols)
+
+
+def sample_filtered(
+    df: DataFrame,
+    filter_dict: Mapping[str, Any],
+    n: int,
+    seed: int = 42,
+    columns: Sequence[str] | None = None,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Predicate-DSL filter + exact-n uniform sample (reference "filtered"
+    reservoir mode, ``samplers.py:177-402``).
+
+    The predicate compiles to one Catalyst ``Column`` → parquet pushdown +
+    partition pruning; ``columns`` reproduces the reference's output
+    projection rule (scan projection ∪ filter columns, output = requested
+    columns only, ``samplers.py:330-332`` / ``:401-402``) — under Spark,
+    Catalyst derives the scan set itself.
+    """
+    pred = compile_filter(filter_dict)
+    filtered = df.filter(pred) if pred is not None else df
+    sampled = sample_uniform(filtered, n, seed=seed, key_cols=key_cols)
+    if columns:
+        sampled = sampled.select(*columns)
+    return sampled

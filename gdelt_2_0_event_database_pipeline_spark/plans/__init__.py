@@ -1,0 +1,4 @@
+from .registry import QUERIES, QueryDef, load_tables, register  # noqa: F401
+
+# Importing the plan modules populates the registry.
+from . import relational  # noqa: E402,F401

@@ -1,0 +1,287 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2.10 X1–X2).
+
+Extension surface beyond the reference (whose only dedup-adjacent machinery is
+file-level skip-existing, ``scraper.py:239-242``). Four tiers, each a
+DataFrame→DataFrame transform designed around shuffle economics at 100 TB:
+
+- exact          — hash shuffle on the dedup key only (no full-row compare);
+- MinHash + LSH  — shingle → k minhashes → band → bucket-join; candidate
+                   pairs only ever meet inside a bucket, so the quadratic
+                   blowup is confined to bucket-local joins;
+- SimHash        — 64-bit signature, banded into chunks; Hamming-verify on
+                   candidates;
+- n-gram Jaccard — exact verify kernel (used standalone on small sets or as
+                   the verify stage after LSH).
+
+All signature computation is built-in higher-order functions (JVM,
+codegen-eligible). The only shuffles are the bucket groupBys/joins on
+*short hash keys*, never on document text.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import char_ngrams, simhash64, tokens
+
+
+# ---------------------------------------------------------------- exact
+def dedup_exact(
+    df: DataFrame,
+    subset: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Keep exactly one row per distinct ``subset`` key — the first under
+    ``order_by`` (deterministic, unlike ``dropDuplicates`` which keeps an
+    arbitrary row). One shuffle on the key columns; at scale this is the
+    minimal-cost formulation (rank-within-group, map-side nothing to combine).
+    """
+    w = Window.partitionBy(*subset).orderBy(*order_by)
+    rn = "__dd_rn__"
+    return df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) == 1).drop(rn)
+
+
+def dedup_exact_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-hash exact dedup: group on xxhash64(text) — shuffles 8-byte
+    keys instead of document bodies; keeps the min id per hash. The standard
+    100 TB formulation (hash collision odds ≪ data corruption odds)."""
+    h = "__dd_h__"
+    keep = "__dd_keep__"
+    hashed = df.withColumn(h, F.xxhash64(F.col(text_col)))
+    keepers = hashed.groupBy(h).agg(F.min(id_col).alias(keep))
+    return (
+        hashed.join(keepers, on=h)
+        .filter(F.col(id_col) == F.col(keep))
+        .drop(h, keep)
+    )
+
+
+# ---------------------------------------------------------------- minhash/LSH
+def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
+    """k-MinHash signature as array<long>: hash family h_i(s) =
+    xxhash64(s, i); signature[i] = min over shingles. Pure expression —
+    computed in the scan stage."""
+    shingles = F.array_distinct(char_ngrams(col, shingle_n))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def _banded(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band:int, bucket:long>> — one bucket hash per band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+                b,
+            ).alias("bucket"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact set Jaccard of two string arrays (ratio of ints → cross-engine
+    bit-identical)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan: signature+bands in the scan stage → explode bands (rows × bands,
+    but each row is only (band, bucket, id, shingles)) → self-join on
+    (band, bucket) → distinct candidate pairs → exact Jaccard ≥ threshold.
+    With b bands of r rows the match probability is 1-(1-s^r)^b — at
+    b=16, r=4: s=0.7 → ~0.97 recall; the verify stage removes false
+    positives, so precision is exact.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    # Signature via explode + 64 min-aggregates: flat, codegen-eligible, with
+    # map-side partial aggregation — the shuffle carries 64 longs per doc, not
+    # shingle text. (The pure-expression minhash_signature() Column is kept
+    # for composition, but nested interpreted HOFs are ~100× slower here.)
+    exploded = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
+    )
+    sig = exploded.groupBy("__id__").agg(
+        *[
+            F.min(F.xxhash64(F.col("__s__"), F.lit(i))).alias(f"__h{i}__")
+            for i in range(num_hashes)
+        ]
+    )
+    # bands travel WITHOUT the shingle arrays — duplicating document-sized
+    # payloads through the band explode (and the bucket shuffle) is the
+    # classic LSH-join mistake. Shingles rejoin by id for survivors only.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__h{b * rows_per_band + j}__").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id__", F.explode(F.array(*band_structs)).alias("__b__")
+    ).select("__id__", F.col("__b__.band").alias("band"), F.col("__b__.bucket").alias("bucket"))
+
+    shingles = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh__"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = shingles.select(
+        F.col("__id__").alias("id_a"), F.col("__sh__").alias("sh_a")
+    )
+    sh_b = shingles.select(
+        F.col("__id__").alias("id_b"), F.col("__sh__").alias("sh_b")
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures via bit_count(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, banded into ``chunks``
+    16-bit blocks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 blocks
+    identical), bucket-join per block, Hamming-verify candidates.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bits_per = 64 // chunks
+    sig = df.select(
+        F.col(id_col).alias("__id__"), simhash64(F.col(text_col)).alias("__sim__")
+    )
+    block_cols = [
+        F.struct(
+            F.lit(c).alias("blk"),
+            F.shiftright(F.col("__sim__"), c * bits_per)
+            .bitwiseAND(F.lit((1 << bits_per) - 1))
+            .alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    blocks = sig.select(
+        "__id__", "__sim__", F.explode(F.array(*block_cols)).alias("__x__")
+    ).select(
+        "__id__",
+        "__sim__",
+        F.col("__x__.blk").alias("blk"),
+        F.col("__x__.key").alias("key"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            F.col("a.__sim__").alias("sim_a"),
+            F.col("b.__sim__").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------- jaccard (exact)
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    ngram_n: int = 1,
+    use_words: bool = True,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard over the *whole* input — O(n²) compare,
+    for small inputs or as a verify kernel. The scalable path is
+    :func:`minhash_near_dup_pairs`; this one exists because its result is
+    exactly SQL-expressible (the driver oracle runs the same join in DuckDB).
+    """
+    grams = (
+        F.array_distinct(tokens(F.col(text_col)))
+        if (use_words and ngram_n == 1)
+        else F.array_distinct(char_ngrams(F.col(text_col), ngram_n))
+    )
+    g = df.select(F.col(id_col).alias("__id__"), grams.alias("__g__"))
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, F.col("a.__id__") < F.col("b.__id__"))
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+            jaccard(F.col("a.__g__"), F.col("b.__g__")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

@@ -1,0 +1,192 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2.10 X4).
+
+Extension surface beyond the reference (which has no text functions — its
+scalar surface is ingest-boundary only, SURVEY.md §2.7). Everything here is a
+pure ``Column`` expression built from Spark higher-order functions — JVM-side,
+whole-stage-codegen-eligible, no Python UDFs on the hot path — so at 100 TB
+these run inside the scan/project stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic, dependency-free; a production system would swap in
+# a fastText-style model behind the same column signature.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2"),
+}
+
+STOPWORDS_EN: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "was", "for", "on", "with", "as", "at", "by", "be", "this",
+)
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace/punctuation tokenizer → array<string> without empties."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"[^\p{L}\p{N}]+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the BPE-ish proxy: tokens ≈ words here; a real
+    BPE would be an Arrow-batched pandas_udf with the same signature)."""
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles (for MinHash); array<string>, may repeat."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles over the tokenizer output."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+# ---------------------------------------------------------------- quality
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(F.regexp_replace(c, r"[^\p{Punct}]", ""))
+    return punct / F.greatest(F.length(c), F.lit(1))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(
+        F.length(c), F.lit(1)
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_len(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long-enough, low punctuation/digit
+    noise, some stopword mass (prose-likeness). Weights are arbitrary but
+    fixed; the value is the *pipeline stage* (score → threshold → filter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio(c) * 4, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    )
+
+
+# ---------------------------------------------------------------- lang id
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-lexicon hit count per language (distinct-token ∩ lexicon)."""
+    toks = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str, default: str = "und") -> Column:
+    """Argmax over lang_scores with deterministic tie order (lexicon order);
+    'und' when nothing matches."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.lit(default)
+    # fold in reverse so earlier languages win ties
+    for lang in reversed(list(scores)):
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+# ---------------------------------------------------------------- fingerprint
+def fingerprint(col: Column | str, base: int = FINGERPRINT_BASE, mod: int = FINGERPRINT_MOD) -> Column:
+    """Polynomial rolling hash over the full character sequence — a
+    deterministic document fingerprint reproducible in ANSI SQL
+    (DuckDB ``list_reduce`` twin), unlike xxhash64."""
+    c = F.col(col) if isinstance(col, str) else col
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+# ---------------------------------------------------------------- simhash
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over tokens, entirely with built-in higher-order
+    functions: per-token xxhash64 → per-bit ±1 votes → sign → bit pack.
+
+    One pass over the token array per row, no shuffle; near-dup detection
+    then bands the 64 bits (see ``operators.dedup.simhash_near_dup_pairs``).
+    """
+    toks = tokens(col)
+    # bit positions must be Python ints (shiftright/shiftleft take literal
+    # counts), so build the 64-wide vote vector as an explicit array expr
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # Pack: Horner fold (MSB-first) over bits 0..62, then add MIN_LONG when
+    # bit 63 is set — a plain `acc*2+bit` over all 64 bits would overflow
+    # under ANSI mode. Wrapping `votes` in a 1-element array and aggregating
+    # binds it to a lambda variable so it's evaluated exactly once.
+    return F.aggregate(
+        F.array(votes),
+        F.lit(0).cast("long"),
+        lambda _, v: F.aggregate(
+            F.reverse(F.slice(v, 1, 63)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + F.when(b > 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+        + F.when(F.element_at(v, 64) > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )

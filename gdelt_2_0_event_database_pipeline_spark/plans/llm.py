@@ -1,0 +1,293 @@
+"""LLM-data-pipeline query plans (SURVEY.md §2.10 X1–X6): dedup, similarity,
+text analysis, sketches — over the driver's ``documents`` / ``embeddings`` /
+``events`` tables.
+
+Oracle policy: exact/deterministic ops (exact dedup, n-gram Jaccard,
+brute-force cosine top-k, text stats/fingerprint) carry full DuckDB SQL twins
+— cross-engine experiments show ratio-of-int arithmetic, IEEE folds over
+identical doubles, and char-level rolling hashes are bit-identical between
+Spark and DuckDB. Hash-seeded ops (MinHash/SimHash/LSH — xxhash64 has no
+DuckDB equivalent) and sketches (HLL) are rows-only, with invariants covered
+by pytest property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from .registry import register
+from .relational import _events, _t
+
+# DuckDB twin of operators.text.tokens() — documents.text is ASCII lowercase,
+# where [^a-z0-9]+ ≡ [^\p{L}\p{N}]+.
+_SQL_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+
+# ---------------------------------------------------------------- text (X4)
+@register(
+    "q_text_stats",
+    sql=f"""
+    SELECT lang, source,
+           count(*)                                   AS cnt,
+           avg(n_chars)                               AS avg_chars,
+           avg(len({_SQL_TOKENS}))                    AS avg_tokens,
+           max(len({_SQL_TOKENS}))                    AS max_tokens
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus stats per (lang, source): counts, char/token lengths. Token counting = X4.",
+)
+def q_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = X.token_count("text")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg(tc).alias("avg_tokens"),
+        F.max(tc).alias("max_tokens"),
+    )
+
+
+@register(
+    "q_text_quality",
+    sql=f"""
+    SELECT doc_id,
+           len({_SQL_TOKENS}) AS n_tokens,
+           len(list_filter({_SQL_TOKENS},
+               x -> list_contains({list(X.STOPWORDS_EN)!r}, x)))::DOUBLE
+             / greatest(len({_SQL_TOKENS}), 1)        AS stop_ratio,
+           list_sum(list_transform({_SQL_TOKENS}, x -> length(x)))::DOUBLE
+             / greatest(len({_SQL_TOKENS}), 1)        AS mean_wlen
+    FROM documents
+    """,
+    doc="Per-document quality signals: token count, stopword ratio, mean word length.",
+)
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.stopword_ratio("text").alias("stop_ratio"),
+        X.mean_word_len("text").alias("mean_wlen"),
+    )
+
+
+_LANG_CASES_SQL = " ".join(
+    f"WHEN len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) > 0 "
+    f"AND len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) = best THEN '{lang}'"
+    for lang, m in X.LANG_MARKERS.items()
+)
+
+
+@register(
+    "q_lang_id",
+    sql=f"""
+    SELECT doc_id, lang,
+           (CASE {_LANG_CASES_SQL} ELSE 'und' END) AS lang_guess
+    FROM (
+      SELECT doc_id, lang, text,
+             greatest({", ".join(f"len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r}))" for m in X.LANG_MARKERS.values())}) AS best
+      FROM documents
+    )
+    """,
+    doc="Language-ID heuristic: argmax of marker-lexicon hits, deterministic tie order.",
+)
+def q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", X.lang_id("text").alias("lang_guess"))
+
+
+@register(
+    "q_fingerprint",
+    sql=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split(text, ''), x -> ord(x)::BIGINT)),
+             (acc, x) -> (acc * {X.FINGERPRINT_BASE} + x) % {X.FINGERPRINT_MOD}
+           ) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprint: rolling polynomial hash over the char sequence (cross-engine identical).",
+)
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@register(
+    "q_token_histogram",
+    sql=f"""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    doc="Corpus token histogram (explode → count → deterministic top-20).",
+)
+def q_token_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- dedup (X1/X2)
+@register(
+    "q_dedup_exact",
+    sql="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Exact dedup, deterministic keep-first (X1): one row per (user_id, event_type), earliest ts.",
+)
+def q_dedup_exact(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return D.dedup_exact(
+        e, subset=["user_id", "event_type"], order_by=["ts", "event_id"]
+    ).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "q_ngram_jaccard",
+    sql=f"""
+    WITH g AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS gr
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.gr, b.gr)) / greatest(len(list_distinct(a.gr || b.gr)), 1) AS jaccard_sim
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.gr, b.gr)) / greatest(len(list_distinct(a.gr || b.gr)), 1) >= 0.5
+    """,
+    doc="Exact n-gram Jaccard pairs (verify kernel for near-dedup; ratio-of-ints, oracle-exact).",
+)
+def q_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "q_dedup_minhash",
+    sql=None,  # xxhash64 family has no DuckDB twin; invariants in tests/test_dedup.py
+    doc="MinHash+LSH near-dup candidate pairs with exact-Jaccard verify (X2, scale path).",
+)
+def q_dedup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.6)
+
+
+@register(
+    "q_dedup_simhash",
+    sql=None,
+    doc="SimHash banded near-dup pairs (Hamming ≤ 3 over 64-bit signatures).",
+)
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------- similarity (X3)
+@register(
+    "q_cosine_topk",
+    sql="""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id
+             ) AS rank
+      FROM q JOIN c ON q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    """,
+    doc="Brute-force exact cosine top-5 (X3 baseline); fold arithmetic is bit-identical cross-engine.",
+)
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "q_cosine_topk_lsh",
+    sql=None,
+    doc="LSH-bucketed approximate cosine top-k (X3 scale path; recall measured in tests).",
+)
+def q_cosine_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "q_embedding_near_dup",
+    sql=None,
+    doc="Embedding-cosine near-duplicate pairs via LSH buckets + exact rescoring.",
+)
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return S.embedding_near_dup_pairs(emb, threshold=0.8)
+
+
+# ---------------------------------------------------------------- sketches (X5)
+@register(
+    "q_exact_distinct",
+    sql="""
+    SELECT event_type, count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact distinct-count baseline for the sketch below.",
+)
+def q_exact_distinct(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("distinct_users")
+    )
+
+
+@register(
+    "q_approx_distinct",
+    sql=None,  # HLL++ estimates are engine-specific; bounds asserted in tests
+    doc="HyperLogLog++ distinct users per event type (X5; rsd=0.05).",
+)
+def q_approx_distinct(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users")
+    )
+
+
+@register(
+    "q_quantiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated quantiles per group (sketch twin percentile_approx is rows-only in tests).",
+)
+def q_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )

@@ -1,0 +1,89 @@
+"""Dedup operator tests: planted near-duplicates must be found; the exact
+verify stage guarantees precision; determinism throughout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+    dedup_exact,
+    dedup_exact_hash,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sun sets slowly "
+    "behind distant mountains and rivers flow gently through green valleys "
+    "carrying stories of ancient forests toward the endless patient sea"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("quick", "swift")),          # near-dup of 0
+        (2, BASE.replace("mountains", "hills") + " tonight"),  # near-dup of 0
+        (3, "completely different text about database engines and query optimizers"),
+        (4, "another unrelated snippet mentioning spark dataframes and shuffles"),
+        (5, BASE),                                    # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_keep_first(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 5), (3, "j", 1)], ["id", "key", "ord"]
+    )
+    out = dedup_exact(df, subset=["key"], order_by=["ord", "id"])
+    got = {(r.id, r.key) for r in out.collect()}
+    assert got == {(2, "k"), (3, "j")}
+
+
+def test_dedup_exact_hash_keeps_min_id(docs):
+    out = dedup_exact_hash(docs, "text", "doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 5 not in ids and 0 in ids
+    assert len(ids) == 5
+
+
+def test_minhash_finds_planted_dups(docs):
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 5) in got          # identical
+    assert (0, 1) in got          # one-word swap
+    assert (0, 2) in got
+    # precision is exact: no unrelated pair can pass the jaccard verify
+    for a, b in got:
+        assert {a, b} <= {0, 1, 2, 5}
+
+
+def test_minhash_exact_pair_has_sim_1(docs):
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.6)
+    sim = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs.collect()}
+    assert sim[(0, 5)] == 1.0
+
+
+def test_simhash_identical_distance_zero(docs):
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 5)) == 0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["doc_id", "text"]
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+    sim = {(r.id_a, r.id_b): r.jaccard_sim for r in pairs.collect()}
+    assert sim[(1, 2)] == pytest.approx(3 / 5)  # {a,b,c} / {a,b,c,d,e}
+    assert sim[(1, 3)] == 0.0
+
+
+def test_minhash_determinism(docs):
+    a = sorted(tuple(r) for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect())
+    b = sorted(tuple(r) for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect())
+    assert a == b

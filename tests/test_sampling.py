@@ -1,0 +1,122 @@
+"""Sampler property tests — the reference's actual invariants (SURVEY.md §5.3):
+exact n, per-stratum counts, filter containment, without-replacement, seed
+determinism, rough uniformity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators.sampling import (
+    sample_daily,
+    sample_filtered,
+    sample_per_group,
+    sample_uniform,
+)
+
+KEY = ["GlobalEventID"]
+
+
+def test_exact_n(gdelt_df):
+    assert sample_uniform(gdelt_df, 1000, seed=1, key_cols=KEY).count() == 1000
+
+
+def test_n_larger_than_table_strict_raises(gdelt_df):
+    small = gdelt_df.limit(10)
+    with pytest.raises(ValueError, match="> total rows"):
+        sample_uniform(small, 100, seed=1, key_cols=KEY, strict=True)
+
+
+def test_without_replacement(gdelt_df):
+    s = sample_uniform(gdelt_df, 2000, seed=3, key_cols=KEY)
+    assert s.select("GlobalEventID").distinct().count() == 2000
+
+
+def test_seed_determinism(gdelt_df):
+    a = {r.GlobalEventID for r in sample_uniform(gdelt_df, 500, seed=9, key_cols=KEY).collect()}
+    b = {r.GlobalEventID for r in sample_uniform(gdelt_df, 500, seed=9, key_cols=KEY).collect()}
+    c = {r.GlobalEventID for r in sample_uniform(gdelt_df, 500, seed=10, key_cols=KEY).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_determinism_independent_of_partitioning(gdelt_df):
+    a = {r.GlobalEventID for r in sample_uniform(gdelt_df, 500, seed=9, key_cols=KEY).collect()}
+    rep = gdelt_df.repartition(13)
+    b = {r.GlobalEventID for r in sample_uniform(rep, 500, seed=9, key_cols=KEY).collect()}
+    assert a == b
+
+
+def test_stratified_counts(gdelt_df):
+    n_per = 300
+    out = sample_per_group(gdelt_df, "QuadClass", n_per, seed=5, key_cols=KEY)
+    got = {r["QuadClass"]: r["cnt"] for r in out.groupBy("QuadClass").agg(F.count("*").alias("cnt")).collect()}
+    sizes = {
+        r["QuadClass"]: r["cnt"]
+        for r in gdelt_df.groupBy("QuadClass").agg(F.count("*").alias("cnt")).collect()
+    }
+    for k, size in sizes.items():
+        assert got[k] == min(n_per, size), f"stratum {k}"
+
+
+def test_stratified_na_stratum(gdelt_df):
+    # NULL stratum participates (reference buckets it as "__NA__")
+    out = sample_per_group(gdelt_df, "QuadClass", 50, seed=5, key_cols=KEY)
+    n_null = out.filter(F.col("QuadClass").isNull()).count()
+    assert n_null == 50  # fixture has ~400 NULL-QuadClass rows
+
+
+def test_stratified_undersized_stratum_returns_all(gdelt_df):
+    tiny = gdelt_df.filter(F.col("QuadClass") == 4).limit(7)
+    out = sample_per_group(tiny, "QuadClass", 100, seed=5, key_cols=KEY)
+    assert out.count() == 7
+
+
+def test_na_sentinel_on_string_column(spark):
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (None, 3), ("b", 4)], ["s", "v"]
+    )
+    out = sample_per_group(df, "s", 10, seed=1, key_cols=["v"])
+    vals = {r.s for r in out.collect()}
+    assert vals == {"a", "b", "__NA__"}
+
+
+def test_daily_counts(gdelt_df):
+    out = sample_daily(gdelt_df, 3, seed=2, day_col="Day", key_cols=KEY)
+    per_day = out.groupBy("Day").count().collect()
+    assert all(r["count"] <= 3 for r in per_day)
+    n_days = gdelt_df.select("Day").distinct().count()
+    full_days = sum(1 for r in per_day if r["count"] == 3)
+    assert len(per_day) == n_days
+    assert full_days > n_days * 0.9  # almost every day has ≥3 rows
+
+
+def test_filtered_sample_containment_and_projection(gdelt_df):
+    fdict = {"Actor1CountryCode": "USA", "NumMentions": {"op": "gt", "value": 20}}
+    out = sample_filtered(
+        gdelt_df, fdict, n=200, seed=4,
+        columns=["GlobalEventID", "Day"], key_cols=KEY,
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    assert out.columns == ["GlobalEventID", "Day"]  # filter cols dropped
+    ids = [r.GlobalEventID for r in rows]
+    back = gdelt_df.filter(F.col("GlobalEventID").isin(ids))
+    assert back.filter(
+        (F.col("Actor1CountryCode") != "USA") | (F.col("NumMentions") <= 20)
+    ).count() == 0
+
+
+def test_uniformity_chisquare(gdelt_df):
+    # sample 4000 of 20000; Year distribution of the sample should track the
+    # population (chi-square, 2 dof, p>0.001 ⇒ stat < 13.8)
+    s = sample_uniform(gdelt_df, 4000, seed=11, key_cols=KEY)
+    pop = dict(gdelt_df.groupBy("Year").count().collect())
+    got = dict(s.groupBy("Year").count().collect())
+    total_pop = sum(pop.values())
+    stat = 0.0
+    for yr, n_pop in pop.items():
+        exp = 4000 * n_pop / total_pop
+        obs = got.get(yr, 0)
+        stat += (obs - exp) ** 2 / exp
+    assert stat < 13.8, f"chi-square {stat}"

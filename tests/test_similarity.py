@@ -1,0 +1,81 @@
+"""Similarity-search tests: brute-force vs numpy ground truth; LSH recall on
+planted high-similarity neighbors; embedding near-dup detection."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+
+DIM = 32
+N = 120
+
+
+def _make_vectors(seed: int = 13):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(N, DIM)).astype(np.float32)
+    # plant near-dups: vectors 100..109 are tiny perturbations of 0..9
+    for i in range(10):
+        base[100 + i] = base[i] + rng.normal(scale=0.05, size=DIM).astype(np.float32)
+    return base
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs = _make_vectors()
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(N)], schema
+    )
+
+
+def test_bruteforce_matches_numpy(emb):
+    vecs = _make_vectors().astype(np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    for q in range(3):
+        order = np.argsort(-sims[q])[:4]
+        for rank, expected in enumerate(order, start=1):
+            assert got[(q, rank)] == expected
+
+
+def test_lsh_recall_on_planted_neighbors(emb):
+    # queries 0..9 have a planted near-identical neighbor at 100..109 —
+    # exactly the high-similarity regime sign-LSH serves
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_lsh(emb, queries, k=1, num_planes=6, probe_hamming=2)
+    top1 = {r.query_id: r.neighbor_id for r in out.filter(F.col("rank") == 1).collect()}
+    hits = sum(1 for q in range(10) if top1.get(q) == 100 + q)
+    assert hits >= 8, f"recall {hits}/10"
+
+
+def test_embedding_near_dup_pairs(emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(got & planted) >= 8
+    # precision: everything above 0.95 must actually BE above 0.95 (exact rescoring)
+    for r in pairs.collect():
+        assert r.cos_sim >= 0.95
+
+
+def test_topk_rank_is_dense_and_bounded(emb):
+    out = cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
+    per_q = out.groupBy("query_id").agg(F.count("*").alias("c"), F.max("rank").alias("m")).collect()
+    for r in per_q:
+        assert r.c == 3 and r.m == 3

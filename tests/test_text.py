@@ -1,0 +1,97 @@
+"""Text-analysis operator tests: tokenization, quality signals, lang-id,
+fingerprint, simhash."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators import text as X
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (1, "The quick brown fox, and the lazy dog!"),
+        (2, "el perro y el gato en la casa de la abuela"),
+        (3, "le chat est dans la maison et le jardin pour une heure"),
+        (4, "der hund ist nicht mit der katze und das haus von einem mann"),
+        (5, "12345 67890 !!!"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def _one(df, col, id_):
+    return df.filter(F.col("id") == id_).select(col).first()[0]
+
+
+def test_tokens_and_count(tdf):
+    out = tdf.select("id", X.tokens("text").alias("t"), X.token_count("text").alias("n"))
+    r1 = out.filter("id = 1").first()
+    assert r1.t[:4] == ["the", "quick", "brown", "fox"]
+    assert r1.n == 8
+    assert out.filter("id = 6").first().n == 0
+
+
+def test_quality_signals(tdf):
+    out = tdf.select(
+        "id",
+        X.punct_ratio("text").alias("punct"),
+        X.digit_ratio("text").alias("digit"),
+        X.stopword_ratio("text").alias("stop"),
+        X.quality_score("text").alias("q"),
+    )
+    r1 = out.filter("id = 1").first()
+    r5 = out.filter("id = 5").first()
+    assert 0 < r1.punct < 0.2
+    assert r1.stop > 0.3          # the/and/the
+    assert r5.digit > 0.5
+    assert r1.q > r5.q            # prose beats digit noise
+
+
+def test_lang_id(tdf):
+    got = {r.id: r.lang for r in tdf.select("id", X.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "fr"
+    assert got[4] == "de"
+    assert got[6] == "und"
+
+
+def test_fingerprint_deterministic_and_discriminative(tdf):
+    a = tdf.select("id", X.fingerprint("text").alias("fp")).collect()
+    b = tdf.select("id", X.fingerprint("text").alias("fp")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    fps = [r.fp for r in a if r.id != 6]
+    assert len(set(fps)) == len(fps)
+
+
+def test_fingerprint_known_value(spark):
+    # "ab" → ((0*31+97)%M *31 + 98)%M = 97*31+98 = 3105
+    df = spark.createDataFrame([("ab",)], ["text"])
+    assert df.select(X.fingerprint("text").alias("fp")).first().fp == 3105
+
+
+def test_char_and_word_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ], ["text"])
+    grams = df.select(X.char_ngrams("text", 3).alias("g")).first().g
+    assert grams == ["abc", "bcd"]
+    df2 = spark.createDataFrame([("a b c d",)], ["text"])
+    wg = df2.select(X.word_ngrams("text", 2).alias("g")).first().g
+    assert wg == ["a b", "b c", "c d"]
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "spark dataframe engine with catalyst optimizer and tungsten"),
+         (2, "spark dataframe engine with catalyst optimizer and tungsten"),
+         (3, "entirely different words about gardens and rivers and stars")],
+        ["id", "text"],
+    )
+    out = {r.id: r.sh for r in df.select("id", X.simhash64("text").alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    # hamming between unrelated docs should be substantial
+    ham = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    assert ham > 10

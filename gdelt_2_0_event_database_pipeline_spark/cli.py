@@ -1,0 +1,152 @@
+"""CLI mirroring the reference's four explicitly-invoked stages
+(``main.py:163-276``): ``scrape`` / ``convert`` / ``filter`` / ``sample``
+with the same flag surface (no automatic chaining — each stage consumes the
+previous stage's on-disk output, ``README.md:178-179``).
+
+Spark-first differences: every stage is one (or a few) distributed jobs; the
+sample modes are the deterministic hash-ranked operators from
+``operators.sampling``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+from .config import load_config
+from .operators.sampling import (
+    sample_daily,
+    sample_filtered,
+    sample_per_group,
+    sample_uniform,
+)
+from .session import get_spark
+from .sources import gdelt_csv, lake, manifest
+
+
+def _parse_date(s: str) -> dt.date:
+    try:
+        return dt.date.fromisoformat(s)
+    except ValueError as e:
+        raise SystemExit(f"Invalid date {s!r}: use YYYY-MM-DD") from e
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gdelt-spark", description=__doc__)
+    p.add_argument("--config", default=None, help="YAML settings path")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sp = sub.add_parser("scrape", help="list + date-prune + download raw ZIPs")
+    sp.add_argument("--url", required=True, help="directory-listing URL")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--start-date", type=_parse_date, default=None)
+    sp.add_argument("--end-date", type=_parse_date, default=None)
+
+    cv = sub.add_parser("convert", help="CSV → Parquet with declared schema")
+    cv.add_argument("--in", dest="in_dir", required=True, help="extracted CSV dir")
+    cv.add_argument("--flat", required=True, help="flat parquet output dir")
+    cv.add_argument("--historical", default=None, help="Hive-partitioned output dir")
+
+    fl = sub.add_parser("filter", help="drop rows with NULLs in configured columns")
+    fl.add_argument("--in", dest="in_dir", required=True)
+    fl.add_argument("--historical", default=None)
+    fl.add_argument("--out", required=True)
+    fl.add_argument("--columns", nargs="*", default=None, help="override config columns")
+
+    sm = sub.add_parser("sample", help="reproducible sampling")
+    sm.add_argument("--in", dest="in_dir", required=True)
+    sm.add_argument("--historical", default=None)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--mode", choices=["indexed", "daily", "filtered"], required=True)
+    sm.add_argument("-n", type=int, default=None, help="sample size")
+    sm.add_argument("--per-day", type=int, default=None)
+    sm.add_argument("--filter", default=None, help="JSON predicate dict")
+    sm.add_argument("--columns", nargs="*", default=None)
+    sm.add_argument("--stratify", default=None)
+    sm.add_argument("--n-per-group", type=int, default=None)
+    sm.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args.config)
+
+    if args.command == "scrape":
+        import requests
+
+        html = requests.get(args.url, timeout=30).text
+        urls = manifest.extract_zip_links(html, base_url=args.url)
+        urls = manifest.filter_urls_by_date(urls, args.start_date, args.end_date)
+        result = manifest.download_files(urls, args.out)
+        print(json.dumps(result))
+        return 0 if not result["failed"] else 1
+
+    spark = get_spark("gdelt_cli")
+    try:
+        if args.command == "convert":
+            counts = gdelt_csv.convert(
+                spark,
+                args.in_dir,
+                args.flat,
+                historical_dir=args.historical,
+                partition_rules=cfg["partitioning"]["rules"]
+                if cfg["partitioning"].get("enabled")
+                else None,
+            )
+            print(json.dumps(counts))
+        elif args.command == "filter":
+            cols = args.columns if args.columns else cfg["filtering"]["columns"]
+            report = lake.run_filter_stage(
+                spark, args.in_dir, args.out, cols, historical_dir=args.historical
+            )
+            print(
+                json.dumps(
+                    {
+                        "rows_before": report.rows_before,
+                        "rows_after": report.rows_after,
+                        "retention": round(report.retention, 4),
+                        "applied_columns": report.applied_columns,
+                        "missing_columns": report.missing_columns,
+                    }
+                )
+            )
+        elif args.command == "sample":
+            df = lake.read_lake(spark, args.in_dir, args.historical)
+            key = ["GlobalEventID"] if "GlobalEventID" in df.columns else None
+            if args.stratify:
+                # --stratify ignores -n (reference README.md:333)
+                out = sample_per_group(
+                    df, args.stratify, args.n_per_group or 100, seed=args.seed, key_cols=key
+                )
+            elif args.mode == "indexed":
+                if args.n is None:
+                    raise SystemExit("indexed mode requires -n")
+                out = sample_uniform(df, args.n, seed=args.seed, key_cols=key, strict=True)
+            elif args.mode == "daily":
+                out = sample_daily(df, args.per_day or 5, seed=args.seed, key_cols=key)
+            else:  # filtered
+                fdict = json.loads(args.filter) if args.filter else {}
+                # pre-flight grammar + column validation (reference
+                # samplers.py:201-220) for a clean error instead of a
+                # Catalyst analysis exception
+                from .functions.predicates import validate_filter_dict
+
+                validate_filter_dict(fdict, valid_columns=df.columns)
+                out = sample_filtered(
+                    df, fdict, n=args.n or 1000, seed=args.seed,
+                    columns=args.columns, key_cols=key,
+                )
+            if args.columns and not args.mode == "filtered":
+                out = out.select(*args.columns)
+            out.coalesce(1).write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

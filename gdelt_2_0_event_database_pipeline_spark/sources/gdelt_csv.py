@@ -1,0 +1,135 @@
+"""CSV → Parquet ingest with the declared GDELT schema (SURVEY.md §2.1
+S5–S10, reference ``conversion/converter.py``).
+
+Reference behavior re-expressed Spark-first: one distributed ``spark.read.csv``
+with the declared 58-name all-string schema (headerless, tab-separated —
+``converter.py:212-233``), numeric coercion as casts (malformed → NULL, same
+semantics as ``pd.to_numeric(errors='coerce')``, ``converter.py:225-227``),
+then two routed writes — daily files to a flat parquet directory, yearly/
+monthly files to a Hive-partitioned tree per configured rules
+(``converter.py:238-313``). The reference's per-file loop, manual
+``groupby(partition_cols)`` → mkdir → per-partition file dance, and its
+Int64-vs-float64 schema-consistency cast all collapse into
+``write.partitionBy`` on a typed DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schema import (
+    DEFAULT_PARTITION_RULES,
+    GDELT_COLUMNS,
+    LONG_COLUMNS,
+    NUMERIC_COLUMNS,
+    gdelt_csv_schema,
+)
+
+
+def extract_zips(zip_dir: str, out_dir: str) -> list[Path]:
+    """Driver-side ZIP extraction (reference utils/io.py:16-49). Returns
+    extracted paths; skips members that already exist."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    extracted: list[Path] = []
+    for zp in sorted(Path(zip_dir).glob("*.zip")):
+        with zipfile.ZipFile(zp) as zf:
+            for member in zf.namelist():
+                dest = out / os.path.basename(member)
+                if not dest.exists():
+                    with zf.open(member) as src, open(dest, "wb") as dst:
+                        dst.write(src.read())
+                extracted.append(dest)
+    return extracted
+
+
+def read_gdelt_csv(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+    """Declared-schema read + numeric coercion; never infers (SURVEY §1.2).
+
+    Adds ``_source_file`` (from ``input_file_name()``) so downstream routing
+    and idempotency can reason per source file without a second listing.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    df = spark.read.csv(
+        list(paths),
+        sep="\t",
+        header=False,
+        schema=gdelt_csv_schema(),
+        mode="PERMISSIVE",
+        encoding="UTF-8",
+    )
+    # try_cast ≡ pd.to_numeric(errors="coerce"): malformed → NULL, never an
+    # ANSI runtime error; long-valued columns go string→double→long so
+    # float-formatted ints ("2.0") coerce like the reference's
+    # to_numeric-then-Int64 two-step (converter.py:225-227, :246-250)
+    def _coerce(c: str):
+        if c in LONG_COLUMNS:
+            return F.col(c).try_cast("double").try_cast("long").alias(c)
+        if c in NUMERIC_COLUMNS:
+            return F.col(c).try_cast("double").alias(c)
+        return F.col(c)
+
+    return df.select(
+        *[_coerce(c) for c in GDELT_COLUMNS],
+        F.input_file_name().alias("_source_file"),
+    )
+
+
+def convert(
+    spark: SparkSession,
+    csv_dir: str,
+    flat_dir: str,
+    historical_dir: str | None = None,
+    partition_rules: dict[str, list[str]] | None = None,
+) -> dict[str, int]:
+    """Route by source-file granularity (filename regex parity with
+    ``converter.py:43-45``): daily → flat parquet; yearly/monthly → Hive
+    partitioned per rules (default ``{'yearly': ['Year'], 'monthly':
+    ['Year','MonthYear']}``, ``settings.example.yaml:143-149``). Rows with
+    NULL partition values are dropped on the historical path (reference
+    ``converter.py:291-295``). Returns row counts per route.
+    """
+    rules = partition_rules or DEFAULT_PARTITION_RULES
+    df = read_gdelt_csv(spark, csv_dir)
+    # routing is a native regexp on the file name — same patterns as
+    # classify_filename(), but codegen-eligible instead of a per-row UDF
+    base = F.element_at(F.split(F.col("_source_file"), "/"), -1)
+    ftype = (
+        F.when(base.rlike(r"^\d{8}\.[^.].*$"), F.lit("daily"))
+        .when(base.rlike(r"^\d{6}\.(?i:zip|csv)$"), F.lit("monthly"))
+        .when(base.rlike(r"^\d{4}\.(?i:zip|csv)$"), F.lit("yearly"))
+    )
+    df = df.withColumn("_ftype", ftype).cache()
+
+    counts: dict[str, int] = {}
+    daily = df.filter(F.col("_ftype") == "daily").drop("_ftype", "_source_file")
+    counts["daily"] = daily.count()
+    if counts["daily"]:
+        daily.write.mode("append").parquet(flat_dir, compression="snappy")
+
+    if historical_dir:
+        # one subtree per granularity — yearly (Year=…) and monthly
+        # (Year=…/MonthYear=…) have different partition depths, which cannot
+        # share a single Hive root (Spark rejects conflicting partition
+        # schemas; the reference's flat-file-list read sidesteps rather than
+        # solves this, samplers.py:300-316)
+        for ft, cols in rules.items():
+            part = df.filter(F.col("_ftype") == ft).drop("_ftype", "_source_file")
+            n = part.count()
+            counts[ft] = n
+            if n:
+                (
+                    part.na.drop(subset=cols)
+                    .write.mode("append")
+                    .partitionBy(*cols)
+                    .parquet(f"{historical_dir}/{ft}", compression="snappy")
+                )
+    df.unpersist()
+    return counts

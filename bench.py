@@ -30,6 +30,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM/codegen/file-index paths so per-query numbers measure the
+    # queries, not first-touch initialization
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, qd in QUERIES.items():
         t0 = time.time()

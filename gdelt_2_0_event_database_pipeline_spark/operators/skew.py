@@ -1,0 +1,112 @@
+"""Skew and co-location utilities for 100 TB operation.
+
+AQE's skew-join splitting (on by default in our session) handles most skew at
+runtime; these helpers cover the two cases it can't:
+
+- ``salted_group_agg`` — aggregation skew (one hot GROUP BY key overwhelms a
+  reducer). Two-phase: salt the key N ways → partial agg → final agg on the
+  unsalted key. Works for any algebraic aggregate (sum/count/min/max) and,
+  via (sum,count) pairs, averages.
+- ``salted_join_skewed_left`` — join skew where the hot keys are known or
+  discoverable: replicate the small side per salt, salt the big side
+  randomly. AQE only splits *shuffle* partitions; a broadcast-ineligible
+  hot-key join still needs explicit salting.
+- ``write_bucketed`` / co-located join — repeated joins on the same key
+  amortize their shuffle by bucketing both tables once (SortMergeJoin with
+  no exchange afterwards).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_group_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output name → (source column, fn) with fn ∈
+    {sum,count,min,max,avg}. Phase 1 groups on (key, salt) — hot keys spread
+    over ``num_salts`` reducers; phase 2 merges partials on the key alone
+    (merge of avg = sum-of-sums / sum-of-counts).
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    salt = (F.rand(seed=0) * num_salts).cast("int").alias("__salt__")
+
+    phase1_aggs, phase2_aggs = [], []
+    for out, (col, fn) in aggs.items():
+        if fn == "avg":
+            phase1_aggs += [
+                F.sum(col).alias(f"__{out}_s__"),
+                F.count(col).alias(f"__{out}_c__"),
+            ]
+            phase2_aggs.append(
+                (F.sum(f"__{out}_s__") / F.sum(f"__{out}_c__")).alias(out)
+            )
+        elif fn == "count":
+            phase1_aggs.append(F.count(col).alias(f"__{out}__"))
+            phase2_aggs.append(F.sum(f"__{out}__").alias(out))
+        elif fn in merge_fn:
+            phase1_aggs.append(getattr(F, fn)(col).alias(f"__{out}__"))
+            phase2_aggs.append(merge_fn[fn](f"__{out}__").alias(out))
+        else:
+            raise ValueError(f"unsupported agg fn {fn!r}")
+
+    partial = df.withColumn("__salt__", salt).groupBy(*group_cols, "__salt__").agg(
+        *phase1_aggs
+    )
+    return partial.groupBy(*group_cols).agg(*phase2_aggs)
+
+
+def salted_join_skewed_left(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: ``left`` (large, skewed on ``on``) gets a random
+    salt; ``right`` (small-ish but broadcast-ineligible) is replicated once
+    per salt value, so each (key, salt) pair meets exactly one replica.
+    Right-side row count multiplies by ``num_salts`` — size accordingly."""
+    salted_left = left.withColumn(
+        "__salt__", (F.rand(seed=0) * num_salts).cast("int")
+    )
+    replicated_right = right.withColumn(
+        "__salt__",
+        F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
+    )
+    out = salted_left.join(replicated_right, on=[on, "__salt__"], how=how)
+    return out.drop("__salt__")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist bucketed (and optionally sorted) by the join key: subsequent
+    equi-joins between tables bucketed the same way run shuffle-free
+    (Exchange elided on both sides). The lake-design answer to 'this join
+    happens every day on the same key'."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name, format="parquet")
+
+
+def explain_shuffles(df: DataFrame) -> int:
+    """Count *shuffle* Exchange operators in the executed plan (broadcast
+    exchanges move dimension-sized data and don't count) — the number a
+    reviewer should be able to justify line by line."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange") - plan.count("BroadcastExchange")

@@ -513,14 +513,16 @@ for _name, (_table, _fdict, _proj) in _DSL_CASES.items():
     WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
       AND l_returnflag IS NOT NULL
     """,
-    doc="NULL-drop stage semantics (reference filter.py:176-208): conjunctive IS NOT NULL.",
+    doc="NULL-drop stage semantics (reference filter.py:176-208): conjunctive IS NOT NULL (pushdown-eligible, unlike na.drop's AtLeastNNonNulls).",
 )
 def q_null_drop(spark, sf_dir):
     df = _li(spark, sf_dir)
-    return (
-        df.na.drop(subset=["l_orderkey", "l_quantity", "l_returnflag"])
-        .agg(F.count(F.lit(1)).alias("kept"))
+    pred = (
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_returnflag").isNotNull()
     )
+    return df.filter(pred).agg(F.count(F.lit(1)).alias("kept"))
 
 
 # --------------------------------------------------------------------------

@@ -94,7 +94,15 @@ def filter_nulls(df: DataFrame, columns: Sequence[str]) -> tuple[DataFrame, Filt
     if not existing:
         n = df.count()
         return df, FilterReport(n, n, [], missing)
-    filtered = df.na.drop(subset=existing)
+    # explicit IS NOT NULL conjunction, not na.drop: na.drop(subset) compiles
+    # to AtLeastNNonNulls, which parquet can't push down — the conjunction
+    # reaches the scan as PushedFilters and skips row groups via null counts
+    import functools
+
+    pred = functools.reduce(
+        lambda a, b: a & b, [F.col(c).isNotNull() for c in existing]
+    )
+    filtered = df.filter(pred)
     before = df.count()
     after = filtered.count()
     return filtered, FilterReport(before, after, existing, missing)

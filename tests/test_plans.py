@@ -1,0 +1,92 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 claims as built-in
+must actually appear in the executed plans — predicate pushdown to the
+parquet scan, column pruning (ReadSchema), broadcast joins for dims,
+TakeOrderedAndProject for top-n, partial aggregation, codegen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.functions.predicates import compile_filter
+from gdelt_2_0_event_database_pipeline_spark.operators.sampling import sample_uniform
+from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _long_metadata(spark):
+    # plan text truncates PushedFilters/ReadSchema lists at 100 chars by default
+    old = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    yield
+    spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dsl_filter_pushed_to_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(compile_filter({"l_returnflag": "R", "l_quantity": {"op": "gt", "value": 30}}))
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThan(l_quantity,30" in plan
+
+
+def test_projection_pruned_at_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q05_broadcasts_dimensions(spark):
+    df = QUERIES["q05_local_supplier_volume"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_uniform_is_takeordered(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = sample_uniform(li, 100, seed=1, key_cols=["l_orderkey", "l_linenumber"])
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # no full sort materialization
+
+
+def test_agg_has_partial_phase(spark):
+    df = QUERIES["q01_pricing_summary"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_codegen_present_on_hot_path(spark):
+    df = QUERIES["q_scalar_math"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # codegen stages render as a `*(n)` prefix in plan text
+    assert "*(1)" in plan
+
+
+def test_null_drop_pushes_isnotnull(spark):
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import filter_nulls
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df, _ = filter_nulls(li, ["l_returnflag", "l_quantity"])
+    plan = _plan(df)
+    # filter_nulls must compile to a pushdown-eligible conjunction —
+    # na.drop's AtLeastNNonNulls would leave PushedFilters empty
+    assert "IsNotNull(l_returnflag)" in plan
+    assert "IsNotNull(l_quantity)" in plan
+
+
+def test_count_served_from_metadata(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # metadata-only count (SURVEY §2.1 S14): Spark's LocalLimit+count over
+    # parquet uses footer row counts via the aggregate pushdown or an
+    # empty-column scan — assert the scan reads no data columns
+    plan = _plan(li.groupBy().count())
+    assert "ReadSchema: struct<>" in plan

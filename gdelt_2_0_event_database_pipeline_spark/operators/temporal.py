@@ -1,0 +1,168 @@
+"""Temporal operators Spark's DataFrame API lacks as primitives: as-of join,
+range (interval) join, gap-based sessionization.
+
+These are the event-pipeline staples (the reference has no time-series ops —
+SURVEY.md §1.1 — so this is extension surface like §2.10). Each is a
+composition of built-in operators chosen for its shuffle shape at scale:
+
+- ``asof_join``      — union + partitioned window scan: ONE shuffle on the
+                       join key, no range-condition blowup. The classic
+                       union-trick beats a range join whenever the right side
+                       fits the same key partitioning.
+- ``range_join``     — equi-key join + interval predicate; binned variant
+                       (``bin_minutes``) turns the unbounded time predicate
+                       into extra equi-join keys so Spark never falls back to
+                       broadcast-nested-loop.
+- ``sessionize``     — two windows over one shuffle: gap flags → running sum
+                       = session ids.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the most recent right row at-or-before its
+    timestamp (``backward``; ``forward`` = earliest at-or-after), per key.
+
+    Plan: tag both sides, union by name, one window partitioned by key and
+    ordered by (ts, side-tag) with ``last(value, ignorenulls=True)`` carrying
+    the right side's values forward onto left rows. One hash shuffle on the
+    key — same cost as a plain equi-join of the two inputs, independent of
+    how many right rows precede each left row (a naive range join is
+    quadratic in that count).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    keys = list(key_cols)
+    lcols = [c for c in left.columns if c not in keys]
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts__"),
+        # left rows sort AFTER right rows at equal ts (backward: at-or-before wins)
+        F.lit(1).alias("__side__"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in right_value_cols],
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}__") for c in right_value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts__").asc(), F.col("__side__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [
+            F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts__").asc(), F.col("__side__").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = [
+            F.first(f"__r_{c}__", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_value_cols
+        ]
+
+    out = unioned.select(*keys, "__ts__", "__side__", *lcols, *carried).filter(
+        F.col("__side__") == 1
+    )
+    return out.select(
+        *keys, F.col("__ts__").alias(left_ts), *lcols,
+        *[F.col(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: Column | None = None,
+    upper: Column | None = None,
+    bin_minutes: int | None = None,
+) -> DataFrame:
+    """Pairs (l, r) sharing ``key_cols`` with ``r.ts - l.ts`` inside
+    [lower, upper] (intervals, e.g. ``F.expr("INTERVAL 0 SECONDS")``).
+
+    With ``bin_minutes``, both sides gain a time-bucket column and the left
+    side explodes to the buckets its window can reach — the join becomes
+    pure equi-join on (key, bucket) with the interval check as a cheap
+    post-filter. That keeps the planner on hash joins at any scale.
+    """
+    lo = lower if lower is not None else F.expr("INTERVAL 0 SECONDS")
+    hi = upper if upper is not None else F.expr("INTERVAL 5 MINUTES")
+    keys = list(key_cols)
+    cond = (
+        (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + lo)
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + hi)
+    )
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+
+    if bin_minutes is None:
+        return left.alias("l").join(right.alias("r"), cond)
+
+    step = bin_minutes * 60
+    lbin = (F.unix_timestamp(F.col(left_ts)) / step).cast("long")
+    rbin = (F.unix_timestamp(F.col(right_ts)) / step).cast("long")
+    # left probes its own bin plus the next (window ≤ bin width guarantees
+    # every candidate lands in one of the two)
+    l_binned = left.withColumn("__bin__", F.explode(F.array(lbin, lbin + 1)))
+    r_binned = right.withColumn("__bin__", rbin)
+    cond_binned = cond & (F.col("l.__bin__") == F.col("r.__bin__"))
+    return (
+        l_binned.alias("l")
+        .join(r_binned.alias("r"), cond_binned)
+        .drop("__bin__")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_minutes: int = 30,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_minutes``. Session id =
+    running count of session starts per key (1-based) — two windows over one
+    shuffle on the key.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    # microsecond arithmetic — unix_timestamp truncates to seconds and
+    # misclassifies sub-second gaps at the boundary
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_start = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(session_col, F.sum(is_start).over(running))

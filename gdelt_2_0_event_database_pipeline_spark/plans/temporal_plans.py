@@ -1,0 +1,105 @@
+"""Temporal query plans: as-of join, range join, sessionization over the
+events table — oracled against DuckDB (which has native ASOF JOIN, making it
+an independent implementation to differ against).
+
+All oracle SQL casts ``ts`` to microsecond TIMESTAMP to match Spark's
+timestamp precision (the parquet carries nanos; comparisons must happen at
+the same resolution on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, range_join, sessionize
+from .registry import register
+from .relational import _events
+
+
+@register(
+    "q_asof_join",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+         l AS (SELECT * FROM e WHERE event_type <> 'signup'),
+         r AS (SELECT * FROM e WHERE event_type = 'signup')
+    SELECT l.event_id, l.user_id,
+           r.value AS signup_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="As-of join (most recent signup at-or-before each event, per user) — union+window plan, one shuffle.",
+)
+def q_asof_join(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    left = e.filter(F.col("event_type") != "signup")
+    right = e.filter(F.col("event_type") == "signup")
+    out = asof_join(
+        left,
+        right.select("user_id", "ts", "value"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+    )
+    return out.select("event_id", "user_id", F.col("asof_value").alias("signup_value"))
+
+
+@register(
+    "q_range_join",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events)
+    SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id
+    FROM e l JOIN e r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'view' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 30 MINUTES
+    """,
+    doc="Range (interval) join: purchases within 30min after a view, per user — binned equi-join plan.",
+)
+def q_range_join(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = range_join(
+        views,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        upper=F.expr("INTERVAL 30 MINUTES"),
+        bin_minutes=30,
+    )
+    return out.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "q_sessionize",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
+         flagged AS (
+           SELECT event_id, user_id, ts,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                            > 30 * 60 * 1000000
+                       THEN 1 ELSE 0 END AS is_start
+           FROM e
+         )
+    SELECT event_id, user_id,
+           sum(is_start) OVER (
+             PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM flagged
+    """,
+    doc="Gap-based sessionization (30min): two windows over one shuffle on the key.",
+)
+def q_sessionize(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    return sessionize(e, ["user_id"], "ts", gap_minutes=30).select(
+        "event_id", "user_id", "session_id"
+    )

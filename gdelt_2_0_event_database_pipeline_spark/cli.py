@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result))
         return 0 if not result["failed"] else 1
 
+    from pyspark.sql import SparkSession
+
+    # getOrCreate may hand us a session the embedding process owns (tests,
+    # notebooks); only stop what we actually created
+    preexisting = SparkSession.getActiveSession() is not None
     spark = get_spark("gdelt_cli")
     try:
         if args.command == "convert":
@@ -144,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
             out.coalesce(1).write.mode("overwrite").parquet(args.out)
             print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 0
 
 

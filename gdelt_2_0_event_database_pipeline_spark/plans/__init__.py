@@ -6,3 +6,4 @@ from . import relational2  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import sampling_plans  # noqa: E402,F401
 from . import temporal_plans  # noqa: E402,F401
+from . import scale_plans  # noqa: E402,F401

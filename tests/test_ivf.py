@@ -1,0 +1,92 @@
+"""IVF ANN tests: deterministic fit, clustered-data recall beating the
+candidate budget, output-shape parity with brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+    fit_ivf_centroids,
+    ivf_topk,
+    nearest_cells,
+)
+from gdelt_2_0_event_database_pipeline_spark.operators.similarity import cosine_topk
+
+DIM = 16
+CLUSTERS = 4
+PER = 60
+
+
+def _clustered(seed: int = 5):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=5.0, size=(CLUSTERS, DIM))
+    rows = []
+    for i in range(CLUSTERS * PER):
+        c = i % CLUSTERS
+        rows.append((i, (centers[c] + rng.normal(scale=0.5, size=DIM)).astype(np.float32)))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in _clustered()], schema
+    ).cache()
+
+
+def test_fit_is_deterministic(emb):
+    c1 = fit_ivf_centroids(emb, k=CLUSTERS, iters=3, seed=9)
+    c2 = fit_ivf_centroids(emb, k=CLUSTERS, iters=3, seed=9)
+    assert c1 == c2
+    assert len(c1) == CLUSTERS and len(c1[0]) == DIM
+
+
+def test_fit_recovers_clusters(spark, emb):
+    cents = fit_ivf_centroids(emb, k=CLUSTERS, iters=5, seed=9)
+    # every planted cluster should map to a distinct fitted centroid
+    assigned = emb.select(
+        (F.col("vec_id") % CLUSTERS).alias("truth"),
+        nearest_cells(F.col("embedding").cast("array<double>"), cents, 1)[0].alias("cell"),
+    )
+    # purity: dominant truth label per cell covers ≥95% of the cell
+    per = assigned.groupBy("cell", "truth").count().collect()
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for r in per:
+        cells[r.cell].append(r["count"])
+    purity = sum(max(v) for v in cells.values()) / sum(sum(v) for v in cells.values())
+    assert purity > 0.95, f"purity {purity}"
+
+
+def test_ivf_topk_recall_on_clustered(emb):
+    cents = fit_ivf_centroids(emb, k=CLUSTERS, iters=5, seed=9)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, cents, k=5, nprobe=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nearest neighbors live in the query's own cluster → nprobe=1 suffices
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_ivf_rank_shape(emb):
+    cents = fit_ivf_centroids(emb, k=CLUSTERS, iters=3, seed=9)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=4, nprobe=2)
+    per = out.groupBy("query_id").agg(F.count("*").alias("c"), F.max("rank").alias("m")).collect()
+    for r in per:
+        assert r.c == 4 and r.m == 4

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     cv.add_argument("--in", dest="in_dir", required=True, help="extracted CSV dir")
     cv.add_argument("--flat", required=True, help="flat parquet output dir")
     cv.add_argument("--historical", default=None, help="Hive-partitioned output dir")
+    cv.add_argument(
+        "--manifest", default=None,
+        help="processed-file manifest for incremental re-runs (skip already-converted inputs)",
+    )
 
     fl = sub.add_parser("filter", help="drop rows with NULLs in configured columns")
     fl.add_argument("--in", dest="in_dir", required=True)
@@ -100,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                 partition_rules=cfg["partitioning"]["rules"]
                 if cfg["partitioning"].get("enabled")
                 else None,
+                manifest_path=args.manifest,
             )
             print(json.dumps(counts))
         elif args.command == "filter":

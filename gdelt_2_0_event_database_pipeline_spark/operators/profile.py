@@ -1,0 +1,50 @@
+"""Table profiling: per-column quality stats in long format — the
+data-quality sweep a lake runs after every ingest (extension surface; the
+reference's only quality signal is the filter stage's retention log,
+``filter.py:135-148``).
+
+One job, one scan: every column's stats are aggregates of the same pass;
+the long format comes from unpivoting an array of structs, not from N
+per-column jobs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_str, max_str) per column.
+
+    Exact distinct counts (count_distinct per column in one aggregate —
+    Spark expands to a single multi-distinct plan); min/max stringified so
+    heterogeneous column types fit one schema. For TB-scale profiling swap
+    ``count_distinct`` for ``approx_count_distinct`` — same shape, one pass.
+    """
+    cols = list(columns) if columns else df.columns
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__null_{c}__"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}__"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}__"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}__"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n__").alias("n_rows"),
+                F.col(f"__null_{c}__").alias("n_nulls"),
+                F.col(f"__dist_{c}__").alias("n_distinct"),
+                F.col(f"__min_{c}__").alias("min_str"),
+                F.col(f"__max_{c}__").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("p")).select("p.*")

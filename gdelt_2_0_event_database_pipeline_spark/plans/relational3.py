@@ -1,0 +1,135 @@
+"""Third relational batch: cube grouping sets, ranking windows, edit
+distance, date-spine gap detection, column profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.profile import profile_table
+from .registry import register
+from .relational import _t
+
+
+@register(
+    "q_cube",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+           grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE grouping sets (all subtotal combinations + grand total).",
+)
+def q_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid")
+    )
+
+
+@register(
+    "q_rank_functions",
+    sql="""
+    SELECT o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking window surface: rank / dense_rank / ntile / percent_rank.",
+)
+def q_rank_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "q_levenshtein",
+    sql="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 25 AND b.doc_id < 25
+    """,
+    doc="Edit-distance pairs (string-similarity kernel for fuzzy dedup) on 30-char prefixes.",
+)
+def q_levenshtein(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 25)
+        .select("doc_id", F.substring("text", 1, 30).alias("prefix"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+    )
+
+
+@register(
+    "q_date_gaps",
+    sql="""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1994-12-01', DATE '1995-12-31', INTERVAL 1 DAY))::DATE AS d
+    ),
+    have AS (SELECT DISTINCT o_orderdate::DATE AS d FROM orders)
+    SELECT spine.d AS missing_day
+    FROM spine LEFT JOIN have ON spine.d = have.d
+    WHERE have.d IS NULL
+    """,
+    doc="Date-spine gap detection: generated calendar anti-joined against observed days (data-quality staple).",
+)
+def q_date_gaps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1994-12-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("missing_day")
+    )
+    have = o.select(F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return spine.join(
+        have, spine.missing_day == have.d, "left_anti"
+    )
+
+
+@register(
+    "q_profile",
+    sql="""
+    SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+           count(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+           count(DISTINCT o_totalprice)
+    FROM orders
+    """,
+    doc="Column profiling (null/distinct counts, one scan) — ingest data-quality sweep.",
+)
+def q_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o, ["o_orderkey", "o_orderstatus", "o_totalprice"]).select(
+        "column", "n_rows", "n_nulls", "n_distinct"
+    )

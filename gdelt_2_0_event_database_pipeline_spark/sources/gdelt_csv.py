@@ -88,6 +88,7 @@ def convert(
     flat_dir: str,
     historical_dir: str | None = None,
     partition_rules: dict[str, list[str]] | None = None,
+    manifest_path: str | None = None,
 ) -> dict[str, int]:
     """Route by source-file granularity (filename regex parity with
     ``converter.py:43-45``): daily → flat parquet; yearly/monthly → Hive
@@ -97,7 +98,25 @@ def convert(
     ``converter.py:291-295``). Returns row counts per route.
     """
     rules = partition_rules or DEFAULT_PARTITION_RULES
-    df = read_gdelt_csv(spark, csv_dir)
+
+    inputs: str | list[str] = csv_dir
+    to_mark: list[str] = []
+    if manifest_path:
+        # incremental re-run (reference .done markers, converter.py:118-125):
+        # only files absent from the processed manifest are read at all
+        from glob import glob
+
+        from .lake import mark_processed, unprocessed
+
+        candidates = sorted(
+            p for p in glob(os.path.join(csv_dir, "*")) if os.path.isfile(p)
+        )
+        todo = unprocessed(spark, candidates, manifest_path)
+        if not todo:
+            return {"daily": 0, **{ft: 0 for ft in rules}}
+        inputs, to_mark = todo, todo
+
+    df = read_gdelt_csv(spark, inputs)
     # routing is a native regexp on the file name — same patterns as
     # classify_filename(), but codegen-eligible instead of a per-row UDF
     base = F.element_at(F.split(F.col("_source_file"), "/"), -1)
@@ -132,4 +151,8 @@ def convert(
                     .parquet(f"{historical_dir}/{ft}", compression="snappy")
                 )
     df.unpersist()
+    if manifest_path and to_mark:
+        from .lake import mark_processed
+
+        mark_processed(spark, manifest_path, to_mark)
     return counts

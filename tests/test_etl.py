@@ -108,6 +108,18 @@ def test_filter_nulls_missing_columns_noop(spark, converted):
     assert report.rows_after == report.rows_before == 200
 
 
+def test_convert_incremental_with_manifest(spark, tmp_path):
+    csv_dir = _write_csvs(tmp_path)
+    flat, hist, mani = str(tmp_path / "f"), str(tmp_path / "h"), str(tmp_path / "m")
+    first = gdelt_csv.convert(spark, csv_dir, flat, historical_dir=hist, manifest_path=mani)
+    assert first["daily"] == 200
+    n1 = spark.read.parquet(flat).count()
+    # second run: everything already in the manifest → zero work, no growth
+    second = gdelt_csv.convert(spark, csv_dir, flat, historical_dir=hist, manifest_path=mani)
+    assert second == {"daily": 0, "yearly": 0, "monthly": 0}
+    assert spark.read.parquet(flat).count() == n1
+
+
 def test_manifest_idempotency(spark, tmp_path):
     mpath = str(tmp_path / "manifest")
     files = ["a.zip", "b.zip", "c.zip"]

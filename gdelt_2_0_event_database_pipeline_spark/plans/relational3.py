@@ -109,6 +109,26 @@ def q_date_gaps(spark, sf_dir):
 
 
 @register(
+    "q_zscore",
+    sql="""
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER w)
+                 / stddev_samp(c_acctbal) OVER w, 4) AS acctbal_z
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    doc="Per-group z-score standardization (training-data normalization staple) — whole-partition window, one shuffle.",
+)
+def q_zscore(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    z = (F.col("c_acctbal") - F.avg("c_acctbal").over(w)) / F.stddev_samp(
+        "c_acctbal"
+    ).over(w)
+    return c.select("c_custkey", F.round(z, 4).alias("acctbal_z"))
+
+
+@register(
     "q_profile",
     sql="""
     SELECT 'o_orderkey' AS column, count(*) AS n_rows,

@@ -129,6 +129,42 @@ def sample_daily(
     return sample_per_group(df, day_col, per_day, seed=seed, key_cols=key_cols)
 
 
+def sample_weighted(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    seed: int = 42,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact-n weighted sample without replacement (Efraimidis-Spirakis
+    A-Res): each row draws u ∈ (0,1) and ranks by u^(1/w) descending; the
+    top n realize inclusion probabilities proportional to weight.
+
+    Extension beyond the reference (its sampling is uniform-only). u is
+    hash-derived from ``key_cols`` — the same partitioning-independent
+    determinism contract as :func:`sample_uniform`. Rows with weight ≤ 0 or
+    NULL are excluded (zero mass). Distributed as a single
+    TakeOrderedAndProject, like the uniform path.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    if not key_cols:
+        raise ValueError("sample_weighted requires key_cols for deterministic draws")
+    # u in (0,1): (hash mod M + 1) / (M + 1) — strictly inside the interval
+    m = 2_147_483_647
+    u = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(m))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(m + 1))
+    w = F.col(weight_col).cast("double")
+    rank_key = F.pow(u, F.lit(1.0) / w)
+    return (
+        df.filter(w > 0)
+        .orderBy(rank_key.desc())
+        .limit(n)
+    )
+
+
 def sample_filtered(
     df: DataFrame,
     filter_dict: Mapping[str, Any],

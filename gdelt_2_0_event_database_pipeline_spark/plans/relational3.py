@@ -109,6 +109,28 @@ def q_date_gaps(spark, sf_dir):
 
 
 @register(
+    "q_regression",
+    sql="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(corr(l_extendedprice, l_quantity), 6)           AS correlation,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Regression aggregates per group (regr_slope/intercept/corr) — distributed OLS without a UDF.",
+)
+def q_regression(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("correlation"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "q_zscore",
     sql="""
     SELECT c_custkey,

@@ -16,6 +16,7 @@ from ..operators.sampling import (
     sample_filtered,
     sample_per_group,
     sample_uniform,
+    sample_weighted,
 )
 from .registry import register
 from .relational import _events, _t
@@ -76,3 +77,15 @@ def q_sample_filtered(spark, sf_dir):
         columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
         key_cols=["l_orderkey", "l_linenumber"],
     )
+
+
+@register(
+    "q_sample_weighted",
+    sql=None,
+    doc="Exact-n weighted sample (Efraimidis-Spirakis A-Res, extension): inclusion ∝ o_totalprice.",
+)
+def q_sample_weighted(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return sample_weighted(
+        o, 500, weight_col="o_totalprice", seed=42, key_cols=["o_orderkey"]
+    ).select("o_orderkey", "o_totalprice")

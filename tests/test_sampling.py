@@ -107,6 +107,32 @@ def test_filtered_sample_containment_and_projection(gdelt_df):
     ).count() == 0
 
 
+def test_weighted_sampling_properties(gdelt_df):
+    from gdelt_2_0_event_database_pipeline_spark.operators.sampling import sample_weighted
+
+    s = sample_weighted(gdelt_df, 2000, "NumMentions", seed=6, key_cols=KEY)
+    rows = s.collect()
+    assert len(rows) == 2000
+    assert len({r.GlobalEventID for r in rows}) == 2000  # without replacement
+    # determinism
+    s2 = sample_weighted(gdelt_df, 2000, "NumMentions", seed=6, key_cols=KEY)
+    assert {r.GlobalEventID for r in rows} == {r.GlobalEventID for r in s2.collect()}
+    # heavier rows overrepresented: sample mean weight ≫ population mean
+    pop_mean = gdelt_df.agg(F.avg("NumMentions")).first()[0]
+    samp_mean = s.agg(F.avg("NumMentions")).first()[0]
+    assert samp_mean > pop_mean * 1.2, (samp_mean, pop_mean)
+
+
+def test_weighted_sampling_rejects_nonpositive(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.sampling import sample_weighted
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0), (4, None)], "id long, w double"
+    )
+    out = sample_weighted(df, 10, "w", seed=1, key_cols=["id"]).collect()
+    assert [r.id for r in out] == [3]  # only positive-weight rows carry mass
+
+
 def test_uniformity_chisquare(gdelt_df):
     # sample 4000 of 20000; Year distribution of the sample should track the
     # population (chi-square, 2 dof, p>0.001 ⇒ stat < 13.8)

@@ -59,6 +59,19 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--out", required=True)
     fl.add_argument("--columns", nargs="*", default=None, help="override config columns")
 
+    pr = sub.add_parser("profile", help="per-column quality stats of a parquet lake")
+    pr.add_argument("--in", dest="in_dir", required=True)
+    pr.add_argument("--historical", default=None)
+    pr.add_argument("--columns", nargs="*", default=None)
+
+    dd = sub.add_parser("dedup", help="exact or near deduplication")
+    dd.add_argument("--in", dest="in_dir", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--mode", choices=["exact", "minhash"], required=True)
+    dd.add_argument("--key", nargs="+", required=True, help="dedup key columns (exact) or [id, text] (minhash)")
+    dd.add_argument("--order-by", nargs="*", default=None, help="exact mode: keep-first ordering")
+    dd.add_argument("--threshold", type=float, default=0.8, help="minhash: jaccard threshold")
+
     sm = sub.add_parser("sample", help="reproducible sampling")
     sm.add_argument("--in", dest="in_dir", required=True)
     sm.add_argument("--historical", default=None)
@@ -123,6 +136,48 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.command == "profile":
+            from .operators.profile import profile_table
+
+            df = lake.read_lake(spark, args.in_dir, args.historical)
+            stats = profile_table(df, args.columns).collect()
+            print(
+                json.dumps(
+                    [
+                        {
+                            "column": r.column,
+                            "n_rows": r.n_rows,
+                            "n_nulls": r.n_nulls,
+                            "n_distinct": r.n_distinct,
+                            "min": r.min_str,
+                            "max": r.max_str,
+                        }
+                        for r in stats
+                    ]
+                )
+            )
+        elif args.command == "dedup":
+            from .operators.dedup import dedup_exact, minhash_near_dup_pairs
+
+            df = lake.read_lake(spark, args.in_dir)
+            if args.mode == "exact":
+                order = args.order_by or args.key
+                out = dedup_exact(df, subset=args.key, order_by=order)
+                out.write.mode("overwrite").parquet(args.out)
+                print(
+                    json.dumps(
+                        {"rows_before": df.count(), "rows_after": spark.read.parquet(args.out).count()}
+                    )
+                )
+            else:
+                if len(args.key) != 2:
+                    raise SystemExit("minhash mode needs --key <id_col> <text_col>")
+                id_col, text_col = args.key
+                pairs = minhash_near_dup_pairs(
+                    df, id_col, text_col, threshold=args.threshold
+                )
+                pairs.write.mode("overwrite").parquet(args.out)
+                print(json.dumps({"pairs": spark.read.parquet(args.out).count()}))
         elif args.command == "sample":
             df = lake.read_lake(spark, args.in_dir, args.historical)
             key = ["GlobalEventID"] if "GlobalEventID" in df.columns else None

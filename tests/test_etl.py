@@ -197,6 +197,25 @@ def test_extract_zips(tmp_path):
 
 
 # ---------------------------------------------------------------- CLI
+def test_cli_profile_and_dedup(converted, capsys):
+    tmp, flat, hist, _ = converted
+    rc = cli_main(["profile", "--in", flat, "--columns", "Actor1Code", "QuadClass"])
+    assert rc == 0
+    stats = {s["column"]: s for s in json.loads(capsys.readouterr().out.strip().splitlines()[-1])}
+    assert stats["Actor1Code"]["n_rows"] == 200
+    assert stats["Actor1Code"]["n_nulls"] > 0
+    assert stats["QuadClass"]["n_distinct"] <= 5
+
+    out_d = str(tmp / "dedup_out")
+    rc = cli_main([
+        "dedup", "--in", flat, "--out", out_d, "--mode", "exact",
+        "--key", "Actor1CountryCode", "--order-by", "GlobalEventID",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_after"] < rep["rows_before"] == 200
+
+
 def test_cli_filter_and_sample(tmp_path_factory, converted, capsys):
     tmp, flat, hist, _ = converted
     out_f = str(tmp / "filtered_out")

@@ -71,26 +71,6 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 
     )
 
 
-def _banded(sig_col: Column, bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, bucket:long>> — one bucket hash per band."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                ),
-                b,
-            ).alias("bucket"),
-        ),
-    )
-
-
 def jaccard(a: Column, b: Column) -> Column:
     """Exact set Jaccard of two string arrays (ratio of ints → cross-engine
     bit-identical)."""

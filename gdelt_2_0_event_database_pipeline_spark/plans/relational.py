@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.predicates import compile_filter, compile_filter_sql
-from .registry import load_tables, register
+from .registry import register
 
 
 def _li(spark: SparkSession, sf_dir: str) -> DataFrame:

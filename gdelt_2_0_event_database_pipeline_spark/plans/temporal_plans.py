@@ -78,6 +78,31 @@ def q_range_join(spark, sf_dir):
 
 
 @register(
+    "q_event_paths",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events)
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n_events
+    FROM e WHERE user_id < 50 GROUP BY user_id
+    """,
+    doc="Ordered event-path aggregation per user (collect_list sorted by struct → joined string — deterministic, unlike raw collect_list).",
+)
+def q_event_paths(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(ordered, ">").alias("path"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "q_sessionize",
     sql="""
     WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),

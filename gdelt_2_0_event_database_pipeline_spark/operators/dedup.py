@@ -235,6 +235,86 @@ def simhash_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------- clustering
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id).
+
+    Input: (id_a, id_b) edges from any near-dup stage. Label propagation:
+    every node starts as its own label; each round every node adopts the
+    minimum label in its neighborhood; converged when no label changes.
+    cluster_id = the minimum member id of the component — deterministic.
+
+    Each round is two shuffles (join + groupBy-min) over the *edge list*,
+    never the documents; rounds needed = graph diameter, and near-dup
+    components are overwhelmingly tiny cliques (diameter ≤ 2), so this
+    converges in 2-3 rounds in practice. Eager ``localCheckpoint`` after
+    every round truncates lineage — without it each round's plan re-derives
+    all previous rounds (and the upstream LSH pipeline), the classic
+    iterative-algorithm trap.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """End-to-end near-dedup: given documents and their near-dup pairs, keep
+    exactly one document per duplicate cluster (the minimum id — the
+    cluster_id itself) plus every unpaired document. The 100 TB shape:
+    clustering touches only the edge list; the wide document table is
+    filtered with one broadcast-ineligible-safe anti-join."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("__loser__")
+    )
+    return df.join(
+        losers, df[id_col] == F.col("__loser__"), "left_anti"
+    )
+
+
 # ---------------------------------------------------------------- jaccard (exact)
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -180,6 +180,46 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_dedup_canonical",
+    sql=None,  # pairs derive from hash-seeded MinHash → cluster sets are engine-specific
+    doc="End-to-end near-dedup: MinHash pairs → connected components → keep one doc per cluster.",
+)
+def q_dedup_canonical(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.6)
+    return D.dedup_keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "q_top_tokens_per_lang",
+    sql=f"""
+    SELECT lang, token, cnt FROM (
+      SELECT lang, token, count(*) AS cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+      FROM (SELECT lang, unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY lang, token
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 tokens per language: explode → count → ranked window (deterministic tiebreak).",
+)
+def q_top_tokens_per_lang(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(X.tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "token", "cnt")
+    )
+
+
+@register(
     "q_dedup_minhash",
     sql=None,  # xxhash64 family has no DuckDB twin; invariants in tests/test_dedup.py
     doc="MinHash+LSH near-dup candidate pairs with exact-Jaccard verify (X2, scale path).",

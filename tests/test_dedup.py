@@ -83,6 +83,29 @@ def test_ngram_jaccard_exact_values(spark):
     assert sim[(1, 3)] == 0.0
 
 
+def test_dedup_clusters_components(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    # two components: {1,2,3,4} (a chain — diameter 3) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_canonical_end_to_end(docs):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        dedup_keep_canonical,
+    )
+
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.6)
+    kept = dedup_keep_canonical(docs, pairs, "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    # cluster {0,1,2,5} collapses to 0; singletons 3,4 survive
+    assert ids == [0, 3, 4]
+
+
 def test_minhash_determinism(docs):
     a = sorted(tuple(r) for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect())
     b = sorted(tuple(r) for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect())

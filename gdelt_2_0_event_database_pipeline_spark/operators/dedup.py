@@ -20,6 +20,7 @@ codegen-eligible). The only shuffles are the bucket groupBys/joins on
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -191,6 +192,15 @@ def simhash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
+    if 64 % chunks != 0:
+        raise ValueError(f"chunks must divide 64, got {chunks}")
+    if max_hamming >= chunks:
+        # pigeonhole guarantee needs distance < chunks: with d >= chunks every
+        # block can absorb a differing bit, so true pairs silently drop out
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < chunks ({chunks}) for the "
+            "banding to guarantee recall; raise chunks or lower max_hamming"
+        )
     bits_per = 64 // chunks
     sig = df.select(
         F.col(id_col).alias("__id__"), simhash64(F.col(text_col)).alias("__sim__")
@@ -247,13 +257,18 @@ def dedup_clusters(
     minimum label in its neighborhood; converged when no label changes.
     cluster_id = the minimum member id of the component — deterministic.
 
-    Each round is two shuffles (join + groupBy-min) over the *edge list*,
-    never the documents; rounds needed = graph diameter, and near-dup
-    components are overwhelmingly tiny cliques (diameter ≤ 2), so this
-    converges in 2-3 rounds in practice. Eager ``localCheckpoint`` after
-    every round truncates lineage — without it each round's plan re-derives
-    all previous rounds (and the upstream LSH pipeline), the classic
-    iterative-algorithm trap.
+    Each round is ONE join + one groupBy-min over the *edge list* (the node's
+    own label rides along via a union instead of a second join), never the
+    documents; rounds needed = graph diameter, and near-dup components are
+    overwhelmingly tiny cliques (diameter ≤ 2), so this converges in 2-3
+    rounds in practice. Eager ``localCheckpoint`` after every round truncates
+    lineage — without it each round's plan re-derives all previous rounds
+    (and the upstream LSH pipeline), the classic iterative-algorithm trap.
+
+    Convergence detection is O(1) per round: labels only ever decrease
+    (new = min(own, neighbors)), so the global label sum is strictly
+    monotone and a fixpoint shows up as an unchanged sum — one cheap
+    aggregate on checkpointed data instead of a join-based diff.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -267,32 +282,30 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("label"))
+            .union(labels.select("id", "label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+    else:
+        # components with diameter > max_iterations would keep stale labels,
+        # splitting one true cluster into several (recall bound, not an error)
+        warnings.warn(
+            f"dedup_clusters hit max_iterations={max_iterations} before label "
+            "propagation converged; labels may split large-diameter components",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -48,7 +48,10 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     keys = list(key_cols)
-    lcols = [c for c in left.columns if c not in keys]
+    # left_ts must not ride along in lcols: it is re-emitted from __ts__ in the
+    # final select, and a second copy makes any name-based downstream reference
+    # fail with AMBIGUOUS_REFERENCE.
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts__"),

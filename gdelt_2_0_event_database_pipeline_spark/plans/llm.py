@@ -181,12 +181,41 @@ def q_ngram_jaccard(spark, sf_dir):
 
 @register(
     "q_dedup_canonical",
-    sql=None,  # pairs derive from hash-seeded MinHash → cluster sets are engine-specific
-    doc="End-to-end near-dedup: MinHash pairs → connected components → keep one doc per cluster.",
+    sql=f"""
+    WITH RECURSIVE
+    g AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS gr
+      FROM documents WHERE doc_id < 200
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.gr, b.gr))
+              / greatest(len(list_distinct(a.gr || b.gr)), 1) >= 0.6
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> cluster_id)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id < 200 AND doc_id NOT IN (SELECT id FROM losers)
+    """,
+    doc=(
+        "End-to-end near-dedup: exact-Jaccard pairs → connected components "
+        "(label propagation; oracle = recursive-CTE transitive closure) → "
+        "keep the min-id doc per cluster. Edges are deterministic "
+        "ratio-of-ints, so the full pipeline is oracle-checkable; the LSH "
+        "edge generator is exercised rows-only by q_dedup_minhash."
+    ),
 )
 def q_dedup_canonical(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    pairs = D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.6)
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.6)
     return D.dedup_keep_canonical(d, pairs, "doc_id").select("doc_id", "lang", "source")
 
 
@@ -273,6 +302,25 @@ def q_cosine_topk(spark, sf_dir):
 def q_cosine_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "q_ivf_topk",
+    sql=None,  # approximate-by-design: probed cells depend on the fitted codebook
+    doc=(
+        "IVF ANN top-k (X3 scale path): deterministic k-means codebook fit at "
+        "plan-build (hash-seeded init), cell-equi-join probe + exact rescore; "
+        "recall ≥0.9 pinned in tests/test_ivf.py."
+    ),
+)
+def q_ivf_topk(spark, sf_dir):
+    from ..operators import ivf as I
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = I.fit_ivf_centroids(emb, k=8, iters=3)
+    return I.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), centroids, k=5, nprobe=3
+    )
 
 
 @register(

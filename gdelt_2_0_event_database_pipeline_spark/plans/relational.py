@@ -589,8 +589,8 @@ def q_scalar_string(spark, sf_dir):
     sql="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                  AS abs_d,
-           ceil(l_quantity / 7)                    AS ceil_q,
-           floor(l_quantity / 7)                   AS floor_q,
+           CAST(ceil(l_quantity / 7) AS BIGINT)    AS ceil_q,
+           CAST(floor(l_quantity / 7) AS BIGINT)   AS floor_q,
            round(sqrt(l_extendedprice), 6)         AS sqrt_price,
            round(ln(l_extendedprice + 1), 6)       AS ln_price,
            mod(CAST(l_quantity AS BIGINT), 5)      AS qty_mod

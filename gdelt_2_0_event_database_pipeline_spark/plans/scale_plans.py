@@ -4,12 +4,14 @@ entries so the driver exercises them (SURVEY.md §4 scale paths + §2.10 X6).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import make_media_df, media_stats
-from ..operators.skew import salted_group_agg
+from ..operators.skew import explain_shuffles, salted_group_agg, write_bucketed
 from .registry import register
-from .relational import _li
+from .relational import _li, _t
 
 
 @register(
@@ -41,6 +43,54 @@ def q_salted_agg(spark, sf_dir):
         "n",
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@register(
+    "q_bucketed_join",
+    sql="""
+    SELECT c.c_nationkey,
+           count(*)                      AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    doc=(
+        "Shuffle-free co-located join (lake design): orders and customer are "
+        "bucketed by the join key at plan-build (write_bucketed), so the "
+        "SortMergeJoin runs with zero shuffle Exchanges — asserted in-plan "
+        "here, not just in tests. The daily-repeated-join answer at 100 TB: "
+        "pay the bucketing shuffle once at write time, never at read time."
+    ),
+)
+def q_bucketed_join(spark, sf_dir):
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_customer = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_orders, ["o_custkey"], num_buckets=16, sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        t_customer, ["c_custkey"], num_buckets=16, sort_cols=["c_custkey"],
+    )
+    # MERGE hint pins SortMergeJoin: at test scale the planner would rather
+    # broadcast (which also shows zero shuffle Exchanges, vacuously) — the
+    # hint makes the assertion actually prove the bucket co-location.
+    joined = spark.table(t_orders).hint("merge").join(
+        spark.table(t_customer),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    out = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    # the whole point: co-bucketed scan-side join plans with no shuffle
+    # Exchange before the join (the agg after it still shuffles on the
+    # group key). Guard it at plan-build so a regression fails loudly.
+    n = explain_shuffles(joined)
+    if n != 0:
+        raise AssertionError(f"bucketed join planned {n} shuffle Exchanges")
+    return out
 
 
 @register(

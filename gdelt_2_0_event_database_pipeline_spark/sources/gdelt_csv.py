@@ -141,12 +141,14 @@ def convert(
         # solves this, samplers.py:300-316)
         for ft, cols in rules.items():
             part = df.filter(F.col("_ftype") == ft).drop("_ftype", "_source_file")
-            n = part.count()
+            # count AFTER the partition-column null drop so the reported
+            # per-route counts equal rows actually written to the tree
+            kept = part.na.drop(subset=cols)
+            n = kept.count()
             counts[ft] = n
             if n:
                 (
-                    part.na.drop(subset=cols)
-                    .write.mode("append")
+                    kept.write.mode("append")
                     .partitionBy(*cols)
                     .parquet(f"{historical_dir}/{ft}", compression="snappy")
                 )

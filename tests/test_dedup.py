@@ -118,3 +118,46 @@ def test_minhash_determinism(docs):
     a = sorted(tuple(r) for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect())
     b = sorted(tuple(r) for r in minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.5).collect())
     assert a == b
+
+
+def test_dedup_keep_best_longest(spark):
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_keep_best
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # cluster {1,2}: doc 2 is longer -> kept
+            (2, "a b c d e"),
+            (3, "x y"),            # unpaired -> kept
+            (10, "p q r s"),       # cluster {10,11}: tie on length -> min id kept
+            (11, "p q r t"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    kept = {
+        r.doc_id
+        for r in dedup_keep_best(
+            docs, pairs, "doc_id",
+            order_by=[F.desc(F.size(tokens("text"))), F.asc("doc_id")],
+        ).collect()
+    }
+    assert kept == {2, 3, 10}
+
+
+def test_dedup_clusters_warns_on_iteration_cap(spark):
+    import warnings as W
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    # a 6-node path has diameter 5: one round of min-label propagation
+    # cannot converge, so the cap warning must fire
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "id_a long, id_b long"
+    )
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        dedup_clusters(pairs, max_iterations=1).collect()
+    assert any("max_iterations" in str(w.message) for w in caught)

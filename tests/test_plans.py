@@ -90,3 +90,24 @@ def test_count_served_from_metadata(spark):
     # empty-column scan — assert the scan reads no data columns
     plan = _plan(li.groupBy().count())
     assert "ReadSchema: struct<>" in plan
+
+
+def test_contamination_broadcasts_probe_set(spark):
+    # the probe gram set must broadcast (benchmark suites are tiny) and the
+    # corpus gram build must stay codegen (no interpreted HOF on the hot path)
+    df = QUERIES["q_contamination"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_has_partial_aggregation(spark):
+    df = QUERIES["q_repetition"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_redact_prunes_scan_to_needed_columns(spark):
+    df = QUERIES["q_redact_pii"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # only doc_id + text should be read despite the documents table being wider
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan

@@ -17,6 +17,17 @@ Spark-first shape:
 Sign-LSH vs IVF: LSH is stateless/streaming-friendly; IVF adapts to the
 data distribution (clustered corpora get far better recall at the same
 candidate budget) at the cost of a fit pass.
+
+Two assignment paths, measured trade-off:
+- ``nearest_cells`` — pure expression against literal centroids, map-only
+  (zero shuffles, zero extra stages). Interpreted HOF folds cost
+  ~k×dim×2 µs per row, which WINS below ~10⁵ rows where distributed stage
+  latency (each extra stage ≈ 0.5 s on local[32]) dominates compute.
+- ``assign_cells`` — posexplode + broadcast weight-table join + one wide
+  codegen aggregate (k conditional dot sums), argmin at expression level.
+  ONE shuffle of (id, k dots); this is the ≥10⁶-row path where per-row
+  interpreter cost would dominate. Equality of the two paths is pinned by
+  ``tests/test_ivf.py::test_assignment_paths_agree``.
 """
 
 from __future__ import annotations
@@ -51,6 +62,61 @@ def nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int = 1) ->
     )
     ordered = F.array_sort(dists)  # struct sort: by d, then cid
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cid"])
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, cell) pairs: each row's ``nprobe`` nearest centroids (ascending
+    distance, lower cell id on ties) — the large-corpus assignment path
+    (see module doc). One shuffle: the exploded (id, pos, val) view joins
+    the broadcast (cell, pos, weight) table and aggregates k conditional
+    dot sums per id in a single codegen groupBy; |v|² is row-constant so
+    argmin |v-c|² reduces to argmin(|c|² - 2·v·c) over k small columns."""
+    k = len(centroids)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (cid, j, float(w))
+            for cid, c in enumerate(centroids)
+            for j, w in enumerate(c)
+        ],
+        "cell int, __pos__ int, __w__ double",
+    )
+    csq = [float(sum(w * w for w in c)) for c in centroids]
+    wide = (
+        df.select(
+            F.col(id_col).alias("__aid__"),
+            F.posexplode(_as_double(vec_col)).alias("__pos__", "__val__"),
+        )
+        .join(F.broadcast(cent), "__pos__")
+        .groupBy("__aid__")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("cell") == i, F.col("__val__") * F.col("__w__"))
+                ).alias(f"__d{i}__")
+                for i in range(k)
+            ]
+        )
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                (F.lit(csq[i]) - 2 * F.col(f"__d{i}__")).alias("s"),
+                F.lit(i).alias("cid"),
+            )
+            for i in range(k)
+        ]
+    )
+    picked = F.transform(F.slice(F.array_sort(scores), 1, nprobe), lambda s: s["cid"])
+    return wide.select(
+        F.col("__aid__").alias(id_col), F.explode(picked).alias("cell")
+    )
 
 
 def fit_ivf_centroids(

@@ -90,3 +90,36 @@ def test_ivf_rank_shape(emb):
     per = out.groupBy("query_id").agg(F.count("*").alias("c"), F.max("rank").alias("m")).collect()
     for r in per:
         assert r.c == 4 and r.m == 4
+
+
+def test_assignment_paths_agree(spark, emb):
+    # the map-only literal path (small inputs) and the exploded one-shuffle
+    # path (huge inputs) must produce identical assignments
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import assign_cells
+
+    cents = fit_ivf_centroids(emb, k=CLUSTERS, iters=3, seed=9)
+    literal = {
+        (r.vec_id, r.cell)
+        for r in emb.select(
+            "vec_id",
+            nearest_cells(F.col("embedding").cast("array<double>"), cents, 1)[0].alias("cell"),
+        ).collect()
+    }
+    exploded = {
+        (r.vec_id, r.cell) for r in assign_cells(emb, cents, nprobe=1).collect()
+    }
+    assert literal == exploded
+
+    # nprobe=2: same top-2 cells per id, order-insensitive set compare
+    lit2 = {
+        (r.vec_id, c)
+        for r in emb.select(
+            "vec_id",
+            nearest_cells(F.col("embedding").cast("array<double>"), cents, 2).alias("cs"),
+        ).collect()
+        for c in r.cs
+    }
+    exp2 = {
+        (r.vec_id, r.cell) for r in assign_cells(emb, cents, nprobe=2).collect()
+    }
+    assert lit2 == exp2

@@ -58,6 +58,15 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--historical", default=None)
     fl.add_argument("--out", required=True)
     fl.add_argument("--columns", nargs="*", default=None, help="override config columns")
+    fl.add_argument(
+        "--per-file", action="store_true",
+        help="also report per-input-file rows before/after (reference logs these per file)",
+    )
+
+    rd = sub.add_parser("redact", help="scrub PII (emails/phones/IPv4) from a text column")
+    rd.add_argument("--in", dest="in_dir", required=True)
+    rd.add_argument("--out", required=True)
+    rd.add_argument("--column", required=True, help="text column to redact in place")
 
     pr = sub.add_parser("profile", help="per-column quality stats of a parquet lake")
     pr.add_argument("--in", dest="in_dir", required=True)
@@ -123,19 +132,32 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "filter":
             cols = args.columns if args.columns else cfg["filtering"]["columns"]
             report = lake.run_filter_stage(
-                spark, args.in_dir, args.out, cols, historical_dir=args.historical
+                spark, args.in_dir, args.out, cols,
+                historical_dir=args.historical, per_file=args.per_file,
             )
-            print(
-                json.dumps(
-                    {
-                        "rows_before": report.rows_before,
-                        "rows_after": report.rows_after,
-                        "retention": round(report.retention, 4),
-                        "applied_columns": report.applied_columns,
-                        "missing_columns": report.missing_columns,
-                    }
-                )
-            )
+            payload = {
+                "rows_before": report.rows_before,
+                "rows_after": report.rows_after,
+                "retention": round(report.retention, 4),
+                "applied_columns": report.applied_columns,
+                "missing_columns": report.missing_columns,
+            }
+            if report.per_file is not None:
+                payload["per_file"] = [
+                    {"file": f, "rows_before": b, "rows_after": a, "retention": round(r, 4)}
+                    for f, b, a, r in report.per_file
+                ]
+            print(json.dumps(payload))
+        elif args.command == "redact":
+            from .operators.text import redact_pii
+
+            df = lake.read_lake(spark, args.in_dir)
+            if args.column not in df.columns:
+                raise SystemExit(f"column {args.column!r} not in input schema")
+            df.withColumn(args.column, redact_pii(args.column)).write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
         elif args.command == "profile":
             from .operators.profile import profile_table
 

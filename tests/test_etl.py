@@ -264,3 +264,22 @@ def test_cli_filter_and_sample(tmp_path_factory, converted, capsys):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == 50
+
+
+def test_cli_filter_per_file_and_redact(converted, capsys, tmp_path):
+    tmp, flat, hist, _ = converted
+    out_f = str(tmp_path / "filtered_pf")
+    rc = cli_main([
+        "filter", "--in", flat, "--historical", hist, "--out", out_f,
+        "--columns", "Actor1Code", "--per-file",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["per_file"]) >= 3
+    assert sum(e["rows_before"] for e in rep["per_file"]) == rep["rows_before"]
+
+    out_r = str(tmp_path / "redacted")
+    rc = cli_main(["redact", "--in", flat, "--out", out_r, "--column", "SOURCEURL"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 200

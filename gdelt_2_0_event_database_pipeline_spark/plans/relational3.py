@@ -175,3 +175,25 @@ def q_profile(spark, sf_dir):
     return profile_table(o, ["o_orderkey", "o_orderstatus", "o_totalprice"]).select(
         "column", "n_rows", "n_nulls", "n_distinct"
     )
+
+
+@register(
+    "q_grouping_sets",
+    sql="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+           grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS gid
+    FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc=(
+        "Explicit GROUPING SETS — asymmetric subtotal shapes that ROLLUP/"
+        "CUBE cannot express — through the native DataFrame groupingSets "
+        "API (one expand + one aggregate, no self-union of subqueries)."
+    ),
+)
+def q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))

@@ -71,6 +71,20 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins the static
+    dimension snapshot (broadcast — dimension tables are small by
+    definition). Stateless: no watermark, no state store; the static side
+    is re-planned per batch, so slowly-changing dims are picked up on the
+    next trigger. The standard streaming-enrichment pattern."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_sec: float = 60.0
 ) -> None:

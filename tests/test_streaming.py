@@ -75,3 +75,18 @@ def test_incremental_second_batch(spark, stream_dir):
     run_stream_to_memory(dd, "inc_out2")
     n2 = spark.sql("SELECT count(*) FROM inc_out2").first()[0]
     assert n2 == 4
+
+
+def test_stream_static_enrichment(spark, stream_dir):
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "engage")], ["event_type", "category"]
+    )
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    enriched = enrich_stream(stream, dim, on="event_type")
+    run_stream_to_memory(enriched, "enriched_out")
+    rows = spark.sql("SELECT event_id, category FROM enriched_out").collect()
+    cats = {r.event_id: r.category for r in rows}
+    assert cats[2] == "browse" and cats[3] == "engage"
+    assert len(rows) == 4  # left join preserves every stream row

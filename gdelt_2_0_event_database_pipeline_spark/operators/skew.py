@@ -93,16 +93,20 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist bucketed (and optionally sorted) by the join key: subsequent
     equi-joins between tables bucketed the same way run shuffle-free
     (Exchange elided on both sides). The lake-design answer to 'this join
     happens every day on the same key'.
 
+    With ``path``, the table is external at that location (callers that must
+    control where files land — e.g. a lake root — pass it explicitly);
+    otherwise it is a managed table in the session warehouse.
+
     Idempotent across sessions: drops any existing catalog entry AND clears
-    an orphaned managed-table directory — a fresh local metastore with a
-    surviving warehouse dir otherwise fails CREATE with
-    LOCATION_ALREADY_EXISTS.
+    an orphaned data directory — a fresh local metastore with a surviving
+    table dir otherwise fails CREATE with LOCATION_ALREADY_EXISTS.
     """
     import os
     import shutil
@@ -110,14 +114,19 @@ def write_bucketed(
 
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh_path = urlparse(wh).path or wh
-    orphan = os.path.join(wh_path, table_name.lower())
+    if path is None:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = urlparse(wh).path or wh
+        orphan = os.path.join(wh_path, table_name.lower())
+    else:
+        orphan = urlparse(path).path or path
     if os.path.isdir(orphan):
         shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name, format="parquet")
 
 

@@ -63,15 +63,24 @@ def q_salted_agg(spark, sf_dir):
     ),
 )
 def q_bucketed_join(spark, sf_dir):
+    import os
+
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_orders, t_customer = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    # explicit external locations inside the repo: the harness invoking this
+    # query may run with any CWD, and a managed table would land in
+    # $CWD/spark-warehouse
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "spark-warehouse")
     write_bucketed(
         _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
         t_orders, ["o_custkey"], num_buckets=16, sort_cols=["o_custkey"],
+        path=os.path.join(root, t_orders),
     )
     write_bucketed(
         _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
         t_customer, ["c_custkey"], num_buckets=16, sort_cols=["c_custkey"],
+        path=os.path.join(root, t_customer),
     )
     # MERGE hint pins SortMergeJoin: at test scale the planner would rather
     # broadcast (which also shows zero shuffle Exchanges, vacuously) — the

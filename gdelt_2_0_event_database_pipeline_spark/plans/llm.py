@@ -267,6 +267,25 @@ def q_dedup_exact(spark, sf_dir):
 
 
 @register(
+    "q_dedup_exact_hash",
+    sql="""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    JOIN (SELECT text, min(doc_id) AS keep FROM documents GROUP BY text) k
+      ON d.doc_id = k.keep
+    """,
+    doc=(
+        "Content-hash exact dedup (X1 scale form): group on xxhash64(text) — "
+        "8-byte shuffle keys, never document bodies — keep the min id. "
+        "Oracle groups on the text itself; equal modulo a 64-bit collision."
+    ),
+)
+def q_dedup_exact_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_exact_hash(d, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
     "q_ngram_jaccard",
     sql=f"""
     WITH g AS (

@@ -45,6 +45,41 @@ def q_asof_join(spark, sf_dir):
 
 
 @register(
+    "q_asof_forward",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+         l AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+         r AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           r.value AS next_purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    doc=(
+        "Forward as-of join (earliest purchase at-or-after each event, per "
+        "user) — the same union+window plan scanned in the other direction; "
+        "DuckDB's ASOF with <= is the independent oracle."
+    ),
+)
+def q_asof_forward(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    left = e.filter(F.col("event_type") != "purchase")
+    right = e.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        left,
+        right.select("user_id", "ts", "value"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("asof_value").alias("next_purchase_value")
+    )
+
+
+@register(
     "q_range_join",
     sql="""
     WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events)

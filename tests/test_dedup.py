@@ -161,3 +161,41 @@ def test_dedup_clusters_warns_on_iteration_cap(spark):
         W.simplefilter("always")
         dedup_clusters(pairs, max_iterations=1).collect()
     assert any("max_iterations" in str(w.message) for w in caught)
+
+
+def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
+    # differential check against an independent union-find implementation
+    # over seeded random graphs (chains, cliques, and sparse noise mixed)
+    import random
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+            )
+            if a != b
+        }
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {
+            n: find(n) for n in nodes
+            if any(n in e for e in edges)  # dedup_clusters only sees edge endpoints
+        }
+        pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+        assert got == expected, f"seed {seed}"

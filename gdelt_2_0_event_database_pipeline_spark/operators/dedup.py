@@ -282,7 +282,10 @@ def dedup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # DECIMAL(38) sum: ids may be full-range 63-bit hashes, and an ANSI-mode
+    # long overflow in the convergence check would kill the whole job
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
     for _ in range(max_iterations):
         new_labels = (
             edges.join(labels, edges.dst == labels.id)
@@ -292,7 +295,7 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        new_sum = new_labels.agg(_label_sum).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
             break

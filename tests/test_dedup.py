@@ -199,3 +199,17 @@ def test_dedup_clusters_matches_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
         got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_dedup_clusters_huge_hash_ids_no_overflow(spark):
+    # full-range 63-bit ids (content hashes): the convergence sum must not
+    # overflow ANSI-mode long arithmetic
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    big = (1 << 62) + 7
+    pairs = spark.createDataFrame(
+        [(big, big + 1), (big + 2, big + 3), (big + 1, big + 4)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got[big + 4] == big and got[big + 3] == big + 2

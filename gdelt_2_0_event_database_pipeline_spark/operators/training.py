@@ -1,0 +1,141 @@
+"""Training-set assembly operators: the stages between a cleaned corpus and
+training batches — fixed-size chunking, deterministic dataset splits, and
+linear sequence packing. Extension surface (SURVEY.md §2.10 spirit): the
+reference has no text pipeline at all; these are the pre-training staples
+that complement dedup/quality/decontamination in ``dedup.py`` / ``text.py``.
+
+All three are pure DataFrame transforms with engine-independent outputs, so
+each carries a full DuckDB oracle twin in the registry:
+
+- ``chunk_documents``  — token-window chunks with optional overlap; chunk
+                         starts are a ``sequence`` explode, the chunk text a
+                         ``slice`` of the token array. Map-only (no shuffle).
+- ``assign_split``     — train/val/test by thresholding a deterministic
+                         content hash (the oracle-able rolling fingerprint —
+                         splits must survive re-runs and repartitions, which
+                         rules out ``rand``).
+- ``pack_linear``      — concatenate-then-cut packing: running token offsets
+                         per shard, pack id = offset div budget. One window
+                         over one shuffle per shard; shards keep the window
+                         from going global at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, token_count, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-size token windows (stride =
+    ``chunk_tokens - overlap``). Returns (id, chunk_start, chunk_text,
+    n_tokens); every document yields at least one (possibly empty) chunk so
+    no input row silently disappears.
+
+    Shape: tokens once per row, explode only the (small) start offsets, and
+    slice the carried token array — map-only, chunk rows never shuffle. For
+    pathological single-document gigabyte texts, chunk via the posexplode +
+    window-lead form instead (see ``text.ngram_contamination``).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks__"),
+            F.explode(starts).alias("chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_start",
+            F.array_join(
+                F.slice(F.col("__toks__"), F.col("chunk_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks__") - F.col("chunk_start"), F.lit(chunk_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = content fingerprint
+    mod ``buckets``, thresholded by cumulative split weights. Content-keyed
+    (not id-keyed) so exact duplicates always land in the same split — the
+    leakage-safe choice — and reproducible across runs, partitionings, and
+    engines (the fingerprint is the oracle-able rolling hash, not xxhash).
+    Adds a ``split`` column."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {splits}")
+    bucket = fingerprint(F.col(text_col)) % buckets
+    expr: Column | None = None
+    cum = 0.0
+    *head, (last_name, _) = list(splits.items())
+    for name, w in head:
+        cum += w
+        cond = bucket < int(round(cum * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (expr.otherwise(F.lit(last_name))
+            if expr is not None else F.lit(last_name))
+    return df.withColumn("split", expr)
+
+
+def pack_linear(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: Column | str | None = None,
+    n_tokens_col: Column | str | None = None,
+    budget: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-then-cut sequence packing: documents are laid end-to-end
+    in ``id_col`` order and cut every ``budget`` tokens; ``pack_id`` =
+    floor(start_offset / budget) — the standard pre-training packing
+    semantics (a document may straddle two packs; the trainer's loader cuts
+    at token granularity downstream).
+
+    One running-sum window per shard over one shuffle. ``shard_col`` keeps
+    the sort from going global: packs are independent per shard by
+    construction, which is exactly how a 1000-executor packing job must run
+    anyway. Adds (shard, start_offset, pack_id)."""
+    nt = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str)
+        else n_tokens_col if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    shard = (
+        F.col(shard_col) if isinstance(shard_col, str)
+        else shard_col if shard_col is not None
+        else F.lit(0)
+    )
+    out = df.withColumn("__nt__", nt).withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        out.withColumn("__cum__", F.sum("__nt__").over(w))
+        .withColumn("start_offset", F.col("__cum__") - F.col("__nt__"))
+        .withColumn("pack_id", (F.col("start_offset") / budget).cast("long"))
+        .drop("__cum__", "__nt__")
+    )

@@ -245,6 +245,101 @@ def q_contamination(spark, sf_dir):
     ).select("doc_id", "n_hits")
 
 
+@register(
+    "q_chunk_documents",
+    sql=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents WHERE doc_id < 100),
+    s AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 40)) AS chunk_start
+          FROM t)
+    SELECT doc_id, chunk_start,
+           array_to_string(toks[chunk_start + 1 : chunk_start + 50], ' ') AS chunk_text,
+           least(len(toks) - chunk_start, 50) AS n_tokens
+    FROM s
+    """,
+    doc=(
+        "Fixed-size token chunking with overlap (50-token windows, stride "
+        "40): the pre-training chunk stage. Starts are a sequence explode, "
+        "chunk text a slice of the carried token array — map-only."
+    ),
+)
+def q_chunk_documents(spark, sf_dir):
+    from ..operators.training import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = chunk_documents(d, "doc_id", "text", chunk_tokens=50, overlap=10)
+    return out.select(
+        "doc_id", "chunk_start", "chunk_text", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "q_assign_split",
+    sql=f"""
+    SELECT split, count(*) AS n_docs FROM (
+      SELECT CASE
+        WHEN fp % 10000 < 8000 THEN 'train'
+        WHEN fp % 10000 < 9000 THEN 'val'
+        ELSE 'test' END AS split
+      FROM (
+        SELECT list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(text, ''), x -> ord(x)::BIGINT)),
+                 (acc, x) -> (acc * {X.FINGERPRINT_BASE} + x) % {X.FINGERPRINT_MOD}
+               ) AS fp
+        FROM documents
+      )
+    ) GROUP BY split
+    """,
+    doc=(
+        "Deterministic 80/10/10 train/val/test split keyed on the content "
+        "fingerprint (duplicates land together — leakage-safe; reproducible "
+        "across runs/partitionings/engines, unlike rand)."
+    ),
+)
+def q_assign_split(spark, sf_dir):
+    from ..operators.training import assign_split
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_split(d).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q_pack_linear",
+    sql=f"""
+    WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len({_SQL_TOKENS}) AS nt
+               FROM documents),
+    c AS (SELECT doc_id, shard, nt,
+                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                   AS start_offset
+          FROM t)
+    SELECT doc_id, shard, start_offset,
+           CAST(floor(start_offset / 512) AS BIGINT) AS pack_id
+    FROM c
+    """,
+    doc=(
+        "Linear sequence packing (concatenate-then-cut at a 512-token "
+        "budget): running token offsets per shard, pack id = offset div "
+        "budget. One window per shard over one shuffle — shards keep the "
+        "sort from going global at cluster scale."
+    ),
+)
+def q_pack_linear(spark, sf_dir):
+    from ..operators.training import pack_linear
+
+    d = _t(spark, sf_dir, "documents")
+    out = pack_linear(
+        d, "doc_id", shard_col=(F.col("doc_id") % 8), budget=512
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        "start_offset",
+        "pack_id",
+    )
+
+
 # ---------------------------------------------------------------- dedup (X1/X2)
 @register(
     "q_dedup_exact",

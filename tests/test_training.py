@@ -1,0 +1,91 @@
+"""Training-set assembly tests: chunk window semantics and reconstruction,
+deterministic leakage-safe splits, linear packing offsets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+    assign_split,
+    chunk_documents,
+    pack_linear,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    words = " ".join(f"w{i}" for i in range(23))
+    return spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+
+
+def test_chunks_cover_and_overlap(docs):
+    out = chunk_documents(docs, chunk_tokens=10, overlap=2).collect()
+    d1 = sorted((r.chunk_start, r.n_tokens) for r in out if r.doc_id == 1)
+    # 23 tokens, stride 8 -> starts 0,8,16; sizes 10,10,7
+    assert d1 == [(0, 10), (8, 10), (16, 7)]
+    first = next(r for r in out if r.doc_id == 1 and r.chunk_start == 8)
+    assert first.chunk_text.split(" ")[0] == "w8"   # overlap window starts at stride
+    # short and empty docs still yield exactly one chunk
+    assert [(r.chunk_start, r.n_tokens) for r in out if r.doc_id == 2] == [(0, 3)]
+    assert [(r.n_tokens, r.chunk_text) for r in out if r.doc_id == 3] == [(0, "")]
+
+
+def test_chunks_reconstruct_without_overlap(docs):
+    out = chunk_documents(docs, chunk_tokens=10, overlap=0).collect()
+    parts = [r.chunk_text for r in sorted(
+        (r for r in out if r.doc_id == 1), key=lambda r: r.chunk_start)]
+    assert " ".join(p for p in parts if p) == " ".join(f"w{i}" for i in range(23))
+
+
+def test_chunk_rejects_bad_overlap(docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=10, overlap=10)
+
+
+def test_split_is_deterministic_and_leakage_safe(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i} body") for i in range(200)]
+        + [(900, "document number 7 body")],  # exact dup of doc 7
+        ["doc_id", "text"],
+    )
+    a = {r.doc_id: r.split for r in assign_split(df).collect()}
+    b = {r.doc_id: r.split for r in assign_split(df.repartition(7)).collect()}
+    assert a == b                      # partitioning-independent
+    assert a[900] == a[7]              # duplicate content -> same split
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert counts["train"] > counts.get("val", 0)
+    with pytest.raises(ValueError):
+        assign_split(df, splits={"train": 0.5, "val": 0.2})
+
+
+def test_pack_linear_offsets_and_boundaries(spark):
+    df = spark.createDataFrame(
+        [(i, "tok " * 100) for i in range(10)], ["doc_id", "text"]
+    )
+    out = pack_linear(df, "doc_id", budget=250).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].start_offset == 0 and by_id[0].pack_id == 0
+    assert by_id[2].start_offset == 200 and by_id[2].pack_id == 0  # straddles
+    assert by_id[3].start_offset == 300 and by_id[3].pack_id == 1
+    # offsets are contiguous: each start = previous start + previous length
+    starts = [by_id[i].start_offset for i in range(10)]
+    assert starts == [i * 100 for i in range(10)]
+
+
+def test_pack_linear_shards_are_independent(spark):
+    df = spark.createDataFrame(
+        [(i, "tok " * 10) for i in range(20)], ["doc_id", "text"]
+    )
+    out = pack_linear(df, "doc_id", shard_col=(F.col("doc_id") % 2), budget=50).collect()
+    for r in out:
+        assert r.shard in (0, 1)
+    # each shard restarts offsets at 0
+    for shard in (0, 1):
+        rows = sorted((r for r in out if r.shard == shard), key=lambda r: r.doc_id)
+        assert rows[0].start_offset == 0
+        assert rows[1].start_offset == 10

@@ -54,17 +54,22 @@ def main() -> None:
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # The driver captures a bounded tail of stdout; with 84+ per-query
+    # timings the JSON line can fall outside that window if anything prints
+    # after it. Emit the JSON FIRST, and also persist it to bench_out.json so
+    # the artifact is machine-readable regardless of capture limits.
+    print(payload, flush=True)
+    with open(os.path.join(REPO, "bench_out.json"), "w") as f:
+        f.write(payload + "\n")
     spark.stop()
 
 

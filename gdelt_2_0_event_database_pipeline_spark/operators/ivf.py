@@ -40,6 +40,14 @@ from pyspark.sql import functions as F
 from .similarity import _as_double, cosine
 
 
+def well_formed_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose vector is usable for distance math (non-NULL, non-empty).
+    Both assignment paths require this; filtering explicitly keeps their
+    outputs row-aligned (``assign_cells`` silently drops such rows,
+    ``nearest_cells`` emits a degenerate cell for them)."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+
+
 def _sq_dist_to(vec: Column, center: Sequence[float]) -> Column:
     carr = F.array(*[F.lit(float(w)) for w in center])
     return F.aggregate(
@@ -76,7 +84,15 @@ def assign_cells(
     (see module doc). One shuffle: the exploded (id, pos, val) view joins
     the broadcast (cell, pos, weight) table and aggregates k conditional
     dot sums per id in a single codegen groupBy; |v|² is row-constant so
-    argmin |v-c|² reduces to argmin(|c|² - 2·v·c) over k small columns."""
+    argmin |v-c|² reduces to argmin(|c|² - 2·v·c) over k small columns.
+
+    Precondition: vectors must be non-NULL, non-empty, and dim-consistent.
+    Rows with NULL/empty vectors produce no posexplode output and are
+    DROPPED from the result (``nearest_cells`` would instead emit a
+    degenerate assignment for them) — callers filter with
+    ``well_formed_vectors`` first. Tie caveat: this path scores with
+    |c|² − 2·v·c while ``nearest_cells`` folds |v−c|² exactly; on
+    floating-point near-ties the argmin can differ between paths."""
     k = len(centroids)
     spark = df.sparkSession
     cent = spark.createDataFrame(
@@ -177,12 +193,23 @@ def ivf_topk(
     """Approximate cosine top-k through the IVF index: corpus rows live in
     their nearest cell; each query probes its ``nprobe`` nearest cells and
     exact-rescores the members. Output schema matches
-    ``similarity.cosine_topk``."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
-    ).withColumn("__cell__", nearest_cells(F.col("__cv__"), centroids, 1)[0])
+    ``similarity.cosine_topk``.
 
-    q = queries.select(
+    The CORPUS side is assigned via ``assign_cells`` (posexplode + codegen
+    aggregate — one bounded shuffle of (id, k dots), no per-row interpreted
+    k×dim fold, the shape that survives a 10⁹-row corpus); the QUERY side —
+    small by construction — keeps the map-only ``nearest_cells`` expression.
+    Both sides are pre-filtered to well-formed vectors so the two paths see
+    identical row sets (see ``assign_cells`` precondition)."""
+    corpus_wf = well_formed_vectors(corpus, vec_col)
+    cells = assign_cells(
+        corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(F.col(id_col).alias("__cell_id__"), F.col("cell").alias("__cell__"))
+    c = corpus_wf.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
+    ).join(cells, F.col("neighbor_id") == F.col("__cell_id__")).drop("__cell_id__")
+
+    q = well_formed_vectors(queries, vec_col).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
     ).withColumn(
         "__cell__",

@@ -87,6 +87,41 @@ def salted_join_skewed_left(
     return out.drop("__salt__")
 
 
+def bucket_spec_matches(
+    spark, table_name: str, bucket_cols: Sequence[str], num_buckets: int
+) -> bool:
+    """True iff ``table_name`` exists in the catalog AND is bucketed exactly
+    (num_buckets, bucket_cols) — the precondition for reusing it instead of
+    rewriting."""
+    try:
+        if not spark.catalog.tableExists(table_name):
+            return False
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{table_name}`").collect()
+    except Exception:
+        return False
+    info = {r.col_name.strip(): (r.data_type or "").strip() for r in rows}
+    n = info.get("Num Buckets", "")
+    cols = info.get("Bucket Columns", "")
+    want_cols = "[" + ", ".join(f"`{c}`" for c in bucket_cols) + "]"
+    return n == str(num_buckets) and cols == want_cols
+
+
+def _looks_like_table_dir(d: str) -> bool:
+    """Heuristic guard before deleting an orphaned table directory: a Spark
+    table dir contains only part-files / _SUCCESS / hidden markers. Anything
+    else (a lake root, user data) must NOT be silently rmtree'd."""
+    import os
+
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return False
+    return all(
+        n == "_SUCCESS" or n.startswith("part-") or n.startswith(".") or n == "_temporary"
+        for n in names
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -94,25 +129,40 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     path: str | None = None,
-) -> None:
+    reuse_existing: bool = False,
+) -> bool:
     """Persist bucketed (and optionally sorted) by the join key: subsequent
     equi-joins between tables bucketed the same way run shuffle-free
     (Exchange elided on both sides). The lake-design answer to 'this join
-    happens every day on the same key'.
+    happens every day on the same key'. Returns True if the table was
+    (re)written, False if an existing table was reused.
 
-    With ``path``, the table is external at that location (callers that must
-    control where files land — e.g. a lake root — pass it explicitly);
-    otherwise it is a managed table in the session warehouse.
+    With ``path``, the table is external at that location. ``path`` MUST be a
+    dedicated per-table directory: stale contents are deleted before the
+    write (guarded — if the directory holds anything other than part-files /
+    _SUCCESS markers, this raises instead of deleting). Without ``path`` the
+    table is managed in the session warehouse.
+
+    With ``reuse_existing=True``, a catalog table already bucketed exactly
+    (num_buckets, bucket_cols) is kept as-is — the memoization that keeps
+    repeated plan builds (bench warm-up, plan audits) from paying the
+    bucketing write more than once per session. Callers own the staleness
+    question: reuse is only sound when the table's source data is immutable
+    for the session (true for the test lakes; a daily pipeline would key the
+    table name by snapshot date).
 
     Idempotent across sessions: drops any existing catalog entry AND clears
     an orphaned data directory — a fresh local metastore with a surviving
-    table dir otherwise fails CREATE with LOCATION_ALREADY_EXISTS.
+    table dir otherwise fails CREATE with LOCATION_ALREADY_EXISTS. Not safe
+    for two concurrent sessions writing the same table name/path.
     """
     import os
     import shutil
     from urllib.parse import urlparse
 
     spark = df.sparkSession
+    if reuse_existing and bucket_spec_matches(spark, table_name, bucket_cols, num_buckets):
+        return False
     spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     if path is None:
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
@@ -121,6 +171,11 @@ def write_bucketed(
     else:
         orphan = urlparse(path).path or path
     if os.path.isdir(orphan):
+        if not _looks_like_table_dir(orphan):
+            raise ValueError(
+                f"refusing to clear {orphan!r}: directory does not look like a "
+                "bucketed-table location (pass a dedicated per-table path)"
+            )
         shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
@@ -128,6 +183,7 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table_name, format="parquet")
+    return True
 
 
 def explain_shuffles(df: DataFrame) -> int:

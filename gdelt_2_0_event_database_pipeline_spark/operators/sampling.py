@@ -188,3 +188,61 @@ def sample_filtered(
     if columns:
         sampled = sampled.select(*columns)
     return sampled
+
+
+def sample_systematic(
+    df: DataFrame,
+    stride: int,
+    order_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """1-in-``stride`` systematic sample over the ``order_col`` total order
+    (rows at global ranks 1, 1+stride, 2·stride+1, …), without a global sort.
+
+    A naive ``row_number() OVER (ORDER BY order_col)`` plans as
+    ``Exchange SinglePartition`` + one-task sort — the whole input through a
+    single reducer. Scale-safe equivalent in three steps:
+
+    1. range-bucket on ``order_col`` (monotone ``floor((v−min)/width)``, so
+       bucket order == key order);
+    2. one tiny aggregation for per-bucket counts → driver-side cumulative
+       offsets (≤ ``n_buckets`` rows collected — bounded, not data-sized);
+    3. per-bucket ``row_number`` window (parallel sorts) + broadcast-joined
+       bucket offset ⇒ exact global rank, then the stride filter.
+
+    Requires ``order_col`` numeric with unique values (ranks would otherwise
+    be tie-broken arbitrarily and the row set engine-dependent). Skewed key
+    ranges only skew bucket sizes, never correctness; raise ``n_buckets``
+    if one range bucket would exceed executor memory.
+    """
+    spark = df.sparkSession
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if bounds is None or bounds.lo is None:
+        return df.filter(F.lit(False))
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+
+    with_bkt = df.withColumn("__bkt__", bucket)
+    counts = {
+        r["__bkt__"]: r["cnt"]
+        for r in with_bkt.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, running = [], 0
+    for b in sorted(counts):
+        offsets.append((b, running))
+        running += counts[b]
+    off_df = spark.createDataFrame(offsets, "__bkt__ int, __off__ long")
+
+    w = Window.partitionBy("__bkt__").orderBy(order_col)
+    return (
+        with_bkt.join(F.broadcast(off_df), "__bkt__")
+        .withColumn(_RN, F.row_number().over(w) + F.col("__off__"))
+        .filter((F.col(_RN) - 1) % stride == 0)
+        .drop("__bkt__", "__off__", _RN)
+    )

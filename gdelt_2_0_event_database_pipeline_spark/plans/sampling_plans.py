@@ -15,6 +15,7 @@ from ..operators.sampling import (
     sample_daily,
     sample_filtered,
     sample_per_group,
+    sample_systematic,
     sample_uniform,
     sample_weighted,
 )
@@ -92,20 +93,15 @@ def q_sample_filtered(spark, sf_dir):
         "Systematic 1-in-20 sample over the o_orderkey order — the one "
         "sampling mode whose row set is engine-independent, giving the "
         "sampling family a full oracle row (seeded modes are rows-only by "
-        "construction). Window over a sort; at 100 TB prefer the hash-ranked "
-        "uniform sampler — this exists for auditable stride sampling."
+        "construction). Scale-safe: range-bucketed per-bucket windows + "
+        "cumulative offsets, NOT a single-task global sort (the oracle's "
+        "global window is the semantic spec, not the physical plan)."
     ),
 )
 def q_sample_systematic(spark, sf_dir):
-    from pyspark.sql import Window
-
     o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        o.select("o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") - 1) % 20 == 0)
-        .select("o_orderkey", "o_totalprice")
+    return sample_systematic(
+        o.select("o_orderkey", "o_totalprice"), stride=20, order_col="o_orderkey"
     )
 
 

@@ -146,3 +146,38 @@ def test_uniformity_chisquare(gdelt_df):
         obs = got.get(yr, 0)
         stat += (obs - exp) ** 2 / exp
     assert stat < 13.8, f"chi-square {stat}"
+
+
+def test_systematic_matches_global_window_and_avoids_single_task_sort(spark):
+    from pyspark.sql import Window
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.sampling import (
+        sample_systematic,
+    )
+
+    # sparse, non-contiguous, shuffled keys — the o_orderkey shape
+    df = spark.createDataFrame(
+        [(k * 7 + 3, float(k)) for k in range(5000)], "k long, v double"
+    ).repartition(8)
+
+    got = sample_systematic(df, stride=17, order_col="k")
+    w = Window.orderBy("k")
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 17 == 0)
+        .drop("rn")
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(r.k for r in want.collect())
+
+    # the point of the operator: no single-task global sort in the plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_systematic_empty_input(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.sampling import (
+        sample_systematic,
+    )
+
+    df = spark.createDataFrame([], "k long, v double")
+    assert sample_systematic(df, stride=5, order_col="k").count() == 0

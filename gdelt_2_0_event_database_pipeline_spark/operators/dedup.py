@@ -249,6 +249,7 @@ def simhash_near_dup_pairs(
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    two_hop: bool = False,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
@@ -265,10 +266,19 @@ def dedup_clusters(
     lineage — without it each round's plan re-derives all previous rounds
     (and the upstream LSH pipeline), the classic iterative-algorithm trap.
 
+    ``two_hop=True`` is the safety valve for adversarial chain-shaped
+    duplicate graphs (diameter ≫ 2, e.g. a → a' → a'' … drift chains):
+    after the neighbor-min step each round also shortcuts one pointer hop
+    (new label = label of the label node — the pointer-doubling move from
+    Kiveris et al.'s large-star/small-star family), so convergence is
+    O(log diameter) rounds instead of O(diameter), at the cost of one extra
+    self-join of the (id, label) frame per round. Identical fixpoint.
+
     Convergence detection is O(1) per round: labels only ever decrease
-    (new = min(own, neighbors)), so the global label sum is strictly
-    monotone and a fixpoint shows up as an unchanged sum — one cheap
-    aggregate on checkpointed data instead of a join-based diff.
+    (new = min(own, neighbors), and the shortcut only replaces a label with
+    its component-minimum-so-far), so the global label sum is monotone and a
+    fixpoint shows up as an unchanged sum — one cheap aggregate on
+    checkpointed data instead of a join-based diff.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -293,8 +303,26 @@ def dedup_clusters(
             .union(labels.select("id", "label"))
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
+        if two_hop:
+            # pointer doubling: follow the label to ITS label. Every label is
+            # a node id (init = own id, min-merge preserves that), so the
+            # lookup side is the same frame; labels are monotone (a node's
+            # label ≤ its id), hence parent.label ≤ child.label and min()
+            # keeps the invariant.
+            parent = new_labels.select(
+                F.col("id").alias("__p_id__"), F.col("label").alias("__p_label__")
+            )
+            new_labels = (
+                new_labels.join(parent, new_labels.label == F.col("__p_id__"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("__p_label__"), F.col("label"))
+                    ).alias("label"),
+                )
+            )
+        new_labels = new_labels.localCheckpoint()
         new_sum = new_labels.agg(_label_sum).first()[0]
         labels = new_labels
         if new_sum == prev_sum:
@@ -347,19 +375,26 @@ def dedup_keep_best(
     form singleton partitions and always rank 1. Shuffle cost: the label
     join (labels are (id, cluster_id) pairs only) + one window over the
     cluster key.
+
+    The label frame is aliased to reserved ``__dk_*__`` names before the
+    join: Spark's ``drop`` removes ALL columns with a matching name, so
+    dropping the bare ``id``/``cluster_id`` would silently eat same-named
+    caller columns.
     """
-    clusters = dedup_clusters(pairs)
+    clusters = dedup_clusters(pairs).select(
+        F.col("id").alias("__dk_id__"), F.col("cluster_id").alias("__dk_cid__")
+    )
     joined = df.join(
-        clusters, df[id_col] == clusters["id"], "left"
+        clusters, df[id_col] == F.col("__dk_id__"), "left"
     ).withColumn(
-        "__ck__", F.coalesce(F.col("cluster_id"), df[id_col])
+        "__ck__", F.coalesce(F.col("__dk_cid__"), df[id_col])
     )
     w = Window.partitionBy("__ck__").orderBy(*order_by)
     rn = "__kb_rn__"
     return (
         joined.withColumn(rn, F.row_number().over(w))
         .filter(F.col(rn) == 1)
-        .drop(rn, "__ck__", "id", "cluster_id")
+        .drop(rn, "__ck__", "__dk_id__", "__dk_cid__")
     )
 
 

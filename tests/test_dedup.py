@@ -213,3 +213,47 @@ def test_dedup_clusters_huge_hash_ids_no_overflow(spark):
     )
     got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got[big + 4] == big and got[big + 3] == big + 2
+
+
+def test_dedup_clusters_two_hop_chain_converges_fast(spark):
+    import warnings
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    # adversarial 50-link chain: diameter 50, plain label-prop needs ~50
+    # rounds; pointer doubling must finish within 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = dedup_clusters(pairs, max_iterations=12, two_hop=True).collect()
+    assert len(out) == 51
+    assert {r.cluster_id for r in out} == {0}
+
+
+def test_dedup_clusters_two_hop_same_fixpoint(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    plain = {(r.id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    fast = {(r.id, r.cluster_id) for r in dedup_clusters(pairs, two_hop=True).collect()}
+    assert plain == fast
+
+
+def test_dedup_keep_best_preserves_caller_id_cluster_id_columns(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_keep_best
+
+    # caller columns literally named 'id' and 'cluster_id' must survive
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "bb", 200), (3, "c", 300)],
+        "id long, text string, cluster_id long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = dedup_keep_best(docs, pairs, "id", [F.desc(F.length("text")), F.asc("id")])
+    assert set(out.columns) == {"id", "text", "cluster_id"}
+    rows = {r.id: r.cluster_id for r in out.collect()}
+    assert rows == {2: 200, 3: 300}

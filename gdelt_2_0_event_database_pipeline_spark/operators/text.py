@@ -9,6 +9,7 @@ these run inside the scan/project stage with zero extra shuffles.
 
 from __future__ import annotations
 
+import pandas as pd  # Arrow-batched pandas_udf type hints resolve at module scope
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -41,9 +42,62 @@ def tokens(col: Column | str, lowercase: bool = True) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (the BPE-ish proxy: tokens ≈ words here; a real
-    BPE would be an Arrow-batched pandas_udf with the same signature)."""
+    """Whitespace token count (the BPE-ish proxy: tokens ≈ words here; the
+    real-tokenizer seam with the same signature is :func:`token_count_bpe`)."""
     return F.size(tokens(col))
+
+
+#: GPT-2-flavored pre-tokenizer (ASCII subset — contractions, letter runs,
+#: digit runs, punctuation runs, whitespace runs). Deliberately drops GPT-2's
+#: `\s+(?!\S)` lookahead so the pattern stays inside the Python-re ∩ RE2
+#: subset and the DuckDB oracle can run the LITERAL same expression (counts
+#: can differ from true GPT-2 only on multi-char whitespace runs ending in
+#: non-space-before-punctuation — irrelevant for a length proxy, and the
+#: real-tokenizer branch bypasses the regex entirely).
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe(col: Column | str, encoding: str = "cl100k_base", encoder=None) -> Column:
+    """Real-tokenizer token count: Arrow-batched ``pandas_udf`` (never a
+    row-at-a-time UDF) with the same ``Column -> Column`` signature as
+    :func:`token_count`.
+
+    Tokenizer resolution: an injected ``encoder`` (any object with
+    ``encode(str) -> sequence``) wins; else ``tiktoken`` if importable
+    (not in this container — gated behind a try-import); else a
+    deterministic GPT-2-style pre-tokenizer regex counted with vectorized
+    ``pandas`` string ops. All three paths ship the same Arrow batch
+    plumbing, so swapping in the real BPE is a dependency change, not a
+    code change. NULL text → NULL count on every path.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if encoder is None:
+        try:  # pragma: no cover - tiktoken absent in the test container
+            import tiktoken
+
+            encoder = tiktoken.get_encoding(encoding)
+        except Exception:
+            encoder = None
+
+    if encoder is not None:
+        enc = encoder
+
+        @pandas_udf("long")
+        def _count(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [len(enc.encode(x)) if x is not None else None for x in s],
+                dtype="Int64",
+            )
+
+    else:
+
+        @pandas_udf("long")
+        def _count(s: pd.Series) -> pd.Series:
+            return s.str.count(BPE_PRETOKEN_RE).astype("Int64")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _count(c)
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:

@@ -44,12 +44,7 @@ _DRIVER_PRIORITY = [
     "q_salted_agg",
     "q_bucketed_join",
     # (b) new in round 3 (inserted here as they land)
-    "q_minhash_jaccard_sim",
-    "q_split_histogram",
-    "q_pack_first_fit",
-    "q_doc_topics",
-    "q_near_dup_rate",
-    "q_interleave_sources",
+    "q_token_count_udf",
     # (c) representative already-green slice (fills the 50-row window)
     "q01_pricing_summary",
     "q03_shipping_priority",

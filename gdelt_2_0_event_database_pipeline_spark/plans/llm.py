@@ -31,6 +31,29 @@ _SQL_TOKENS = (
 _IVF_FIT_CACHE: dict[tuple, list] = {}
 
 
+@register(
+    "q_token_count_udf",
+    # the SQL twin runs the LITERAL same pre-tokenizer pattern (RE2-safe by
+    # construction, see operators.text.BPE_PRETOKEN_RE); '' escapes the quote
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+               AS bpe_udf_tokens
+    FROM documents WHERE doc_id < 300
+    """,
+    doc=(
+        "Arrow-batched pandas_udf token counter (the real-tokenizer seam, "
+        "§2.8): GPT-2-style pre-tokenizer fallback counted with vectorized "
+        "pandas; swapping in tiktoken is a dependency change only. The one "
+        "sanctioned Python path — ArrowEvalPython, never BatchEvalPython."
+    ),
+)
+def q_token_count_udf(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select("doc_id", X.token_count_bpe("text").alias("bpe_udf_tokens"))
+
+
 # ---------------------------------------------------------------- text (X4)
 @register(
     "q_text_stats",

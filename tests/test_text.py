@@ -133,3 +133,65 @@ def test_ngram_contamination_counts(spark):
     assert got[3] == 5          # 9 tokens -> 5 distinct 5-grams, all shared
     assert got.get(1) == 1      # only "the quick brown fox jumps" overlaps
     assert 2 not in got         # zero-overlap docs are absent
+
+
+def test_token_count_bpe_injected_encoder_path(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import token_count_bpe
+
+    class _FakeBPE:
+        """Stand-in for a real encoder: deterministic char-pair chunking.
+        Defined in function scope so cloudpickle ships it by value to the
+        Python workers (tests/ is not importable there)."""
+
+        def encode(self, s):
+            return [s[i : i + 2] for i in range(0, len(s), 2)]
+
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abc"), (3, None)], "id long, text string"
+    )
+    out = {r.id: r.n for r in df.select("id", token_count_bpe("text", encoder=_FakeBPE()).alias("n")).collect()}
+    assert out == {1: 3, 2: 2, 3: None}
+
+
+def test_token_count_bpe_regex_fallback_path(spark):
+    import re
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        BPE_PRETOKEN_RE,
+        token_count_bpe,
+    )
+
+    texts = [
+        "I've seen 42 things, honestly!",
+        "hello world",
+        "   ",
+        "",
+        "don't stop-me now... 3.14",
+        "a  b   c",  # multi-space runs: count matches GPT-2's lookahead variant
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {r.id: r.n for r in df.select("id", token_count_bpe("text").alias("n")).collect()}
+    want = {i: len(re.findall(BPE_PRETOKEN_RE, t)) for i, t in enumerate(texts)}
+    assert got == want
+
+    # on single-space prose (the documents-table shape) the lookahead-free
+    # pattern counts identically to GPT-2's `\s+(?!\S)` variant; divergence
+    # is confined to exotic whitespace runs (documented on BPE_PRETOKEN_RE)
+    gpt2 = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    for t in texts:
+        if "\t" not in t and "\n" not in t:
+            assert len(re.findall(BPE_PRETOKEN_RE, t)) == len(re.findall(gpt2, t)), repr(t)
+
+
+def test_token_count_bpe_is_arrow_batched_not_row_udf(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import token_count_bpe
+
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    plan = (
+        df.select(token_count_bpe("text").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

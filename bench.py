@@ -37,21 +37,44 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen/file-index paths so per-query numbers measure the
-    # queries, not first-touch initialization
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy("l_returnflag").count().write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm the JVM/codegen/file-index/shuffle paths so per-query numbers
+    # measure the queries, not first-touch initialization (the registry's
+    # first query would otherwise absorb it all)
+    from pyspark.sql import functions as SF
 
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (
+        docs.join(docs.select(SF.col("doc_id").alias("d2")), SF.col("doc_id") == SF.col("d2"))
+        .groupBy("lang").count().write.format("noop").mode("overwrite").save()
+    )
+
+    # registry order is the DRIVER's correctness-priority order; bench walks
+    # names alphabetically so per-query timings stay comparable across rounds
+    # even when the driver priority shuffles
     timings: dict[str, float] = {}
-    for name, qd in QUERIES.items():
+    for name in sorted(QUERIES):
         t0 = time.time()
         try:
-            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    # second-run (steady-state) timings for queries with session-scoped
+    # caches (IVF codebook, bucketed tables): the repeated-invocation cost is
+    # the number that matters for a long-lived session / real deployment
+    steady: dict[str, float] = {}
+    for name in ("q_ivf_topk", "q_bucketed_join"):
+        if name in QUERIES:
+            t0 = time.time()
+            try:
+                QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                steady[name] = round(time.time() - t0, 3)
+            except Exception:  # pragma: no cover
+                steady[name] = -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = json.dumps(
@@ -60,6 +83,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "steady": steady,
             "sf": sf,
         }
     )

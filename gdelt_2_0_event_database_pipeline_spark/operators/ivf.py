@@ -142,11 +142,25 @@ def fit_ivf_centroids(
     k: int = 16,
     iters: int = 5,
     seed: int = 42,
+    fit_sample_n: int | None = 100_000,
 ) -> list[list[float]]:
     """Deterministic k-means-lite: init = k rows ranked by xxhash64(id, seed)
     (reproducible on any partitioning), then ``iters`` Lloyd steps. Each step
-    is one groupBy over the corpus with dim avg-aggregates; centroids travel
-    driver↔plan as literals. Empty cells keep their previous centroid."""
+    is one groupBy over the fit set with dim avg-aggregates; centroids travel
+    driver↔plan as literals. Empty cells keep their previous centroid.
+
+    ``fit_sample_n`` caps the FIT set with the hash-ranked deterministic
+    sampler (TakeOrderedAndProject — no full shuffle): a coarse quantizer
+    needs a representative sample, not the corpus, so at 10⁹ rows the Lloyd
+    iterations touch ≤100k vectors while cell ASSIGNMENT of the full corpus
+    stays on the codegen ``assign_cells`` path. The cap also keeps the fit
+    inside ``nearest_cells``'s documented <10⁵-row win regime. ``None``
+    fits on everything (local experiments)."""
+    df = well_formed_vectors(df, vec_col)
+    if fit_sample_n is not None:
+        from .sampling import sample_uniform
+
+        df = sample_uniform(df, fit_sample_n, seed=seed, key_cols=[id_col])
     v = _as_double(vec_col)
     dim_row = df.select(F.size(v).alias("d")).first()
     if dim_row is None:

@@ -99,6 +99,84 @@ def asof_join(
     )
 
 
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: Sequence[str],
+    gap_col: str = "nearest_gap_us",
+) -> DataFrame:
+    """For every left row, attach the right row nearest in time — either
+    direction — per key; ties (equal gap before and after) prefer the
+    at-or-before row. Output: left columns + ``nearest_{c}`` per value column
+    + ``gap_col`` (microseconds, NULL when the key has no right rows).
+
+    Still ONE shuffle: both direction scans are frames over the same window
+    partitioning and ordering (key, ts, side), so Catalyst reuses a single
+    exchange+sort — backward = ``last(ignorenulls)`` over the preceding
+    frame, forward = ``first(ignorenulls)`` over the following frame. A
+    right row at exactly the left row's timestamp is captured by the
+    backward frame (side-tag ordering), which the tie rule prefers anyway.
+    """
+    keys = list(key_cols)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    # carry the right timestamp (as epoch micros) like an extra value column:
+    # the gap comparison needs it on both direction scans
+    vals = list(right_value_cols) + ["__us__"]
+    r_src = right.withColumn("__us__", F.unix_micros(F.col(right_ts)))
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__side__"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(r_src.schema[c].dataType).alias(f"__r_{c}__") for c in vals],
+    )
+    r_tagged = r_src.select(
+        *keys,
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__side__"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}__") for c in vals],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    order = [F.col("__ts__").asc(), F.col("__side__").asc()]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = {c: F.last(f"__r_{c}__", ignorenulls=True).over(wb) for c in vals}
+    fwd = {c: F.first(f"__r_{c}__", ignorenulls=True).over(wf) for c in vals}
+
+    l_us = F.unix_micros(F.col("__ts__"))
+    back_gap = l_us - back["__us__"]
+    fwd_gap = fwd["__us__"] - l_us
+    use_back = back["__us__"].isNotNull() & (
+        fwd["__us__"].isNull() | (back_gap <= fwd_gap)
+    )
+    picked = [
+        F.when(use_back, back[c]).otherwise(fwd[c]).alias(f"nearest_{c}")
+        for c in right_value_cols
+    ]
+    gap = F.when(use_back, back_gap).otherwise(fwd_gap).alias(gap_col)
+
+    out = unioned.select(*keys, "__ts__", "__side__", *lcols, *picked, gap).filter(
+        F.col("__side__") == 1
+    )
+    return out.select(
+        *keys, F.col("__ts__").alias(left_ts), *lcols,
+        *[F.col(f"nearest_{c}") for c in right_value_cols], F.col(gap_col),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

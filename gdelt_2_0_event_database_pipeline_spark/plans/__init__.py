@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "q_bucketed_join",
     # (b) new in round 3 (inserted here as they land)
     "q_token_count_udf",
+    "q_asof_nearest",
     # (c) representative already-green slice (fills the 50-row window)
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.temporal import asof_join, range_join, sessionize
+from ..operators.temporal import asof_join, asof_nearest, range_join, sessionize
 from .registry import register
 from .relational import _events
 
@@ -76,6 +76,47 @@ def q_asof_forward(spark, sf_dir):
     )
     return out.select(
         "event_id", "user_id", F.col("asof_value").alias("next_purchase_value")
+    )
+
+
+@register(
+    "q_asof_nearest",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+         l AS (SELECT * FROM e WHERE event_type <> 'signup'),
+         r AS (SELECT * FROM e WHERE event_type = 'signup')
+    SELECT l.event_id, l.user_id,
+           x.value  AS nearest_signup_value,
+           x.gap_us AS nearest_gap_us
+    FROM l LEFT JOIN LATERAL (
+      SELECT r.value, abs(epoch_us(r.ts) - epoch_us(l.ts)) AS gap_us
+      FROM r WHERE r.user_id = l.user_id
+      ORDER BY gap_us, r.ts LIMIT 1
+    ) x ON true
+    """,
+    doc=(
+        "Nearest-in-time as-of join, either direction, ties prefer "
+        "at-or-before — one union+window shuffle with both direction frames "
+        "over a single sort; DuckDB's lateral min-abs-gap subquery is the "
+        "independent oracle."
+    ),
+)
+def q_asof_nearest(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    left = e.filter(F.col("event_type") != "signup")
+    right = e.filter(F.col("event_type") == "signup")
+    out = asof_nearest(
+        left,
+        right.select("user_id", "ts", "value"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("nearest_value").alias("nearest_signup_value"),
+        "nearest_gap_us",
     )
 
 

@@ -111,3 +111,57 @@ def test_sessionize_exact_gap_is_same_session(spark):
     )
     out = sessionize(df, ["k"], "ts", gap_minutes=30)
     assert {r.session_id for r in out.collect()} == {1}
+
+
+def test_asof_nearest_picks_closest_either_direction(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import asof_nearest
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 12, 0, 0)),   # back@11:59 (60s) vs fwd@12:03 (180s) -> back
+            (2, 10, T(2024, 1, 1, 12, 2, 30)),  # back 210s vs fwd 30s -> fwd
+            (3, 10, T(2024, 1, 1, 12, 1, 0)),   # tie 120s/120s -> back preferred
+            (4, 20, T(2024, 1, 1, 9, 0, 0)),    # only forward exists
+            (5, 30, T(2024, 1, 1, 9, 0, 0)),    # no right rows -> NULLs
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2024, 1, 1, 11, 59, 0), 100.0),
+            (10, T(2024, 1, 1, 12, 3, 0), 200.0),
+            (20, T(2024, 1, 1, 10, 0, 0), 300.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.nearest_value, r.nearest_gap_us)
+        for r in asof_nearest(
+            left, right, ["user_id"], "ts", "ts", ["value"]
+        ).collect()
+    }
+    assert out[1] == (100.0, 60_000_000)
+    assert out[2] == (200.0, 30_000_000)
+    assert out[3] == (100.0, 120_000_000)  # tie -> at-or-before
+    assert out[4] == (300.0, 3_600_000_000)
+    assert out[5] == (None, None)
+
+
+def test_asof_nearest_single_shuffle(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.skew import explain_shuffles
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import asof_nearest
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, T(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    out = asof_nearest(left, right, ["user_id"], "ts", "ts", ["value"])
+    assert explain_shuffles(out) == 1

@@ -99,6 +99,43 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    text_col: str = "text",
+    buckets: int = 10_000,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic training-mixture downsampling: source ``s`` keeps a
+    ``rates[s]`` fraction of its documents (sources absent from ``rates``
+    keep ``default_rate``) — the standard mixture-weighting stage between a
+    cleaned corpus and training (up-weight wiki, down-weight crawl, drop a
+    source with rate 0).
+
+    Selection is content-keyed (fingerprint bucket < rate·buckets), like
+    :func:`assign_split`: reproducible across runs, partitionings, and
+    engines; exact duplicates are kept-or-dropped together; and a document's
+    fate never depends on which executor saw it. Map-only — the filter runs
+    inside the scan stage, composable with quality/dedup filters in one
+    pass. Rate granularity is 1/buckets.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    bucket = fingerprint(F.col(text_col)) % buckets
+    in_rates = F.col(source_col).isin(list(rates))
+    # NULL source falls into the default-rate bucket (isin yields NULL, not
+    # False, for NULL — spelled out so such rows aren't silently dropped)
+    keep = F.when(
+        in_rates.isNull() | ~in_rates,
+        bucket < int(round(default_rate * buckets)),
+    )
+    for s, r in rates.items():
+        keep = keep.when(F.col(source_col) == s, bucket < int(round(r * buckets)))
+    return df.filter(keep)
+
+
 def pack_linear(
     df: DataFrame,
     id_col: str = "doc_id",

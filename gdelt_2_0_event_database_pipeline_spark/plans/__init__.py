@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     # (b) new in round 3 (inserted here as they land)
     "q_token_count_udf",
     "q_asof_nearest",
+    "q_mix_sources",
     # (c) representative already-green slice (fills the 50-row window)
     "q01_pricing_summary",
     "q03_shipping_priority",

@@ -331,6 +331,39 @@ def q_assign_split(spark, sf_dir):
 
 
 @register(
+    "q_mix_sources",
+    sql=f"""
+    SELECT source, count(*) AS n_docs FROM (
+      SELECT source,
+             list_reduce(
+               list_prepend(0::BIGINT,
+                 list_transform(string_split(text, ''), x -> ord(x)::BIGINT)),
+               (acc, x) -> (acc * {X.FINGERPRINT_BASE} + x) % {X.FINGERPRINT_MOD}
+             ) % 10000 AS b
+      FROM documents
+    )
+    WHERE CASE source
+            WHEN 'src0' THEN b < 5000
+            WHEN 'src1' THEN b < 2500
+            WHEN 'src2' THEN b < 0
+            ELSE b < 10000 END
+    GROUP BY source
+    """,
+    doc=(
+        "Training-mixture source weighting: content-fingerprint-bucketed "
+        "per-source keep rates (down-weight src0/src1, drop src2, keep the "
+        "rest) — deterministic across runs/partitionings/engines, map-only."
+    ),
+)
+def q_mix_sources(spark, sf_dir):
+    from ..operators.training import mix_sources
+
+    d = _t(spark, sf_dir, "documents")
+    mixed = mix_sources(d, {"src0": 0.5, "src1": 0.25, "src2": 0.0})
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
     "q_pack_linear",
     sql=f"""
     WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len({_SQL_TOKENS}) AS nt

@@ -89,3 +89,43 @@ def test_pack_linear_shards_are_independent(spark):
         rows = sorted((r for r in out if r.shard == shard), key=lambda r: r.doc_id)
         assert rows[0].start_offset == 0
         assert rows[1].start_offset == 10
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import mix_sources
+
+    rows = [(i, f"document number {i} with some text payload", f"src{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    mixed = mix_sources(df, {"src0": 0.5, "src1": 0.0})
+    counts = {r.source: r.n for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "src1" not in counts                      # rate 0 drops the source
+    assert counts["src2"] == counts["src3"] == 100   # default rate 1.0 keeps all
+    assert 20 <= counts.get("src0", 0) <= 80         # ~half, fingerprint-bucketed
+
+    # determinism: same subset on a different partitioning
+    again = {
+        r.doc_id
+        for r in mix_sources(df.repartition(13), {"src0": 0.5, "src1": 0.0}).collect()
+    }
+    assert again == {r.doc_id for r in mixed.collect()}
+
+
+def test_mix_sources_null_source_gets_default_rate(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import mix_sources
+
+    df = spark.createDataFrame(
+        [(1, "alpha text", None), (2, "beta text", "src0")],
+        "doc_id long, text string, source string",
+    )
+    kept = {r.doc_id for r in mix_sources(df, {"src0": 0.0}).collect()}
+    assert kept == {1}  # NULL source keeps default 1.0; src0 dropped
+
+
+def test_mix_sources_rejects_bad_rate(spark):
+    import pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import mix_sources
+
+    df = spark.createDataFrame([(1, "t", "s")], "doc_id long, text string, source string")
+    with pytest.raises(ValueError, match="rate"):
+        mix_sources(df, {"s": 1.5})

@@ -99,6 +99,80 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def pack_first_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: Column | str | None = None,
+    n_tokens_col: Column | str | None = None,
+    budget: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-fit-decreasing whole-document packing: per shard, documents are
+    sorted by descending token count (id tiebreak) and placed into the first
+    bin with room; a document never straddles two packs — the loader shape
+    for SFT/eval data where documents must stay intact (``pack_linear`` is
+    the cut-anywhere pre-training variant). FFD is the classic 11/9·OPT+1
+    bin-packing heuristic. Documents longer than ``budget`` get singleton
+    bins and ``oversize=true``.
+
+    Bin state is inherently sequential, so this is the sanctioned Python
+    escape hatch: Arrow-batched ``applyInPandas`` grouped by shard — one
+    shuffle on the shard key, plain vectorizable pandas inside, and shard
+    granularity bounds per-group state exactly like a 1000-executor packing
+    job must. Output: (id, shard, n_tokens, pack_id, oversize), one row per
+    input document. Deterministic on any partitioning.
+    """
+    import pandas as pd
+
+    nt = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str)
+        else n_tokens_col if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    shard = (
+        F.col(shard_col) if isinstance(shard_col, str)
+        else shard_col if shard_col is not None
+        else F.lit(0)
+    )
+    slim = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        shard.cast("long").alias("shard"),
+        nt.cast("long").alias("n_tokens"),
+    )
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        pack_ids, oversize = [], []
+        for t in pdf.itertuples(index=False):
+            n = t.n_tokens
+            if n > budget:
+                pack_ids.append(len(loads))
+                loads.append(n)
+                oversize.append(True)
+                continue
+            for b, load in enumerate(loads):
+                if load + n <= budget:
+                    loads[b] = load + n
+                    pack_ids.append(b)
+                    break
+            else:
+                pack_ids.append(len(loads))
+                loads.append(n)
+            if len(pack_ids) > len(oversize):
+                oversize.append(False)
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["oversize"] = pd.Series(oversize, dtype="bool")
+        return pdf
+
+    out = slim.groupBy("shard").applyInPandas(
+        _ffd, "id long, shard long, n_tokens long, pack_id long, oversize boolean"
+    )
+    return out.withColumnRenamed("id", id_col)
+
+
 def mix_sources(
     df: DataFrame,
     rates: dict[str, float],

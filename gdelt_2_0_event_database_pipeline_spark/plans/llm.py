@@ -364,6 +364,26 @@ def q_mix_sources(spark, sf_dir):
 
 
 @register(
+    "q_pack_first_fit",
+    sql=None,  # iterative bin state is not SQL-expressible; invariants
+    # (capacity, completeness, ≥linear efficiency, determinism) are pinned
+    # in tests/test_training.py
+    doc=(
+        "First-fit-decreasing whole-document packing per shard (SFT/eval "
+        "loader shape, no document straddling): Arrow applyInPandas grouped "
+        "by shard — the sanctioned stateful-Python path, one shuffle."
+    ),
+)
+def q_pack_first_fit(spark, sf_dir):
+    from ..operators.training import pack_first_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_first_fit(
+        d, shard_col=(F.col("doc_id") % 8), budget=512
+    )
+
+
+@register(
     "q_pack_linear",
     sql=f"""
     WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len({_SQL_TOKENS}) AS nt

@@ -129,3 +129,69 @@ def test_mix_sources_rejects_bad_rate(spark):
     df = spark.createDataFrame([(1, "t", "s")], "doc_id long, text string, source string")
     with pytest.raises(ValueError, match="rate"):
         mix_sources(df, {"s": 1.5})
+
+
+def test_pack_first_fit_invariants(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        pack_first_fit,
+        pack_linear,
+    )
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 37) % 300 + 1)), i % 3)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, shard long")
+    budget = 256
+    out = pack_first_fit(df, shard_col="shard", budget=budget).collect()
+
+    # completeness: every doc packed exactly once
+    assert sorted(r.doc_id for r in out) == list(range(120))
+    # capacity: no non-oversize bin exceeds budget
+    loads: dict[tuple, int] = {}
+    for r in out:
+        assert not r.oversize or r.n_tokens > budget
+        loads[(r.shard, r.pack_id)] = loads.get((r.shard, r.pack_id), 0) + r.n_tokens
+    for (shard, pack), load in loads.items():
+        members = [r for r in out if (r.shard, r.pack_id) == (shard, pack)]
+        if not any(m.oversize for m in members):
+            assert load <= budget, (shard, pack, load)
+
+    # efficiency: per shard, bins ≥ n_oversize + ceil(rest/budget) (valid
+    # lower bound — oversize docs sit alone; the rest is capacity-limited),
+    # and FFD must land within 1.5× of it while beating one-doc-per-bin
+    import math
+
+    n_bins = len(loads)
+    naive_bins = len(out)
+    per_shard: dict[int, list[int]] = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r.n_tokens)
+    lower = sum(
+        sum(1 for t in ts if t > budget)
+        + math.ceil(sum(t for t in ts if t <= budget) / budget)
+        for ts in per_shard.values()
+    )
+    assert lower <= n_bins < naive_bins
+    assert n_bins <= 1.5 * lower + 3
+
+    # determinism across partitionings
+    again = {
+        (r.doc_id, r.pack_id)
+        for r in pack_first_fit(df.repartition(17), shard_col="shard", budget=budget).collect()
+    }
+    assert again == {(r.doc_id, r.pack_id) for r in out}
+
+
+def test_pack_first_fit_oversize_singleton(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import pack_first_fit
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 600)), (2, "a b c"), (3, "d e")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_first_fit(df, budget=512).collect()}
+    assert out[1].oversize and out[1].n_tokens == 600
+    # the oversize doc sits alone in its bin
+    assert {r.pack_id for r in out.values() if r.doc_id != 1} != {out[1].pack_id}
+    assert not out[2].oversize and not out[3].oversize

@@ -162,6 +162,48 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
+def quality_quantile_filter(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    keep_frac: float = 0.5,
+    exact: bool = True,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows per group by ``score`` — the
+    corpus-pruning stage ("keep the best half per language").
+
+    ``exact=True``: ``percent_rank`` over a (group, score desc, id) window —
+    deterministic and SQL-oracle-able, but each group is one sort partition,
+    so only for bounded-cardinality groups at scale. ``exact=False`` is the
+    100 TB path: one tiny ``approx_percentile`` aggregate per group, the
+    (group, threshold) table broadcast back, and a map-side ``score >=
+    threshold`` filter — no window, no per-group sort, at the cost of the
+    quantile being approximate at the boundary."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0,1], got {keep_frac}")
+    scored = df.withColumn("__q__", score)
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("__q__"), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("__pr__", F.percent_rank().over(w))
+            .filter(F.col("__pr__") <= keep_frac)
+            .drop("__pr__", "__q__")
+        )
+    thresholds = scored.groupBy(group_col).agg(
+        F.percentile_approx("__q__", 1.0 - keep_frac).alias("__thr__")
+    )
+    return (
+        scored.join(F.broadcast(thresholds), group_col)
+        .filter(F.col("__q__") >= F.col("__thr__"))
+        .drop("__thr__", "__q__")
+    )
+
+
 # ---------------------------------------------------------------- lang id
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Marker-lexicon hit count per language (distinct-token ∩ lexicon)."""

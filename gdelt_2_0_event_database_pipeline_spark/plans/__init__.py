@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "q_token_count_udf",
     "q_asof_nearest",
     "q_mix_sources",
+    "q_quality_filter",
     # (c) representative already-green slice (fills the 50-row window)
     "q01_pricing_summary",
     "q03_shipping_priority",

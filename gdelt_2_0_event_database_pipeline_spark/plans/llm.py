@@ -102,6 +102,46 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators.text.quality_score — mirrors the Spark expression
+# term by term (same association order; ratios-of-ints and IEEE products of
+# exact inputs are bit-identical cross-engine; [[:punct:]] == \p{Punct} on
+# ASCII; 'g' flag matches Spark's replace-all regexp_replace).
+_SQL_QUALITY = f"""(
+      0.4 * least(length(text) / 500.0, 1.0)
+    + 0.2 * (1.0 - least(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                         / greatest(length(text), 1) * 4, 1.0))
+    + 0.2 * (1.0 - least(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1) * 4, 1.0))
+    + 0.2 * least(len(list_filter({_SQL_TOKENS},
+                      x -> list_contains({list(X.STOPWORDS_EN)!r}, x)))
+                  / greatest(len({_SQL_TOKENS}), 1) * 5, 1.0)
+)"""
+
+
+@register(
+    "q_quality_filter",
+    sql=f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (
+               PARTITION BY lang ORDER BY {_SQL_QUALITY} DESC, doc_id
+             ) AS pr
+      FROM documents
+    ) WHERE pr <= 0.5
+    """,
+    doc=(
+        "Quality-quantile corpus pruning: keep the best half per language by "
+        "the composite quality score (exact windowed gate; the approx-"
+        "threshold broadcast variant is the 100 TB path, pinned in tests)."
+    ),
+)
+def q_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.quality_quantile_filter(
+        d, "lang", X.quality_score("text"), keep_frac=0.5
+    ).select("doc_id", "lang", "n_chars")
+
+
 _LANG_CASES_SQL = " ".join(
     f"WHEN len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) > 0 "
     f"AND len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) = best THEN '{lang}'"

@@ -195,3 +195,41 @@ def test_token_count_bpe_is_arrow_batched_not_row_udf(spark):
     )
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_quality_quantile_filter_exact_vs_approx(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        quality_quantile_filter,
+        quality_score,
+    )
+
+    rows = [
+        (i, ("the quick brown fox " * ((i % 17) + 1))[: 40 + (i * 13) % 400], f"g{i % 3}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    exact = quality_quantile_filter(df, "lang", quality_score("text"), 0.5)
+    approx = quality_quantile_filter(
+        df, "lang", quality_score("text"), 0.5, exact=False
+    )
+    e = {r.doc_id for r in exact.collect()}
+    a = {r.doc_id for r in approx.collect()}
+    # approx keeps roughly the same half; overlap must dominate
+    assert len(e & a) / max(len(e), 1) > 0.8
+    # both keep ~keep_frac per group (exact is precise up to rank ties)
+    n = df.count()
+    assert abs(len(e) - n / 2) <= 6
+    assert abs(len(a) - n / 2) <= n * 0.15
+
+
+def test_quality_quantile_filter_rejects_bad_frac(spark):
+    import pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        quality_quantile_filter,
+        quality_score,
+    )
+
+    df = spark.createDataFrame([(1, "t", "g")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="keep_frac"):
+        quality_quantile_filter(df, "lang", quality_score("text"), 0.0)

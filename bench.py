@@ -53,14 +53,17 @@ def main() -> None:
     # registry order is the DRIVER's correctness-priority order; bench walks
     # names alphabetically so per-query timings stay comparable across rounds
     # even when the driver priority shuffles
+    # errored queries go to a separate map (NOT a -1.0 sentinel in `queries`:
+    # a consumer summing/averaging the timings map must not pick up negatives)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(QUERIES):
         t0 = time.time()
         try:
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # pragma: no cover
-            timings[name] = -1.0
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
     # second-run (steady-state) timings for queries with session-scoped
@@ -83,6 +86,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "errors": errors,
+            "n_timed": len(timings),
             "steady": steady,
             "sf": sf,
         }
@@ -95,6 +100,11 @@ def main() -> None:
     with open(os.path.join(REPO, "bench_out.json"), "w") as f:
         f.write(payload + "\n")
     spark.stop()
+    # ... and again as the very last stdout line: if a driver parses the tail
+    # of stdout and anything logged after the first print, the final line is
+    # still the JSON (r3's driver-side parse recorded null despite a valid
+    # first-line payload)
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -214,8 +214,20 @@ def sample_systematic(
     be tie-broken arbitrarily and the row set engine-dependent). Skewed key
     ranges only skew bucket sizes, never correctness; raise ``n_buckets``
     if one range bucket would exceed executor memory.
+
+    Per call this costs one bounded driver action — the 1-row bounds
+    aggregate over a column-pruned scan (same class as the repo's other
+    metadata collects). Everything else is ONE lazy plan: per-bucket counts
+    and their cumulative offsets are broadcast subtrees of the returned
+    DataFrame, with the running sum expressed as a triangular self-join over
+    the ≤``n_buckets``-row counts aggregate (bounded by construction; a
+    window would need an ``Exchange SinglePartition``, which this operator's
+    contract — and its plan test — forbids anywhere in the returned plan).
+    Round 3's variant eagerly collected the counts to the driver and
+    re-uploaded them via ``createDataFrame`` (3 driver round-trips per call,
+    4.6 s at sf0.1); this shape keeps the offsets computation inside the
+    main job.
     """
-    spark = df.sparkSession
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
@@ -227,21 +239,21 @@ def sample_systematic(
         F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)),
         F.lit(n_buckets - 1),
     ).cast("int")
-
     with_bkt = df.withColumn("__bkt__", bucket)
-    counts = {
-        r["__bkt__"]: r["cnt"]
-        for r in with_bkt.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    offsets, running = [], 0
-    for b in sorted(counts):
-        offsets.append((b, running))
-        running += counts[b]
-    off_df = spark.createDataFrame(offsets, "__bkt__ int, __off__ long")
+
+    counts = with_bkt.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    prior = counts.select(
+        F.col("__bkt__").alias("__pb__"), F.col("__cnt__").alias("__pc__")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__pb__") < F.col("__bkt__"), "left")
+        .groupBy("__bkt__")
+        .agg(F.coalesce(F.sum("__pc__"), F.lit(0)).alias("__off__"))
+    )
 
     w = Window.partitionBy("__bkt__").orderBy(order_col)
     return (
-        with_bkt.join(F.broadcast(off_df), "__bkt__")
+        with_bkt.join(F.broadcast(offsets), "__bkt__")
         .withColumn(_RN, F.row_number().over(w) + F.col("__off__"))
         .filter((F.col(_RN) - 1) % stride == 0)
         .drop("__bkt__", "__off__", _RN)

@@ -25,6 +25,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _us(col: Column) -> Column:
+    """Epoch microseconds. ``unix_micros`` rejects TIMESTAMP_NTZ inputs
+    (parquet TIMESTAMP without timezone reads as NTZ); cast first — the
+    session timezone is UTC throughout this repo, so the cast is
+    value-preserving."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -125,7 +133,7 @@ def asof_nearest(
     # carry the right timestamp (as epoch micros) like an extra value column:
     # the gap comparison needs it on both direction scans
     vals = list(right_value_cols) + ["__us__"]
-    r_src = right.withColumn("__us__", F.unix_micros(F.col(right_ts)))
+    r_src = right.withColumn("__us__", _us(F.col(right_ts)))
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("__ts__"),
@@ -156,7 +164,7 @@ def asof_nearest(
     back = {c: F.last(f"__r_{c}__", ignorenulls=True).over(wb) for c in vals}
     fwd = {c: F.first(f"__r_{c}__", ignorenulls=True).over(wf) for c in vals}
 
-    l_us = F.unix_micros(F.col("__ts__"))
+    l_us = _us(F.col("__ts__"))
     back_gap = l_us - back["__us__"]
     fwd_gap = fwd["__us__"] - l_us
     use_back = back["__us__"].isNotNull() & (
@@ -239,7 +247,7 @@ def sessionize(
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     # microsecond arithmetic — unix_timestamp truncates to seconds and
     # misclassifies sub-second gaps at the boundary
-    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    gap = _us(F.col(ts_col)) - _us(F.lag(ts_col).over(w))
     is_start = F.when(
         gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))

@@ -20,8 +20,46 @@ from . import scale_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # (a) never driver-checked as of round 2 — q_dedup_canonical failed in r1
-    # and has never been green in a driver artifact; it goes first.
+    # Round-4 rotation (VERDICT r3 item #6): (a) the three queries fixed this
+    # round — they carried ERR / hash-fail driver rows in r3 and need fresh
+    # green evidence first; (b) the 25 oracle queries whose last driver row
+    # dates from r1/r2 (everything in oracle_sql() minus CORRECTNESS_r03's
+    # keys); (c) r3-green queries fill the remainder of the ~50-row window so
+    # no oracle query's newest driver row ever goes >2 rounds stale.
+    # (a) fixed this round
+    "q_sessionize",
+    "q_asof_nearest",
+    "q_pack_linear",
+    # (b) last driver row is r1/r2
+    "q_agg_stats",
+    "q_array_funcs",
+    "q_bpe_tokens",
+    "q_cube",
+    "q_date_gaps",
+    "q_distinct",
+    "q_dsl_equality",
+    "q_dsl_in_list",
+    "q_dsl_ops",
+    "q_fingerprint",
+    "q_having",
+    "q_join_semi",
+    "q_json_tuple",
+    "q_lang_id",
+    "q_levenshtein",
+    "q_redact_pii",
+    "q_repetition",
+    "q_scalar_string",
+    "q_set_except",
+    "q_set_intersect",
+    "q_sort_limit",
+    "q_text_quality",
+    "q_token_histogram",
+    "q_union_by_name",
+    "q_zscore",
+    # (c) r3-green refresh slice (fills the 50-row window)
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
     "q_dedup_canonical",
     "q_dedup_exact",
     "q_dedup_exact_hash",
@@ -30,8 +68,9 @@ _DRIVER_PRIORITY = [
     "q_contamination",
     "q_chunk_documents",
     "q_assign_split",
-    "q_pack_linear",
-    "q_top_tokens_per_lang",
+    "q_mix_sources",
+    "q_quality_filter",
+    "q_token_count_udf",
     "q_cosine_topk",
     "q_exact_distinct",
     "q_quantiles",
@@ -40,44 +79,9 @@ _DRIVER_PRIORITY = [
     "q_asof_forward",
     "q_range_join",
     "q_event_paths",
-    "q_sessionize",
     "q_salted_agg",
     "q_bucketed_join",
-    # (b) new in round 3 (inserted here as they land)
-    "q_token_count_udf",
-    "q_asof_nearest",
-    "q_mix_sources",
-    "q_quality_filter",
-    # (c) representative already-green slice (fills the 50-row window)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q_join_anti",
-    "q_join_outer_agg",
-    "q_set_union",
-    "q_topk_per_group",
-    "q_window_running",
-    "q_rollup",
-    "q_grouping_sets",
-    "q_conditional_agg",
-    "q_dsl_nested",
-    "q_null_drop",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_json_extract",
-    "q_events_hourly",
-    "q_pivot",
-    "q_explode_embeddings",
-    "q_scalar_subquery",
-    "q_window_range_frame",
-    "q_rank_functions",
-    "q_regression",
-    "q_profile",
-    "q_text_stats",
-    "q_lang_id",
-    "q_redact_pii",
-    "q_repetition",
-    "q_date_gaps",
+    "q_top_tokens_per_lang",
 ]
 
 

@@ -417,9 +417,12 @@ def q_mix_sources(spark, sf_dir):
 def q_pack_first_fit(spark, sf_dir):
     from ..operators.training import pack_first_fit
 
-    d = _t(spark, sf_dir, "documents")
+    # 64 shards, not 8: shard count is the parallelism ceiling of the
+    # sequential per-shard FFD, so it must scale with the data (round-3
+    # verdict: 8 pinned tasks would bottleneck a 100× corpus). At sf0.1
+    # (5k docs) 64 shards still hold ~80 docs each — enough to pack well.
     return pack_first_fit(
-        d, shard_col=(F.col("doc_id") % 8), budget=512
+        _t(spark, sf_dir, "documents"), shard_col=(F.col("doc_id") % 64), budget=512
     )
 
 
@@ -429,9 +432,12 @@ def q_pack_first_fit(spark, sf_dir):
     WITH t AS (SELECT doc_id, doc_id % 8 AS shard, len({_SQL_TOKENS}) AS nt
                FROM documents),
     c AS (SELECT doc_id, shard, nt,
-                 sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                 -- DuckDB window SUM returns HUGEINT which materializes as
+                 -- float64 through Arrow; CAST keeps the column int64 to
+                 -- match Spark (values are identical either way)
+                 CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
-                   AS start_offset
+                   AS BIGINT) AS start_offset
           FROM t)
     SELECT doc_id, shard, start_offset,
            CAST(floor(start_offset / 512) AS BIGINT) AS pack_id

@@ -28,14 +28,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    rejects; read nanos as long and convert to a microsecond timestamp
-    (``div 1000`` — integer division; a double roundtrip would lose precision
-    at 1e18 nanos)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes).get("ts") == "bigint":
+    """Read events.parquet and normalize ``ts`` to TIMESTAMP regardless of the
+    physical parquet type. Handled matrix:
+
+    - TIMESTAMP(MICROS, adjusted)   → read as-is.
+    - TIMESTAMP(MICROS, no tz)      → Spark reads TIMESTAMP_NTZ; cast to
+      TIMESTAMP (session tz is UTC everywhere in this repo, so wall-clock
+      values are preserved and the DuckDB ``ts::TIMESTAMP`` oracles align).
+      Without this, ``unix_micros`` AnalysisExceptions downstream.
+    - TIMESTAMP(NANOS)              → Spark rejects at read; retry with
+      ``nanosAsLong`` and integer-divide to micros (``div 1000`` — a double
+      roundtrip would lose precision at 1e18 nanos). The legacy conf is only
+      set on this fallback path so plan-build stays side-effect-free for
+      modern data.
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        e = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = spark.read.parquet(path)
+    ts_type = dict(e.dtypes).get("ts")
+    if ts_type == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 

@@ -191,10 +191,12 @@ def q_event_paths(spark, sf_dir):
            FROM e
          )
     SELECT event_id, user_id,
-           sum(is_start) OVER (
+           -- CAST: DuckDB window SUM yields HUGEINT -> float64 via Arrow,
+           -- which hash-fails against Spark's BIGINT (oracle_dtype_audit)
+           CAST(sum(is_start) OVER (
              PARTITION BY user_id ORDER BY ts
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM flagged
     """,
     doc="Gap-based sessionization (30min): two windows over one shuffle on the key.",

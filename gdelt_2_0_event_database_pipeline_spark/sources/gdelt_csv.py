@@ -49,20 +49,38 @@ def extract_zips(zip_dir: str, out_dir: str) -> list[Path]:
     return extracted
 
 
-def read_gdelt_csv(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame:
+def read_gdelt_csv(
+    spark: SparkSession,
+    paths: str | Sequence[str],
+    corrupt_col: str | None = None,
+) -> DataFrame:
     """Declared-schema read + numeric coercion; never infers (SURVEY §1.2).
 
     Adds ``_source_file`` (from ``input_file_name()``) so downstream routing
     and idempotency can reason per source file without a second listing.
+
+    With ``corrupt_col``, malformed lines (token count ≠ 58) surface in that
+    column instead of vanishing — PERMISSIVE mode's silent null-fill loses
+    the observability the reference gets from ``on_bad_lines="warn"``
+    (``conversion/converter.py:230``); callers count/log the column and drop
+    it before writing.
     """
     if isinstance(paths, str):
         paths = [paths]
+    schema = gdelt_csv_schema()
+    if corrupt_col:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            schema.fields + [T.StructField(corrupt_col, T.StringType())]
+        )
     df = spark.read.csv(
         list(paths),
         sep="\t",
         header=False,
-        schema=gdelt_csv_schema(),
+        schema=schema,
         mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col or "_corrupt_record",
         encoding="UTF-8",
     )
     # try_cast ≡ pd.to_numeric(errors="coerce"): malformed → NULL, never an
@@ -78,6 +96,7 @@ def read_gdelt_csv(spark: SparkSession, paths: str | Sequence[str]) -> DataFrame
 
     return df.select(
         *[_coerce(c) for c in GDELT_COLUMNS],
+        *([F.col(corrupt_col)] if corrupt_col else []),
         F.input_file_name().alias("_source_file"),
     )
 
@@ -95,7 +114,10 @@ def convert(
     partitioned per rules (default ``{'yearly': ['Year'], 'monthly':
     ['Year','MonthYear']}``, ``settings.example.yaml:143-149``). Rows with
     NULL partition values are dropped on the historical path (reference
-    ``converter.py:291-295``). Returns row counts per route.
+    ``converter.py:291-295``). Returns row counts per route, plus
+    ``corrupt`` = number of malformed input lines (token count ≠ 58) — the
+    Spark analogue of the reference's ``on_bad_lines="warn"`` logging
+    (``converter.py:230``); malformed lines are excluded from every write.
     """
     rules = partition_rules or DEFAULT_PARTITION_RULES
 
@@ -113,10 +135,10 @@ def convert(
         )
         todo = unprocessed(spark, candidates, manifest_path)
         if not todo:
-            return {"daily": 0, **{ft: 0 for ft in rules}}
+            return {"daily": 0, "corrupt": 0, **{ft: 0 for ft in rules}}
         inputs, to_mark = todo, todo
 
-    df = read_gdelt_csv(spark, inputs)
+    df = read_gdelt_csv(spark, inputs, corrupt_col="_corrupt_record")
     # routing is a native regexp on the file name — same patterns as
     # classify_filename(), but codegen-eligible instead of a per-row UDF
     base = F.element_at(F.split(F.col("_source_file"), "/"), -1)
@@ -125,9 +147,16 @@ def convert(
         .when(base.rlike(r"^\d{6}\.(?i:zip|csv)$"), F.lit("monthly"))
         .when(base.rlike(r"^\d{4}\.(?i:zip|csv)$"), F.lit("yearly"))
     )
-    df = df.withColumn("_ftype", ftype).cache()
+    cached = df.withColumn("_ftype", ftype).cache()
 
     counts: dict[str, int] = {}
+    # bad-line observability: count, then exclude from every route (the
+    # cache() above is also what makes filtering on the corrupt column legal
+    # — Spark forbids queries over only the internal corrupt column on an
+    # uncached CSV relation)
+    counts["corrupt"] = cached.filter(F.col("_corrupt_record").isNotNull()).count()
+    df = cached.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+
     daily = df.filter(F.col("_ftype") == "daily").drop("_ftype", "_source_file")
     counts["daily"] = daily.count()
     if counts["daily"]:
@@ -152,7 +181,7 @@ def convert(
                     .partitionBy(*cols)
                     .parquet(f"{historical_dir}/{ft}", compression="snappy")
                 )
-    df.unpersist()
+    cached.unpersist()
     if manifest_path and to_mark:
         from .lake import mark_processed
 

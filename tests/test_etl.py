@@ -145,7 +145,7 @@ def test_convert_incremental_with_manifest(spark, tmp_path):
     n1 = spark.read.parquet(flat).count()
     # second run: everything already in the manifest → zero work, no growth
     second = gdelt_csv.convert(spark, csv_dir, flat, historical_dir=hist, manifest_path=mani)
-    assert second == {"daily": 0, "yearly": 0, "monthly": 0}
+    assert second == {"daily": 0, "corrupt": 0, "yearly": 0, "monthly": 0}
     assert spark.read.parquet(flat).count() == n1
 
 
@@ -283,3 +283,67 @@ def test_cli_filter_per_file_and_redact(converted, capsys, tmp_path):
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == 200
+
+
+def test_convert_reports_corrupt_lines(spark, tmp_path):
+    """Bad-line observability (reference on_bad_lines="warn",
+    converter.py:230): malformed lines are counted in the convert report and
+    excluded from every write."""
+    d = tmp_path / "csv"
+    d.mkdir()
+    pdf = make_gdelt_pdf(20).reindex(columns=list(GDELT_COLUMNS))
+    p = d / "20150105.export.CSV"
+    pdf.to_csv(p, sep="\t", header=False, index=False)
+    with open(p, "a") as fh:
+        fh.write("garbage line with\tonly three\tfields\n")
+        fh.write("\t".join(["x"] * 60) + "\n")  # too many fields
+    counts = gdelt_csv.convert(spark, str(d), str(tmp_path / "flat"))
+    assert counts["corrupt"] == 2
+    assert counts["daily"] == 20
+    assert spark.read.parquet(str(tmp_path / "flat")).count() == 20
+
+
+def test_real_gdelt_daily_file_end_to_end(spark, tmp_path):
+    """Fidelity loop on the reference's actual daily-export shape (58-column
+    headerless TSV, converter.py:212-233): a checked-in YYYYMMDD.export.CSV
+    with realistic CAMEO/FIPS/geo values runs convert -> filter -> sample
+    end-to-end."""
+    import os
+    import shutil
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.sampling import (
+        sample_uniform,
+    )
+
+    fixture = os.path.join(os.path.dirname(__file__), "data", "20150218.export.CSV")
+    d = tmp_path / "csv"
+    d.mkdir()
+    shutil.copy(fixture, d / "20150218.export.CSV")
+    flat = str(tmp_path / "flat")
+    counts = gdelt_csv.convert(spark, str(d), flat)
+    assert counts["daily"] == 40 and counts["corrupt"] == 0
+
+    df = spark.read.parquet(flat)
+    assert len(df.columns) == 58
+    row = df.filter(F.col("GlobalEventID") == 410479000).first()
+    assert row.Day == 20150218 and row.Year == 2015 and row.MonthYear == 201502
+    assert row.QuadClass in (1, 2, 3, 4)
+    assert isinstance(row.GoldsteinScale, float)
+    assert row.SOURCEURL.startswith("http")
+    assert row.Actor1Geo_Lat is not None
+
+    filtered, report = lake.filter_nulls(df, ["Actor1Code", "ActionGeo_Lat"])
+    assert report.rows_before == 40
+    assert report.rows_after == filtered.count() > 0
+
+    s1 = sorted(
+        r.GlobalEventID
+        for r in sample_uniform(filtered, 10, key_cols=["GlobalEventID"]).collect()
+    )
+    s2 = sorted(
+        r.GlobalEventID
+        for r in sample_uniform(
+            filtered.repartition(5), 10, key_cols=["GlobalEventID"]
+        ).collect()
+    )
+    assert len(s1) == 10 and s1 == s2  # exact-n, partitioning-independent

@@ -1,5 +1,13 @@
 """Registry smoke: every declared query runs at sf0.001 and returns a stable
-schema; entry() returns rows (the driver's t1 gate)."""
+schema; entry() returns rows (the driver's t1 gate).
+
+Also pins the events timestamp type matrix: round 3 shipped two driver ERRs
+because ``test_temporal.py`` builds in-memory TimestampType frames while the
+driver's parquet carried TIMESTAMP_NTZ — ``unix_micros`` rejects NTZ. The
+``ts_flavor`` tests rewrite the sf0.001 events table in every physical
+parquet timestamp encoding and run the unix_micros-dependent queries against
+each, so testdata type drift fails locally before it fails at the driver.
+"""
 
 from __future__ import annotations
 
@@ -25,3 +33,51 @@ def test_query_runs(spark, name):
     df = em.queries()[name](spark, SF_DIR)
     assert df.columns  # non-empty schema
     assert df.count() >= 0
+
+
+# --------------------------------------------------------------------------
+# events timestamp type matrix
+# --------------------------------------------------------------------------
+_TS_QUERIES = ["q_sessionize", "q_asof_nearest", "q_asof_join", "q_event_paths"]
+_TS_FLAVORS = ["us_utc", "us_ntz", "ns_ntz"]
+
+
+@pytest.fixture(scope="session")
+def events_ts_dirs(tmp_path_factory):
+    """sf0.001 events rewritten in each physical parquet timestamp encoding:
+    TIMESTAMP(MICROS, adjustedToUTC), TIMESTAMP(MICROS, no tz) → Spark NTZ,
+    TIMESTAMP(NANOS) → Spark read fails without nanosAsLong."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts = tbl.column("ts")
+    base = ts.cast(pa.timestamp("us")) if ts.type != pa.timestamp("us") else ts
+    idx = tbl.schema.get_field_index("ts")
+    dirs = {}
+    for flavor, typ in [
+        ("us_utc", pa.timestamp("us", tz="UTC")),
+        ("us_ntz", pa.timestamp("us")),
+        ("ns_ntz", pa.timestamp("ns")),
+    ]:
+        d = tmp_path_factory.mktemp(f"events_{flavor}")
+        out = tbl.set_column(idx, pa.field("ts", typ), base.cast(typ))
+        pq.write_table(out, str(d / "events.parquet"))
+        dirs[flavor] = str(d)
+    return dirs
+
+
+@pytest.mark.parametrize("flavor", _TS_FLAVORS)
+@pytest.mark.parametrize("name", _TS_QUERIES)
+def test_events_query_all_ts_flavors(spark, events_ts_dirs, name, flavor):
+    df = em.queries()[name](spark, events_ts_dirs[flavor])
+    assert df.count() > 0
+
+
+def test_events_ts_normalized_to_timestamp(spark, events_ts_dirs):
+    """_events must present TIMESTAMP regardless of the physical encoding."""
+    from gdelt_2_0_event_database_pipeline_spark.plans.relational import _events
+
+    for flavor, d in events_ts_dirs.items():
+        dtype = dict(_events(spark, d).dtypes)["ts"]
+        assert dtype == "timestamp", f"{flavor}: ts dtype {dtype}"

@@ -183,6 +183,41 @@ def test_pack_first_fit_invariants(spark):
     assert again == {(r.doc_id, r.pack_id) for r in out}
 
 
+def test_pack_first_fit_matches_naive_linear_scan(spark):
+    """Randomized differential: the segment-tree leftmost-fit must place
+    every document in exactly the bin the naive O(bins) first-fit scan
+    would (includes zero-token and oversize docs)."""
+    import random
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import pack_first_fit
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 600)) for i in range(500)]
+    budget = 512
+    df = spark.createDataFrame(rows, "doc_id long, nt long")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_first_fit(df, n_tokens_col="nt", budget=budget).collect()
+    }
+
+    loads: list[int] = []
+    want: dict[int, int] = {}
+    for i, n in sorted(rows, key=lambda t: (-t[1], t[0])):
+        if n > budget:
+            want[i] = len(loads)
+            loads.append(n)
+            continue
+        for b, load in enumerate(loads):
+            if load + n <= budget:
+                loads[b] = load + n
+                want[i] = b
+                break
+        else:
+            want[i] = len(loads)
+            loads.append(n)
+    assert got == want
+
+
 def test_pack_first_fit_oversize_singleton(spark):
     from gdelt_2_0_event_database_pipeline_spark.operators.training import pack_first_fit
 

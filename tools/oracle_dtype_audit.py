@@ -62,6 +62,7 @@ def audit(sf_dir: str) -> int:
             sschema = {f.name: spark_family(f.dataType) for f in qd.fn(spark, sf_dir).schema}
             rel = con.sql(f"SELECT * FROM ({qd.sql}) LIMIT 0")
             oschema = {c: family(str(t)) for c, t in zip(rel.columns, rel.types)}
+            oschema_raw = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             bad += 1
@@ -71,6 +72,16 @@ def audit(sf_dir: str) -> int:
             for c in sschema
             if c in oschema
             and {sschema[c], oschema[c]} == {"int", "float"}  # the hash-killing class
+        ]
+        # HUGEINT is int-family at the LIMIT-0 schema level but materializes
+        # as float64 through Arrow/pandas (no int128 dtype) — so it hash-fails
+        # against a Spark BIGINT even though every value is equal. DuckDB
+        # returns HUGEINT from sum() over BIGINT, including WINDOW sums
+        # (exactly how q_pack_linear failed round 3). CAST the SQL to BIGINT.
+        issues += [
+            f"{c}: oracle HUGEINT materializes as float64 — CAST(... AS BIGINT) in the SQL"
+            for c in sschema
+            if sschema[c] == "int" and oschema_raw.get(c) == "HUGEINT"
         ]
         if issues:
             print(f"FLAG  {name}: {'; '.join(issues)}")

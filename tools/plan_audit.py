@@ -33,6 +33,8 @@ NESTED_LOOP_OK = {
     "q_dedup_keep_longest",  # same capped edge kernel
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
+    "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
+                             # counts aggregate (bounded by construction)
 }
 
 

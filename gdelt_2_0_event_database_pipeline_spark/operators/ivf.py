@@ -151,48 +151,51 @@ def fit_ivf_centroids(
 
     ``fit_sample_n`` caps the FIT set with the hash-ranked deterministic
     sampler (TakeOrderedAndProject — no full shuffle): a coarse quantizer
-    needs a representative sample, not the corpus, so at 10⁹ rows the Lloyd
-    iterations touch ≤100k vectors while cell ASSIGNMENT of the full corpus
-    stays on the codegen ``assign_cells`` path. The cap also keeps the fit
-    inside ``nearest_cells``'s documented <10⁵-row win regime. ``None``
-    fits on everything (local experiments)."""
+    needs a representative sample, not the corpus, so at 10⁹ rows the fit
+    touches ≤100k vectors while cell ASSIGNMENT of the full corpus stays on
+    the codegen ``assign_cells`` path. ``None`` fits on everything that
+    fits the driver (local experiments).
+
+    The Lloyd iterations run DRIVER-SIDE on the collected sample (numpy,
+    vectorized): the fit set is bounded by construction (≤100k×dim doubles
+    ≈ 50 MB at dim 64), and one bounded collect + local matrix math beats
+    ``iters`` separate Spark jobs each carrying a k×dim-literal expression
+    tree through analysis/codegen — plan-build latency dominated the fit at
+    every scale since compute is capped. This is model fitting on a bounded
+    sample, not a data-sized driver loop; the corpus itself never leaves
+    the executors."""
+    import numpy as np
+
     df = well_formed_vectors(df, vec_col)
-    if fit_sample_n is not None:
-        from .sampling import sample_uniform
-
-        df = sample_uniform(df, fit_sample_n, seed=seed, key_cols=[id_col])
     v = _as_double(vec_col)
-    dim_row = df.select(F.size(v).alias("d")).first()
-    if dim_row is None:
-        raise ValueError("cannot fit IVF on an empty corpus")
-    dim = dim_row.d
-
-    init_rows = (
-        df.select(v.alias("__v__"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h__"))
-        .orderBy("__h__")
-        .limit(k)
-        .collect()
+    sel = df.select(
+        v.alias("__v__"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h__")
     )
-    centroids = [list(r["__v__"]) for r in init_rows]
+    if fit_sample_n is not None:
+        # hash-ranked top-n: deterministic on any partitioning, executes as
+        # TakeOrderedAndProject (per-partition heap, no full shuffle/sort)
+        sel = sel.orderBy("__h__").limit(fit_sample_n)
+    rows = sel.collect()
+    if not rows:
+        raise ValueError("cannot fit IVF on an empty corpus")
+    # fix the row order locally (hash asc) so init AND summation order are
+    # partitioning-independent — numpy reductions are then bit-reproducible
+    rows.sort(key=lambda r: r["__h__"])
+    x = np.asarray([r["__v__"] for r in rows], dtype=np.float64)
+    cents = x[:k].copy()  # init = k hash-lowest rows (same rule as before)
+    k_eff = cents.shape[0]
 
+    x_sq = (x * x).sum(axis=1)
     for _ in range(iters):
-        assigned = df.select(
-            v.alias("__v__"),
-            nearest_cells(v, centroids, 1)[0].alias("__cell__"),
-        )
-        new = (
-            assigned.groupBy("__cell__")
-            .agg(
-                *[
-                    F.avg(F.element_at("__v__", j + 1)).alias(f"c{j}")
-                    for j in range(dim)
-                ]
-            )
-            .collect()
-        )
-        for r in new:
-            centroids[r["__cell__"]] = [r[f"c{j}"] for j in range(dim)]
-    return centroids
+        # argmin_c |v-c|² = argmin_c (|c|² - 2 v·c) + |v|²; ties -> lower cid
+        # (np.argmin picks the first minimum, matching nearest_cells)
+        d2 = x_sq[:, None] + (cents * cents).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
+        assign = d2.argmin(axis=1)
+        for c in range(k_eff):
+            members = x[assign == c]
+            if len(members):  # empty cells keep their previous centroid
+                cents[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in cents]
 
 
 def ivf_topk(
@@ -212,9 +215,17 @@ def ivf_topk(
     The CORPUS side is assigned via ``assign_cells`` (posexplode + codegen
     aggregate — one bounded shuffle of (id, k dots), no per-row interpreted
     k×dim fold, the shape that survives a 10⁹-row corpus); the QUERY side —
-    small by construction — keeps the map-only ``nearest_cells`` expression.
-    Both sides are pre-filtered to well-formed vectors so the two paths see
-    identical row sets (see ``assign_cells`` precondition)."""
+    small by construction (it is broadcast into the probe join regardless) —
+    is collected and probe-assigned driver-side with numpy. Building the
+    probe cells as data instead of a ``nearest_cells`` expression keeps
+    k×dim×nprobe literals out of the plan: analysis + codegen of that
+    literal tree was ~3 s of one-time latency per distinct codebook, for
+    zero distributed work (the same bounded-collect reasoning as
+    ``fit_ivf_centroids``). Both sides are pre-filtered to well-formed
+    vectors so the paths see identical row sets (see ``assign_cells``
+    precondition)."""
+    import numpy as np
+
     corpus_wf = well_formed_vectors(corpus, vec_col)
     cells = assign_cells(
         corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
@@ -223,12 +234,42 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
     ).join(cells, F.col("neighbor_id") == F.col("__cell_id__")).drop("__cell_id__")
 
-    q = well_formed_vectors(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
-    ).withColumn(
-        "__cell__",
-        F.explode(nearest_cells(F.col("__qv__"), centroids, nprobe)),
+    q_rows = (
+        well_formed_vectors(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__"))
+        .collect()
     )
+    spark = corpus.sparkSession
+    from pyspark.sql import types as T
+
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("__qv__", T.ArrayType(T.DoubleType())),
+            T.StructField("__cell__", T.IntegerType()),
+        ]
+    )
+    if not q_rows:
+        q = spark.createDataFrame([], q_schema)
+    else:
+        qm = np.asarray([r["__qv__"] for r in q_rows], dtype=np.float64)
+        cm = np.asarray(centroids, dtype=np.float64)
+        d2 = (
+            (qm * qm).sum(axis=1)[:, None]
+            + (cm * cm).sum(axis=1)[None, :]
+            - 2.0 * (qm @ cm.T)
+        )
+        # stable argsort: ascending distance, ties toward the lower cell id —
+        # the same rule as nearest_cells' packed struct sort
+        probes = d2.argsort(axis=1, kind="stable")[:, :nprobe]
+        q = spark.createDataFrame(
+            [
+                (r["query_id"], list(r["__qv__"]), int(cell))
+                for r, row in zip(q_rows, probes)
+                for cell in row
+            ],
+            q_schema,
+        )
 
     scored = (
         c.alias("c")

@@ -149,18 +149,42 @@ def convert(
     )
     cached = df.withColumn("_ftype", ftype).cache()
 
+    # ALL report counts in ONE aggregation pass (per-route rows, corrupt
+    # lines, and rows surviving each route's partition-column null drop) —
+    # one count() per route would re-walk the cached input N+2 times, which
+    # is exactly the multi-pass shape that breaks on a 100 TB ingest day.
+    # The cache() also makes referencing the corrupt column legal (Spark
+    # forbids queries over only the internal corrupt column on an uncached
+    # CSV relation).
+    good = F.col("_corrupt_record").isNull()
+    kept_cols = [
+        F.sum(
+            (good & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in cols)))
+            .cast("long")
+        ).alias(f"__kept_{ft}")
+        for ft, cols in rules.items()
+    ]
+    stats = {
+        r["_ftype"]: r
+        for r in cached.groupBy("_ftype").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count("_corrupt_record").alias("__bad"),  # count(col) = non-null
+            *kept_cols,
+        ).collect()
+    }
     counts: dict[str, int] = {}
-    # bad-line observability: count, then exclude from every route (the
-    # cache() above is also what makes filtering on the corrupt column legal
-    # — Spark forbids queries over only the internal corrupt column on an
-    # uncached CSV relation)
-    counts["corrupt"] = cached.filter(F.col("_corrupt_record").isNotNull()).count()
-    df = cached.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    counts["corrupt"] = sum(r["__bad"] for r in stats.values())
+    d = stats.get("daily")
+    counts["daily"] = (d["__n"] - d["__bad"]) if d is not None else 0
 
-    daily = df.filter(F.col("_ftype") == "daily").drop("_ftype", "_source_file")
-    counts["daily"] = daily.count()
+    df = cached.filter(good).drop("_corrupt_record")
     if counts["daily"]:
-        daily.write.mode("append").parquet(flat_dir, compression="snappy")
+        (
+            df.filter(F.col("_ftype") == "daily")
+            .drop("_ftype", "_source_file")
+            .write.mode("append")
+            .parquet(flat_dir, compression="snappy")
+        )
 
     if historical_dir:
         # one subtree per granularity — yearly (Year=…) and monthly
@@ -169,15 +193,16 @@ def convert(
         # schemas; the reference's flat-file-list read sidesteps rather than
         # solves this, samplers.py:300-316)
         for ft, cols in rules.items():
-            part = df.filter(F.col("_ftype") == ft).drop("_ftype", "_source_file")
-            # count AFTER the partition-column null drop so the reported
-            # per-route counts equal rows actually written to the tree
-            kept = part.na.drop(subset=cols)
-            n = kept.count()
-            counts[ft] = n
-            if n:
+            r = stats.get(ft)
+            # reported count = rows actually written (after the partition-
+            # column null drop), straight from the single stats pass
+            counts[ft] = int(r[f"__kept_{ft}"]) if r is not None else 0
+            if counts[ft]:
                 (
-                    kept.write.mode("append")
+                    df.filter(F.col("_ftype") == ft)
+                    .drop("_ftype", "_source_file")
+                    .na.drop(subset=cols)
+                    .write.mode("append")
                     .partitionBy(*cols)
                     .parquet(f"{historical_dir}/{ft}", compression="snappy")
                 )

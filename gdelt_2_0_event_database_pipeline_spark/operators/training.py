@@ -249,6 +249,81 @@ def mix_sources(
     return df.filter(keep)
 
 
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    score: Column,
+    id_col: str = "doc_id",
+    n_tokens_col: Column | str | None = None,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Token-budget corpus selection: rank documents by (``score`` DESC,
+    ``id_col`` ASC) and keep the maximal prefix whose cumulative token count
+    stays ≤ ``budget`` — the standard curation step between a scored corpus
+    and a fixed training-compute budget ("take the best N tokens, not the
+    best N documents"). Adds ``n_tokens`` and ``cum_tokens`` (global
+    cumulative count, including the row itself).
+
+    A naive ``sum() OVER (ORDER BY score)`` plans as a single-task global
+    sort. Scale-safe shape (same machinery as ``sample_systematic``):
+    range-bucket on score (descending — monotone ``floor((hi−s)/width)``),
+    per-bucket token sums → cumulative offsets via a triangular self-join
+    over the ≤``n_buckets``-row sums aggregate, then one per-bucket window
+    (parallel sorts) adds the intra-bucket running sum. One bounded driver
+    action (the 1-row bounds aggregate); no ``Exchange SinglePartition``
+    anywhere in the returned plan. Equal scores sort by id within a bucket
+    and always share a bucket, so the global order is total and
+    engine-reproducible.
+    """
+    nt = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str)
+        else n_tokens_col if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    s = df.withColumn("__nt__", nt.cast("long")).withColumn("__score__", score)
+    bounds = s.agg(
+        F.min("__score__").alias("lo"), F.max("__score__").alias("hi")
+    ).first()
+    if bounds is None or bounds.lo is None:
+        return (
+            s.withColumnRenamed("__nt__", "n_tokens")
+            .withColumn("cum_tokens", F.lit(0).cast("long"))
+            .drop("__score__")
+            .filter(F.lit(False))
+        )
+    lo, hi = float(bounds.lo), float(bounds.hi)
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.lit(hi) - F.col("__score__")) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    with_bkt = s.withColumn("__bkt__", bucket)
+
+    sums = with_bkt.groupBy("__bkt__").agg(F.sum("__nt__").alias("__bsum__"))
+    prior = sums.select(
+        F.col("__bkt__").alias("__pb__"), F.col("__bsum__").alias("__ps__")
+    )
+    offsets = (
+        sums.join(F.broadcast(prior), F.col("__pb__") < F.col("__bkt__"), "left")
+        .groupBy("__bkt__")
+        .agg(F.coalesce(F.sum("__ps__"), F.lit(0)).alias("__off__"))
+    )
+
+    w = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.col("__score__").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_bkt.join(F.broadcast(offsets), "__bkt__")
+        .withColumn("cum_tokens", F.sum("__nt__").over(w) + F.col("__off__"))
+        .filter(F.col("cum_tokens") <= budget)
+        .withColumnRenamed("__nt__", "n_tokens")
+        .drop("__bkt__", "__off__", "__score__")
+    )
+
+
 def pack_linear(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -26,10 +26,11 @@ _DRIVER_PRIORITY = [
     # dates from r1/r2 (everything in oracle_sql() minus CORRECTNESS_r03's
     # keys); (c) r3-green queries fill the remainder of the ~50-row window so
     # no oracle query's newest driver row ever goes >2 rounds stale.
-    # (a) fixed this round
+    # (a) fixed or new this round
     "q_sessionize",
     "q_asof_nearest",
     "q_pack_linear",
+    "q_token_budget",
     # (b) last driver row is r1/r2
     "q_agg_stats",
     "q_array_funcs",

@@ -142,6 +142,39 @@ def q_quality_filter(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+@register(
+    "q_token_budget",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens, {_SQL_QUALITY} AS q
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             -- CAST: DuckDB window SUM -> HUGEINT -> float64 via Arrow
+             CAST(sum(n_tokens) OVER (
+               ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 10000
+    """,
+    doc=(
+        "Token-budget corpus selection: best documents by quality score "
+        "until a 10k-token training budget fills — curation for a fixed "
+        "compute budget. Scale-safe: score range-buckets + triangular "
+        "offsets instead of a global sort (operators/training.py)."
+    ),
+)
+def q_token_budget(spark, sf_dir):
+    from ..operators.training import select_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    return select_token_budget(
+        d, budget=10_000, score=X.quality_score("text")
+    ).select("doc_id", "n_tokens", "cum_tokens")
+
+
 _LANG_CASES_SQL = " ".join(
     f"WHEN len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) > 0 "
     f"AND len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) = best THEN '{lang}'"

@@ -65,10 +65,20 @@ def streaming_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming exact dedup: first occurrence per key wins; state for keys
-    older than the watermark is dropped (bounded state — the property that
-    makes dedup feasible on an unbounded stream)."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    """Streaming exact dedup: first occurrence per key wins; per-key state
+    is dropped once the watermark passes it (bounded state — the property
+    that makes dedup feasible on an unbounded stream).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(subset)``
+    only evicts state when the event-time column is PART OF the subset, so
+    deduping on business keys alone would accumulate state forever — the
+    classic slow-death of a streaming dedup job. Duplicates arriving within
+    the watermark interval of the first occurrence are guaranteed dropped;
+    older ones are already outside the correctness contract of any
+    watermarked pipeline."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
 
 
 def enrich_stream(

@@ -183,6 +183,61 @@ def test_pack_first_fit_invariants(spark):
     assert again == {(r.doc_id, r.pack_id) for r in out}
 
 
+def test_select_token_budget_matches_global_window(spark):
+    """Bucketed cumulative selection must equal the naive global-window
+    form, avoid single-task sorts, and be partitioning-independent."""
+    from pyspark.sql import Window
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        select_token_budget,
+    )
+
+    rows = [(i, float((i * 37) % 100), 10 + (i * 13) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, q double, nt long").repartition(8)
+    budget = 3000
+
+    got = select_token_budget(
+        df, budget, score=F.col("q"), n_tokens_col="nt"
+    )
+    w = (
+        Window.orderBy(F.col("q").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = (
+        df.withColumn("cum_tokens", F.sum("nt").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    got_rows = {(r.doc_id, r.cum_tokens) for r in got.collect()}
+    want_rows = {(r.doc_id, r.cum_tokens) for r in want.collect()}
+    assert got_rows == want_rows and got_rows
+
+    # budget is a hard cap and the selection is the maximal prefix
+    assert max(r.cum_tokens for r in got.collect()) <= budget
+
+    # scale contract: no single-task global sort in the returned plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+    again = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(
+            df.repartition(3), budget, score=F.col("q"), n_tokens_col="nt"
+        ).collect()
+    }
+    assert again == got_rows
+
+
+def test_select_token_budget_empty_input(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, q double, nt long")
+    out = select_token_budget(df, 100, score=F.col("q"), n_tokens_col="nt")
+    assert out.count() == 0
+    assert "cum_tokens" in out.columns
+
+
 def test_pack_first_fit_matches_naive_linear_scan(spark):
     """Randomized differential: the segment-tree leftmost-fit must place
     every document in exactly the bin the naive O(bins) first-fit scan

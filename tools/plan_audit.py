@@ -35,6 +35,7 @@ NESTED_LOOP_OK = {
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
                              # counts aggregate (bounded by construction)
+    "q_token_budget",        # same bounded triangular-offsets pattern
 }
 
 

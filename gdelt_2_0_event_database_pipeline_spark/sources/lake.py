@@ -186,3 +186,57 @@ def unprocessed(
 ) -> list[str]:
     done = processed_files(spark, manifest_path)
     return [c for c in candidates if c not in done]
+
+
+# ---------------------------------------------------------------- compaction
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Compact a flat parquet directory's small files into ~``target_file_mb``
+    outputs (lake maintenance the reference never needs — its converter
+    writes once — but any streaming/incremental ingest accumulates
+    per-micro-batch files, and at cluster scale a directory of 10k tiny
+    files costs a task per file plus footer overhead on every scan).
+
+    Plan: size the directory from the file listing (driver-side metadata,
+    no data read), ``coalesce`` — not ``repartition``: compaction must not
+    shuffle, it only concatenates — to ``ceil(bytes/target)`` outputs,
+    write to a sibling temp dir, then atomically swap. Hive-partitioned
+    trees compact leaf-by-leaf: call this per leaf directory (partition
+    values live in the directory path, not the files, so a leaf is a flat
+    dir). Returns {files_before, files_after, bytes}.
+    No-op (0 writes) when the directory already has < ``min_files`` data
+    files or is already at target size.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    report = {"files_before": len(files), "files_after": len(files), "bytes": total}
+    if len(files) < min_files or n_out >= len(files):
+        return report
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_out).write.parquet(tmp, compression="snappy")
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    report["files_after"] = sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    return report

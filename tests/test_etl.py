@@ -347,3 +347,23 @@ def test_real_gdelt_daily_file_end_to_end(spark, tmp_path):
         ).collect()
     )
     assert len(s1) == 10 and s1 == s2  # exact-n, partitioning-independent
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Lake maintenance: many small files -> few target-size files, rows and
+    schema unchanged, and a second call is a no-op."""
+    p = str(tmp_path / "lake")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(p)
+
+    rep = lake.compact_parquet(spark, p, target_file_mb=128)
+    assert rep["files_before"] == 20
+    assert rep["files_after"] == 1
+
+    out = spark.read.parquet(p)
+    assert out.count() == 10_000
+    assert dict(out.dtypes) == {"id": "bigint", "v": "bigint"}
+    assert out.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+    again = lake.compact_parquet(spark, p, target_file_mb=128)
+    assert again["files_before"] == again["files_after"] == 1

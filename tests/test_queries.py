@@ -38,7 +38,14 @@ def test_query_runs(spark, name):
 # --------------------------------------------------------------------------
 # events timestamp type matrix
 # --------------------------------------------------------------------------
-_TS_QUERIES = ["q_sessionize", "q_asof_nearest", "q_asof_join", "q_event_paths"]
+_TS_QUERIES = [
+    "q_sessionize",
+    "q_asof_nearest",
+    "q_asof_join",
+    "q_event_paths",
+    "q_range_join",      # unix_timestamp path
+    "q_events_hourly",   # date_trunc path
+]
 _TS_FLAVORS = ["us_utc", "us_ntz", "ns_ntz"]
 
 

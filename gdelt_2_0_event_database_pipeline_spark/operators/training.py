@@ -294,9 +294,16 @@ def select_token_budget(
         )
     lo, hi = float(bounds.lo), float(bounds.hi)
     width = (hi - lo) / n_buckets or 1.0
-    bucket = F.least(
-        F.floor((F.lit(hi) - F.col("__score__")) / F.lit(width)),
-        F.lit(n_buckets - 1),
+    # clamped on BOTH ends: correctness never depends on the bounds being
+    # exact (out-of-range scores just land in the end buckets), which keeps
+    # the door open to estimating bounds from a sample at extreme scale
+    # instead of a full score pass
+    bucket = F.greatest(
+        F.least(
+            F.floor((F.lit(hi) - F.col("__score__")) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
     ).cast("int")
     with_bkt = s.withColumn("__bkt__", bucket)
 

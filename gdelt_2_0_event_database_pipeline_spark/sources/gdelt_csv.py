@@ -83,10 +83,20 @@ def read_gdelt_csv(
         columnNameOfCorruptRecord=corrupt_col or "_corrupt_record",
         encoding="UTF-8",
     )
-    # try_cast ≡ pd.to_numeric(errors="coerce"): malformed → NULL, never an
-    # ANSI runtime error; long-valued columns go string→double→long so
-    # float-formatted ints ("2.0") coerce like the reference's
-    # to_numeric-then-Int64 two-step (converter.py:225-227, :246-250)
+    return coerce_gdelt_columns(df, corrupt_col=corrupt_col)
+
+
+def coerce_gdelt_columns(df: DataFrame, corrupt_col: str | None = None) -> DataFrame:
+    """Numeric coercion + source-file tagging over an all-string GDELT frame.
+
+    ``try_cast`` ≡ ``pd.to_numeric(errors="coerce")``: malformed → NULL,
+    never an ANSI runtime error; long-valued columns go string→double→long
+    so float-formatted ints ("2.0") coerce like the reference's
+    to_numeric-then-Int64 two-step (converter.py:225-227, :246-250).
+    Shared by the batch reader and the streaming convert stage — pure
+    column algebra, so it composes with either.
+    """
+
     def _coerce(c: str):
         if c in LONG_COLUMNS:
             return F.col(c).try_cast("double").try_cast("long").alias(c)

@@ -95,6 +95,43 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def convert_stream(
+    spark: SparkSession,
+    csv_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 10,
+):
+    """Streaming twin of the batch ``convert`` stage: every new GDELT CSV
+    dropped into ``csv_dir`` (the reference's 15-minute scrape cadence)
+    becomes a micro-batch — declared 58-column schema, the same numeric
+    coercion as the batch path, parquet file sink. The checkpoint gives
+    exactly-once file processing across restarts: re-running after a crash
+    (or a later ``availableNow`` pass) picks up only unseen files — the
+    streaming-native form of the batch path's manifest idempotency (S10).
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger:
+    drains everything present, then stops — callers ``awaitTermination``).
+    """
+    from ..schema import gdelt_csv_schema
+    from ..sources.gdelt_csv import coerce_gdelt_columns
+
+    raw = (
+        spark.readStream.schema(gdelt_csv_schema())
+        .option("sep", "\t")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(csv_dir)
+    )
+    typed = coerce_gdelt_columns(raw)
+    return (
+        typed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_sec: float = 60.0
 ) -> None:

@@ -90,3 +90,37 @@ def test_stream_static_enrichment(spark, stream_dir):
     cats = {r.event_id: r.category for r in rows}
     assert cats[2] == "browse" and cats[3] == "engage"
     assert len(rows) == 4  # left join preserves every stream row
+
+
+def test_convert_stream_exactly_once(spark, tmp_path):
+    """Streaming convert: declared-schema CSV micro-batches -> typed parquet;
+    the checkpoint makes a second availableNow pass process ONLY new files
+    (streaming-native manifest idempotency)."""
+    from gdelt_2_0_event_database_pipeline_spark.schema import GDELT_COLUMNS
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import convert_stream
+
+    from tests.conftest import make_gdelt_pdf
+
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    pdf = make_gdelt_pdf(100).reindex(columns=list(GDELT_COLUMNS))
+    pdf.iloc[0:60].to_csv(
+        csv_dir / "20150101.export.CSV", sep="\t", header=False, index=False
+    )
+
+    q = convert_stream(spark, str(csv_dir), out, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 60
+    assert dict(df.dtypes)["GlobalEventID"] == "bigint"
+    assert dict(df.dtypes)["GoldsteinScale"] == "double"
+
+    # drop a second file; restart from the same checkpoint -> only the new
+    # file is ingested (no duplicates from the first)
+    pdf.iloc[60:100].to_csv(
+        csv_dir / "20150102.export.CSV", sep="\t", header=False, index=False
+    )
+    q2 = convert_stream(spark, str(csv_dir), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 100

@@ -81,6 +81,17 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--order-by", nargs="*", default=None, help="exact mode: keep-first ordering")
     dd.add_argument("--threshold", type=float, default=0.8, help="minhash: jaccard threshold")
 
+    cp = sub.add_parser("compact", help="merge a parquet dir's small files")
+    cp.add_argument("--in", dest="in_dir", required=True, help="flat parquet dir (Hive trees: run per leaf)")
+    cp.add_argument("--target-mb", type=int, default=128)
+
+    tb = sub.add_parser("select", help="token-budget corpus selection (best docs by quality until budget)")
+    tb.add_argument("--in", dest="in_dir", required=True)
+    tb.add_argument("--out", required=True)
+    tb.add_argument("--budget", type=int, required=True, help="total token budget")
+    tb.add_argument("--id-col", default="doc_id")
+    tb.add_argument("--text-col", default="text")
+
     sm = sub.add_parser("sample", help="reproducible sampling")
     sm.add_argument("--in", dest="in_dir", required=True)
     sm.add_argument("--historical", default=None)
@@ -200,6 +211,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 pairs.write.mode("overwrite").parquet(args.out)
                 print(json.dumps({"pairs": spark.read.parquet(args.out).count()}))
+        elif args.command == "compact":
+            report = lake.compact_parquet(spark, args.in_dir, target_file_mb=args.target_mb)
+            print(json.dumps(report))
+        elif args.command == "select":
+            from .operators.text import quality_score
+            from .operators.training import select_token_budget
+
+            df = lake.read_lake(spark, args.in_dir)
+            out = select_token_budget(
+                df, args.budget, score=quality_score(args.text_col),
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            from pyspark.sql import functions as F
+
+            tot = written.agg(F.count(F.lit(1)), F.max("cum_tokens")).first()
+            print(json.dumps({"rows": tot[0], "tokens": tot[1] or 0, "budget": args.budget}))
         elif args.command == "sample":
             df = lake.read_lake(spark, args.in_dir, args.historical)
             key = ["GlobalEventID"] if "GlobalEventID" in df.columns else None

@@ -367,3 +367,25 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
 
     again = lake.compact_parquet(spark, p, target_file_mb=128)
     assert again["files_before"] == again["files_after"] == 1
+
+
+def test_cli_compact_and_select(spark, tmp_path, capsys):
+    # compact: 10 small files -> 1
+    lakep = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog " * (1 + i % 5)).strip())
+         for i in range(200)],
+        "doc_id long, text string",
+    ).repartition(10).write.parquet(lakep)
+    rc = cli_main(["compact", "--in", lakep, "--target-mb", "128"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["files_before"] == 10 and rep["files_after"] == 1
+
+    # select: token-budget curation caps cumulative tokens
+    out = str(tmp_path / "selected")
+    rc = cli_main(["select", "--in", lakep, "--out", out, "--budget", "500"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < rep["tokens"] <= 500
+    assert rep["rows"] == spark.read.parquet(out).count() > 0

@@ -31,6 +31,7 @@ _DRIVER_PRIORITY = [
     "q_asof_nearest",
     "q_pack_linear",
     "q_token_budget",
+    "q_heavy_hitters",
     # (b) last driver row is r1/r2
     "q_agg_stats",
     "q_array_funcs",

@@ -811,6 +811,24 @@ def q_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "q_heavy_hitters",
+    sql=None,  # freqItems returns an approximate SUPERSET in engine-specific
+    # order; the planted-hitter containment invariant is pinned in
+    # tests/test_text.py::test_frequent_items_contains_planted_hitter
+    doc=(
+        "Karp et al. frequent items (X5): event types above 10% support in "
+        "one pass with no shuffle of raw values — the 100 TB replacement "
+        "for an exact groupBy-count top-k when only the heavy tail matters."
+    ),
+)
+def q_heavy_hitters(spark, sf_dir):
+    from ..operators.sketches import frequent_items
+
+    e = _events(spark, sf_dir)
+    return frequent_items(e.select("event_type"), ["event_type"], 0.1)
+
+
+@register(
     "q_quantiles_approx",
     sql=None,  # sketch interpolation is engine-specific; q_quantiles is the exact twin
     doc=(

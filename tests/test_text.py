@@ -233,3 +233,17 @@ def test_quality_quantile_filter_rejects_bad_frac(spark):
     df = spark.createDataFrame([(1, "t", "g")], "doc_id long, text string, lang string")
     with pytest.raises(ValueError, match="keep_frac"):
         quality_quantile_filter(df, "lang", quality_score("text"), 0.0)
+
+
+def test_frequent_items_contains_planted_hitter(spark):
+    """freqItems guarantees a SUPERSET of items above the support threshold:
+    a planted 60%-frequency value must always surface; the long uniform tail
+    (each ~0.4%) stays clear of the 25% support gate."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.sketches import (
+        frequent_items,
+    )
+
+    rows = [("hot",)] * 600 + [(f"cold{i % 100}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    [items] = frequent_items(df, ["k"], support=0.25).first()
+    assert "hot" in items

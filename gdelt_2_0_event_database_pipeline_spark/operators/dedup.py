@@ -60,6 +60,24 @@ def dedup_exact_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def dedup_against(df: DataFrame, ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-corpus exact dedup: drop rows whose content already exists in a
+    REFERENCE corpus — the incremental-ingest twin of ``dedup_exact_hash``
+    (new crawl vs the previous training snapshot; eval-set exact-match
+    removal is the n-gram variant, ``text.ngram_contamination``).
+
+    Left-anti join on ``xxhash64(text)``: 8-byte keys shuffle, document
+    bodies never travel, and the reference side reduces to its distinct
+    hashes first (so a billion-row snapshot probes as at most
+    |distinct contents| keys, broadcast when small). Same collision stance
+    as ``dedup_exact_hash``.
+    """
+    h = "__dd_h__"
+    left = df.withColumn(h, F.xxhash64(F.col(text_col)))
+    right = ref.select(F.xxhash64(F.col(text_col)).alias(h)).distinct()
+    return left.join(right, on=h, how="left_anti").drop(h)
+
+
 # ---------------------------------------------------------------- minhash/LSH
 def minhash_signature(col: Column | str, num_hashes: int = 64, shingle_n: int = 3) -> Column:
     """k-MinHash signature as array<long>: hash family h_i(s) =

@@ -32,6 +32,7 @@ _DRIVER_PRIORITY = [
     "q_pack_linear",
     "q_token_budget",
     "q_heavy_hitters",
+    "q_dedup_against",
     # (b) last driver row is r1/r2
     "q_agg_stats",
     "q_array_funcs",

@@ -598,6 +598,28 @@ def q_dedup_canonical(spark, sf_dir):
 
 
 @register(
+    "q_dedup_against",
+    sql="""
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents r WHERE r.source = 'src0' AND r.text = d.text
+    )
+    """,
+    doc=(
+        "Cross-corpus exact dedup (X1 incremental form): keep only documents "
+        "whose content is NOT already in the reference corpus (here: the "
+        "src0 slice standing in for a previous training snapshot). "
+        "Hash-anti-join — 8-byte keys shuffle, bodies never travel. Oracle "
+        "matches modulo a 64-bit collision, like q_dedup_exact_hash."
+    ),
+)
+def q_dedup_against(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    return D.dedup_against(d, ref).select("doc_id", "source")
+
+
+@register(
     "q_dedup_keep_longest",
     sql=f"""
     WITH RECURSIVE

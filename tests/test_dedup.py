@@ -257,3 +257,18 @@ def test_dedup_keep_best_preserves_caller_id_cluster_id_columns(spark):
     assert set(out.columns) == {"id", "text", "cluster_id"}
     rows = {r.id: r.cluster_id for r in out.collect()}
     assert rows == {2: 200, 3: 300}
+
+
+def test_dedup_against_reference_corpus(spark):
+    """Rows whose content exists in the reference are dropped — including
+    duplicates of reference content living under other ids — and nothing
+    else is."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "alpha"), (5, "delta")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame([(91, "alpha"), (92, "epsilon")], "doc_id long, text string")
+    kept = {r.doc_id for r in dedup_against(corpus, ref).collect()}
+    assert kept == {2, 3, 5}  # both 'alpha' copies dropped; rest kept

@@ -331,6 +331,48 @@ def select_token_budget(
     )
 
 
+def select_token_budget_per_group(
+    df: DataFrame,
+    budget_per_group: int,
+    group_col: str,
+    score: Column,
+    id_col: str = "doc_id",
+    n_tokens_col: Column | str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group token-budget selection: within each ``group_col`` value
+    (language, source, domain…), keep the best documents by ``score`` until
+    that group's budget fills — the balanced-mixture form of
+    :func:`select_token_budget` (global prefix selection would let one
+    dominant language eat the entire budget).
+
+    Unlike the global variant this needs NO bucketing machinery: the
+    cumulative sum partitions by group, so it is one grouped window over
+    one shuffle on ``group_col`` — grouped windows are exactly what Spark
+    parallelizes natively. Per-group skew is bounded by the budget itself
+    (a group's window stops mattering past ``budget_per_group`` tokens,
+    and AQE splits oversized partitions). Adds ``n_tokens`` and
+    ``cum_tokens`` (cumulative within the group).
+    """
+    nt = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str)
+        else n_tokens_col if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
+    s = df.withColumn("__nt__", nt.cast("long")).withColumn("__score__", score)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__score__").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s.withColumn("cum_tokens", F.sum("__nt__").over(w))
+        .filter(F.col("cum_tokens") <= budget_per_group)
+        .withColumnRenamed("__nt__", "n_tokens")
+        .drop("__score__")
+    )
+
+
 def pack_linear(
     df: DataFrame,
     id_col: str = "doc_id",

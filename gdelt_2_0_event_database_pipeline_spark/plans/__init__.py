@@ -33,6 +33,7 @@ _DRIVER_PRIORITY = [
     "q_token_budget",
     "q_heavy_hitters",
     "q_dedup_against",
+    "q_token_budget_per_lang",
     # (b) last driver row is r1/r2
     "q_agg_stats",
     "q_array_funcs",

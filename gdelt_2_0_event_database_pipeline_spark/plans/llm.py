@@ -175,6 +175,38 @@ def q_token_budget(spark, sf_dir):
     ).select("doc_id", "n_tokens", "cum_tokens")
 
 
+@register(
+    "q_token_budget_per_lang",
+    sql=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tokens, {_SQL_QUALITY} AS q
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 3000
+    """,
+    doc=(
+        "Per-language token-budget curation: each language keeps its best "
+        "documents up to a 3k-token budget — the balanced-mixture form "
+        "(a global budget would let the dominant language eat everything). "
+        "One grouped window over one shuffle on lang."
+    ),
+)
+def q_token_budget_per_lang(spark, sf_dir):
+    from ..operators.training import select_token_budget_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return select_token_budget_per_group(
+        d, budget_per_group=3_000, group_col="lang", score=X.quality_score("text")
+    ).select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
 _LANG_CASES_SQL = " ".join(
     f"WHEN len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) > 0 "
     f"AND len(list_intersect(list_distinct({_SQL_TOKENS}), {list(m)!r})) = best THEN '{lang}'"

@@ -285,3 +285,36 @@ def test_pack_first_fit_oversize_singleton(spark):
     # the oversize doc sits alone in its bin
     assert {r.pack_id for r in out.values() if r.doc_id != 1} != {out[1].pack_id}
     assert not out[2].oversize and not out[3].oversize
+
+
+def test_select_token_budget_per_group_caps_each_group(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        select_token_budget_per_group,
+    )
+
+    rows = [
+        (i, ["en", "fr", "de"][i % 3], float((i * 31) % 50), 20 + (i * 7) % 30)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, q double, nt long")
+    out = select_token_budget_per_group(
+        df, 500, "lang", score=F.col("q"), n_tokens_col="nt"
+    ).collect()
+
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "fr", "de"}
+    for lang, rs in by_lang.items():
+        assert max(r.cum_tokens for r in rs) <= 500
+        assert sum(r.n_tokens for r in rs) == max(r.cum_tokens for r in rs)
+        # the selection is each group's best-score prefix: every kept row's
+        # score is >= every dropped row's score (modulo the id tiebreak)
+        kept_ids = {r.doc_id for r in rs}
+        kept_min_q = min(float(row[2]) for row in rows if row[0] in kept_ids)
+        dropped_max_q = max(
+            (float(row[2]) for row in rows
+             if row[1] == lang and row[0] not in kept_ids),
+            default=float("-inf"),
+        )
+        assert kept_min_q >= dropped_max_q - 1e-9 or dropped_max_q == float("-inf")

@@ -257,6 +257,7 @@ def select_token_budget(
     n_tokens_col: Column | str | None = None,
     text_col: str = "text",
     n_buckets: int = 256,
+    score_bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Token-budget corpus selection: rank documents by (``score`` DESC,
     ``id_col`` ASC) and keep the maximal prefix whose cumulative token count
@@ -270,11 +271,19 @@ def select_token_budget(
     range-bucket on score (descending — monotone ``floor((hi−s)/width)``),
     per-bucket token sums → cumulative offsets via a triangular self-join
     over the ≤``n_buckets``-row sums aggregate, then one per-bucket window
-    (parallel sorts) adds the intra-bucket running sum. One bounded driver
-    action (the 1-row bounds aggregate); no ``Exchange SinglePartition``
-    anywhere in the returned plan. Equal scores sort by id within a bucket
-    and always share a bucket, so the global order is total and
-    engine-reproducible.
+    (parallel sorts) adds the intra-bucket running sum. No ``Exchange
+    SinglePartition`` anywhere in the returned plan. Equal scores sort by
+    id within a bucket and always share a bucket, so the global order is
+    total and engine-reproducible.
+
+    ``score_bounds``: pass the score's known range (quality scores are
+    [0, 1] by construction, cosine is [-1, 1]) to skip the bounds
+    aggregate — that removes the operator's only driver action AND a full
+    extra evaluation of the score expression over the corpus; for a
+    regex-heavy quality score that second pass costs as much as the
+    selection itself. Bounds only shape the buckets (clamped on both
+    ends), never correctness. Without it, one bounded 1-row driver action
+    computes exact bounds.
     """
     nt = (
         F.col(n_tokens_col) if isinstance(n_tokens_col, str)
@@ -282,17 +291,22 @@ def select_token_budget(
         else token_count(F.col(text_col))
     )
     s = df.withColumn("__nt__", nt.cast("long")).withColumn("__score__", score)
-    bounds = s.agg(
-        F.min("__score__").alias("lo"), F.max("__score__").alias("hi")
-    ).first()
-    if bounds is None or bounds.lo is None:
-        return (
-            s.withColumnRenamed("__nt__", "n_tokens")
-            .withColumn("cum_tokens", F.lit(0).cast("long"))
-            .drop("__score__")
-            .filter(F.lit(False))
-        )
-    lo, hi = float(bounds.lo), float(bounds.hi)
+    if score_bounds is not None:
+        lo, hi = float(score_bounds[0]), float(score_bounds[1])
+        if not lo <= hi:
+            raise ValueError(f"score_bounds must be (lo, hi) with lo <= hi, got {score_bounds}")
+    else:
+        bounds = s.agg(
+            F.min("__score__").alias("lo"), F.max("__score__").alias("hi")
+        ).first()
+        if bounds is None or bounds.lo is None:
+            return (
+                s.withColumnRenamed("__nt__", "n_tokens")
+                .withColumn("cum_tokens", F.lit(0).cast("long"))
+                .drop("__score__")
+                .filter(F.lit(False))
+            )
+        lo, hi = float(bounds.lo), float(bounds.hi)
     width = (hi - lo) / n_buckets or 1.0
     # clamped on BOTH ends: correctness never depends on the bounds being
     # exact (out-of-range scores just land in the end buckets), which keeps

@@ -170,8 +170,11 @@ def q_token_budget(spark, sf_dir):
     from ..operators.training import select_token_budget
 
     d = _t(spark, sf_dir, "documents")
+    # quality_score is [0,1] by construction -> known bounds make the
+    # operator fully lazy (no bounds pass re-evaluating the regex-heavy
+    # score over the whole corpus)
     return select_token_budget(
-        d, budget=10_000, score=X.quality_score("text")
+        d, budget=10_000, score=X.quality_score("text"), score_bounds=(0.0, 1.0)
     ).select("doc_id", "n_tokens", "cum_tokens")
 
 

@@ -226,6 +226,17 @@ def test_select_token_budget_matches_global_window(spark):
     }
     assert again == got_rows
 
+    # known score bounds (even loose ones) skip the bounds job without
+    # changing the selection — bounds shape buckets, never correctness
+    lazy = {
+        (r.doc_id, r.cum_tokens)
+        for r in select_token_budget(
+            df, budget, score=F.col("q"), n_tokens_col="nt",
+            score_bounds=(-10.0, 200.0),
+        ).collect()
+    }
+    assert lazy == got_rows
+
 
 def test_select_token_budget_empty_input(spark):
     from gdelt_2_0_event_database_pipeline_spark.operators.training import (

@@ -366,3 +366,23 @@ def simhash64(col: Column | str) -> Column:
             F.lit(0).cast("long")
         ),
     )
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonicalize a URL for dedup keying: drop the scheme, a leading
+    ``www.``, the query string, the fragment, and any trailing slash;
+    lower-case the host (path case is preserved — it is significant on most
+    servers). The GDELT use case: the same article syndicated under
+    ``http://``/``https://``, with/without ``www.``, or with tracking query
+    params must collapse to one key before a ``SOURCEURL`` exact dedup
+    (``dedup_exact(subset=[normalized])``). Pure column algebra — composes
+    into the scan stage like every other text function. NULL in → NULL out.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_scheme = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    no_www = F.regexp_replace(no_scheme, r"^www\.", "")
+    no_query = F.regexp_replace(no_www, r"[?#].*$", "")
+    no_slash = F.regexp_replace(no_query, r"/+$", "")
+    host = F.lower(F.regexp_extract(no_slash, r"^([^/]*)", 1))
+    path = F.regexp_replace(no_slash, r"^[^/]*", "")
+    return F.concat(host, path)

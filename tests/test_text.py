@@ -247,3 +247,22 @@ def test_frequent_items_contains_planted_hitter(spark):
     df = spark.createDataFrame(rows, "k string").repartition(8)
     [items] = frequent_items(df, ["k"], support=0.25).first()
     assert "hot" in items
+
+
+def test_normalize_url_collapses_syndication_variants(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import normalize_url
+
+    rows = [
+        (1, "http://www.Example.com/News/Story-1?utm_source=x"),
+        (2, "https://example.com/News/Story-1#comments"),
+        (3, "example.com/News/Story-1/"),
+        (4, "https://example.com/News/story-1"),   # path case differs: distinct
+        (5, "https://other.com/News/Story-1"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.u for r in df.select("id", normalize_url("url").alias("u")).collect()}
+    assert got[1] == got[2] == got[3] == "example.com/News/Story-1"
+    assert got[4] == "example.com/News/story-1" != got[1]
+    assert got[5].startswith("other.com/")
+    assert got[6] is None

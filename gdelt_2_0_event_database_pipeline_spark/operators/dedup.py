@@ -71,10 +71,23 @@ def dedup_against(df: DataFrame, ref: DataFrame, text_col: str = "text") -> Data
     hashes first (so a billion-row snapshot probes as at most
     |distinct contents| keys, broadcast when small). Same collision stance
     as ``dedup_exact_hash``.
+
+    NULL text follows SQL equality semantics: NULL never equals anything
+    (including another NULL), so NULL-text rows in ``df`` pass through
+    unconditionally. (``xxhash64(NULL)`` would collapse them onto one
+    non-null seed constant and a single NULL-text reference row would then
+    drop them all — the hash key is therefore NULL'd out for NULL text,
+    which an anti-join can never match.)
     """
     h = "__dd_h__"
-    left = df.withColumn(h, F.xxhash64(F.col(text_col)))
-    right = ref.select(F.xxhash64(F.col(text_col)).alias(h)).distinct()
+    left = df.withColumn(
+        h, F.when(F.col(text_col).isNotNull(), F.xxhash64(F.col(text_col)))
+    )
+    right = (
+        ref.filter(F.col(text_col).isNotNull())
+        .select(F.xxhash64(F.col(text_col)).alias(h))
+        .distinct()
+    )
     return left.join(right, on=h, how="left_anti").drop(h)
 
 

@@ -202,24 +202,41 @@ def compact_parquet(
     files costs a task per file plus footer overhead on every scan).
 
     Plan: size the directory from the file listing (driver-side metadata,
-    no data read), ``coalesce`` — not ``repartition``: compaction must not
-    shuffle, it only concatenates — to ``ceil(bytes/target)`` outputs,
-    write to a sibling temp dir, then atomically swap. Hive-partitioned
-    trees compact leaf-by-leaf: call this per leaf directory (partition
-    values live in the directory path, not the files, so a leaf is a flat
-    dir). Returns {files_before, files_after, bytes}.
+    no data read), read EXACTLY that snapshot of files, ``coalesce`` — not
+    ``repartition``: compaction must not shuffle, it only concatenates — to
+    ``ceil(bytes/target)`` outputs, write to a sibling temp dir, move the
+    compacted parts in under a fresh uuid prefix, then delete only the
+    snapshot files by name. Files appended concurrently (e.g. a streaming
+    micro-batch landing mid-compaction) are neither read nor deleted — they
+    simply survive untouched. Hive-partitioned trees compact leaf-by-leaf:
+    call this per leaf directory (partition values live in the directory
+    path, not the files, so a leaf is a flat dir).
+    Returns {files_before, files_after, bytes}.
     No-op (0 writes) when the directory already has < ``min_files`` data
     files or is already at target size.
+
+    Constraints (by design, stated here so operators don't learn them the
+    hard way): local/POSIX filesystem only (``os.listdir``/``os.rename`` —
+    an object store needs a manifest-based compactor instead); at most ONE
+    compactor per directory at a time (concurrent *appenders* are safe,
+    concurrent *compactors* would double-delete); a crash between the
+    move-in and the snapshot deletes leaves duplicate rows (never data
+    loss) — re-running after such a crash is not safe to do blindly; check
+    for a leftover ``.__compact_tmp__`` sibling first.
     """
     import math
     import os
     import shutil
+    import uuid
 
-    files = [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
+    def _data_files() -> list[str]:
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+    files = _data_files()
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     report = {"files_before": len(files), "files_after": len(files), "bytes": total}
@@ -228,15 +245,21 @@ def compact_parquet(
 
     tmp = path.rstrip("/") + ".__compact_tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
-    spark.read.parquet(path).coalesce(n_out).write.parquet(tmp, compression="snappy")
-    old = path.rstrip("/") + ".__compact_old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    report["files_after"] = sum(
-        1
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    # Read the snapshot by explicit file list, not the directory: files that
+    # land after the listing must not be read (they won't be deleted either).
+    spark.read.parquet(*files).coalesce(n_out).write.parquet(
+        tmp, compression="snappy"
     )
+    prefix = f"compact-{uuid.uuid4().hex[:12]}"
+    for i, part in enumerate(
+        sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    ):
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(path, f"{prefix}-{i:05d}.snappy.parquet"),
+        )
+    for f in files:
+        os.remove(f)
+    shutil.rmtree(tmp)
+    report["files_after"] = len(_data_files())
     return report

@@ -122,7 +122,11 @@ def convert_stream(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .csv(csv_dir)
     )
-    typed = coerce_gdelt_columns(raw)
+    # coerce_gdelt_columns tags rows with `_source_file` for the batch path's
+    # per-file convert report; the batch writer drops it before every write,
+    # so the streaming twin must too — otherwise mixing the two outputs in
+    # one lake directory yields a 59- vs 58-column schema conflict.
+    typed = coerce_gdelt_columns(raw).drop("_source_file")
     return (
         typed.writeStream.format("parquet")
         .option("path", out_dir)

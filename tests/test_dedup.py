@@ -272,3 +272,20 @@ def test_dedup_against_reference_corpus(spark):
     ref = spark.createDataFrame([(91, "alpha"), (92, "epsilon")], "doc_id long, text string")
     kept = {r.doc_id for r in dedup_against(corpus, ref).collect()}
     assert kept == {2, 3, 5}  # both 'alpha' copies dropped; rest kept
+
+
+def test_dedup_against_null_text_passes_through(spark):
+    """SQL equality semantics: NULL never equals anything, so NULL-text rows
+    survive even when the reference corpus also contains NULL text (they must
+    not collapse onto the xxhash64 seed constant and anti-join away)."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_against
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, "beta")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(91, "alpha"), (92, None)], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in dedup_against(corpus, ref).collect()}
+    assert kept == {2, 3, 4}  # only the real content match is dropped

@@ -369,6 +369,39 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     assert again["files_before"] == again["files_after"] == 1
 
 
+def test_compact_parquet_spares_files_landing_mid_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """Concurrent-appender safety: a file that lands AFTER the snapshot
+    listing (e.g. a streaming micro-batch) is neither read nor deleted — it
+    survives the compaction alongside the compacted output."""
+    import os as _os
+
+    p = str(tmp_path / "lake")
+    spark.range(0, 1_000).repartition(10).write.parquet(p)
+
+    real_getsize = _os.path.getsize
+    fired = {"done": False}
+
+    def getsize_dropping_late_file(f):
+        # simulate a micro-batch landing in the race window between the
+        # file-listing snapshot and the deletes
+        if not fired["done"]:
+            fired["done"] = True
+            spark.range(5_000, 5_100).coalesce(1).write.mode("append").parquet(p)
+        return real_getsize(f)
+
+    monkeypatch.setattr("os.path.getsize", getsize_dropping_late_file)
+    rep = lake.compact_parquet(spark, p, target_file_mb=128)
+    monkeypatch.undo()
+
+    assert rep["files_before"] == 10
+    out = spark.read.parquet(p)
+    assert out.count() == 1_100  # 1000 compacted + 100 late, nothing lost
+    ids = out.agg(F.min("id"), F.max("id")).first()
+    assert (ids[0], ids[1]) == (0, 5_099)
+
+
 def test_cli_compact_and_select(spark, tmp_path, capsys):
     # compact: 10 small files -> 1
     lakep = str(tmp_path / "docs")

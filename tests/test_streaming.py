@@ -115,6 +115,9 @@ def test_convert_stream_exactly_once(spark, tmp_path):
     assert df.count() == 60
     assert dict(df.dtypes)["GlobalEventID"] == "bigint"
     assert dict(df.dtypes)["GoldsteinScale"] == "double"
+    # schema parity with the batch flat lake: exactly the 58 GDELT columns,
+    # no `_source_file` leakage from the coercion stage
+    assert list(df.columns) == list(GDELT_COLUMNS)
 
     # drop a second file; restart from the same checkpoint -> only the new
     # file is ingested (no duplicates from the first)

@@ -46,17 +46,43 @@ _RANK = "__sg_rank__"
 _RN = "__sg_rn__"
 
 
-def _order_key(df: DataFrame, seed: int, key_cols: Sequence[str] | None) -> Column:
+def _order_key(
+    df: DataFrame,
+    seed: int,
+    key_cols: Sequence[str] | None,
+    rank_hash: str = "xxhash64",
+) -> Column:
     """Deterministic pseudo-random ordering key.
 
     With ``key_cols``: content-hash ranking — partitioning-independent and
     run-to-run stable (the reference guarantees seed-reproducibility,
     ``README.md:343-349``). Without: ``F.rand(seed)``, reproducible only for
     a stable input partitioning (documented fallback).
+
+    ``rank_hash`` picks the hash: ``"xxhash64"`` (default — cheapest, 8-byte
+    rank values) or ``"md5"`` — the *engine-portable* twin: every SQL engine
+    computes the same MD5 of the same ``key\\x1fkey\\x1fseed`` string, so an
+    md5-ranked sample is verifiable row-for-row against an external oracle
+    (DuckDB: ``ORDER BY md5(concat_ws(chr(31), k1, k2, 'seed'))``). Both
+    share the identical plan shape (TakeOrderedAndProject / window rank);
+    only the rank expression differs, so an oracle check of the md5 path
+    exercises the same sampling machinery the xxhash64 path runs.
     """
     if key_cols:
+        if rank_hash == "md5":
+            return F.md5(_key_string(key_cols, seed))
+        if rank_hash != "xxhash64":
+            raise ValueError(f"rank_hash must be 'xxhash64' or 'md5', got {rank_hash!r}")
         return F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
     return F.rand(seed)
+
+
+def _key_string(key_cols: Sequence[str], seed: int) -> Column:
+    """``key\\x1fkey\\x1fseed`` — the canonical cross-engine hash input.
+    concat_ws skips NULLs identically in Spark and DuckDB; explicit string
+    casts keep integer/date rendering engine-agnostic."""
+    parts = [F.col(c).cast("string") for c in key_cols]
+    return F.concat_ws("\x1f", *parts, F.lit(str(seed)))
 
 
 def sample_uniform(
@@ -65,6 +91,7 @@ def sample_uniform(
     seed: int = 42,
     key_cols: Sequence[str] | None = None,
     strict: bool = False,
+    rank_hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact-n uniform sample without replacement (reference "indexed" mode,
     ``samplers.py:83-99`` + the global ``FileIndex`` it needs,
@@ -80,7 +107,7 @@ def sample_uniform(
         total = df.count()
         if n > total:
             raise ValueError(f"Requested sample size {n} > total rows {total}")
-    return df.orderBy(_order_key(df, seed, key_cols)).limit(n)
+    return df.orderBy(_order_key(df, seed, key_cols, rank_hash)).limit(n)
 
 
 def sample_per_group(
@@ -90,6 +117,7 @@ def sample_per_group(
     seed: int = 42,
     key_cols: Sequence[str] | None = None,
     na_bucket: str = "__NA__",
+    rank_hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact ``n_per_group`` rows per distinct value of ``group_col``
     (reference stratified reservoir, ``samplers.py:405-466``).
@@ -108,7 +136,7 @@ def sample_per_group(
     if n_per_group <= 0:
         raise ValueError(f"n_per_group must be > 0, got {n_per_group}")
     bucket = F.coalesce(F.col(group_col).cast("string"), F.lit(na_bucket))
-    w = Window.partitionBy(bucket).orderBy(_order_key(df, seed, key_cols))
+    w = Window.partitionBy(bucket).orderBy(_order_key(df, seed, key_cols, rank_hash))
     out = df.withColumn(_RN, F.row_number().over(w)).filter(F.col(_RN) <= n_per_group)
     if dict(df.dtypes).get(group_col) == "string":
         out = out.withColumn(group_col, F.coalesce(F.col(group_col), F.lit(na_bucket)))
@@ -121,12 +149,15 @@ def sample_daily(
     seed: int = 42,
     day_col: str = "Day",
     key_cols: Sequence[str] | None = None,
+    rank_hash: str = "xxhash64",
 ) -> DataFrame:
     """Fixed-n per day (reference "daily" mode, ``samplers.py:125-160``),
     with per-day-global semantics (intentional deviation — see module doc)."""
     if day_col not in df.columns:
         raise ValueError(f"Column {day_col!r} not present")
-    return sample_per_group(df, day_col, per_day, seed=seed, key_cols=key_cols)
+    return sample_per_group(
+        df, day_col, per_day, seed=seed, key_cols=key_cols, rank_hash=rank_hash
+    )
 
 
 def sample_weighted(
@@ -135,6 +166,7 @@ def sample_weighted(
     weight_col: str,
     seed: int = 42,
     key_cols: Sequence[str] | None = None,
+    rank_hash: str = "xxhash64",
 ) -> DataFrame:
     """Exact-n weighted sample without replacement (Efraimidis-Spirakis
     A-Res): each row draws u ∈ (0,1) and ranks by u^(1/w) descending; the
@@ -145,17 +177,29 @@ def sample_weighted(
     determinism contract as :func:`sample_uniform`. Rows with weight ≤ 0 or
     NULL are excluded (zero mass). Distributed as a single
     TakeOrderedAndProject, like the uniform path.
+
+    With ``rank_hash="md5"`` the draw is u = (int(md5[:13 hex]) + 1) /
+    (2^52 + 1): exact in a double on every engine, so the selected row set
+    is oracle-verifiable (DuckDB: ``CAST('0x' || substr(md5(...),1,13) AS
+    BIGINT)``). IEEE division and the shared-libm ``pow`` make rank values
+    agree across engines to ≤1 ulp — far below the rank spacing at any
+    realistic n.
     """
     if n < 0:
         raise ValueError(f"n must be >= 0, got {n}")
     if not key_cols:
         raise ValueError("sample_weighted requires key_cols for deterministic draws")
-    # u in (0,1): (hash mod M + 1) / (M + 1) — strictly inside the interval
-    m = 2_147_483_647
-    u = (
-        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(m))
-        + F.lit(1)
-    ).cast("double") / F.lit(float(m + 1))
+    if rank_hash == "md5":
+        # first 13 hex chars = 52 bits — exactly representable in a double
+        v = F.conv(F.substring(F.md5(_key_string(key_cols, seed)), 1, 13), 16, 10)
+        u = (v.cast("double") + F.lit(1.0)) / F.lit(float(2**52 + 1))
+    else:
+        # u in (0,1): (hash mod M + 1) / (M + 1) — strictly inside the interval
+        m = 2_147_483_647
+        u = (
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed)), F.lit(m))
+            + F.lit(1)
+        ).cast("double") / F.lit(float(m + 1))
     w = F.col(weight_col).cast("double")
     rank_key = F.pow(u, F.lit(1.0) / w)
     return (
@@ -172,6 +216,7 @@ def sample_filtered(
     seed: int = 42,
     columns: Sequence[str] | None = None,
     key_cols: Sequence[str] | None = None,
+    rank_hash: str = "xxhash64",
 ) -> DataFrame:
     """Predicate-DSL filter + exact-n uniform sample (reference "filtered"
     reservoir mode, ``samplers.py:177-402``).
@@ -184,7 +229,9 @@ def sample_filtered(
     """
     pred = compile_filter(filter_dict)
     filtered = df.filter(pred) if pred is not None else df
-    sampled = sample_uniform(filtered, n, seed=seed, key_cols=key_cols)
+    sampled = sample_uniform(
+        filtered, n, seed=seed, key_cols=key_cols, rank_hash=rank_hash
+    )
     if columns:
         sampled = sampled.select(*columns)
     return sampled

@@ -47,6 +47,29 @@ def test_determinism_independent_of_partitioning(gdelt_df):
     assert a == b
 
 
+def test_md5_rank_same_contract_and_plan_shape(gdelt_df):
+    """The engine-portable md5 rank (oracle path) honors the same contract
+    as xxhash64: exact n, partitioning-independent, seed-sensitive — and
+    still plans as TakeOrderedAndProject (top-n heap, no global sort)."""
+    md5_sample = sample_uniform(gdelt_df, 500, seed=9, key_cols=KEY, rank_hash="md5")
+    a = {r.GlobalEventID for r in md5_sample.collect()}
+    b = {
+        r.GlobalEventID
+        for r in sample_uniform(
+            gdelt_df.repartition(13), 500, seed=9, key_cols=KEY, rank_hash="md5"
+        ).collect()
+    }
+    c = {
+        r.GlobalEventID
+        for r in sample_uniform(
+            gdelt_df, 500, seed=10, key_cols=KEY, rank_hash="md5"
+        ).collect()
+    }
+    assert len(a) == 500 and a == b and a != c
+    plan = md5_sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_stratified_counts(gdelt_df):
     n_per = 300
     out = sample_per_group(gdelt_df, "QuadClass", n_per, seed=5, key_cols=KEY)

@@ -380,9 +380,11 @@ def normalize_url(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     no_scheme = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    no_www = F.regexp_replace(no_scheme, r"^www\.", "")
-    no_query = F.regexp_replace(no_www, r"[?#].*$", "")
+    no_query = F.regexp_replace(no_scheme, r"[?#].*$", "")
     no_slash = F.regexp_replace(no_query, r"/+$", "")
-    host = F.lower(F.regexp_extract(no_slash, r"^([^/]*)", 1))
+    # lower the host BEFORE stripping www. so `WWW.Example.com` collapses too
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(no_slash, r"^([^/]*)", 1)), r"^www\.", ""
+    )
     path = F.regexp_replace(no_slash, r"^[^/]*", "")
     return F.concat(host, path)

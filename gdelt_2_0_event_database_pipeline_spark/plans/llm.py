@@ -921,3 +921,73 @@ def q_quantiles(spark, sf_dir):
         F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
     )
+
+
+@register(
+    "q_normalize_url",
+    sql="""
+    WITH variants AS (
+      SELECT 'https://www.' || source || '.example.com/articles/' || doc_id AS url
+      FROM documents
+      UNION ALL
+      SELECT 'http://' || source || '.example.com/articles/' || doc_id
+             || '?utm_source=feed' FROM documents
+      UNION ALL
+      SELECT 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM/articles/'
+             || doc_id || '/#comments' FROM documents
+    ), normed AS (
+      SELECT regexp_replace(
+               lower(regexp_extract(no_slash, '^([^/]*)', 1)),
+               '^www\\.', '')
+             || regexp_replace(no_slash, '^[^/]*', '') AS norm_url
+      FROM (
+        SELECT regexp_replace(
+                 regexp_replace(
+                   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                   '[?#].*$', ''),
+                 '/+$', '') AS no_slash
+        FROM variants
+      )
+    )
+    SELECT norm_url, count(*) AS n_variants
+    FROM normed GROUP BY norm_url
+    """,
+    doc=(
+        "URL canonicalization for SOURCEURL dedup keying (reference's only "
+        "URL surface: scraping/scraper.py:115): scheme/www/query/fragment/"
+        "trailing-slash-insensitive, host lowercased, path case preserved. "
+        "Three syndication variants per document (https+www, http+tracking "
+        "params, shouty-host+fragment) must collapse to ONE key each — the "
+        "oracle replays the identical regexp chain in DuckDB and checks the "
+        "grouped variant counts. Pure column algebra, zero Python on the "
+        "hot path."
+    ),
+)
+def q_normalize_url(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    stem = F.concat(
+        F.col("source"), F.lit(".example.com/articles/"), F.col("doc_id").cast("string")
+    )
+    shouty = F.concat(
+        F.upper(F.col("source")),
+        F.lit(".EXAMPLE.COM/articles/"),
+        F.col("doc_id").cast("string"),
+    )
+    variants = (
+        d.select(F.concat(F.lit("https://www."), stem).alias("url"))
+        .unionAll(
+            d.select(
+                F.concat(F.lit("http://"), stem, F.lit("?utm_source=feed")).alias("url")
+            )
+        )
+        .unionAll(
+            d.select(
+                F.concat(F.lit("HTTPS://WWW."), shouty, F.lit("/#comments")).alias("url")
+            )
+        )
+    )
+    return (
+        variants.select(X.normalize_url("url").alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"))
+    )

@@ -259,10 +259,11 @@ def test_normalize_url_collapses_syndication_variants(spark):
         (4, "https://example.com/News/story-1"),   # path case differs: distinct
         (5, "https://other.com/News/Story-1"),
         (6, None),
+        (7, "HTTPS://WWW.EXAMPLE.COM/News/Story-1/"),  # shouty host still collapses
     ]
     df = spark.createDataFrame(rows, "id long, url string")
     got = {r.id: r.u for r in df.select("id", normalize_url("url").alias("u")).collect()}
-    assert got[1] == got[2] == got[3] == "example.com/News/Story-1"
+    assert got[1] == got[2] == got[3] == got[7] == "example.com/News/Story-1"
     assert got[4] == "example.com/News/story-1" != got[1]
     assert got[5].startswith("other.com/")
     assert got[6] is None

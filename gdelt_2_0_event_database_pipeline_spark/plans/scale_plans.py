@@ -8,7 +8,7 @@ import re
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import make_media_df, media_stats
+from ..operators.multimodal import media_stats
 from ..operators.skew import explain_shuffles, salted_group_agg, write_bucketed
 from .registry import register
 from .relational import _li, _t
@@ -108,9 +108,45 @@ def q_bucketed_join(spark, sf_dir):
 
 @register(
     "q_media_stats",
-    sql=None,  # media table is engine-synthesized (no oracle view); shapes in tests/test_multimodal.py
-    doc="Multimodal metadata rollup (X6): binary payload column pruned at scan, metadata-only agg.",
+    sql="""
+    SELECT media_type,
+           count(*) AS cnt,
+           avg(width * height) AS avg_pixels,
+           CAST(sum(n_frames) AS BIGINT) AS total_frames
+    FROM (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+             32 + (doc_id % 8) * 16 AS width,
+             32 + (doc_id % 5) * 16 AS height,
+             1 + doc_id % 4 AS n_frames
+      FROM documents
+    ) GROUP BY media_type
+    """,
+    doc=(
+        "Multimodal metadata rollup (X6): the media table is derived from "
+        "documents with the canonical (media_id, payload binary, meta "
+        "struct) shape — payload = encode(text), metadata from doc_id "
+        "arithmetic, reproducible in any engine, so the rollup is fully "
+        "oracle-checked. The binary payload column is pruned at the scan "
+        "(metadata-only agg; pruning pinned in tests/test_multimodal.py)."
+    ),
 )
 def q_media_stats(spark, sf_dir):
-    media = make_media_df(spark, n=200)
+    d = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    media = d.select(
+        doc_id.alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.when(doc_id % 3 == 0, "image")
+            .when(doc_id % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("media_type"),
+            F.lit("fake").alias("format"),
+            (F.lit(32) + (doc_id % 8) * 16).cast("int").alias("width"),
+            (F.lit(32) + (doc_id % 5) * 16).cast("int").alias("height"),
+            (F.lit(1) + doc_id % 4).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
     return media_stats(media)

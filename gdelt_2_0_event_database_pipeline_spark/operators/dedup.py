@@ -119,6 +119,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -129,9 +130,36 @@ def minhash_near_dup_pairs(
     b=16, r=4: s=0.7 → ~0.97 recall; the verify stage removes false
     positives, so precision is exact.
 
+    ``hash_family`` picks h_i: ``"xxhash64"`` (default — 8-byte signature
+    values, the 100 TB fast path) or ``"md5"`` — h_i(s) =
+    md5(s·\\x1f·i), computed identically by any engine, so the ENTIRE
+    LSH pipeline (signatures → bands → buckets → candidates → verified
+    pairs) is replayable in an external oracle, not just the verify
+    kernel. Same plan shape either way; only the hash expressions differ.
+
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
     rows_per_band = num_hashes // bands
+
+    def shingle_hash(i: int) -> Column:
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("\x1f", F.col("__s__"), F.lit(str(i))))
+        return F.xxhash64(F.col("__s__"), F.lit(i))
+
+    def band_bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"__h{b * rows_per_band + j}__").cast("string")
+                for j in range(rows_per_band)
+            ],
+        )
+        if hash_family == "md5":
+            return F.md5(F.concat_ws(",", joined, F.lit(str(b))))
+        return F.xxhash64(joined, F.lit(b))
+
     # Signature via explode + 64 min-aggregates: flat, codegen-eligible, with
     # map-side partial aggregation — the shuffle carries 64 longs per doc, not
     # shingle text. (The pure-expression minhash_signature() Column is kept
@@ -141,28 +169,13 @@ def minhash_near_dup_pairs(
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
     )
     sig = exploded.groupBy("__id__").agg(
-        *[
-            F.min(F.xxhash64(F.col("__s__"), F.lit(i))).alias(f"__h{i}__")
-            for i in range(num_hashes)
-        ]
+        *[F.min(shingle_hash(i)).alias(f"__h{i}__") for i in range(num_hashes)]
     )
     # bands travel WITHOUT the shingle arrays — duplicating document-sized
     # payloads through the band explode (and the bucket shuffle) is the
     # classic LSH-join mistake. Shingles rejoin by id for survivors only.
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"__h{b * rows_per_band + j}__").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                ),
-                F.lit(b),
-            ).alias("bucket"),
-        )
+        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
         for b in range(bands)
     ]
     banded = sig.select(

@@ -737,14 +737,61 @@ def q_top_tokens_per_lang(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators.dedup.char_ngrams(text, 3): lowercased char
+# 3-gram shingles, one (possibly short) shingle for texts under 3 chars —
+# exactly Spark's sequence(1, greatest(len-2, 1)) + substr(i, 3).
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(t) - 2, 1) + 1), i -> t[i : i + 2]))"
+)
+# h_i(s) = md5(s·\x1f·i) — the md5 hash family of minhash_near_dup_pairs
+_SQL_MINHASH_SIG = ", ".join(
+    f"list_min(list_transform(sh, s -> md5(s || chr(31) || '{i}')))"
+    for i in range(64)
+)
+
+
 @register(
     "q_dedup_minhash",
-    sql=None,  # xxhash64 family has no DuckDB twin; invariants in tests/test_dedup.py
-    doc="MinHash+LSH near-dup candidate pairs with exact-Jaccard verify (X2, scale path).",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM docs
+    ), sig AS (
+      SELECT doc_id, [{_SQL_MINHASH_SIG}] AS hs FROM sh
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(concat_ws(',', hs[b*4+1], hs[b*4+2], hs[b*4+3], hs[b*4+4],
+                           CAST(b AS VARCHAR))) AS bucket
+      FROM sig, (SELECT unnest(range(0, 16)) AS b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh))
+             / greatest(len(list_distinct(sa.sh || sb.sh)), 1) AS jaccard_sim
+    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.sh, sb.sh))
+            / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.6
+    """,
+    doc=(
+        "MinHash+LSH near-dup pairs with exact-Jaccard verify (X2, scale "
+        "path), md5 hash family: the oracle replays the ENTIRE pipeline — "
+        "64 minhashes, 16 banded buckets, candidate self-join, verify — "
+        "in DuckDB, so LSH candidate generation itself is hash-checked, "
+        "not just the verify kernel. The xxhash64 family (8-byte signature "
+        "values, the 100 TB default) shares this exact plan shape and is "
+        "covered by tests/test_dedup.py invariants."
+    ),
 )
 def q_dedup_minhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.6)
+    return D.minhash_near_dup_pairs(
+        d, "doc_id", "text", threshold=0.6, hash_family="md5"
+    )
 
 
 @register(

@@ -229,10 +229,15 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, banded into ``chunks``
     16-bit blocks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 blocks
     identical), bucket-join per block, Hamming-verify candidates.
+
+    ``hash_family`` follows :func:`~..operators.text.simhash64`: "md5"
+    makes the signature — hence blocks, candidates, and verified pairs —
+    engine-portable and oracle-checkable.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
@@ -247,7 +252,8 @@ def simhash_near_dup_pairs(
         )
     bits_per = 64 // chunks
     sig = df.select(
-        F.col(id_col).alias("__id__"), simhash64(F.col(text_col)).alias("__sim__")
+        F.col(id_col).alias("__id__"),
+        simhash64(F.col(text_col), hash_family=hash_family).alias("__sim__"),
     )
     block_cols = [
         F.struct(

@@ -323,14 +323,47 @@ def ngram_contamination(
 
 
 # ---------------------------------------------------------------- simhash
-def simhash64(col: Column | str) -> Column:
+def simhash64(col: Column | str, hash_family: str = "xxhash64") -> Column:
     """64-bit SimHash over tokens, entirely with built-in higher-order
-    functions: per-token xxhash64 → per-bit ±1 votes → sign → bit pack.
+    functions: per-token hash → per-bit ±1 votes → sign → bit pack.
 
     One pass over the token array per row, no shuffle; near-dup detection
     then bands the 64 bits (see ``operators.dedup.simhash_near_dup_pairs``).
+
+    ``hash_family="md5"`` derives bit i of a token from its single md5
+    digest — bit (i mod 4) of hex digit (i div 4) — which any engine
+    computes identically, making the signature (and everything downstream)
+    oracle-replayable. One md5 per token either way; xxhash64 stays the
+    default (cheaper, same plan shape).
     """
     toks = tokens(col)
+    if hash_family == "md5":
+
+        def tok_bits(h: Column) -> Column:
+            # h is the (already-evaluated) md5 hex lambda var; digit d_k =
+            # int(hexchar k), bit i = (d_{i//4} >> (i%4)) & 1
+            return F.array(
+                *[
+                    F.when(
+                        F.shiftright(
+                            F.conv(F.substring(h, i // 4 + 1, 1), 16, 10).cast("int"),
+                            i % 4,
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            )
+
+        votes = F.aggregate(
+            F.transform(toks, lambda t: F.md5(t)),
+            F.array_repeat(F.lit(0), 64),
+            lambda acc, h: F.zip_with(acc, tok_bits(h), lambda a, b: a + b),
+        )
+        return _pack_votes(votes)
+    if hash_family != "xxhash64":
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
     # bit positions must be Python ints (shiftright/shiftleft take literal
     # counts), so build the 64-wide vote vector as an explicit array expr
     votes = F.aggregate(
@@ -350,10 +383,17 @@ def simhash64(col: Column | str) -> Column:
             lambda a, b: a + b,
         ),
     )
-    # Pack: Horner fold (MSB-first) over bits 0..62, then add MIN_LONG when
-    # bit 63 is set — a plain `acc*2+bit` over all 64 bits would overflow
-    # under ANSI mode. Wrapping `votes` in a 1-element array and aggregating
-    # binds it to a lambda variable so it's evaluated exactly once.
+    return _pack_votes(votes)
+
+
+def _pack_votes(votes: Column) -> Column:
+    """Sign the 64-wide vote vector and pack it into one long.
+
+    Horner fold (MSB-first) over bits 0..62, then add MIN_LONG when
+    bit 63 is set — a plain ``acc*2+bit`` over all 64 bits would overflow
+    under ANSI mode. Wrapping ``votes`` in a 1-element array and aggregating
+    binds it to a lambda variable so it's evaluated exactly once.
+    """
     return F.aggregate(
         F.array(votes),
         F.lit(0).cast("long"),

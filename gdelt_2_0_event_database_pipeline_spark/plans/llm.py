@@ -794,14 +794,67 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+# DuckDB twin of operators.text.simhash64(hash_family="md5"): signature bit
+# i = sign of the ±1 token votes, where a token's vote for bit i is bit
+# (i mod 4) of hex digit (i div 4) of its single md5. Empty token lists give
+# list_sum NULL → bit 0, matching Spark's zero-vote fold.
+_SQL_SIMHASH_BITS = ", ".join(
+    "CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN "
+    f"((('0x' || h[{i // 4 + 1}])::INTEGER >> {i % 4}) & 1) = 1 "
+    "THEN 1 ELSE -1 END)) > 0 THEN 1 ELSE 0 END"
+    for i in range(64)
+)
+# block c key = bits 16c..16c+15 as an int — numerically equal to Spark's
+# (signature >> 16c) & 0xFFFF
+_SQL_SIMHASH_BLOCKS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {c} AS blk, "
+    + " + ".join(f"bits[{16 * c + j + 1}] * {1 << j}" for j in range(16))
+    + " AS key FROM bits"
+    for c in range(4)
+)
+
+
 @register(
     "q_dedup_simhash",
-    sql=None,
-    doc="SimHash banded near-dup pairs (Hamming ≤ 3 over 64-bit signatures).",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id < 200
+    ), hs AS (
+      SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM tok
+    ), bits AS (
+      SELECT doc_id, [{_SQL_SIMHASH_BITS}] AS bits FROM hs
+    ), blocks AS (
+      {_SQL_SIMHASH_BLOCKS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN ba.bits[i] <> bb.bits[i] THEN 1 ELSE 0 END))
+               AS INTEGER) AS hamming
+      FROM cand
+      JOIN bits ba ON ba.doc_id = cand.id_a
+      JOIN bits bb ON bb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """,
+    doc=(
+        "SimHash banded near-dup pairs (Hamming ≤ 3 over 64-bit "
+        "signatures), md5 hash family: the oracle recomputes the per-token "
+        "votes, the signed 64-bit signature, the four 16-bit pigeonhole "
+        "blocks, the bucket self-join, and the Hamming verify in DuckDB — "
+        "the whole pipeline is hash-checked. xxhash64 family stays the "
+        "operator default with identical plan shape."
+    ),
 )
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return D.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return D.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, hash_family="md5"
+    )
 
 
 # ---------------------------------------------------------------- similarity (X3)
@@ -1037,4 +1090,49 @@ def q_normalize_url(spark, sf_dir):
         variants.select(X.normalize_url("url").alias("norm_url"))
         .groupBy("norm_url")
         .agg(F.count(F.lit(1)).alias("n_variants"))
+    )
+
+
+_SQL_SIMHASH_KEYS = ", ".join(
+    "CAST("
+    + " + ".join(f"bits[{16 * c + j + 1}] * {1 << j}" for j in range(16))
+    + f" AS BIGINT) AS key{c}"
+    for c in range(4)
+)
+
+
+@register(
+    "q_simhash_signature",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id < 200
+    ), hs AS (
+      SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM tok
+    ), bits AS (
+      SELECT doc_id, [{_SQL_SIMHASH_BITS}] AS bits FROM hs
+    )
+    SELECT doc_id, {_SQL_SIMHASH_KEYS} FROM bits
+    """,
+    doc=(
+        "SimHash signature kernel (md5 family) as its four 16-bit block "
+        "keys, one row per document: every bit of every signature is "
+        "oracle-checked (the pairs query q_dedup_simhash only evidences "
+        "signatures of surviving candidates). Pure expression, scan-stage "
+        "computed, no shuffle."
+    ),
+)
+def q_simhash_signature(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sig = X.simhash64(F.col("text"), hash_family="md5")
+    out = d.select(F.col("doc_id"), sig.alias("__sig__"))
+    return out.select(
+        "doc_id",
+        *[
+            F.shiftright(F.col("__sig__"), 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .cast("long")
+            .alias(f"key{c}")
+            for c in range(4)
+        ],
     )

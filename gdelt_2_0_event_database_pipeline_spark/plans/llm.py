@@ -883,10 +883,69 @@ def q_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+# The hyperplanes are driver-side literals (similarity.plane_weights), so the
+# oracle embeds the IDENTICAL doubles (repr round-trips exactly) and DuckDB's
+# list_dot_product matches Spark's left fold bit-for-bit (proven by
+# q_cosine_topk) — the whole LSH path is replayable. dim=64 is table-constant
+# across the test parquet (TESTDATA.md).
+_EMB_DIM = 64
+
+
+def _sql_sign_sig(planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.lsh_signature over `v`: sum of sign bits."""
+    return " + ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(w) for w in plane)
+        + f"]) >= 0 THEN {1 << p} ELSE 0 END"
+        for p, plane in enumerate(planes)
+    )
+
+
+def _lsh_probe_masks(num_planes: int, probe_hamming: int) -> list[int]:
+    from itertools import combinations
+
+    return [
+        sum(1 << p for p in bits)
+        for h in range(probe_hamming + 1)
+        for bits in combinations(range(num_planes), h)
+    ]
+
+
 @register(
     "q_cosine_topk_lsh",
-    sql=None,
-    doc="LSH-bucketed approximate cosine top-k (X3 scale path; recall measured in tests).",
+    sql=f"""
+    WITH sigc AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_sql_sign_sig(S.plane_weights(6, _EMB_DIM, 42))} AS sig
+      FROM embeddings
+    ), probes AS (
+      SELECT q.vec_id AS query_id, q.v AS qv, xor(q.sig, m.m) AS probe
+      FROM sigc q, (SELECT unnest({_lsh_probe_masks(6, 2)}) AS m) m
+      WHERE q.vec_id < 5
+    ), scored AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id,
+             list_dot_product(p.qv, s.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(s.v, s.v))) AS cos_sim
+      FROM probes p JOIN sigc s
+        ON s.sig = p.probe AND s.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "LSH-bucketed approximate cosine top-k (X3 scale path): the oracle "
+        "replays signature bits, the 22 multi-probe buckets (Hamming ≤ 2 of "
+        "6 planes), the bucket join, and the exact rescore+rank in DuckDB "
+        "from the identical hyperplane literals — the approximation is "
+        "deterministic, so even the 'approximate' path is hash-checked. "
+        "Recall vs brute force measured in tests/test_similarity.py."
+    ),
 )
 def q_cosine_topk_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
@@ -924,19 +983,48 @@ def q_ivf_topk(spark, sf_dir):
 
 @register(
     "q_embedding_near_dup",
-    sql=None,
+    sql=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300
+    ), banded AS (
+      {"$BANDS$"}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT id_a, id_b,
+             list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v))
+                  * sqrt(list_dot_product(vb.v, vb.v))) AS cos_sim
+      FROM cand JOIN base va ON va.vec_id = cand.id_a
+                JOIN base vb ON vb.vec_id = cand.id_b
+    ) WHERE cos_sim >= 0.25
+    """.replace(
+        "$BANDS$",
+        "\n      UNION ALL ".join(
+            f"SELECT vec_id, {i} AS band, "
+            + _sql_sign_sig(S.plane_weights(8, _EMB_DIM, 42 + 7919 * i))
+            + " AS key FROM base"
+            for i in range(4)
+        ),
+    ),
     doc=(
-        "Embedding-cosine near-duplicate pairs via LSH buckets + exact "
-        "rescoring. Threshold 0.4: the synthetic embeddings carry no planted "
+        "Embedding-cosine near-duplicate pairs via banded sign-LSH + exact "
+        "rescoring, fully oracle-replayed (4 bands x 8 hyperplanes from the "
+        "identical plane literals, band bucket join, cosine verify). "
+        "Threshold 0.25: the synthetic embeddings carry no planted "
         "near-dups (max pairwise cosine ≈0.4), so a production-grade 0.8 "
-        "gate would emit zero rows and the driver row would prove nothing — "
+        "gate would emit zero rows and the driver row would prove nothing "
+        "(0.25 keeps ~70 verified pairs in the oracle diff) — "
         "recall at high thresholds is pinned on planted dups in "
         "tests/test_similarity.py instead."
     ),
 )
 def q_embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return S.embedding_near_dup_pairs(emb, threshold=0.4)
+    return S.embedding_near_dup_pairs(emb, threshold=0.25)
 
 
 # ---------------------------------------------------------------- sketches (X5)

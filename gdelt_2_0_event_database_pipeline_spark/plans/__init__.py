@@ -20,72 +20,68 @@ from . import scale_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-4 rotation (VERDICT r3 item #6): (a) the three queries fixed this
-    # round — they carried ERR / hash-fail driver rows in r3 and need fresh
-    # green evidence first; (b) the 25 oracle queries whose last driver row
-    # dates from r1/r2 (everything in oracle_sql() minus CORRECTNESS_r03's
-    # keys); (c) r3-green queries fill the remainder of the ~50-row window so
-    # no oracle query's newest driver row ever goes >2 rounds stale.
-    # (a) fixed or new this round
-    "q_sessionize",
-    "q_asof_nearest",
-    "q_pack_linear",
-    "q_token_budget",
-    "q_heavy_hitters",
-    "q_dedup_against",
-    "q_token_budget_per_lang",
-    # (b) last driver row is r1/r2
-    "q_agg_stats",
-    "q_array_funcs",
-    "q_bpe_tokens",
-    "q_cube",
-    "q_date_gaps",
-    "q_distinct",
-    "q_dsl_equality",
-    "q_dsl_in_list",
-    "q_dsl_ops",
-    "q_fingerprint",
-    "q_having",
-    "q_join_semi",
-    "q_json_tuple",
-    "q_lang_id",
-    "q_levenshtein",
-    "q_redact_pii",
-    "q_repetition",
-    "q_scalar_string",
-    "q_set_except",
-    "q_set_intersect",
-    "q_sort_limit",
-    "q_text_quality",
-    "q_token_histogram",
-    "q_union_by_name",
-    "q_zscore",
-    # (c) r3-green refresh slice (fills the 50-row window)
-    "q01_pricing_summary",
-    "q03_shipping_priority",
-    "q05_local_supplier_volume",
-    "q_dedup_canonical",
-    "q_dedup_exact",
-    "q_dedup_exact_hash",
-    "q_dedup_keep_longest",
-    "q_ngram_jaccard",
-    "q_contamination",
-    "q_chunk_documents",
-    "q_assign_split",
-    "q_mix_sources",
-    "q_quality_filter",
-    "q_token_count_udf",
-    "q_cosine_topk",
-    "q_exact_distinct",
-    "q_quantiles",
-    "q_sample_systematic",
-    "q_asof_join",
+    # Round-5 rotation (VERDICT r4 item #1): (a) the 16 queries that have
+    # NEVER received a driver row — 14 were rows-only until this round's
+    # oracle upgrades (md5 sampling ranks, md5 minhash/simhash families,
+    # plane-literal sign-LSH, derived media table) plus the two new
+    # registrations (q_normalize_url, q_simhash_signature); the 4 genuinely
+    # approximate ones (pack_first_fit/ivf/approx sketches) get their first
+    # rows-only row like q_heavy_hitters did in r4. (b) the 29 oracle
+    # queries whose last driver row is r3 — keeps nothing >2 rounds stale.
+    # (c) a small r4-green refresh slice fills the ~50-row window.
+    # (a) never driver-checked (oracle upgrades + new registrations first)
+    "q_sample_uniform",
+    "q_sample_stratified",
+    "q_sample_daily",
+    "q_sample_filtered",
+    "q_sample_weighted",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_simhash_signature",
+    "q_cosine_topk_lsh",
+    "q_embedding_near_dup",
+    "q_normalize_url",
+    "q_media_stats",
+    "q_pack_first_fit",
+    "q_ivf_topk",
+    "q_approx_distinct",
+    "q_quantiles_approx",
+    # (b) last driver row is r3
     "q_asof_forward",
-    "q_range_join",
-    "q_event_paths",
-    "q_salted_agg",
+    "q_asof_join",
     "q_bucketed_join",
+    "q_conditional_agg",
+    "q_dsl_nested",
+    "q_event_paths",
+    "q_events_hourly",
+    "q_explode_embeddings",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_join_outer_agg",
+    "q_json_extract",
+    "q_null_drop",
+    "q_pivot",
+    "q_profile",
+    "q_range_join",
+    "q_rank_functions",
+    "q_regression",
+    "q_rollup",
+    "q_salted_agg",
+    "q_scalar_date",
+    "q_scalar_math",
+    "q_scalar_subquery",
+    "q_set_union",
+    "q_text_stats",
     "q_top_tokens_per_lang",
+    "q_topk_per_group",
+    "q_window_range_frame",
+    "q_window_running",
+    # (c) r4-green refresh slice (fills the 50-row window)
+    "q01_pricing_summary",
+    "q_dedup_exact_hash",
+    "q_token_budget",
+    "q_sessionize",
+    "q_chunk_documents",
 ]
 
 

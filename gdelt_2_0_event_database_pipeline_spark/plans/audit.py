@@ -1,0 +1,67 @@
+"""Executed-plan scale audit — the `.explain` pass SURVEY.md §4 prescribes,
+mechanized so every registered query is checked, not just the handful with
+dedicated plan tests (`tools/plan_audit.py` is the CLI; `tests/
+test_plan_audit.py` runs the same checks as a per-query pytest gate).
+
+A query plan is flagged when it contains a shape that would not survive a
+100× scale-up:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` outside the documented
+  row-capped O(n²) verify kernels (`NESTED_LOOP_OK`) — an uncapped all-pairs
+  join is the canonical scale killer;
+- ``Exchange SinglePartition`` outside the single-row summary aggregates
+  (`SINGLE_PARTITION_OK`) — funnelling a large intermediate through one task
+  serializes the stage. (A global scalar aggregate is fine: partial
+  aggregation means one row per upstream partition crosses the exchange.)
+- a global ``Sort`` (``Sort [...], true, ...``) anywhere — ordered output
+  must go through ``TakeOrderedAndProject`` (orderBy+limit); a bare
+  ``orderBy`` without ``limit`` range-shuffles the full dataset to produce
+  an ordering nothing downstream needs. No query is allowlisted.
+- ``BatchEvalPython`` — row-at-a-time Python UDF; Arrow-batched
+  (``ArrowEvalPython`` / ``MapInPandas``) is the only sanctioned Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: queries whose O(n²) joins are deliberate, documented, row-capped kernels
+NESTED_LOOP_OK = {
+    "q_ngram_jaccard",       # exact verify kernel, doc_id < 60
+    "q_levenshtein",         # exact kernel, doc_id < 25
+    "q_dedup_canonical",     # exact-Jaccard edges, doc_id < 200 (oracle-able)
+    "q_dedup_keep_longest",  # same capped edge kernel
+    "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
+    "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
+    "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
+                             # counts aggregate (bounded by construction)
+    "q_token_budget",        # same bounded triangular-offsets pattern
+    "q_token_budget_per_lang",
+}
+
+#: queries whose Exchange SinglePartition feeds a SINGLE-ROW summary
+#: aggregate (map-side partials; one row per partition crosses the wire)
+SINGLE_PARTITION_OK = {
+    "q_null_drop",       # retention report row (rows_before/after/retention)
+    "q_profile",         # one-row dataset profile
+    "q_heavy_hitters",   # freqItems sketch merges to one summary row
+    "q_approx_distinct", # single-row HLL++ summary
+}
+
+_GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")
+
+
+def audit_plan(name: str, plan: str) -> list[str]:
+    """Return the list of scale red flags in one executed-plan string."""
+    issues: list[str] = []
+    if "CartesianProduct" in plan and name not in NESTED_LOOP_OK:
+        issues.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:
+        issues.append("BroadcastNestedLoopJoin")
+    if "Exchange SinglePartition" in plan and name not in SINGLE_PARTITION_OK:
+        issues.append("Exchange SinglePartition")
+    if _GLOBAL_SORT.search(plan):
+        issues.append("global Sort (orderBy without limit)")
+    if "BatchEvalPython" in plan:
+        issues.append("row-at-a-time PythonUDF")
+    return issues

@@ -49,6 +49,15 @@ def main() -> None:
         docs.join(docs.select(SF.col("doc_id").alias("d2")), SF.col("doc_id") == SF.col("d2"))
         .groupBy("lang").count().write.format("noop").mode("overwrite").save()
     )
+    # the tokenize/slice HOF chain codegens a large method on first touch;
+    # without this, the alphabetically-first query using it
+    # (q_chunk_documents) absorbs the compile and reads 3-4× its true cost
+    # (r4 verdict adjudication). Warm it on a 200-row slice.
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        chunk_documents,
+    )
+
+    chunk_documents(docs.limit(200)).write.format("noop").mode("overwrite").save()
 
     # registry order is the DRIVER's correctness-priority order; bench walks
     # names alphabetically so per-query timings stay comparable across rounds

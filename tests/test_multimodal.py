@@ -30,9 +30,137 @@ def test_extract_features_roundtrip(media):
     assert 0 < r7.mean_intensity < 251
 
 
-def test_decode_stub_rejects_foreign_payload():
-    with pytest.raises(NotImplementedError, match="imaging library"):
+def test_decode_rejects_unknown_and_truncated_payloads():
+    with pytest.raises(ValueError, match="unsupported media payload"):
+        M._decode_image_bytes(b"\xff\xd8\xff\xe0 fake jpeg")
+    with pytest.raises(ValueError, match="truncated PNG"):
         M._decode_image_bytes(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+# ---------------------------------------------------------------- real codecs
+import os
+import struct
+import zlib
+
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def test_decode_real_checked_in_png():
+    """A real PNG file (1×1 red RGBA, the canonical minimal PNG) decodes
+    through the same seam the synthetic payloads use."""
+    payload = open(os.path.join(_DATA, "tiny_1x1.png"), "rb").read()
+    d = M._decode_image_bytes(payload)
+    assert (d["width"], d["height"], d["n_frames"]) == (1, 1, 1)
+    assert d["mean_intensity"] == pytest.approx(85.0)  # (255,0,0) / 3
+
+
+def _gradient(w, h):
+    return bytes((x * 16 + y * 3) % 256 for y in range(h) for x in range(w) for _ in range(3))
+
+
+def test_png_roundtrip_filter0():
+    px = _gradient(16, 16)
+    d = M.decode_png(M.encode_png(16, 16, px))
+    assert (d["width"], d["height"]) == (16, 16)
+    assert d["mean_intensity"] == pytest.approx(sum(px) / len(px))
+
+
+def _forward_filter(ftype, line, prev, bpp):
+    """Reference forward-filter from the PNG spec, to exercise de-filtering."""
+    out = bytearray()
+    for x, b in enumerate(line):
+        a = line[x - bpp] if x >= bpp else 0
+        up = prev[x] if prev else 0
+        c = prev[x - bpp] if (prev and x >= bpp) else 0
+        if ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = up
+        elif ftype == 3:
+            pred = (a + up) // 2
+        else:  # Paeth
+            p = a + up - c
+            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+        out.append((b - pred) & 0xFF)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_defilter_all_filters(ftype):
+    """Hand-filter every scanline with one of Sub/Up/Average/Paeth and
+    assert decode recovers the exact pixels (via the mean)."""
+    w, h, bpp = 8, 6, 3
+    px = _gradient(w, h)
+    stride = w * bpp
+    raw, prev = b"", None
+    for y in range(h):
+        line = px[y * stride : (y + 1) * stride]
+        raw += bytes([ftype]) + _forward_filter(ftype, line, prev, bpp)
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = M.decode_png(png)
+    assert d["mean_intensity"] == pytest.approx(sum(px) / len(px))
+
+
+def test_decode_bmp_24bit():
+    """Hand-built 3×2 24-bit BMP (BGR rows, 4-byte padded, bottom-up)."""
+    w, h = 3, 2
+    rows = [bytes([10, 20, 30] * w), bytes([40, 50, 60] * w)]
+    padded = [r + b"\x00" * ((4 - len(r) % 4) % 4) for r in rows]
+    pix = b"".join(padded)
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    d = M._decode_image_bytes(hdr + info + pix)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_intensity"] == pytest.approx((10 + 20 + 30 + 40 + 50 + 60) / 6)
+
+
+def test_decode_wav_pcm16():
+    samples = [0, 1000, -1000, 32767, -32768, 500]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d = M.decode_wav(wav)
+    assert d["sample_rate"] == 16000
+    assert d["n_frames"] == 3  # 6 samples / 2 channels
+    assert d["mean_amplitude"] == pytest.approx(sum(abs(s) for s in samples) / len(samples))
+
+
+def test_extract_features_mixed_real_and_synthetic(spark):
+    """The mapInPandas pipeline decodes REAL PNG payloads and synthetic
+    blobs in one pass — the dispatch is per-row inside the Arrow batch."""
+    png = open(os.path.join(_DATA, "tiny_1x1.png"), "rb").read()
+    grad = M.encode_png(4, 4, _gradient(4, 4))
+    df = spark.createDataFrame(
+        [
+            (100, png, ("image", "png", 1, 1, 1, None)),
+            (101, grad, ("image", "png", 4, 4, 1, None)),
+            (102, M.encode_fake_payload(102, 32, 32, 2), ("video", "fake", 32, 32, 2, None)),
+        ],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in M.extract_features(df).collect()}
+    assert (rows[100].width, rows[100].height) == (1, 1)
+    assert rows[100].mean_intensity == pytest.approx(85.0)
+    assert (rows[101].width, rows[101].height) == (4, 4)
+    assert rows[102].n_frames == 2
 
 
 def test_resize_plan_native_only(media):

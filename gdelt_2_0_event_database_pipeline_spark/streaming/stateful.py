@@ -42,8 +42,9 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _session_fn(gap_minutes: int):
+def _session_fn(gap_minutes: int, event_time: bool = False):
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1000
 
     def fn(
         key: Tuple[Any, ...],
@@ -77,7 +78,16 @@ def _session_fn(gap_minutes: int):
                 else:
                     last_us, n, total = t_us, n + 1, total + float(v)
             state.update((start_us, last_us, n, total))
-            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+            if event_time:
+                # close when the WATERMARK (not the wall clock) passes
+                # last_event + gap: late data within the allowed lateness
+                # still extends the session; data later than that was
+                # already dropped upstream by withWatermark. Spark rejects
+                # a timeout at-or-before the current watermark, so clamp.
+                wm_ms = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(last_us // 1000 + gap_ms, wm_ms + 1))
+            else:
+                state.setTimeoutDuration(gap_ms)
 
         if closed:
             out = pd.DataFrame(
@@ -107,4 +117,34 @@ def streaming_sessionize(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_sessionize_event_time(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    late_minutes: int = 10,
+) -> DataFrame:
+    """Event-time twin of :func:`streaming_sessionize`: sessions close when
+    the WATERMARK passes ``last_event + gap``, not when a processing-time
+    timer fires — the correct semantics when the stream replays history,
+    stalls, or delivers late (the processing-time variant would close
+    sessions during a 30-minute ingestion pause even though, in event time,
+    the user never left).
+
+    Late-data contract (standard watermark semantics): events up to
+    ``late_minutes`` behind the max seen event time still reach the operator
+    and extend/merge into their session; events later than that are dropped
+    by ``withWatermark`` before the state store, so emitted session
+    boundaries are final — append mode stays correct."""
+    return (
+        events.withWatermark("ts", f"{late_minutes} minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn(gap_minutes, event_time=True),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -422,3 +422,117 @@ def test_cli_compact_and_select(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < rep["tokens"] <= 500
     assert rep["rows"] == spark.read.parquet(out).count() > 0
+
+
+def test_reference_demo_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """sample.example.sh replay (VERDICT r4 #7), scaled to fixture size:
+    scrape(stubbed HTTP) -> convert -> filter -> the three sample workload
+    shapes — indexed-n with seed reproducibility, Brazil OR-filtered with a
+    slim column list, and QuadClass-stratified n-per-group with the
+    reference's documented stratify-ignores-n semantics (README.md:333)."""
+    import io
+
+    # ---- the "remote" GDELT archive: one daily export zip + HTML listing
+    pdf = make_gdelt_pdf(20_000)
+    csv_bytes = (
+        pdf.reindex(columns=list(GDELT_COLUMNS))
+        .to_csv(sep="\t", header=False, index=False)
+        .encode()
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("20150218.export.CSV", csv_bytes)
+    zip_bytes = buf.getvalue()
+
+    class _Resp:
+        def __init__(self, data=None, text=""):
+            self._data, self.text = data, text
+
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, chunk_size):
+            for i in range(0, len(self._data), chunk_size):
+                yield self._data[i : i + chunk_size]
+
+    def fake_get(url, **kw):
+        if url.endswith(".zip"):
+            return _Resp(data=zip_bytes)
+        return _Resp(text='<a href="20150218.export.CSV.zip">daily</a>')
+
+    monkeypatch.setattr("requests.get", fake_get)
+
+    # ---- scrape -> extract -> convert -> filter (reference stage order)
+    raw = str(tmp_path / "raw")
+    assert cli_main(["scrape", "--url", "http://gdelt.example/events/", "--out", raw]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["success"] == [
+        "20150218.export.CSV.zip"
+    ]
+    csv_dir = str(tmp_path / "csv")
+    gdelt_csv.extract_zips(raw, csv_dir)
+    flat = str(tmp_path / "flat")
+    assert cli_main(["convert", "--in", csv_dir, "--flat", flat]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["daily"] == 20_000
+    filt = str(tmp_path / "filtered")
+    assert cli_main([
+        "filter", "--in", flat, "--out", filt,
+        "--columns", "Actor1CountryCode", "ActionGeo_CountryCode",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_before"] == 20_000 and 0 < rep["rows_after"] < 20_000
+    fdf = spark.read.parquet(filt)
+    n_filtered = rep["rows_after"]
+
+    # ---- workload 1: indexed -n with seed (sample.example.sh reproducible
+    # run, scaled 500k -> 2000): same seed twice = same rows
+    s1, s1b = str(tmp_path / "s1"), str(tmp_path / "s1b")
+    for out in (s1, s1b):
+        assert cli_main([
+            "sample", "--in", filt, "--out", out,
+            "--mode", "indexed", "-n", "2000", "--seed", "42",
+        ]) == 0
+        assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rows"] == 2000
+    ids = lambda p: {r.GlobalEventID for r in spark.read.parquet(p).select("GlobalEventID").collect()}  # noqa: E731
+    assert ids(s1) == ids(s1b)
+
+    # ---- workload 2: Brazil OR-filter + slim columns (brazil_slim_100k,
+    # scaled). Every output row matches the OR predicate; only the slim
+    # columns survive.
+    slim = ["GlobalEventID", "Year", "Day", "QuadClass", "AvgTone", "ActionGeo_CountryCode"]
+    s2 = str(tmp_path / "s2")
+    assert cli_main([
+        "sample", "--in", filt, "--out", s2, "--mode", "filtered",
+        "--filter", '{"OR": {"Actor1CountryCode": "BRA", "ActionGeo_CountryCode": "BRA"}}',
+        "--columns", *slim, "-n", "500", "--seed", "42",
+    ]) == 0
+    out2 = spark.read.parquet(s2)
+    assert out2.columns == slim
+    assert out2.count() == 500
+    n_brazil = fdf.filter(
+        (F.col("Actor1CountryCode") == "BRA") | (F.col("ActionGeo_CountryCode") == "BRA")
+    ).count()
+    assert n_brazil >= 500  # the fixture really has enough BRA rows to draw from
+    back = out2.join(fdf.select("GlobalEventID", "Actor1CountryCode"), "GlobalEventID")
+    assert back.filter(
+        (F.col("Actor1CountryCode") != "BRA") & (F.col("ActionGeo_CountryCode") != "BRA")
+    ).count() == 0
+
+    # ---- workload 3: QuadClass-stratified n-per-group; -n is a decoy the
+    # reference documents as IGNORED when --stratify is set (README.md:333)
+    s3 = str(tmp_path / "s3")
+    assert cli_main([
+        "sample", "--in", filt, "--out", s3, "--mode", "filtered",
+        "--stratify", "QuadClass", "--n-per-group", "300",
+        "-n", "7", "--seed", "42",
+    ]) == 0
+    out3 = spark.read.parquet(s3)
+    got = {
+        (str(r.QuadClass) if r.QuadClass is not None else "__NA__"): r.cnt
+        for r in out3.groupBy("QuadClass").agg(F.count("*").alias("cnt")).collect()
+    }
+    expected = {
+        (str(r.QuadClass) if r.QuadClass is not None else "__NA__"): min(r.cnt, 300)
+        for r in fdf.groupBy("QuadClass").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == expected                      # exact n per stratum, NA included
+    assert out3.count() == sum(expected.values()) != 7  # -n ignored

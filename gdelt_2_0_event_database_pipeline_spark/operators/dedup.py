@@ -300,6 +300,7 @@ def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
     two_hop: bool = False,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (id, cluster_id).
 
@@ -324,6 +325,10 @@ def dedup_clusters(
     O(log diameter) rounds instead of O(diameter), at the cost of one extra
     self-join of the (id, label) frame per round. Identical fixpoint.
 
+    ``stats`` (optional dict) receives ``{"rounds": k}`` — the number of
+    propagation rounds actually executed, so tests can pin the
+    O(log diameter) convergence claim instead of trusting the docstring.
+
     Convergence detection is O(1) per round: labels only ever decrease
     (new = min(own, neighbors), and the shortcut only replaces a label with
     its component-minimum-so-far), so the global label sum is monotone and a
@@ -346,7 +351,9 @@ def dedup_clusters(
     # long overflow in the convergence check would kill the whole job
     _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_label_sum).first()[0]
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         new_labels = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("label"))
@@ -387,6 +394,8 @@ def dedup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

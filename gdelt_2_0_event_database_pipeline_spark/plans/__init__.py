@@ -30,6 +30,7 @@ _DRIVER_PRIORITY = [
     # queries whose last driver row is r3 — keeps nothing >2 rounds stale.
     # (c) a small r4-green refresh slice fills the ~50-row window.
     # (a) never driver-checked (oracle upgrades + new registrations first)
+    "q_dedup_chain",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

@@ -709,6 +709,39 @@ def q_dedup_keep_longest(spark, sf_dir):
 
 
 @register(
+    "q_dedup_chain",
+    sql="""
+    SELECT min(doc_id) AS cluster_id, count(*) AS n_members
+    FROM documents GROUP BY doc_id % 40
+    """,
+    doc=(
+        "Adversarial chain-graph components (VERDICT r4 #8): plant 40 drift "
+        "chains (consecutive doc_ids within doc_id%40, the a→a'→a''… shape "
+        "that defeats diameter-2 assumptions), recover components with "
+        "two_hop pointer-doubling label propagation. The oracle knows each "
+        "chain's component in closed form (bucket = component, cluster_id = "
+        "its min doc_id), so the O(log d)-rounds path is fully "
+        "value-checked, not rows-only; the rounds bound itself is pinned in "
+        "test_dedup.py."
+    ),
+)
+def q_dedup_chain(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 40).alias("__b__")
+    )
+    w = Window.partitionBy("__b__").orderBy("doc_id")
+    pairs = (
+        d.withColumn("__nxt__", F.lead("doc_id").over(w))
+        .filter(F.col("__nxt__").isNotNull())
+        .select(F.col("doc_id").alias("id_a"), F.col("__nxt__").alias("id_b"))
+    )
+    clusters = D.dedup_clusters(pairs, two_hop=True)
+    return clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+
+
+@register(
     "q_top_tokens_per_lang",
     sql=f"""
     SELECT lang, token, cnt FROM (

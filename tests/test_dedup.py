@@ -289,3 +289,19 @@ def test_dedup_against_null_text_passes_through(spark):
     )
     kept = {r.doc_id for r in dedup_against(corpus, ref).collect()}
     assert kept == {2, 3, 4}  # only the real content match is dropped
+
+
+def test_dedup_clusters_two_hop_rounds_logarithmic(spark):
+    """The O(log diameter) convergence claim, pinned on a 256-link drift
+    chain via the stats hook: ceil(log2(256)) = 8 propagation-plus-doubling
+    rounds, plus small constant slack for the initial neighbor-min warmup
+    and the final no-change detection round."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(256)], "id_a long, id_b long"
+    )
+    stats = {}
+    out = dedup_clusters(pairs, max_iterations=20, two_hop=True, stats=stats).collect()
+    assert len(out) == 257 and {r.cluster_id for r in out} == {0}
+    assert stats["rounds"] <= 13, f"chain-256 took {stats['rounds']} rounds"

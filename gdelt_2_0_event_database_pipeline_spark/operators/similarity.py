@@ -253,3 +253,103 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------- SemDeDup tier
+def exemplar_centroids(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic hash-ranked exemplar centroids: the ``k`` rows whose
+    ``md5(cast(id as string))`` ranks smallest, as a (``__sd_cid__``,
+    ``__sd_cv__``) frame. A content-keyed stand-in for a fitted k-means
+    codebook (the iterative fit lives in ``operators.ivf``): identical on any
+    engine and any partitioning, so the whole downstream clustering is
+    replayable — the md5 rank is the same engine-portable device the
+    sampling family uses. Plan shape: TakeOrderedAndProject (top-k by rank),
+    never a full sort."""
+    rk = F.md5(F.col(id_col).cast("string"))
+    return (
+        df.select(
+            F.col(id_col).alias("__sd_cid__"), _as_double(vec_col).alias("__sd_cv__")
+        )
+        .orderBy(rk.asc(), F.col("__sd_cid__").asc())
+        .limit(k)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus around ``k`` centroids, then drop
+    every row that has a semantic duplicate (cosine ≥ ``threshold``) with a
+    smaller id *inside its cluster*. Returns the survivors as
+    (id, cluster_id, cos_to_centroid).
+
+    Deviations from the paper, chosen for determinism + set-based execution:
+
+    - centroids default to hash-ranked exemplars (:func:`exemplar_centroids`)
+      instead of a k-means fit — any (id, vector) frame can be passed in
+      (e.g. ``ivf.fit_ivf_centroids`` output) when fit quality matters;
+    - the keep rule is min-id dominance (a row is dropped iff a smaller-id
+      near-duplicate shares its cluster), not the paper's greedy sweep over
+      centroid-similarity order. One self-join instead of a sequential scan;
+      survivors within a cluster are provably pairwise below ``threshold``.
+      Transitive chains prune more aggressively than greedy — the
+      chain-faithful variant is ``dedup.dedup_clusters`` (connected
+      components).
+
+    Scale shape: assignment is corpus × broadcast k-row centroid frame
+    (map-side partial-aggregated argmax — the corpus never shuffles for
+    assignment); the only O(c²) step is the within-cluster self-join, capped
+    by the largest cluster — at 100 TB raise ``k`` (cluster size ~ n/k) or
+    swap the pair step for :func:`embedding_near_dup_pairs` bucketing inside
+    each cluster.
+    """
+    cent = centroids if centroids is not None else exemplar_centroids(df, k, id_col, vec_col)
+    base = df.select(
+        F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
+    )
+    # argmax-cosine assignment: max(struct(cos, -cid)) == (best cos, min cid)
+    best = F.max(
+        F.struct(
+            cosine(F.col("__v__"), F.col("__sd_cv__")).alias("c"),
+            (-F.col("__sd_cid__")).alias("negc"),
+        )
+    ).alias("__best__")
+    assigned = (
+        base.crossJoin(F.broadcast(cent))
+        .groupBy("__id__")
+        .agg(best, F.first("__v__").alias("__v__"))
+        .select(
+            "__id__",
+            (-F.col("__best__.negc")).alias("cluster_id"),
+            F.col("__best__.c").alias("cos_to_centroid"),
+            "__v__",
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .filter(cosine(F.col("a.__v__"), F.col("b.__v__")) >= threshold)
+        .select(F.col("b.__id__").alias("__id__"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "__id__", "left_anti")
+        .select(
+            F.col("__id__").alias(id_col), "cluster_id", "cos_to_centroid"
+        )
+    )

@@ -32,6 +32,7 @@ NESTED_LOOP_OK = {
     "q_dedup_canonical",     # exact-Jaccard edges, doc_id < 200 (oracle-able)
     "q_dedup_keep_longest",  # same capped edge kernel
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
+    "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
                              # counts aggregate (bounded by construction)

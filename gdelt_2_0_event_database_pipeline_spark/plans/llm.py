@@ -1257,3 +1257,53 @@ def q_simhash_signature(spark, sf_dir):
             for c in range(4)
         ],
     )
+
+
+# ---------------------------------------------------------------- SemDeDup (X2/X3)
+@register(
+    "q_semantic_dedup",
+    sql="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS c_id, v AS cv FROM base
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ), scored AS (
+      SELECT b.vec_id, b.v, c.c_id,
+             list_dot_product(b.v, c.cv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+      FROM base b CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, v, c_id AS cluster_id, cos_c AS cos_to_centroid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_c DESC, c_id
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       AND list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+    )
+    SELECT vec_id, cluster_id, cos_to_centroid
+    FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    doc=(
+        "SemDeDup-style semantic dedup (Abbas et al. 2023): cluster around "
+        "8 hash-ranked exemplar centroids, drop every row with a smaller-id "
+        "cosine-duplicate in its cluster. Fully oracle-replayed — the md5 "
+        "exemplar rank, the argmax-cosine assignment, the within-cluster "
+        "pair join and the min-id dominance rule all recompute identically "
+        "in DuckDB (IEEE folds over identical doubles). Threshold 0.25 "
+        "matches the synthetic corpus' cosine range (max pairwise ~0.4, "
+        "as q_embedding_near_dup); production-threshold recall is pinned "
+        "on planted duplicates in tests/test_similarity.py."
+    ),
+)
+def q_semantic_dedup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, k=8, threshold=0.25)

@@ -12,6 +12,7 @@ from gdelt_2_0_event_database_pipeline_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    semantic_dedup,
 )
 
 DIM = 32
@@ -116,3 +117,53 @@ def test_topk_rank_is_dense_and_bounded(emb):
     per_q = out.groupBy("query_id").agg(F.count("*").alias("c"), F.max("rank").alias("m")).collect()
     for r in per_q:
         assert r.c == 3 and r.m == 3
+
+
+# ---------------------------------------------------------------- SemDeDup
+def test_semantic_dedup_drops_planted_duplicates(emb):
+    # 100..109 are tiny perturbations of 0..9 (cos ≈ 0.999); at a
+    # production-grade threshold each planted pair loses its larger id —
+    # UNLESS the pair straddles a cluster boundary (documented property:
+    # dedup is cluster-local). Near-identical vectors share an argmax
+    # centroid except in knife-edge ties, so require ≥8/10 drops.
+    out = semantic_dedup(emb, k=4, threshold=0.98)
+    survivors = {r.vec_id for r in out.collect()}
+    cluster_of = {r.vec_id: r.cluster_id for r in out.collect()}
+    dropped = [i for i in range(100, 110) if 100 + (i - 100) not in survivors]
+    assert len([i for i in range(100, 110) if i not in survivors]) >= 8
+    # originals (smaller ids) always survive their planted twin
+    assert all(i in survivors for i in range(10))
+
+
+def test_semantic_dedup_survivors_pairwise_below_threshold(emb):
+    # min-id dominance ⇒ no two same-cluster survivors are ≥ threshold
+    thresh = 0.5
+    out = semantic_dedup(emb, k=4, threshold=thresh).collect()
+    vecs = _make_vectors().astype(np.float64)
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    for ids in by_cluster.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                cos = float(
+                    vecs[a] @ vecs[b]
+                    / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                )
+                assert cos < thresh, (a, b, cos)
+
+
+def test_semantic_dedup_deterministic_and_custom_centroids(emb):
+    a = sorted((r.vec_id, r.cluster_id) for r in semantic_dedup(emb, k=4, threshold=0.9).collect())
+    b = sorted((r.vec_id, r.cluster_id) for r in semantic_dedup(emb, k=4, threshold=0.9).collect())
+    assert a == b
+    # custom centroid frame: one centroid ⇒ everything lands in one cluster
+    cent = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("__sd_cid__"),
+        F.col("embedding").cast("array<double>").alias("__sd_cv__"),
+    )
+    one = semantic_dedup(emb, threshold=0.98, centroids=cent).collect()
+    assert {r.cluster_id for r in one} == {0}
+    # cos_to_centroid of vec 0 against itself is exactly 1
+    self_row = [r for r in one if r.vec_id == 0]
+    assert self_row and abs(self_row[0].cos_to_centroid - 1.0) < 1e-12

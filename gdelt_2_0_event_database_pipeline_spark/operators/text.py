@@ -428,3 +428,27 @@ def normalize_url(col: Column | str) -> Column:
     )
     path = F.regexp_replace(no_slash, r"^[^/]*", "")
     return F.concat(host, path)
+
+
+def url_domain(col: Column | str, registered_only: bool = False) -> Column:
+    """Extract the host's domain from a URL (or from a
+    :func:`normalize_url` key): scheme/userinfo/port-insensitive,
+    lower-cased, leading ``www.`` stripped. With ``registered_only`` keep
+    just the last two labels (``news.site.example.com`` → ``example.com``) —
+    a pragmatic registered-domain cut that ignores public-suffix
+    multi-label TLDs (a full PSL lookup is a broadcast-join against the
+    suffix list, not a regex). Pure column algebra. NULL in → NULL out.
+
+    Domain-level curation is a first-class 100 TB pipeline stage: per-domain
+    quality priors, crawl budgets, and blocklists all key on this column
+    (see ``plans.llm.q_domain_stats``).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_scheme = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(no_scheme, r"^([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, r":\d+$", "")  # port
+    host = F.regexp_replace(host, r"^www\.", "")
+    if registered_only:
+        host = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return host

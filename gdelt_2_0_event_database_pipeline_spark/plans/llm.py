@@ -1385,3 +1385,72 @@ def q_dedup_against_bloom(spark, sf_dir):
     return D.dedup_against_bloom(d, ref, num_bits=1 << 13, num_hashes=5).select(
         "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------- domain curation
+@register(
+    "q_domain_stats",
+    sql="""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https://www.' ELSE 'http://' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN 'news.' ELSE '' END)
+             || source || '.example.com'
+             || (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END)
+             || '/articles/' || doc_id AS url
+      FROM documents
+    ), domains AS (
+      SELECT doc_id, n_chars,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   lower(regexp_extract(
+                     regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                     '^([^/?#]*)', 1)),
+                   '^[^@]*@', ''),
+                 ':[0-9]+$', ''),
+               '^www\\.', '') AS domain
+      FROM urls
+    )
+    SELECT domain, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM domains
+    WHERE domain NOT IN ('src0.example.com', 'news.src2.example.com')
+    GROUP BY domain
+    """,
+    doc=(
+        "Per-domain corpus stats behind a blocklist — the domain-curation "
+        "stage every crawl pipeline runs (per-domain quality priors, crawl "
+        "budgets, spam blocklists). url_domain() is pure regexp column "
+        "algebra (scheme/userinfo/port/www-insensitive), the blocklist is a "
+        "broadcast anti-join, and the aggregate is one hash shuffle on the "
+        "domain key. URLs derived deterministically from documents "
+        "(scheme/subdomain/port varied by doc_id residues) so the extractor "
+        "is exercised across all its normalizations; oracle replays the "
+        "identical regexp chain in DuckDB."
+    ),
+)
+def q_domain_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://www.")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("news.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        F.col("doc_id").cast("string"),
+    )
+    blocklist = spark.createDataFrame(
+        [("src0.example.com",), ("news.src2.example.com",)], "domain string"
+    )
+    return (
+        d.withColumn("domain", X.url_domain(url))
+        .join(F.broadcast(blocklist), "domain", "left_anti")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )

@@ -267,3 +267,30 @@ def test_normalize_url_collapses_syndication_variants(spark):
     assert got[4] == "example.com/News/story-1" != got[1]
     assert got[5].startswith("other.com/")
     assert got[6] is None
+
+
+def test_url_domain_normalizations(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import url_domain
+
+    cases = [
+        ("https://www.Example.COM/path", "example.com"),
+        ("http://user:pw@news.site.org:8080/x?q=1", "news.site.org"),
+        ("ftp://WWW.files.net", "files.net"),
+        ("example.com/no-scheme", "example.com"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.d for r in df.select(url_domain("url").alias("d")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_url_domain_registered_only(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import url_domain
+
+    df = spark.createDataFrame(
+        [("https://a.b.c.example.co",), ("https://example.co",)], "url string"
+    )
+    got = [
+        r.d for r in df.select(url_domain("url", registered_only=True).alias("d")).collect()
+    ]
+    assert got == ["example.co", "example.co"]

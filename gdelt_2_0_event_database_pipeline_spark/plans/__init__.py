@@ -30,6 +30,10 @@ _DRIVER_PRIORITY = [
     # queries whose last driver row is r3 — keeps nothing >2 rounds stale.
     # (c) a small r4-green refresh slice fills the ~50-row window.
     # (a) never driver-checked (oracle upgrades + new registrations first)
+    "q_semantic_dedup",
+    "q_snapshot_diff",
+    "q_dedup_against_bloom",
+    "q_domain_stats",
     "q_dedup_chain",
     "q_sample_uniform",
     "q_sample_stratified",

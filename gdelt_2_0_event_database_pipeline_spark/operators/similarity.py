@@ -312,38 +312,46 @@ def semantic_dedup(
     assignment); the only O(c²) step is the within-cluster self-join, capped
     by the largest cluster — at 100 TB raise ``k`` (cluster size ~ n/k) or
     swap the pair step for :func:`embedding_near_dup_pairs` bucketing inside
-    each cluster.
+    each cluster. L2 norms are computed once per ROW and reused by every
+    pair, so each pair costs one dot fold, not three — the hoisting doesn't
+    change the arithmetic (same ops, same order), so every cosine stays
+    bit-identical to the unhoisted ratio the oracle computes.
     """
     cent = centroids if centroids is not None else exemplar_centroids(df, k, id_col, vec_col)
+    cent = cent.withColumn("__sd_cn__", l2_norm(F.col("__sd_cv__")))
     base = df.select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
+    ).withColumn("__n__", l2_norm(F.col("__v__")))
+    cos_c = dot(F.col("__v__"), F.col("__sd_cv__")) / (
+        F.col("__n__") * F.col("__sd_cn__")
     )
     # argmax-cosine assignment: max(struct(cos, -cid)) == (best cos, min cid)
     best = F.max(
-        F.struct(
-            cosine(F.col("__v__"), F.col("__sd_cv__")).alias("c"),
-            (-F.col("__sd_cid__")).alias("negc"),
-        )
+        F.struct(cos_c.alias("c"), (-F.col("__sd_cid__")).alias("negc"))
     ).alias("__best__")
     assigned = (
         base.crossJoin(F.broadcast(cent))
         .groupBy("__id__")
-        .agg(best, F.first("__v__").alias("__v__"))
+        .agg(best, F.first("__v__").alias("__v__"), F.first("__n__").alias("__n__"))
         .select(
             "__id__",
             (-F.col("__best__.negc")).alias("cluster_id"),
             F.col("__best__.c").alias("cos_to_centroid"),
             "__v__",
+            "__n__",
         )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = dot(F.col("a.__v__"), F.col("b.__v__")) / (
+        F.col("a.__n__") * F.col("b.__n__")
+    )
     dropped = (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col("a.__id__") < F.col("b.__id__")),
         )
-        .filter(cosine(F.col("a.__v__"), F.col("b.__v__")) >= threshold)
+        .filter(pair_cos >= threshold)
         .select(F.col("b.__id__").alias("__id__"))
         .distinct()
     )

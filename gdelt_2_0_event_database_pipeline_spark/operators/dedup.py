@@ -130,12 +130,16 @@ def minhash_near_dup_pairs(
     b=16, r=4: s=0.7 → ~0.97 recall; the verify stage removes false
     positives, so precision is exact.
 
-    ``hash_family`` picks h_i: ``"xxhash64"`` (default — 8-byte signature
-    values, the 100 TB fast path) or ``"md5"`` — h_i(s) =
-    md5(s·\\x1f·i), computed identically by any engine, so the ENTIRE
-    LSH pipeline (signatures → bands → buckets → candidates → verified
-    pairs) is replayable in an external oracle, not just the verify
-    kernel. Same plan shape either way; only the hash expressions differ.
+    ``hash_family`` picks the base hash: ``"xxhash64"`` (default, the
+    100 TB fast path) or ``"md5"`` — computed identically by any engine, so
+    the ENTIRE LSH pipeline (signatures → bands → buckets → candidates →
+    verified pairs) is replayable in an external oracle, not just the
+    verify kernel. Same plan shape either way; only the base expressions
+    differ. Both families derive the 64 h_i by Kirsch–Mitzenmacher double
+    hashing — h_i(s) = h1(s) + i·h2(s) with h1, h2 two independent 40-bit
+    base hashes — so each shingle is hashed ONCE (md5) or twice (xxhash64)
+    instead of 64 times; the 40-bit halves keep ``h1 + 63·h2 < 2^46`` away
+    from ANSI-mode overflow.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
@@ -143,10 +147,14 @@ def minhash_near_dup_pairs(
         raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
     rows_per_band = num_hashes // bands
 
-    def shingle_hash(i: int) -> Column:
-        if hash_family == "md5":
-            return F.md5(F.concat_ws("\x1f", F.col("__s__"), F.lit(str(i))))
-        return F.xxhash64(F.col("__s__"), F.lit(i))
+    if hash_family == "md5":
+        # one md5 per shingle; h1/h2 = two 40-bit hex windows of the digest
+        _m = F.md5(F.col("__s__"))
+        base_h1 = F.conv(F.substring(_m, 1, 10), 16, 10).cast("long")
+        base_h2 = F.conv(F.substring(_m, 11, 10), 16, 10).cast("long")
+    else:
+        base_h1 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(0)), 24)
+        base_h2 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(1)), 24)
 
     def band_bucket(b: int) -> Column:
         joined = F.concat_ws(
@@ -167,9 +175,12 @@ def minhash_near_dup_pairs(
     exploded = df.select(
         F.col(id_col).alias("__id__"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
-    )
+    ).select("__id__", base_h1.alias("__b1__"), base_h2.alias("__b2__"))
     sig = exploded.groupBy("__id__").agg(
-        *[F.min(shingle_hash(i)).alias(f"__h{i}__") for i in range(num_hashes)]
+        *[
+            F.min(F.col("__b1__") + F.lit(i) * F.col("__b2__")).alias(f"__h{i}__")
+            for i in range(num_hashes)
+        ]
     )
     # bands travel WITHOUT the shingle arrays — duplicating document-sized
     # payloads through the band explode (and the bucket shuffle) is the

@@ -777,10 +777,11 @@ _SQL_SHINGLES = (
     "list_distinct(list_transform("
     "range(1, greatest(len(t) - 2, 1) + 1), i -> t[i : i + 2]))"
 )
-# h_i(s) = md5(s·\x1f·i) — the md5 hash family of minhash_near_dup_pairs
+# Kirsch–Mitzenmacher md5 family of minhash_near_dup_pairs: one md5 per
+# shingle, h1/h2 = two 40-bit hex windows, h_i = h1 + i·h2 (matches Spark's
+# conv(substring(md5, ...), 16, 10) halves exactly)
 _SQL_MINHASH_SIG = ", ".join(
-    f"list_min(list_transform(sh, s -> md5(s || chr(31) || '{i}')))"
-    for i in range(64)
+    f"list_min(list_transform(hp, p -> p[1] + {i} * p[2]))" for i in range(64)
 )
 
 
@@ -791,8 +792,15 @@ _SQL_MINHASH_SIG = ", ".join(
       SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200
     ), sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh FROM docs
+    ), hp AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(sh, s -> md5(s)),
+               m -> [('0x' || substr(m, 1, 10))::BIGINT,
+                     ('0x' || substr(m, 11, 10))::BIGINT]) AS hp
+      FROM sh
     ), sig AS (
-      SELECT doc_id, [{_SQL_MINHASH_SIG}] AS hs FROM sh
+      SELECT doc_id, [{_SQL_MINHASH_SIG}] AS hs FROM hp
     ), banded AS (
       SELECT doc_id, b,
              md5(concat_ws(',', hs[b*4+1], hs[b*4+2], hs[b*4+3], hs[b*4+4],

@@ -10,7 +10,7 @@ these run inside the scan/project stage with zero extra shuffles.
 from __future__ import annotations
 
 import pandas as pd  # Arrow-batched pandas_udf type hints resolve at module scope
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -452,3 +452,49 @@ def url_domain(col: Column | str, registered_only: bool = False) -> Column:
     if registered_only:
         host = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return host
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf·idf with a *rational* idf,
+    ``idf(t) = (N - df_t + 0.5) / (df_t + 0.5)`` (the BM25 idf without the
+    log). Dropping the log changes only the score's scale, not the per-
+    document ranking it induces for fixed N — and makes every operation
+    (+, −, ×, ÷ on exact integers-plus-halves) IEEE-bit-identical across
+    engines, so the score column itself is oracle-hashable; ``ln`` has no
+    such cross-engine guarantee.
+
+    Plan shape: explode → (doc, term) counts → term df by a second
+    aggregation → shuffle join on the term key → broadcast the one-row
+    corpus count → per-doc top-k window (deterministic term tiebreak).
+    Both aggregations partial-aggregate map-side; document text never
+    travels past the explode.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy("__id__", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.col("n_docs") - F.col("df_cnt") + F.lit(0.5))
+            / (F.col("df_cnt") + F.lit(0.5)),
+        )
+    )
+    w = Window.partitionBy("__id__").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id__").alias(id_col), "term", "tfidf", "rank"
+        )
+    )

@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
+    "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
                              # counts aggregate (bounded by construction)
     "q_token_budget",        # same bounded triangular-offsets pattern
@@ -47,6 +48,7 @@ SINGLE_PARTITION_OK = {
     "q_profile",         # one-row dataset profile
     "q_heavy_hitters",   # freqItems sketch merges to one summary row
     "q_approx_distinct", # single-row HLL++ summary
+    "q_tfidf_keywords",  # one-row corpus-count scalar (partial-agg'd)
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -1466,3 +1466,43 @@ def q_domain_stats(spark, sf_dir):
             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------- TF-IDF keywords
+@register(
+    "q_tfidf_keywords",
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 150
+    ), toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfx AS (
+      SELECT term, count(*) AS df_cnt FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM docs
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (n.n_docs - dfx.df_cnt + 0.5) / (dfx.df_cnt + 0.5) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (n.n_docs - dfx.df_cnt + 0.5)
+                          / (dfx.df_cnt + 0.5) DESC, tf.term
+             ) AS rank
+      FROM tf JOIN dfx USING (term) CROSS JOIN n
+    ) WHERE rank <= 3
+    """,
+    doc=(
+        "Top-3 keywords per document by tf-idf with the rational BM25-style "
+        "idf (N - df + 0.5)/(df + 0.5): same ranking as the log form for "
+        "fixed N, but every operation is IEEE-bit-identical across engines "
+        "(ln is not), so the score column itself is hash-checked. Two "
+        "map-side-partial aggregations, a shuffle join on the term key, a "
+        "broadcast one-row corpus count, and a per-doc ranked window."
+    ),
+)
+def q_tfidf_keywords(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return X.tfidf_top_terms(d, "doc_id", "text", k=3)

@@ -294,3 +294,51 @@ def test_url_domain_registered_only(spark):
         r.d for r in df.select(url_domain("url", registered_only=True).alias("d")).collect()
     ]
     assert got == ["example.co", "example.co"]
+
+
+def test_tfidf_ranking_matches_log_idf(spark):
+    """The rational idf induces the same per-doc ranking as the log idf
+    (both strictly decrease in df for fixed N), so top-k sets agree with a
+    numpy log-idf reference on a corpus with distinctive terms."""
+    import math
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple banana apple cherry common common"),
+        (2, "banana durian durian common common"),
+        (3, "cherry elderberry common common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): r.term
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # reference: tf * ((N - df + .5)/(df + .5)) vs tf * log version — both
+    # rank rare repeated terms first
+    from collections import Counter
+
+    texts = {i: t.split() for i, t in rows}
+    dfc = Counter(t for toks in texts.values() for t in set(toks))
+    for doc_id, toks in texts.items():
+        tf = Counter(toks)
+        n = len(texts)
+        scored = sorted(
+            tf,
+            key=lambda t: (-tf[t] * math.log((n + 1) / (dfc[t] + 0.5)), t),
+        )[:2]
+        assert [got[(doc_id, r)] for r in (1, 2)] == scored
+
+
+def test_tfidf_deterministic_tiebreak(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import tfidf_top_terms
+
+    # two terms with identical tf and df → identical score → term-asc order
+    df = spark.createDataFrame(
+        [(1, "zeta alpha"), (2, "gamma gamma")], "doc_id long, text string"
+    )
+    got = [
+        (r.term, r.rank)
+        for r in tfidf_top_terms(df, k=2).filter("doc_id = 1").collect()
+    ]
+    assert got == [("alpha", 1), ("zeta", 2)]

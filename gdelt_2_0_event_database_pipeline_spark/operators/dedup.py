@@ -111,37 +111,24 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / F.greatest(union, F.lit(1))
 
 
-def minhash_near_dup_pairs(
+def _minhash_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.7,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    hash_family: str = "xxhash64",
-) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front end: (banded, shingles) frames for one input.
 
-    Plan: signature+bands in the scan stage → explode bands (rows × bands,
-    but each row is only (band, bucket, id, shingles)) → self-join on
-    (band, bucket) → distinct candidate pairs → exact Jaccard ≥ threshold.
-    With b bands of r rows the match probability is 1-(1-s^r)^b — at
-    b=16, r=4: s=0.7 → ~0.97 recall; the verify stage removes false
-    positives, so precision is exact.
-
-    ``hash_family`` picks the base hash: ``"xxhash64"`` (default, the
-    100 TB fast path) or ``"md5"`` — computed identically by any engine, so
-    the ENTIRE LSH pipeline (signatures → bands → buckets → candidates →
-    verified pairs) is replayable in an external oracle, not just the
-    verify kernel. Same plan shape either way; only the base expressions
-    differ. Both families derive the 64 h_i by Kirsch–Mitzenmacher double
-    hashing — h_i(s) = h1(s) + i·h2(s) with h1, h2 two independent 40-bit
-    base hashes — so each shingle is hashed ONCE (md5) or twice (xxhash64)
-    instead of 64 times; the 40-bit halves keep ``h1 + 63·h2 < 2^46`` away
-    from ANSI-mode overflow.
-
-    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    ``banded`` = (``__id__``, band, bucket) — one row per (doc, band), no
+    payloads; ``shingles`` = (``__id__``, ``__sh__``) for the exact-Jaccard
+    verify stage. Used by both the self-join (:func:`minhash_near_dup_pairs`)
+    and the asymmetric corpus-vs-reference join
+    (:func:`minhash_near_dup_against`); both sides of the asymmetric join
+    MUST share (num_hashes, bands, shingle_n, hash_family) or buckets are
+    incomparable — calling this from one place enforces that.
     """
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
@@ -197,7 +184,44 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("__id__"),
         F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh__"),
     )
+    return banded, shingles
 
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan: signature+bands in the scan stage → explode bands (rows × bands,
+    but each row is only (band, bucket, id, shingles)) → self-join on
+    (band, bucket) → distinct candidate pairs → exact Jaccard ≥ threshold.
+    With b bands of r rows the match probability is 1-(1-s^r)^b — at
+    b=16, r=4: s=0.7 → ~0.97 recall; the verify stage removes false
+    positives, so precision is exact.
+
+    ``hash_family`` picks the base hash: ``"xxhash64"`` (default, the
+    100 TB fast path) or ``"md5"`` — computed identically by any engine, so
+    the ENTIRE LSH pipeline (signatures → bands → buckets → candidates →
+    verified pairs) is replayable in an external oracle, not just the
+    verify kernel. Same plan shape either way; only the base expressions
+    differ. Both families derive the 64 h_i by Kirsch–Mitzenmacher double
+    hashing — h_i(s) = h1(s) + i·h2(s) with h1, h2 two independent 40-bit
+    base hashes — so each shingle is hashed ONCE (md5) or twice (xxhash64)
+    instead of 64 times; the 40-bit halves keep ``h1 + 63·h2 < 2^46`` away
+    from ANSI-mode overflow.
+
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    banded, shingles = _minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_family
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -579,3 +603,77 @@ def dedup_against_bloom(
     clean = probe.filter(~F.col("__maybe__")).drop("__maybe__")
     candidates = probe.filter(F.col("__maybe__")).drop("__maybe__")
     return clean.unionByName(dedup_against(candidates, ref, text_col))
+
+
+def minhash_near_dup_against(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Asymmetric MinHash+LSH: near-duplicate pairs between a NEW corpus and
+    a REFERENCE corpus (new crawl vs the previous training snapshot) — the
+    near-dup twin of :func:`dedup_against`, which only catches exact
+    matches. Returns (id, ref_id, jaccard_sim): every verified pair with
+    ``id`` from ``df`` and ``ref_id`` from ``ref``.
+
+    Same banded front end on both sides (shared parameters enforced by
+    construction), but the bucket join is df×ref instead of a self-join —
+    candidates only form inside shared (band, bucket) cells, so the
+    reference never meets the full crawl. At 100 TB the reference side's
+    banded frame is computed once and persisted (it is pure signature rows,
+    ~(8·bands) bytes/doc); each incremental batch joins against it.
+    """
+    banded_d, shingles_d = _minhash_banded(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_family
+    )
+    banded_r, shingles_r = _minhash_banded(
+        ref, id_col, text_col, num_hashes, bands, shingle_n, hash_family
+    )
+    cand = (
+        banded_d.alias("a")
+        .join(
+            banded_r.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.__id__").alias("id"), F.col("b.__id__").alias("ref_id")
+        )
+        .dropDuplicates(["id", "ref_id"])
+    )
+    sh_d = shingles_d.select(F.col("__id__").alias("id"), F.col("__sh__").alias("sh_d"))
+    sh_r = shingles_r.select(
+        F.col("__id__").alias("ref_id"), F.col("__sh__").alias("sh_r")
+    )
+    return (
+        cand.join(sh_d, "id")
+        .join(sh_r, "ref_id")
+        .withColumn("jaccard_sim", jaccard(F.col("sh_d"), F.col("sh_r")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id", "ref_id", "jaccard_sim")
+    )
+
+
+def dedup_near_against(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Keep only ``df`` rows with NO verified near-duplicate in ``ref`` —
+    the incremental-ingest decision built on
+    :func:`minhash_near_dup_against` (recall bounded by the LSH band
+    parameters; matches the 1-(1-s^r)^b curve, so a high-similarity dup
+    slipping through is the documented LSH tradeoff, not a bug)."""
+    hits = minhash_near_dup_against(
+        df, ref, id_col, text_col, threshold, **lsh_kwargs
+    ).select(F.col("id").alias(id_col)).distinct()
+    return df.join(hits, id_col, "left_anti")

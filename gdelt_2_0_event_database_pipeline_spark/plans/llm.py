@@ -1506,3 +1506,65 @@ def q_domain_stats(spark, sf_dir):
 def q_tfidf_keywords(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return X.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+def _sql_minhash_side(name: str, where: str) -> str:
+    """CTE chain (docs → shingles → hash pairs → signature → bands) for one
+    side of the asymmetric LSH join; same construction as q_dedup_minhash."""
+    return f"""
+    docs_{name} AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE {where}
+    ), sh_{name} AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh FROM docs_{name}
+    ), hp_{name} AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(sh, s -> md5(s)),
+               m -> [('0x' || substr(m, 1, 10))::BIGINT,
+                     ('0x' || substr(m, 11, 10))::BIGINT]) AS hp
+      FROM sh_{name}
+    ), sig_{name} AS (
+      SELECT doc_id, [{_SQL_MINHASH_SIG}] AS hs FROM hp_{name}
+    ), banded_{name} AS (
+      SELECT doc_id, b,
+             md5(concat_ws(',', hs[b*4+1], hs[b*4+2], hs[b*4+3], hs[b*4+4],
+                           CAST(b AS VARCHAR))) AS bucket
+      FROM sig_{name}, (SELECT unnest(range(0, 16)) AS b)
+    )"""
+
+
+@register(
+    "q_dedup_near_against",
+    sql=f"""
+    WITH {_sql_minhash_side("new", "doc_id < 150")},
+    {_sql_minhash_side("ref", "doc_id >= 150 AND doc_id < 300")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id, c.doc_id AS ref_id
+      FROM banded_new a JOIN banded_ref c
+        ON a.b = c.b AND a.bucket = c.bucket
+    )
+    SELECT id, ref_id, jaccard_sim FROM (
+      SELECT id, ref_id,
+             len(list_intersect(sa.sh, sb.sh))
+               / greatest(len(list_distinct(sa.sh || sb.sh)), 1) AS jaccard_sim
+      FROM cand JOIN sh_new sa ON sa.doc_id = id
+                JOIN sh_ref sb ON sb.doc_id = ref_id
+    ) WHERE jaccard_sim >= 0.6
+    """,
+    doc=(
+        "Asymmetric MinHash+LSH near-dup join: NEW batch (doc_id < 150) vs "
+        "REFERENCE snapshot (150-299) — the near-dup twin of "
+        "q_dedup_against (which only catches byte-exact matches). md5 "
+        "Kirsch-Mitzenmacher family, so DuckDB replays the full pipeline "
+        "on both sides plus the cross-corpus bucket join and verify. At "
+        "scale the reference's banded frame is computed once and persisted;"
+        " each incremental crawl batch joins against it."
+    ),
+)
+def q_dedup_near_against(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") < 150)
+    ref = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    return D.minhash_near_dup_against(
+        new, ref, "doc_id", "text", threshold=0.6, hash_family="md5"
+    )

@@ -360,3 +360,44 @@ def test_bloom_bitmap_rejects_unaligned_bits(spark):
     ref = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bloom_bitmap(ref, "text", num_bits=100, num_hashes=3)
+
+
+def test_near_dup_against_finds_cross_corpus_dups(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        dedup_near_against,
+        minhash_near_dup_against,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    new = spark.createDataFrame(
+        [(1, base % 1), (2, "completely unrelated text about spark plans"),
+         (3, base % 3)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(91, base % 1), (92, "another unrelated reference document body")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_near_dup_against(new, ref, "doc_id", "text", threshold=0.6)
+    got = {(r.id, r.ref_id) for r in pairs.collect()}
+    assert (1, 91) in got          # exact twin found
+    assert (3, 91) in got          # near twin (one digit differs) found
+    assert all(i != 2 for i, _ in got)  # unrelated doc never pairs
+
+    survivors = {r.doc_id for r in dedup_near_against(new, ref, "doc_id", "text", threshold=0.6).collect()}
+    assert survivors == {2}
+
+
+def test_near_dup_against_no_self_pairs_semantics(spark):
+    """Unlike the self-join variant there is no id_a < id_b constraint —
+    equal ids on the two sides are distinct corpora and must still pair."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        minhash_near_dup_against,
+    )
+
+    text = "same content either side of the corpus boundary here"
+    new = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    ref = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = [(r.id, r.ref_id, r.jaccard_sim) for r in minhash_near_dup_against(
+        new, ref, "doc_id", "text", threshold=0.9).collect()]
+    assert got == [(7, 7, 1.0)]

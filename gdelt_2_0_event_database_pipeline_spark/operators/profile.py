@@ -48,3 +48,43 @@ def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFr
         ]
     )
     return wide.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [``lower``, ``upper``] quantiles —
+    the outlier-hygiene step before averaging quality scores or fitting
+    thresholds (one pathological document must not drag a domain's mean).
+
+    Adds ``<value_col>_wins`` plus boolean ``<value_col>_clipped_low/high``.
+    Plan: one tiny per-group percentile aggregate, broadcast back, then a
+    map-side ``least(greatest(...))`` clip — the row stream itself never
+    shuffles. ``exact=False`` swaps ``percentile`` for
+    ``approx_percentile`` — at 100 TB the exact per-group sort of a
+    billion-row group is the only expensive part, and the approx sketch
+    removes it at the cost of boundary precision.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    pfn = F.percentile if exact else F.percentile_approx
+    v = F.col(value_col)
+    keys = [group_col] if group_col else []
+    th = df.groupBy(*keys).agg(
+        pfn(value_col, F.lit(lower)).alias("__lo__"),
+        pfn(value_col, F.lit(upper)).alias("__hi__"),
+    )
+    joined = df.join(F.broadcast(th), keys) if keys else df.crossJoin(F.broadcast(th))
+    return (
+        joined.withColumn(
+            f"{value_col}_wins", F.least(F.greatest(v, F.col("__lo__")), F.col("__hi__"))
+        )
+        .withColumn(f"{value_col}_clipped_low", v < F.col("__lo__"))
+        .withColumn(f"{value_col}_clipped_high", v > F.col("__hi__"))
+        .drop("__lo__", "__hi__")
+    )

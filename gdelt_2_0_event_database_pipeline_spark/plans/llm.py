@@ -1568,3 +1568,42 @@ def q_dedup_near_against(spark, sf_dir):
     return D.minhash_near_dup_against(
         new, ref, "doc_id", "text", threshold=0.6, hash_family="md5"
     )
+
+
+# ---------------------------------------------------------------- winsorize
+@register(
+    "q_winsorize",
+    sql="""
+    WITH th AS (
+      SELECT l_returnflag,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(*) FILTER (WHERE l.l_extendedprice < th.lo) AS n_clipped_low,
+           count(*) FILTER (WHERE l.l_extendedprice > th.hi) AS n_clipped_high,
+           round(avg(least(greatest(l.l_extendedprice, th.lo), th.hi)), 4)
+             AS mean_wins
+    FROM lineitem l JOIN th USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "Winsorized per-group mean (outlier hygiene for quality scores): "
+        "p05/p95 thresholds per group from ONE tiny aggregate, broadcast "
+        "back, map-side clip, then the grouped mean — the row stream never "
+        "shuffles for the clip itself. Exact percentile interpolation is "
+        "cross-engine on identical doubles (q_quantiles); the mean is "
+        "rounded like every double aggregate."
+    ),
+)
+def q_winsorize(spark, sf_dir):
+    from ..operators import profile as P
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = P.winsorize(li, "l_extendedprice", group_col="l_returnflag")
+    return w.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_extendedprice_clipped_low"), 1)).alias("n_clipped_low"),
+        F.count(F.when(F.col("l_extendedprice_clipped_high"), 1)).alias("n_clipped_high"),
+        F.round(F.avg("l_extendedprice_wins"), 4).alias("mean_wins"),
+    )

@@ -111,3 +111,32 @@ def test_redact_prunes_scan_to_needed_columns(spark):
     plan = _plan(df)
     # only doc_id + text should be read despite the documents table being wider
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_winsorize_clips_and_counts(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import winsorize
+
+    # 0..99 plus two wild outliers per group
+    rows = [(g, float(i)) for g in ("a", "b") for i in range(100)]
+    rows += [("a", 1e9), ("a", -1e9), ("b", 1e9), ("b", -1e9)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = winsorize(df, "x", group_col="g")
+    import pyspark.sql.functions as F
+
+    agg = out.groupBy("g").agg(
+        F.max("x_wins").alias("mx"),
+        F.min("x_wins").alias("mn"),
+        F.sum(F.col("x_clipped_high").cast("long")).alias("nh"),
+        F.sum(F.col("x_clipped_low").cast("long")).alias("nl"),
+    ).collect()
+    for r in agg:
+        assert r.mx < 1e9 and r.mn > -1e9
+        assert r.nh >= 1 and r.nl >= 1
+    # ungrouped path
+    out2 = winsorize(df, "x")
+    assert out2.filter("x_wins >= 1e9").count() == 0
+    # bad bounds
+    import pytest
+
+    with pytest.raises(ValueError):
+        winsorize(df, "x", lower=0.9, upper=0.1)

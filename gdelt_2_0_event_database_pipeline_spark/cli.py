@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--order-by", nargs="*", default=None, help="exact mode: keep-first ordering")
     dd.add_argument("--threshold", type=float, default=0.8, help="minhash: jaccard threshold")
 
+    df_ = sub.add_parser("diff", help="row-level CDC between two lake snapshots")
+    df_.add_argument("--old", required=True, help="previous snapshot parquet dir")
+    df_.add_argument("--new", required=True, help="current snapshot parquet dir")
+    df_.add_argument("--key", nargs="+", required=True, help="key columns")
+    df_.add_argument("--out", default=None, help="optional parquet sink for the diff rows")
+
     cp = sub.add_parser("compact", help="merge a parquet dir's small files")
     cp.add_argument("--in", dest="in_dir", required=True, help="flat parquet dir (Hive trees: run per leaf)")
     cp.add_argument("--target-mb", type=int, default=128)
@@ -211,6 +217,30 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 pairs.write.mode("overwrite").parquet(args.out)
                 print(json.dumps({"pairs": spark.read.parquet(args.out).count()}))
+        elif args.command == "diff":
+            from .operators.cdc import snapshot_diff
+
+            old = lake.read_lake(spark, args.old)
+            new = lake.read_lake(spark, args.new)
+            diff = snapshot_diff(old, new, key_cols=args.key)
+            if args.out:
+                diff.write.mode("overwrite").parquet(args.out)
+                diff = spark.read.parquet(args.out)
+            from pyspark.sql import functions as F
+
+            counts = {
+                r.change_type: r.n
+                for r in diff.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "added": counts.get("added", 0),
+                        "removed": counts.get("removed", 0),
+                        "changed": counts.get("changed", 0),
+                    }
+                )
+            )
         elif args.command == "compact":
             report = lake.compact_parquet(spark, args.in_dir, target_file_mb=args.target_mb)
             print(json.dumps(report))

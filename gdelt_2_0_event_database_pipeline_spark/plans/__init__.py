@@ -34,6 +34,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_near_against",
     "q_tfidf_keywords",
     "q_winsorize",
+    "q06_forecast_revenue",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

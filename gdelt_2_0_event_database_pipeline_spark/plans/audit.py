@@ -49,6 +49,7 @@ SINGLE_PARTITION_OK = {
     "q_heavy_hitters",   # freqItems sketch merges to one summary row
     "q_approx_distinct", # single-row HLL++ summary
     "q_tfidf_keywords",  # one-row corpus-count scalar (partial-agg'd)
+    "q06_forecast_revenue",  # TPC-H Q6: one-row global revenue aggregate
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -97,6 +97,39 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q06_forecast_revenue",
+    sql="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape: the pure-pushdown query — every predicate lands in "
+        "scan-level PushedFilters (range + between + lt on scalar columns), "
+        "then one global aggregate with map-side partials. The canonical "
+        "probe that filter pushdown and column pruning actually reach the "
+        "parquet reader (only 4 of 11 lineitem columns in ReadSchema)."
+    ),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "q03_shipping_priority",
     sql="""
     SELECT l_orderkey,

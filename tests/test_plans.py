@@ -140,3 +140,19 @@ def test_winsorize_clips_and_counts(spark):
 
     with pytest.raises(ValueError):
         winsorize(df, "x", lower=0.9, upper=0.1)
+
+
+def test_q06_pushes_all_predicates_and_prunes_columns(spark):
+    df = QUERIES["q06_forecast_revenue"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # every Q6 predicate reaches the parquet scan
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"GreaterThan({col}" in plan or f"LessThan({col}" in plan or \
+            f"GreaterThanOrEqual({col}" in plan, col
+    # only the 4 referenced columns survive to ReadSchema
+    m = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert m and all(
+        c in m[0] for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    )
+    assert "l_orderkey" not in m[0]

@@ -33,3 +33,35 @@ def percentile_approx(col: str, percentage: float, accuracy: int = 10000) -> Col
 def frequent_items(df: DataFrame, cols: list[str], support: float = 0.01) -> DataFrame:
     """Karp et al. heavy hitters — one pass, no shuffle of raw values."""
     return df.freqItems(cols, support)
+
+
+def hll_sketch_table(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group mergeable HLL sketch (Apache DataSketches binary) — the
+    pre-aggregation a lake persists per partition/day so distinct counts
+    over ANY coarser grouping come from unioning kilobyte sketches instead
+    of re-scanning raw data. ~2^lg_k bytes per group; relative error
+    ≈ 1.04/sqrt(2^lg_k) (~1.6% at the default lg_k=12)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll_sketch")
+    )
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame, merge_keys: list[str]
+) -> DataFrame:
+    """Union persisted per-group sketches up to ``merge_keys`` and estimate
+    the distinct count — the incremental-maintenance read path: touching
+    only the sketch table, never the raw events. Unlike additive counters,
+    HLL unions are exact over overlap (re-processing a day twice does not
+    double-count), which is what makes the sketch table idempotently
+    maintainable."""
+    grouped = (
+        sketches.groupBy(*merge_keys)
+        if merge_keys
+        else sketches.groupBy()
+    )
+    return grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("distinct_est")
+    )

@@ -35,6 +35,7 @@ _DRIVER_PRIORITY = [
     "q_tfidf_keywords",
     "q_winsorize",
     "q06_forecast_revenue",
+    "q_hll_rollup",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

@@ -156,3 +156,48 @@ def test_q06_pushes_all_predicates_and_prunes_columns(spark):
         c in m[0] for c in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
     )
     assert "l_orderkey" not in m[0]
+
+
+def test_hll_rollup_within_tolerance_and_idempotent(spark):
+    """Sketch rollup ≈ exact distinct (HLL error contract), and unioning a
+    re-processed day twice does NOT double-count (the invariant that makes
+    the sketch table idempotently maintainable — an additive counter fails
+    this)."""
+    import pyspark.sql.functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.sketches import (
+        hll_rollup_estimate,
+        hll_sketch_table,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.plans.relational import _events
+
+    ev = _events(spark, SF_DIR).select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_sketch_table(ev, ["event_type", "day"], "user_id")
+    est = {
+        r.event_type: r.distinct_est
+        for r in hll_rollup_estimate(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.05, (et, est[et], n)
+
+    # idempotence: duplicate one day's sketches before the union
+    one_day = daily.limit(1)
+    doubled = daily.unionAll(one_day)
+    est2 = {
+        r.event_type: r.distinct_est
+        for r in hll_rollup_estimate(doubled, ["event_type"]).collect()
+    }
+    assert est2 == est
+
+    # global rollup (empty merge keys) estimates the overall distinct count
+    total = hll_rollup_estimate(daily, []).collect()[0].distinct_est
+    exact_total = ev.agg(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(total - exact_total) / exact_total < 0.05

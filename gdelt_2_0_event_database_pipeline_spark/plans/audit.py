@@ -33,6 +33,7 @@ NESTED_LOOP_OK = {
     "q_dedup_keep_longest",  # same capped edge kernel
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
+    "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row

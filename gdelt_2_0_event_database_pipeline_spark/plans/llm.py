@@ -1633,3 +1633,81 @@ def q_hll_rollup(spark, sf_dir):
     )
     daily = SK.hll_sketch_table(ev, ["event_type", "day"], "user_id")
     return SK.hll_rollup_estimate(daily, ["event_type"])
+
+
+# --------------------------------------------------- model-free semantic dedup
+_SQL_HASHED_VEC = """
+    tok AS (
+      SELECT doc_id, {toks} AS toks
+      FROM documents WHERE doc_id < 200
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS t FROM tok
+    ), tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 10))::BIGINT % 64 AS b,
+             CASE WHEN (('0x' || substr(md5(t), 11, 1))::INTEGER % 2) = 0
+                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+      FROM ex
+    ), bw AS (
+      SELECT doc_id, b, sum(s) AS w FROM tb GROUP BY doc_id, b
+    ), mv AS (
+      SELECT doc_id, map_from_entries(list({{'k': b, 'v': w}})) AS m
+      FROM bw GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id AS vec_id,
+             list_transform(range(0, 64), i -> coalesce(m[i][1], 0.0::DOUBLE)) AS v
+      FROM mv
+    )""".format(toks=_SQL_TOKENS)
+
+
+@register(
+    "q_hashed_semantic_dedup",
+    sql=f"""
+    WITH {_SQL_HASHED_VEC},
+    nz AS (
+      SELECT vec_id, v FROM base WHERE list_dot_product(v, v) > 0
+    ), cent AS (
+      SELECT vec_id AS c_id, v AS cv FROM nz
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 6
+    ), scored AS (
+      SELECT b.vec_id, b.v, c.c_id,
+             list_dot_product(b.v, c.cv)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+      FROM nz b CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, v, c_id AS cluster_id, cos_c AS cos_to_centroid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos_c DESC, c_id
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       AND list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+    )
+    SELECT vec_id AS doc_id, cluster_id, cos_to_centroid
+    FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    doc=(
+        "Model-free semantic dedup over RAW TEXT: hashing-trick document "
+        "vectors (signed token counts, md5 bucket/sign family, "
+        "un-normalized so counts stay exactly representable) feed straight "
+        "into the SemDeDup operator — the composition that runs embedding-"
+        "style dedup on tables that ship no embeddings. The oracle replays "
+        "the whole chain: tokenize, hash to 64 dims, sparse-to-dense "
+        "assembly, zero-vector guard, exemplar centroids, argmax "
+        "assignment, dominance rule. 81 of 200 docs drop at cosine 0.8 on "
+        "the synthetic corpus's near-dup pairs."
+    ),
+)
+def q_hashed_semantic_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vec = X.hashed_feature_vector(d, dim=64, hash_family="md5").filter(
+        F.exists("vector", lambda x: x != 0)
+    )
+    return S.semantic_dedup(vec, k=6, threshold=0.8, id_col="doc_id", vec_col="vector")

@@ -342,3 +342,53 @@ def test_tfidf_deterministic_tiebreak(spark):
         for r in tfidf_top_terms(df, k=2).filter("doc_id = 1").collect()
     ]
     assert got == [("alpha", 1), ("zeta", 2)]
+
+
+def test_hashed_feature_vector_properties(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        hashed_feature_vector,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "alpha beta alpha"),       # identical text → identical vector
+            (3, "gamma delta epsilon"),    # disjoint tokens
+            (4, ""),                       # no tokens → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.vector for r in hashed_feature_vector(df, dim=16).collect()}
+    assert 4 not in out                      # empty docs produce no vector row
+    assert out[1] == out[2]                  # content-determined
+    assert out[1] != out[3]
+    # signed counts: the repeated token contributes ±2, the other ±1
+    assert sorted(abs(v) for v in out[1] if v != 0) == [1.0, 2.0]
+    # family mismatch raises
+    import pytest
+
+    with pytest.raises(ValueError):
+        hashed_feature_vector(df, hash_family="sha1")
+
+
+def test_hashed_vectors_feed_semantic_dedup(spark):
+    """The composition: near-identical texts land in one cluster and the
+    larger id drops; unrelated text survives."""
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        hashed_feature_vector,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " today"), (3, "completely different subject matter entirely unrelated")],
+        "doc_id long, text string",
+    )
+    vec = hashed_feature_vector(df, dim=32).filter(F.exists("vector", lambda x: x != 0))
+    out = semantic_dedup(vec, k=1, threshold=0.9, id_col="doc_id", vec_col="vector")
+    survivors = {r.doc_id for r in out.collect()}
+    assert survivors == {1, 3}

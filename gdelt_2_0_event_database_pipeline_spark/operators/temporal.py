@@ -255,3 +255,68 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(session_col, F.sum(is_start).over(running))
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    interval_minutes: int,
+) -> DataFrame:
+    """Resample each key's irregular observations onto a regular
+    ``interval_minutes`` grid with forward fill — the gap-fill primitive
+    time-series stores ship natively and Spark lacks (turning sparse sensor
+    /price/metric events into the dense aligned series joins and models
+    need).
+
+    Grid: per key, from its first observation's interval floor to its last,
+    inclusive — generated with ``sequence()`` (no driver loop, no cross
+    join against a global spine, keys with short histories cost only their
+    own span). Observations landing in the same bucket keep the LAST value
+    (latest state wins); empty buckets forward-fill from the previous
+    bucket via ``last(ignorenulls)`` over one partitioned window. Leading
+    buckets before a key's first observation do not exist by construction,
+    so no NULL-leading edge.
+
+    Shuffle shape: one exchange on ``key_cols`` shared by the in-bucket
+    dedup window and the fill window (same partitioning); the spine explode
+    is map-side. Output: (*key_cols, bucket_ts, *value_cols).
+    """
+    if interval_minutes <= 0:
+        raise ValueError(f"interval_minutes must be positive, got {interval_minutes}")
+    step = interval_minutes * 60 * 1_000_000
+    bucket = (F.floor(_us(F.col(ts_col)) / step) * step).alias("__bus__")
+    obs = df.select(*key_cols, bucket, _us(F.col(ts_col)).alias("__us__"), *value_cols)
+    # last observation per (key, bucket): latest state wins inside a bucket
+    w_in = Window.partitionBy(*key_cols, "__bus__").orderBy(F.desc("__us__"))
+    per_bucket = (
+        obs.withColumn("__rn__", F.row_number().over(w_in))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__us__")
+    )
+    # per-key grid from min to max bucket
+    span = per_bucket.groupBy(*key_cols).agg(
+        F.min("__bus__").alias("__lo__"), F.max("__bus__").alias("__hi__")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo__"), F.col("__hi__"), F.lit(step))
+        ).alias("__bus__"),
+    )
+    joined = grid.join(per_bucket, [*key_cols, "__bus__"], "left")
+    w_fill = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bus__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        *key_cols,
+        F.timestamp_micros(F.col("__bus__")).alias("bucket_ts"),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w_fill).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled

@@ -37,6 +37,7 @@ _DRIVER_PRIORITY = [
     "q06_forecast_revenue",
     "q_hll_rollup",
     "q_hashed_semantic_dedup",
+    "q_resample_ffill",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

@@ -206,3 +206,59 @@ def q_sessionize(spark, sf_dir):
     return sessionize(e, ["user_id"], "ts", gap_minutes=30).select(
         "event_id", "user_id", "session_id"
     )
+
+
+_RS_STEP = 360 * 60 * 1_000_000  # 6-hour grid in µs
+
+
+@register(
+    "q_resample_ffill",
+    sql=f"""
+    WITH uniq AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE user_id < 20 GROUP BY user_id, ts
+    ), obs AS (
+      SELECT user_id, (epoch_us(ts) // {_RS_STEP}) * {_RS_STEP} AS bus,
+             epoch_us(ts) AS us, value
+      FROM uniq
+    ), pb AS (
+      SELECT user_id, bus, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, bus ORDER BY us DESC
+        ) AS rn FROM obs
+      ) WHERE rn = 1
+    ), span AS (
+      SELECT user_id, min(bus) AS lo, max(bus) AS hi FROM pb GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(lo, hi + {_RS_STEP}, {_RS_STEP})) AS bus
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.bus, p.value
+      FROM grid g LEFT JOIN pb p ON g.user_id = p.user_id AND g.bus = p.bus
+    )
+    SELECT user_id, make_timestamp(bus) AS bucket_ts,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bus
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value
+    FROM j
+    """,
+    doc=(
+        "Regular-grid resampling with forward fill (6-hour buckets per "
+        "user): per-key spine via sequence() — no global spine cross join, "
+        "no driver loop — latest-state-wins in-bucket dedup, and one "
+        "partitioned last(ignorenulls) fill window sharing the key "
+        "exchange. The time-series gap-fill primitive Spark lacks; oracle "
+        "replays grid generation and fill in DuckDB. Input pre-aggregated "
+        "to unique (user, ts) so in-bucket ordering is total on both "
+        "engines."
+    ),
+)
+def q_resample_ffill(spark, sf_dir):
+    from ..operators.temporal import resample_ffill
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    uniq = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    return resample_ffill(
+        uniq, ["user_id"], "ts", ["value"], interval_minutes=360
+    )

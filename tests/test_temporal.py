@@ -165,3 +165,44 @@ def test_asof_nearest_single_shuffle(spark):
     )
     out = asof_nearest(left, right, ["user_id"], "ts", "ts", ["value"])
     assert explain_shuffles(out) == 1
+
+
+def test_resample_ffill_fills_gaps(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        resample_ffill,
+    )
+
+    base = dt.datetime(2024, 5, 1, 0, 0)
+    rows = [
+        # key "a": obs at t0 and t0+3h → 1h grid must fill hours 1, 2
+        ("a", base, 10.0),
+        ("a", base + dt.timedelta(hours=3), 40.0),
+        # two obs in ONE bucket: the later one wins
+        ("a", base + dt.timedelta(minutes=10), 11.0),
+        # key "b": single observation → single bucket, no fill rows
+        ("b", base + dt.timedelta(hours=1), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_ffill(df, ["k"], "ts", ["v"], interval_minutes=60)
+    got = {(r.k, r.bucket_ts): r.v for r in out.collect()}
+    assert got == {
+        ("a", base): 11.0,                              # latest-in-bucket wins
+        ("a", base + dt.timedelta(hours=1)): 11.0,      # forward-filled
+        ("a", base + dt.timedelta(hours=2)): 11.0,      # forward-filled
+        ("a", base + dt.timedelta(hours=3)): 40.0,
+        ("b", base + dt.timedelta(hours=1)): 99.0,
+    }
+
+
+def test_resample_ffill_rejects_bad_interval(spark):
+    import pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        resample_ffill,
+    )
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        resample_ffill(df, ["k"], "ts", ["v"], interval_minutes=0)

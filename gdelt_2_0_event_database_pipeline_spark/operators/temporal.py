@@ -41,6 +41,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_minutes: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row at-or-before its
     timestamp (``backward``; ``forward`` = earliest at-or-after), per key.
@@ -51,9 +52,16 @@ def asof_join(
     key — same cost as a plain equi-join of the two inputs, independent of
     how many right rows precede each left row (a naive range join is
     quadratic in that count).
+
+    ``tolerance_minutes`` bounds staleness (the kdb/pandas ``tolerance``):
+    a match further than the bound from the left timestamp is nulled out —
+    same plan, the matched right timestamp rides the window as one extra
+    carried column and a map-side comparison gates the values.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance_minutes is not None and tolerance_minutes <= 0:
+        raise ValueError(f"tolerance_minutes must be positive, got {tolerance_minutes}")
 
     keys = list(key_cols)
     # left_ts must not ride along in lcols: it is re-emitted from __ts__ in the
@@ -68,6 +76,12 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in right_value_cols],
     )
+    carry_cols = list(right_value_cols)
+    if tolerance_minutes is not None:
+        carry_cols.append("__mts__")
+        l_tagged = l_tagged.withColumn(
+            "__r___mts____", F.lit(None).cast("long")
+        )
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts__"),
@@ -75,6 +89,8 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}__") for c in right_value_cols],
     )
+    if tolerance_minutes is not None:
+        r_tagged = r_tagged.withColumn("__r___mts____", _us(F.col("__ts__")))
     unioned = l_tagged.unionByName(r_tagged)
 
     if direction == "backward":
@@ -85,7 +101,7 @@ def asof_join(
         )
         carried = [
             F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_value_cols
+            for c in carry_cols
         ]
     else:
         w = (
@@ -95,15 +111,25 @@ def asof_join(
         )
         carried = [
             F.first(f"__r_{c}__", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_value_cols
+            for c in carry_cols
         ]
 
     out = unioned.select(*keys, "__ts__", "__side__", *lcols, *carried).filter(
         F.col("__side__") == 1
     )
+    final_vals = [F.col(f"asof_{c}") for c in right_value_cols]
+    if tolerance_minutes is not None:
+        tol_us = int(tolerance_minutes * 60 * 1_000_000)
+        gap = _us(F.col("__ts__")) - F.col("asof___mts__")
+        if direction == "forward":
+            gap = -gap
+        ok = F.col("asof___mts__").isNotNull() & (gap <= tol_us)
+        final_vals = [
+            F.when(ok, F.col(f"asof_{c}")).alias(f"asof_{c}")
+            for c in right_value_cols
+        ]
     return out.select(
-        *keys, F.col("__ts__").alias(left_ts), *lcols,
-        *[F.col(f"asof_{c}") for c in right_value_cols],
+        *keys, F.col("__ts__").alias(left_ts), *lcols, *final_vals,
     )
 
 

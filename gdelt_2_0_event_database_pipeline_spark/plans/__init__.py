@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "q_hll_rollup",
     "q_hashed_semantic_dedup",
     "q_resample_ffill",
+    "q_asof_tolerance",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

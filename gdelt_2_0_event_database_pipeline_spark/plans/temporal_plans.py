@@ -262,3 +262,41 @@ def q_resample_ffill(spark, sf_dir):
     return resample_ffill(
         uniq, ["user_id"], "ts", ["value"], interval_minutes=360
     )
+
+
+@register(
+    "q_asof_tolerance",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+         l AS (SELECT * FROM e WHERE event_type <> 'signup'),
+         r AS (SELECT * FROM e WHERE event_type = 'signup')
+    SELECT l.event_id, l.user_id,
+           (SELECT r.value FROM r
+             WHERE r.user_id = l.user_id AND r.ts <= l.ts
+               AND r.ts >= l.ts - INTERVAL 2 DAY
+             ORDER BY r.ts DESC LIMIT 1) AS signup_value
+    FROM l
+    """,
+    doc=(
+        "As-of join with bounded staleness (kdb/pandas `tolerance`): the "
+        "most recent signup at-or-before each event counts only within 48 "
+        "hours — staler matches null out. Same union+window plan as "
+        "q_asof_join with the matched timestamp riding as one extra "
+        "carried column; the oracle is an explicitly bounded lateral "
+        "subquery."
+    ),
+)
+def q_asof_tolerance(spark, sf_dir):
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type", "value")
+    left = e.filter(F.col("event_type") != "signup")
+    right = e.filter(F.col("event_type") == "signup")
+    out = asof_join(
+        left,
+        right.select("user_id", "ts", "value"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+        tolerance_minutes=48 * 60,
+    )
+    return out.select("event_id", "user_id", F.col("asof_value").alias("signup_value"))

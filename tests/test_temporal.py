@@ -206,3 +206,38 @@ def test_resample_ffill_rejects_bad_interval(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError):
         resample_ffill(df, ["k"], "ts", ["v"], interval_minutes=0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 5, 1, 12, 0)
+    left = spark.createDataFrame(
+        [
+            (1, "k", base),                                # 2h after match → kept
+            (2, "k", base + dt.timedelta(hours=10)),       # 12h after → stale
+            (3, "k", base - dt.timedelta(hours=5)),        # before any → null
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", base - dt.timedelta(hours=2), 7.0)], "k string, ts timestamp, v double"
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_minutes=4 * 60
+    )
+    got = {r.id: r.asof_v for r in out.collect()}
+    assert got == {1: 7.0, 2: None, 3: None}
+    # forward direction: tolerance bounds the wait-ahead
+    fwd = asof_join(
+        left, right, ["k"], "ts", "ts", ["v"],
+        direction="forward", tolerance_minutes=4 * 60,
+    )
+    got_f = {r.id: r.asof_v for r in fwd.collect()}
+    assert got_f == {1: None, 2: None, 3: 7.0}  # only id 3 is within 4h before the match
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance_minutes=-1)

@@ -346,3 +346,48 @@ def resample_ffill(
         ],
     )
     return filled
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest time each step was
+    reached IN ORDER (step k counts only strictly after step k-1's reached
+    time). Returns (user, step_1_ts, …, step_k_ts) with NULL from the first
+    unreached step — the product-analytics primitive behind conversion
+    dashboards.
+
+    Plan: ONE conditional aggregation per user computes, for every step,
+    the sorted list of that step's event times (a per-user, per-step
+    ``array_sort(collect_list)``), then the ordered walk is a pure
+    expression over those arrays (``F.filter`` + ``array_min``) — one
+    shuffle on the user key regardless of step count, no k-way self-join.
+    Per-user state is bounded by that user's event count (fine for
+    user-keyed events; for billions-of-events-per-user keys, pre-aggregate
+    to per-(user, step) daily minima first).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+        ).alias(f"__ts_{i}__")
+        for i, s in enumerate(steps)
+    ]
+    per_user = df.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+    prev = None
+    outs = []
+    for i, s in enumerate(steps):
+        arr = F.col(f"__ts_{i}__")
+        if prev is None:
+            reached = F.array_min(arr)
+        else:
+            after = F.filter(arr, lambda t: t > prev)
+            reached = F.when(prev.isNotNull(), F.array_min(after))
+        outs.append(reached.alias(f"step_{i + 1}_ts"))
+        prev = reached
+    return per_user.select("user", *outs)

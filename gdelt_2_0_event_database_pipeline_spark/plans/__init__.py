@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     "q_hashed_semantic_dedup",
     "q_resample_ffill",
     "q_asof_tolerance",
+    "q_funnel",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

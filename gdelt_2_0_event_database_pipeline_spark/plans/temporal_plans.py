@@ -300,3 +300,44 @@ def q_asof_tolerance(spark, sf_dir):
         tolerance_minutes=48 * 60,
     )
     return out.select("event_id", "user_id", F.col("asof_value").alias("signup_value"))
+
+
+@register(
+    "q_funnel",
+    sql="""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id AS user, s1.t1 AS step_1_ts, s2.t2 AS step_2_ts,
+           s3.t3 AS step_3_ts
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """,
+    doc=(
+        "Ordered conversion funnel (view -> click -> purchase): per user, "
+        "the earliest time each step was reached strictly after the "
+        "previous step. ONE conditional aggregation per user (sorted "
+        "per-step time arrays) + a pure-expression ordered walk — one "
+        "shuffle regardless of step count, vs the oracle's k-way "
+        "staged-join formulation. NULL from the first unreached step."
+    ),
+)
+def q_funnel(spark, sf_dir):
+    from ..operators.temporal import funnel_steps
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

@@ -241,3 +241,35 @@ def test_asof_tolerance_nulls_stale_matches(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "ts", "ts", ["v"], tolerance_minutes=-1)
+
+
+def test_funnel_ordered_semantics(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import funnel_steps
+
+    t = lambda m: dt.datetime(2024, 6, 1, 0, m)
+    rows = [
+        # u1 completes in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # u2: click BEFORE first view — doesn't count; later click does
+        (2, t(3), "click"), (2, t(4), "view"), (2, t(8), "click"),
+        # u3: purchase without click → stops at step 1
+        (3, t(0), "view"), (3, t(2), "purchase"),
+        # u4: no view at all → all NULL
+        (4, t(1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.user: (r.step_1_ts, r.step_2_ts, r.step_3_ts)
+        for r in funnel_steps(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()
+    }
+    assert got[1] == (t(0), t(5), t(9))
+    assert got[2] == (t(4), t(8), None)   # pre-view click ignored
+    assert got[3] == (t(0), None, None)   # purchase can't skip click
+    assert got[4] == (None, None, None)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_steps(df, "user_id", "ts", "event_type", [])

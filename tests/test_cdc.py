@@ -52,3 +52,43 @@ def test_snapshot_diff_composite_key(spark):
         for r in snapshot_diff(old, new, ["k", "part"]).collect()
     }
     assert got == {(1, "p"): "changed", (1, "q"): "removed", (1, "r"): "added"}
+
+
+# ---------------------------------------------------------------- fuzz
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VALS = st.one_of(st.none(), st.sampled_from(["a", "b", "", "x\x1fy"]))
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 6), _VALS, _VALS), min_size=0, max_size=8
+).map(lambda rows: list({k: (k, a, b) for k, a, b in rows}.values()))  # unique keys
+
+
+def _reference_diff(old_rows, new_rows):
+    old = {k: (a, b) for k, a, b in old_rows}
+    new = {k: (a, b) for k, a, b in new_rows}
+    out = {}
+    for k in old.keys() | new.keys():
+        if k not in new:
+            out[k] = "removed"
+        elif k not in old:
+            out[k] = "added"
+        elif old[k] != new[k]:
+            out[k] = "changed"
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old_rows=_ROWS, new_rows=_ROWS)
+def test_snapshot_diff_fuzz_matches_reference(spark, old_rows, new_rows):
+    """Random keyed snapshots (NULLs, empty strings, separator-colliding
+    values) — the digest join must classify exactly like a dict diff."""
+    schema = "k long, a string, b string"
+    old = spark.createDataFrame(old_rows, schema) if old_rows else spark.createDataFrame([], schema)
+    new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == _reference_diff(old_rows, new_rows)

@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "q_resample_ffill",
     "q_asof_tolerance",
     "q_funnel",
+    "q_sql_surface",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

@@ -197,3 +197,41 @@ def q_grouping_sets(spark, sf_dir):
         "o_orderpriority",
         "o_orderstatus",
     ).agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))
+
+
+_SQL_SURFACE = """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, revenue,
+           row_number() OVER (
+             PARTITION BY region ORDER BY revenue DESC, nation
+           ) AS rnk
+    FROM rev
+"""
+
+
+@register(
+    "q_sql_surface",
+    sql=_SQL_SURFACE,
+    doc=(
+        "The SQL API surface: this query string is executed VERBATIM by "
+        "both engines — spark.sql() over registered temp views on one "
+        "side, DuckDB on the other — proving a user can drive the engine "
+        "with plain ANSI SQL (CTE, 4-way join, grouped aggregate, ranked "
+        "window) and get hash-identical results, not just through the "
+        "DataFrame builders every other query uses."
+    ),
+)
+def q_sql_surface(spark, sf_dir):
+    from .registry import load_tables
+
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_SQL_SURFACE)

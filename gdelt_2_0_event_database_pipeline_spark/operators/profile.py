@@ -88,3 +88,42 @@ def winsorize(
         .withColumn(f"{value_col}_clipped_high", v > F.col("__hi__"))
         .drop("__lo__", "__hi__")
     )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_buckets: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` over [``lo``, ``hi``) —
+    (``group?``, bucket, bucket_lo, n) with out-of-range values clamped
+    into the edge buckets (so counts always total the input). Pure floor
+    arithmetic instead of ``width_bucket`` so any engine reproduces the
+    same bucket ids; one map-side-partial aggregation, no sort.
+
+    Explicit bounds are the scale choice: a data-driven (min, max) needs a
+    pre-pass — callers profiling unknown data run ``profile_table`` first
+    or accept one extra tiny aggregate, while fixed dashboards skip it.
+    """
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got ({lo}, {hi})")
+    width = (hi - lo) / num_buckets
+    v = F.col(value_col)
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(num_buckets - 1),
+    ).cast("long")
+    keys = ([F.col(group_col)] if group_col else []) + [bucket.alias("bucket")]
+    out = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(width))
+    )
+    cols = ([group_col] if group_col else []) + ["bucket", "bucket_lo", "n"]
+    return out.select(*cols)

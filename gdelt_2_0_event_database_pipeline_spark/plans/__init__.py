@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "q_asof_tolerance",
     "q_funnel",
     "q_sql_surface",
+    "q_histogram",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

@@ -1711,3 +1711,34 @@ def q_hashed_semantic_dedup(spark, sf_dir):
         F.exists("vector", lambda x: x != 0)
     )
     return S.semantic_dedup(vec, k=6, threshold=0.8, id_col="doc_id", vec_col="vector")
+
+
+@register(
+    "q_histogram",
+    sql="""
+    SELECT l_returnflag, bucket,
+           1000.0 + bucket * ((60000.0 - 1000.0) / 20) AS bucket_lo,
+           count(*) AS n
+    FROM (
+      SELECT l_returnflag,
+             CAST(least(greatest(floor((l_extendedprice - 1000.0)
+                 / ((60000.0 - 1000.0) / 20)), 0), 19) AS BIGINT) AS bucket
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    GROUP BY l_returnflag, bucket
+    """,
+    doc=(
+        "Fixed-width numeric histogram (20 buckets of l_extendedprice over "
+        "[1000, 60000) per return flag, out-of-range clamped to the edges) "
+        "— the profile-stage staple, as pure floor arithmetic so both "
+        "engines derive identical bucket ids. One map-side-partial "
+        "aggregation, no sort, no width_bucket dialect dependence."
+    ),
+)
+def q_histogram(spark, sf_dir):
+    from ..operators import profile as P
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return P.numeric_histogram(
+        li, "l_extendedprice", 1000.0, 60000.0, 20, group_col="l_returnflag"
+    )

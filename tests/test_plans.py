@@ -201,3 +201,31 @@ def test_hll_rollup_within_tolerance_and_idempotent(spark):
     total = hll_rollup_estimate(daily, []).collect()[0].distinct_est
     exact_total = ev.agg(F.count_distinct("user_id")).collect()[0][0]
     assert abs(total - exact_total) / exact_total < 0.05
+
+
+def test_numeric_histogram_clamps_and_totals(spark):
+    import pyspark.sql.functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in [-5, 0, 1, 9, 10, 19, 99, 1000]] + [(None,)],
+        "x double",
+    )
+    out = numeric_histogram(df, "x", 0.0, 20.0, 4)
+    got = {r.bucket: (r.bucket_lo, r.n) for r in out.collect()}
+    # buckets of width 5 over [0,20): -5 clamps into 0, 99/1000 clamp into 3
+    assert got[0] == (0.0, 3)   # -5 (clamped), 0, 1
+    assert got[1] == (5.0, 1)   # 9
+    assert got[2] == (10.0, 1)  # 10
+    assert got[3] == (15.0, 3)  # 19, 99, 1000 (clamped)
+    assert sum(n for _, n in got.values()) == 8  # NULL excluded, rest total
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "x", 5.0, 5.0, 4)
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "x", 0.0, 1.0, 0)

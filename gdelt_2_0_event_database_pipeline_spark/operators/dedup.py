@@ -720,3 +720,85 @@ def dedup_near_against(
         df, ref, id_col, text_col, threshold, **lsh_kwargs
     ).select(F.col("id").alias(id_col)).distinct()
     return df.join(hits, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------- exact set-sim
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """EXACT self set-similarity join: ALL pairs with Jaccard ≥ ``threshold``
+    over an array column — prefix filtering (Chaudhuri et al. 2006 /
+    PPJoin family), the lossless alternative to MinHash when missed pairs
+    are not acceptable (compliance dedup, eval decontamination).
+
+    Why it is exact: order every set by a global token order (ascending
+    document frequency, then token — rare tokens first); two sets with
+    J(a,b) ≥ t must share at least one token within each other's first
+    ``|s| - ceil(t·|s|) + 1`` tokens, so exploding ONLY that prefix as the
+    join key loses no qualifying pair, while pruning the candidate space
+    by ~t/(1+t) per set and concentrating keys on rare tokens (small
+    buckets). Exact Jaccard verifies candidates; no recall parameter to
+    tune, no false negatives.
+
+    Plan: one token-frequency aggregate, broadcast-joined back, and each
+    row's tokens sorted by the (frequency, token) STRUCT directly — any
+    total order satisfies the prefix lemma, so no global rank window (a
+    ``row_number`` over the vocabulary would funnel it through one
+    partition). Then prefix explode, self-join on the prefix token, exact
+    verify. At 100 TB the frequency table is the only global state —
+    persist it like the LSH reference frames.
+    Returns (id_a, id_b, jaccard_sim).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    base = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(F.col(set_col)).alias("__set__"),
+    )
+    tok = base.select(F.explode("__set__").alias("__t__"))
+    freq = tok.groupBy("__t__").agg(F.count(F.lit(1)).alias("__f__"))
+    # per-row tokens sorted rare-first by the (freq, token) composite key
+    ranked = (
+        base.select("__id__", F.explode("__set__").alias("__t__"))
+        .join(F.broadcast(freq), "__t__")
+        .groupBy("__id__")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__f__", "__t__"))).alias("__rs__")
+        )
+        .select(
+            "__id__",
+            F.col("__rs__.__t__").alias("__sorted__"),
+            F.size("__rs__").alias("__n__"),
+        )
+    )
+    # prefix length |s| - ceil(t*|s|) + 1
+    plen = F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1
+    prefixed = ranked.select(
+        "__id__", "__sorted__",
+        F.explode(F.slice("__sorted__", 1, plen.cast("int"))).alias("__p__"),
+    )
+    a, b = prefixed.alias("a"), prefixed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__p__") == F.col("b.__p__"))
+            & (F.col("a.__id__") < F.col("b.__id__")),
+        )
+        .select(
+            F.col("a.__id__").alias("id_a"),
+            F.col("b.__id__").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = ranked.select(F.col("__id__").alias("id_a"), F.col("__sorted__").alias("__sa__"))
+    sb = ranked.select(F.col("__id__").alias("id_b"), F.col("__sorted__").alias("__sb__"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sa__"), F.col("__sb__")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )

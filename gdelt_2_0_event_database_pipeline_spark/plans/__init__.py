@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "q_funnel",
     "q_sql_surface",
     "q_histogram",
+    "q_setsim_join",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

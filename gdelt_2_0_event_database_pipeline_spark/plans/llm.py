@@ -1742,3 +1742,32 @@ def q_histogram(spark, sf_dir):
     return P.numeric_histogram(
         li, "l_extendedprice", 1000.0, 60000.0, 20, group_col="l_returnflag"
     )
+
+
+@register(
+    "q_setsim_join",
+    sql=f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS st
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT id_a, id_b, jaccard_sim FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.st, b.st))
+               / greatest(len(list_distinct(a.st || b.st)), 1) AS jaccard_sim
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.5
+    """,
+    doc=(
+        "EXACT set-similarity self-join (prefix filtering, PPJoin family): "
+        "ALL token-set pairs with Jaccard >= 0.5 — the lossless alternative "
+        "to MinHash when missed pairs are unacceptable. The oracle is the "
+        "brute-force all-pairs join, so the driver hash-check proves the "
+        "prefix filter drops NO qualifying pair; candidate-space pruning "
+        "vs brute force is pinned in tests."
+    ),
+)
+def q_setsim_join(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = d.select("doc_id", X.tokens("text").alias("toks"))
+    return D.set_similarity_join(toks, "doc_id", "toks", threshold=0.5)

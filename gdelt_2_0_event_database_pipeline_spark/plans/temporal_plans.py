@@ -341,3 +341,52 @@ def q_funnel(spark, sf_dir):
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return funnel_steps(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@register(
+    "q_merge_intervals",
+    sql="""
+    WITH iv AS (
+      SELECT user_id, ts::TIMESTAMP AS s,
+             ts::TIMESTAMP + INTERVAL 45 MINUTE AS e
+      FROM events WHERE user_id < 30
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) THEN 1 ELSE 0 END AS ni
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(ni) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS isl
+      FROM flagged
+    )
+    SELECT user_id, min(s) AS interval_start, max(e) AS interval_end,
+           count(*) AS n_merged
+    FROM islands GROUP BY user_id, isl
+    """,
+    doc=(
+        "Gap-and-island interval merging: per-user 45-minute activity "
+        "spans around each event collapse into maximal busy periods — two "
+        "windows over one key shuffle, touching endpoints merge. Oracle "
+        "replays the identical running-max-island formulation."
+    ),
+)
+def q_merge_intervals(spark, sf_dir):
+    from ..operators.temporal import merge_intervals
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 30)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("e"),
+    )
+    return merge_intervals(iv, ["user_id"], "s", "e")

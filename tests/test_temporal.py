@@ -273,3 +273,32 @@ def test_funnel_ordered_semantics(spark):
 
     with pytest.raises(ValueError):
         funnel_steps(df, "user_id", "ts", "event_type", [])
+
+
+def test_merge_intervals_semantics(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    t = lambda m: dt.datetime(2024, 7, 1, 0, m)
+    rows = [
+        # k1: [0,10] + [5,15] overlap; [15,20] touches → ONE island [0,20];
+        #     [30,35] separate
+        ("k1", t(0), t(10)), ("k1", t(5), t(15)), ("k1", t(15), t(20)),
+        ("k1", t(30), t(35)),
+        # k2: nested interval [0,40] ⊃ [10,20]; [25,30] is INSIDE the outer
+        # island even though it starts after the previous row's own end
+        ("k2", t(0), t(40)), ("k2", t(10), t(20)), ("k2", t(25), t(30)),
+    ]
+    df = spark.createDataFrame(rows, "k string, s timestamp, e timestamp")
+    got = {
+        (r.k, r.interval_start): (r.interval_end, r.n_merged)
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert got == {
+        ("k1", t(0)): (t(20), 3),
+        ("k1", t(30)): (t(35), 1),
+        ("k2", t(0)): (t(40), 3),   # running-max handles nesting correctly
+    }

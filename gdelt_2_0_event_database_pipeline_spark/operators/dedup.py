@@ -802,3 +802,70 @@ def set_similarity_join(
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
+
+
+def containment_join(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT asymmetric containment join: all (df row a, ref row b) pairs
+    with ``|a ∩ b| / |a| ≥ threshold`` — "how much of a is inside b", the
+    quote/subset/near-superset detector (eval-question-inside-training-doc,
+    boilerplate-inside-page) that symmetric Jaccard under-scores when the
+    two sets differ greatly in size.
+
+    Prefix lemma, containment form: only ``a``'s first
+    ``|a| - ceil(t·|a|) + 1`` tokens (rare-first by ``df``-side frequency)
+    need to be probed — a qualifying pair must share one of them — while
+    the ``ref`` side indexes ALL its tokens. Lossless; exact verify on
+    candidates. Returns (id, ref_id, containment).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0,1], got {threshold}")
+    a_base = df.select(
+        F.col(id_col).alias("__id__"), F.array_distinct(F.col(set_col)).alias("__set__")
+    )
+    b_base = ref.select(
+        F.col(id_col).alias("__rid__"), F.array_distinct(F.col(set_col)).alias("__rset__")
+    )
+    freq = (
+        a_base.select(F.explode("__set__").alias("__t__"))
+        .groupBy("__t__")
+        .agg(F.count(F.lit(1)).alias("__f__"))
+    )
+    ranked = (
+        a_base.select("__id__", F.explode("__set__").alias("__t__"))
+        .join(F.broadcast(freq), "__t__")
+        .groupBy("__id__")
+        .agg(F.array_sort(F.collect_list(F.struct("__f__", "__t__"))).alias("__rs__"))
+        .select(
+            "__id__",
+            F.col("__rs__.__t__").alias("__sorted__"),
+            F.size("__rs__").alias("__n__"),
+        )
+    )
+    plen = F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1
+    probes = ranked.select(
+        "__id__", F.explode(F.slice("__sorted__", 1, plen.cast("int"))).alias("__t__")
+    )
+    index = b_base.select("__rid__", F.explode("__rset__").alias("__t__"))
+    cand = (
+        probes.join(index, "__t__")
+        .select(F.col("__id__").alias("id"), F.col("__rid__").alias("ref_id"))
+        .dropDuplicates(["id", "ref_id"])
+    )
+    sa = ranked.select(F.col("__id__").alias("id"), F.col("__sorted__").alias("__sa__"))
+    sb = b_base.select(F.col("__rid__").alias("ref_id"), F.col("__rset__").alias("__sb__"))
+    containment = F.size(F.array_intersect(F.col("__sa__"), F.col("__sb__"))) / F.greatest(
+        F.size("__sa__"), F.lit(1)
+    )
+    return (
+        cand.join(sa, "id")
+        .join(sb, "ref_id")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id", "ref_id", "containment")
+    )

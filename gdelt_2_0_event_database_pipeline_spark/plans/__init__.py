@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "q_histogram",
     "q_setsim_join",
     "q_merge_intervals",
+    "q_containment_join",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

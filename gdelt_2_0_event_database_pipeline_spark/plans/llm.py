@@ -1771,3 +1771,39 @@ def q_setsim_join(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     toks = d.select("doc_id", X.tokens("text").alias("toks"))
     return D.set_similarity_join(toks, "doc_id", "toks", threshold=0.5)
+
+
+@register(
+    "q_containment_join",
+    sql=f"""
+    WITH a AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS st
+      FROM documents WHERE doc_id < 100
+    ), b AS (
+      SELECT doc_id, list_distinct({_SQL_TOKENS}) AS st
+      FROM documents WHERE doc_id >= 100 AND doc_id < 250
+    )
+    SELECT id, ref_id, containment FROM (
+      SELECT a.doc_id AS id, b.doc_id AS ref_id,
+             len(list_intersect(a.st, b.st))
+               / greatest(len(a.st), 1) AS containment
+      FROM a JOIN b ON TRUE
+    ) WHERE containment >= 0.8
+    """,
+    doc=(
+        "EXACT asymmetric containment join (|a∩b|/|a| >= 0.8): how much of "
+        "each new doc's token set lies inside a reference doc — the quote/"
+        "subset detector symmetric Jaccard under-scores across size "
+        "mismatches. Prefix filtering on the probe side only (rare-first "
+        "by frequency), full index on the reference side; the brute-force "
+        "all-pairs oracle proves losslessness."
+    ),
+)
+def q_containment_join(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select("doc_id", X.tokens("text").alias("toks"))
+    b = (
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250))
+        .select("doc_id", X.tokens("text").alias("toks"))
+    )
+    return D.containment_join(a, b, "doc_id", "toks", threshold=0.8)

@@ -508,3 +508,35 @@ def test_set_similarity_prefix_prunes_candidates(spark):
     # verified: at t=0.9 the prefix is 1 token = each set's rarest (unique)
     # token, so candidate generation finds zero shared prefix tokens
     assert out.count() == 0
+
+
+def test_containment_join_detects_subsets(spark):
+    import itertools
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        containment_join,
+    )
+
+    probes = [
+        (1, ["q1", "q2", "q3"]),              # fully inside ref 91
+        (2, ["q1", "q2", "zz"]),              # 2/3 inside ref 91
+        (3, ["aa", "bb", "cc"]),              # nowhere
+    ]
+    refs = [
+        (91, ["q1", "q2", "q3", "r1", "r2", "r3", "r4"]),
+        (92, ["aa", "r9"]),
+    ]
+    a = spark.createDataFrame(probes, "id long, s array<string>")
+    b = spark.createDataFrame(refs, "id long, s array<string>")
+    got = {
+        (r.id, r.ref_id): r.containment
+        for r in containment_join(a, b, "id", "s", threshold=0.6).collect()
+    }
+    # brute-force reference
+    expected = {}
+    for (i, sa), (j, sb) in itertools.product(probes, refs):
+        c = len(set(sa) & set(sb)) / len(set(sa))
+        if c >= 0.6:
+            expected[(i, j)] = c
+    assert got == expected
+    assert got[(1, 91)] == 1.0 and (2, 91) in got and (3, 92) not in got

@@ -559,3 +559,51 @@ def hashed_feature_vector(
         )
     )
     return assembled
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb line-dedup
+    stage): any non-blank line appearing in ≥ ``min_docs`` DISTINCT
+    documents (site headers, cookie banners, copyright footers) is deleted
+    from every document. Returns (id, clean_text, n_dropped_lines).
+
+    Plan: position-tagged line explode → distinct-doc count per line (the
+    shuffle key at scale is the 8-byte line hash, same economics as
+    ``dedup_exact_hash``; text equality is the semantics) → anti-join →
+    order-preserving reassembly via one ``array_sort`` over collected
+    (pos, line) structs. Blank lines are never counted as boilerplate and
+    always survive, so paragraph structure is preserved.
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = df.select(
+        F.col(id_col).alias("__id__"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__ln__"),
+    )
+    common = (
+        lines.filter(F.trim("__ln__") != "")
+        .groupBy("__ln__")
+        .agg(F.count_distinct("__id__").alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+        .select("__ln__")
+    )
+    kept = lines.join(common, "__ln__", "left_anti")
+    n_lines = lines.groupBy("__id__").agg(F.count(F.lit(1)).alias("__tot__"))
+    return (
+        kept.groupBy("__id__")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos__", "__ln__"))).alias("__ls__"),
+            F.count(F.lit(1)).alias("__kept__"),
+        )
+        .join(n_lines, "__id__")
+        .select(
+            F.col("__id__").alias(id_col),
+            F.array_join(F.col("__ls__.__ln__"), "\n").alias("clean_text"),
+            (F.col("__tot__") - F.col("__kept__")).alias("n_dropped_lines"),
+        )
+    )

@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "q_setsim_join",
     "q_merge_intervals",
     "q_containment_join",
+    "q_boilerplate_lines",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

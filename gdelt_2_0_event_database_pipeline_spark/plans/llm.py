@@ -1807,3 +1807,59 @@ def q_containment_join(spark, sf_dir):
         .select("doc_id", X.tokens("text").alias("toks"))
     )
     return D.containment_join(a, b, "doc_id", "toks", threshold=0.8)
+
+
+@register(
+    "q_boilerplate_lines",
+    sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             'SITE HEADER NAVIGATION' || chr(10) || text || chr(10) ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+                   ELSE 'copyright 2024 example corp' END) AS text
+      FROM documents WHERE doc_id < 150
+    ), la AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs
+    ), lines AS (
+      SELECT doc_id, i AS pos, ls[i] AS ln
+      FROM la, unnest(range(1, len(ls) + 1)) AS t(i)
+    ), common AS (
+      SELECT ln FROM (
+        SELECT ln, count(DISTINCT doc_id) AS nd
+        FROM lines WHERE trim(ln) != '' GROUP BY ln
+      ) WHERE nd >= 10
+    ), kept AS (
+      SELECT doc_id, pos, ln FROM lines
+      WHERE ln NOT IN (SELECT ln FROM common)
+    ), tot AS (
+      SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           string_agg(k.ln, chr(10) ORDER BY k.pos) AS clean_text,
+           any_value(t.n) - count(*) AS n_dropped_lines
+    FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+    doc=(
+        "Corpus-level boilerplate line removal (CCNet/RefinedWeb line "
+        "dedup): headers/footers planted onto every document (the header "
+        "on all, two footer variants on thirds) are lines appearing in "
+        ">= 10 distinct docs and get deleted everywhere; document body "
+        "lines shared by >= 10 docs (exact-dup bodies) go too — that IS "
+        "the semantics. Order-preserving reassembly; oracle replays "
+        "split, distinct-doc counting, anti-join, and ordered rejoin."
+    ),
+)
+def q_boilerplate_lines(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("SITE HEADER NAVIGATION\n"),
+            F.col("text"),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("subscribe to our newsletter"))
+            .otherwise(F.lit("copyright 2024 example corp")),
+        ).alias("text"),
+    )
+    return X.drop_boilerplate_lines(docs, "doc_id", "text", min_docs=10)

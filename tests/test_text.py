@@ -392,3 +392,37 @@ def test_hashed_vectors_feed_semantic_dedup(spark):
     out = semantic_dedup(vec, k=1, threshold=0.9, id_col="doc_id", vec_col="vector")
     survivors = {r.doc_id for r in out.collect()}
     assert survivors == {1, 3}
+
+
+def test_drop_boilerplate_lines(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        drop_boilerplate_lines,
+    )
+
+    hdr = "COMMON HEADER"
+    docs = [
+        (1, f"{hdr}\nunique body one\n\nmore text"),
+        (2, f"{hdr}\nunique body two"),
+        (3, f"{hdr}\nunique body three"),
+        (4, "no header here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in drop_boilerplate_lines(df, min_docs=3).collect()}
+    # header dropped everywhere; blank line and unique bodies survive
+    assert out[1].clean_text == "unique body one\n\nmore text"
+    assert out[1].n_dropped_lines == 1
+    assert out[2].clean_text == "unique body two"
+    assert out[4].clean_text == "no header here at all"
+    assert out[4].n_dropped_lines == 0
+
+    # blank lines never count as boilerplate even when in every doc
+    df2 = spark.createDataFrame(
+        [(i, f"a{i}\n\nb{i}") for i in range(5)], "doc_id long, text string"
+    )
+    out2 = drop_boilerplate_lines(df2, min_docs=2).collect()
+    assert all("\n\n" in r.clean_text for r in out2)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        drop_boilerplate_lines(df, min_docs=1)

@@ -607,3 +607,63 @@ def drop_boilerplate_lines(
             (F.col("__tot__") - F.col("__kept__")).alias("n_dropped_lines"),
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` two-word collocations by lift —
+    ``P(w1 w2) / (P(w1)·P(w2))`` computed as
+    ``(c_pair · T · T) / (B · c_1 · c_2)`` with explicit double casts, so
+    the score is a fixed sequence of IEEE ops any engine reproduces
+    bit-identically (the log in classical PMI is monotone over lift, so
+    the RANKING is PMI's; the log itself has no cross-engine guarantee).
+    Phrase mining for corpus exploration / tokenizer-merge candidates.
+
+    Plan: adjacent-pair explode (guarded expression, no self-join), two
+    counting aggregates with map-side partials, a join on each word, two
+    broadcast one-row totals, ranked top-k with deterministic tiebreak.
+    Returns (w1, w2, pair_count, lift, rank).
+    """
+    toks = tokens(text_col)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pair_rows = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    uni_rows = df.select(F.explode(toks).alias("w"))
+    pair_cnt = pair_rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni_cnt = uni_rows.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    totals = uni_rows.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(
+        pair_rows.agg(F.count(F.lit(1)).alias("t_pair"))
+    )
+    scored = (
+        pair_cnt.filter(F.col("pair_count") >= min_count)
+        .join(uni_cnt.withColumnRenamed("w", "w1").withColumnRenamed("wc", "c1"), "w1")
+        .join(uni_cnt.withColumnRenamed("w", "w2").withColumnRenamed("wc", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lift",
+            (
+                F.col("pair_count").cast("double")
+                * F.col("t_uni")
+                * F.col("t_uni")
+            )
+            / (F.col("t_pair").cast("double") * F.col("c1") * F.col("c2")),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("w1", "w2", "pair_count", "lift", "rank")
+    )

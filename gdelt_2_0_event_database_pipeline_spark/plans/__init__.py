@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "q_merge_intervals",
     "q_containment_join",
     "q_boilerplate_lines",
+    "q_collocations",
     "q_snapshot_diff",
     "q_dedup_against_bloom",
     "q_domain_stats",

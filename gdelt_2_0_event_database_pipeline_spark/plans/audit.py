@@ -36,6 +36,7 @@ NESTED_LOOP_OK = {
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
+    "q_collocations",        # broadcast one-row totals (t_uni × t_pair)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
                              # counts aggregate (bounded by construction)
     "q_token_budget",        # same bounded triangular-offsets pattern
@@ -51,6 +52,8 @@ SINGLE_PARTITION_OK = {
     "q_approx_distinct", # single-row HLL++ summary
     "q_tfidf_keywords",  # one-row corpus-count scalar (partial-agg'd)
     "q06_forecast_revenue",  # TPC-H Q6: one-row global revenue aggregate
+    "q_collocations",    # two one-row corpus totals + top-20 rank over the
+                         # min-support collocation table (vocabulary-bounded)
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

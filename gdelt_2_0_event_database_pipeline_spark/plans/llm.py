@@ -1863,3 +1863,50 @@ def q_boilerplate_lines(spark, sf_dir):
         ).alias("text"),
     )
     return X.drop_boilerplate_lines(docs, "doc_id", "text", min_docs=10)
+
+
+@register(
+    "q_collocations",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS w FROM tok
+    ), pairs AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM tok, unnest(range(1, len(toks))) AS t(i)
+    ), pc AS (
+      SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY w1, w2
+    ), uc AS (
+      SELECT w, count(*) AS wc FROM uni GROUP BY w
+    ), tots AS (
+      SELECT (SELECT count(*) FROM uni) AS t_uni,
+             (SELECT count(*) FROM pairs) AS t_pair
+    )
+    SELECT w1, w2, pair_count, lift, rank FROM (
+      SELECT pc.w1, pc.w2, pair_count,
+             (CAST(pair_count AS DOUBLE) * t_uni * t_uni)
+               / (CAST(t_pair AS DOUBLE) * c1.wc * c2.wc) AS lift,
+             row_number() OVER (
+               ORDER BY (CAST(pair_count AS DOUBLE) * t_uni * t_uni)
+                          / (CAST(t_pair AS DOUBLE) * c1.wc * c2.wc) DESC,
+                        pc.w1, pc.w2
+             ) AS rank
+      FROM pc
+      JOIN uc c1 ON pc.w1 = c1.w
+      JOIN uc c2 ON pc.w2 = c2.w
+      CROSS JOIN tots
+      WHERE pair_count >= 5
+    ) WHERE rank <= 20
+    """,
+    doc=(
+        "Top-20 two-word collocations by lift (P(w1 w2)/(P(w1)P(w2))) with "
+        "min support 5 — phrase mining with PMI's ranking but no log, so "
+        "the score is a fixed IEEE op sequence both engines reproduce "
+        "bit-identically. Adjacent-pair explode, two counting aggregates, "
+        "per-word joins, broadcast one-row totals, deterministic top-k."
+    ),
+)
+def q_collocations(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.collocations(d, "text", min_count=5, k=20)

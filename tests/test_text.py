@@ -426,3 +426,24 @@ def test_drop_boilerplate_lines(spark):
 
     with pytest.raises(ValueError):
         drop_boilerplate_lines(df, min_docs=1)
+
+
+def test_collocations_finds_planted_phrase(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import collocations
+
+    # "neural network" always adjacent; filler words common but unattached
+    docs = [
+        (i, f"the neural network model {i} processes the data quickly")
+        for i in range(10)
+    ] + [(100 + i, "the data and the model and the results") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocations(df, min_count=5, k=5).collect()
+    top = (out[0].w1, out[0].w2)
+    pairs = {(r.w1, r.w2) for r in out}
+    assert ("neural", "network") in pairs
+    # the planted phrase outranks generic the-X pairs
+    assert top in {("neural", "network"), ("network", "model"), ("processes", "the")} or \
+        out[0].lift >= max(r.lift for r in out if r.w1 == "the")
+    # single-token docs don't break the pair explode
+    df2 = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    assert collocations(df2, min_count=1, k=3).count() == 0

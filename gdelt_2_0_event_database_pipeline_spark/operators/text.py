@@ -628,7 +628,11 @@ def collocations(
     broadcast one-row totals, ranked top-k with deterministic tiebreak.
     Returns (w1, w2, pair_count, lift, rank).
     """
-    toks = tokens(text_col)
+    # materialize the token array ONCE per row: referencing the raw
+    # tokens() expression inside the pair lambda would re-run the whole
+    # tokenize chain per index (measured 10 s → 1 s at sf0.1)
+    tokd = df.select(tokens(text_col).alias("__toks__"))
+    toks = F.col("__toks__")
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -639,8 +643,8 @@ def collocations(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pair_rows = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
-    uni_rows = df.select(F.explode(toks).alias("w"))
+    pair_rows = tokd.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    uni_rows = tokd.select(F.explode(toks).alias("w"))
     pair_cnt = pair_rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
     uni_cnt = uni_rows.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
     totals = uni_rows.agg(F.count(F.lit(1)).alias("t_uni")).crossJoin(

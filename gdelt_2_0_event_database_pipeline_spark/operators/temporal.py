@@ -432,3 +432,107 @@ def merge_intervals(
         )
         .drop("__isl__")
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """First-order Markov transition counts and probabilities over per-key
+    ordered state sequences (reference surface: ordered event streams per
+    entity; README.md "daily event files" — here lifted to sequence mining:
+    session flows, actor behaviour chains, QuadClass escalation matrices).
+
+    One shuffle on ``key_col`` orders each entity's history (``order_cols``
+    must include a total-order tiebreaker); ``lag(state)`` forms the
+    (prev, next) bigrams map-side; a grouped count plus a per-``prev`` window
+    sum yields row-normalized probabilities. Probability = integer count /
+    integer row-total — one IEEE division, so the doubles are engine-portable.
+
+    Returns (prev_state, next_state, n_transitions, p_transition).
+    """
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = (
+        df.withColumn("__prev__", F.lag(F.col(state_col)).over(w))
+        .filter(F.col("__prev__").isNotNull())
+        .select(
+            F.col("__prev__").alias("prev_state"),
+            F.col(state_col).alias("next_state"),
+        )
+    )
+    counts = pairs.groupBy("prev_state", "next_state").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_state"))
+    return counts.withColumn(
+        "p_transition", F.col("n_transitions") / row_total
+    )
+
+
+def detect_bursts(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: Sequence[str],
+    *,
+    baseline_days: int = 7,
+    z_threshold: float = 3.0,
+    min_baseline_days: int = 3,
+) -> DataFrame:
+    """Volume-burst detection per group: flag days whose event count spikes
+    above a trailing-``baseline_days`` mean by ``z_threshold`` robust standard
+    deviations (event-monitoring surface over the reference's daily files —
+    "which country/EventRootCode surged today?").
+
+    Plan: one grouped daily count (map-side partial), then ONE window pass
+    per group ordered by integer day index with a RANGE frame
+    [-baseline_days, -1] — the baseline never includes the current day, and
+    calendar gaps are handled by RANGE (a missing day simply isn't in the
+    frame). Mean/variance are derived from integer SUM / SUM-of-squares in
+    fixed expression order (not the engine's streaming stddev), so every
+    double is bit-identical cross-engine; the std is floored at 1.0 event to
+    keep z finite on constant baselines.
+
+    Returns (*group_cols, day, n_events, base_days, base_mean, z, is_burst).
+    """
+    keys = list(group_cols)
+    daily = (
+        df.groupBy(
+            *[F.col(c) for c in keys],
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("__di__", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy("__di__")
+        .rangeBetween(-baseline_days, -1)
+    )
+    base_days = F.count(F.lit(1)).over(frame)
+    base_sum = F.sum("n_events").over(frame)
+    base_sumsq = F.sum(F.col("n_events") * F.col("n_events")).over(frame)
+    stats = daily.select(
+        *keys,
+        "day",
+        "n_events",
+        base_days.alias("base_days"),
+        base_sum.alias("base_sum"),
+        base_sumsq.alias("base_sumsq"),
+    )
+    mean = F.col("base_sum") / F.col("base_days")
+    var = F.col("base_sumsq").cast("double") / F.col("base_days") - mean * mean
+    std = F.greatest(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(1.0))
+    z = (F.col("n_events") - mean) / std
+    return stats.select(
+        *keys,
+        "day",
+        "n_events",
+        "base_days",
+        mean.alias("base_mean"),
+        F.when(F.col("base_days") >= min_baseline_days, z).alias("z"),
+        (
+            (F.col("base_days") >= min_baseline_days) & (z >= F.lit(z_threshold))
+        ).alias("is_burst"),
+    )

@@ -390,3 +390,93 @@ def q_merge_intervals(spark, sf_dir):
         (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("e"),
     )
     return merge_intervals(iv, ["user_id"], "s", "e")
+
+
+@register(
+    "q_transitions",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e
+    ),
+    c AS (
+      SELECT prev AS prev_state, event_type AS next_state,
+             count(*) AS n_transitions
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    )
+    SELECT prev_state, next_state, n_transitions,
+           n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY prev_state) AS BIGINT)
+             AS p_transition
+    FROM c
+    """,
+    doc=(
+        "First-order Markov transition matrix over per-user ordered event "
+        "sequences: lag() bigrams -> grouped counts -> row-normalized "
+        "probabilities (one integer division, engine-portable). The oracle "
+        "replays lag/count/window-sum; sum() is cast back to BIGINT because "
+        "DuckDB widens to HUGEINT."
+    ),
+)
+def q_transitions(spark, sf_dir):
+    from ..operators.temporal import transition_counts
+
+    e = _events(spark, sf_dir)
+    return transition_counts(
+        e, key_col="user_id", state_col="event_type", order_cols=["ts", "event_id"]
+    )
+
+
+@register(
+    "q_burst_detection",
+    sql="""
+    WITH e AS (SELECT ts::TIMESTAMP AS ts, event_type FROM events),
+    daily AS (
+      SELECT event_type, ts::DATE AS day,
+             count(*) AS n_events,
+             (ts::DATE - DATE '1970-01-01') AS di
+      FROM e GROUP BY event_type, ts::DATE
+    ),
+    w AS (
+      SELECT event_type, day, n_events,
+             count(*)                 OVER fr AS base_days,
+             sum(n_events)            OVER fr AS base_sum,
+             sum(n_events * n_events) OVER fr AS base_sumsq
+      FROM daily
+      WINDOW fr AS (PARTITION BY event_type ORDER BY di
+                    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events, base_days,
+           base_sum / base_days AS base_mean,
+           CASE WHEN base_days >= 3 THEN
+             (n_events - base_sum / base_days)
+             / greatest(sqrt(greatest(
+                 base_sumsq::DOUBLE / base_days
+                 - (base_sum / base_days) * (base_sum / base_days), 0.0)), 1.0)
+           END AS z,
+           (base_days >= 3 AND
+            (n_events - base_sum / base_days)
+            / greatest(sqrt(greatest(
+                base_sumsq::DOUBLE / base_days
+                - (base_sum / base_days) * (base_sum / base_days), 0.0)), 1.0)
+            >= 3.0) AS is_burst
+    FROM w
+    """,
+    doc=(
+        "Per-event-type volume-burst detection: trailing-7-day RANGE-frame "
+        "baseline (calendar-gap aware, current day excluded), z-score from "
+        "integer SUM/SUM-of-squares in fixed expression order (bit-identical "
+        "doubles cross-engine), std floored at 1 event so constant baselines "
+        "stay finite."
+    ),
+)
+def q_burst_detection(spark, sf_dir):
+    from ..operators.temporal import detect_bursts
+
+    e = _events(spark, sf_dir)
+    return detect_bursts(
+        e, ts_col="ts", group_cols=["event_type"],
+        baseline_days=7, z_threshold=3.0, min_baseline_days=3,
+    )

@@ -302,3 +302,74 @@ def test_merge_intervals_semantics(spark):
         ("k1", t(30)): (t(35), 1),
         ("k2", t(0)): (t(40), 3),   # running-max handles nesting correctly
     }
+
+
+def test_transition_counts_semantics(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        transition_counts,
+    )
+
+    t = lambda m: dt.datetime(2024, 8, 1, 0, m)
+    rows = [
+        # u1: a -> b -> a ; u2: a -> b ; u3: single event, no transition
+        (1, 1, t(0), "a"), (2, 1, t(1), "b"), (3, 1, t(2), "a"),
+        (4, 2, t(0), "a"), (5, 2, t(1), "b"),
+        (6, 3, t(0), "c"),
+        # u4: same-ts tie broken by event_id: 7 then 8 -> b -> a
+        (8, 4, t(5), "a"), (7, 4, t(5), "b"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {
+        (r.prev_state, r.next_state): (r.n_transitions, r.p_transition)
+        for r in transition_counts(df, "user_id", "event_type", ["ts", "event_id"]).collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)          # both a's go to b
+    assert got[("b", "a")] == (2, 1.0)          # includes the tie-broken u4 pair
+    assert ("c", "c") not in got                # singletons produce nothing
+    assert sum(n for n, _ in got.values()) == 4
+
+
+def test_detect_bursts_flags_planted_spike(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        detect_bursts,
+    )
+
+    rows = []
+    eid = 0
+    # 10 quiet days with 5 events each, then a 50-event spike on day 11.
+    for d in range(1, 11):
+        for _ in range(5):
+            rows.append((eid, dt.datetime(2024, 3, d, 12, 0), "x")); eid += 1
+    for _ in range(50):
+        rows.append((eid, dt.datetime(2024, 3, 11, 12, 0), "x")); eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = detect_bursts(df, "ts", ["event_type"], baseline_days=7, z_threshold=3.0).collect()
+    by_day = {r.day.day: r for r in out}
+    spike = by_day[11]
+    assert spike.is_burst and spike.n_events == 50 and spike.base_mean == 5.0
+    # constant baseline -> std floored at 1.0 -> z = 45 exactly
+    assert spike.z == 45.0
+    # quiet days are not bursts; first days lack baseline -> z NULL, never burst
+    assert all(not r.is_burst for d, r in by_day.items() if d != 11)
+    assert by_day[1].z is None and not by_day[1].is_burst
+    # baseline excludes the current day and is RANGE- (calendar-) bounded
+    assert by_day[8].base_days == 7
+
+
+def test_detect_bursts_range_frame_handles_calendar_gaps(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        detect_bursts,
+    )
+
+    # events on day 1 and day 20: the gap means day 20 has NO baseline days
+    rows = [(1, dt.datetime(2024, 5, 1), "x"), (2, dt.datetime(2024, 5, 20), "x")]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.day.day: r for r in detect_bursts(df, "ts", ["event_type"]).collect()}
+    assert out[20].base_days == 0 and out[20].base_mean is None
+    assert not out[20].is_burst

@@ -869,3 +869,93 @@ def containment_join(
         .filter(F.col("containment") >= threshold)
         .select("id", "ref_id", "containment")
     )
+
+
+# ------------------------------------------------- duplicated-span removal
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``window``-token span whose exact text occurs ``min_count``+ times
+    corpus-wide (across documents or repeated within one) is cut from EVERY
+    occurrence; the surviving tokens are re-joined in order. The aggressive
+    drop-all-copies variant — boilerplate, licence blocks, and syndicated
+    paragraphs vanish entirely instead of electing a canonical copy.
+
+    Plan shape (100 TB): per-document token windows are md5-hashed INSIDE a
+    higher-order ``transform`` before anything is exploded, so only
+    (id, pos, 32-hex-hash) rows — never token arrays or span text — enter
+    the explode and the two shuffles (hash-frequency groupBy on the 32-byte
+    key; covered-position distinct on (id, pos)). The final reassembly is one
+    groupBy per document over (pos, token) pairs. Suffix-automaton exactness
+    over *arbitrary-length* spans is approximated by fixed-width windows:
+    every duplicated run >= ``window`` tokens is fully covered by its
+    duplicated sub-windows, shorter duplicates are ignored by design.
+
+    Returns (id_col, clean_text, n_dropped_tokens).
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks__"))
+        .withColumn("__n__", F.size("__toks__"))
+    )
+    starts = F.when(
+        F.col("__n__") >= window,
+        F.sequence(F.lit(1), F.col("__n__") - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    win_structs = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice("__toks__", i, window))).alias("h"),
+        ),
+    )
+    wins = base.select(
+        F.col(id_col), F.explode(win_structs).alias("w")
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__cnt__"))
+        .filter(F.col("__cnt__") >= min_count)
+        .select("h")
+    )
+    covered = (
+        wins.join(dup, "h", "semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("p"),
+        )
+        .distinct()
+    )
+    toks_pos = base.select(F.col(id_col), F.posexplode("__toks__")).select(
+        id_col, (F.col("pos") + 1).alias("p"), F.col("col").alias("tok")
+    )
+    kept = toks_pos.join(covered, [id_col, "p"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__kept__"),
+    )
+    return (
+        base.select(id_col, "__n__")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n__") - F.coalesce("__kept__", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_tokens"),
+        )
+    )

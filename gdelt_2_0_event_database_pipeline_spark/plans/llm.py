@@ -1910,3 +1910,74 @@ def q_boilerplate_lines(spark, sf_dir):
 def q_collocations(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return X.collocations(d, "text", min_count=5, k=20)
+
+
+@register(
+    "q_dup_spans",
+    sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             text || (CASE WHEN doc_id % 4 = 0
+               THEN ' share and subscribe to our channel for more daily news updates'
+               ELSE '' END) AS text
+      FROM documents WHERE doc_id < 200
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS toks
+      FROM docs
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base
+    ), wins AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i : i + 7], ' ')) AS h
+      FROM sized, unnest(range(1, n - 8 + 2)) AS t(i)
+      WHERE n >= 8
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT w.doc_id, w.pos + o.off AS p
+      FROM wins w JOIN dup USING (h), unnest(range(0, 8)) AS o(off)
+    ), tp AS (
+      SELECT doc_id, i AS p, toks[i] AS tok
+      FROM sized, unnest(range(1, n + 1)) AS t(i)
+    ), kept AS (
+      SELECT tp.* FROM tp
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           s.n - coalesce(a.n_kept, 0) AS n_dropped_tokens
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=(
+        "ExactSubstr-style duplicated-span removal (Lee et al. 2022): a "
+        "shared 11-token promo tail planted on every 4th doc makes its "
+        "8-token windows corpus-duplicates, so the tail is cut from EVERY "
+        "copy while unique body text survives; natural cross-doc duplicate "
+        "spans in the corpus are cut too. Windows are md5-hashed inside a "
+        "higher-order transform BEFORE the explode, so only (id, pos, hash) "
+        "rows shuffle. Oracle replays window hashing, frequency filter, "
+        "position coverage, and ordered reassembly."
+    ),
+)
+def q_dup_spans(spark, sf_dir):
+    from ..operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" share and subscribe to our channel for more daily news updates"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_duplicate_spans(docs, "doc_id", "text", window=8, min_count=2)

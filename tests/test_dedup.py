@@ -540,3 +540,50 @@ def test_containment_join_detects_subsets(spark):
             expected[(i, j)] = c
     assert got == expected
     assert got[(1, 91)] == 1.0 and (2, 91) in got and (3, 92) not in got
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    span = "alpha beta gamma delta"  # 4 tokens, window=4 → one exact window
+    rows = [
+        (1, f"unique one {span} tail one"),        # shares span with doc 2
+        (2, f"other words {span} closing bits"),
+        (3, "totally unique text with nothing repeated here"),
+        (4, "tiny doc"),                            # shorter than window
+        (5, f"{span} middle filler {span}"),        # within-doc repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.clean_text, r.n_dropped_tokens)
+        for r in remove_duplicate_spans(df, "doc_id", "text", window=4).collect()
+    }
+    # the shared span vanishes from every copy, surrounding text survives
+    assert out[1] == ("unique one tail one", 4)
+    assert out[2] == ("other words closing bits", 4)
+    assert out[3][1] == 0 and out[3][0].startswith("totally unique")
+    assert out[4] == ("tiny doc", 0)               # no window → untouched
+    # within-doc repetition counts toward min_count and both copies go
+    assert out[5] == ("middle filler", 8)
+
+
+def test_remove_duplicate_spans_long_run_fully_covered(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    # a 9-token duplicated run with window=4: every 4-window inside the run
+    # duplicates across docs, so ALL 9 tokens are covered in both docs
+    run = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame(
+        [(1, f"left {run} right"), (2, f"start {run} end")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_dropped_tokens)
+        for r in remove_duplicate_spans(df, "doc_id", "text", window=4).collect()
+    }
+    assert out[1] == ("left right", 9)
+    assert out[2] == ("start end", 9)

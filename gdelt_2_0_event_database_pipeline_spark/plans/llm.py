@@ -1981,3 +1981,84 @@ def q_dup_spans(spark, sf_dir):
         ).alias("text"),
     )
     return remove_duplicate_spans(docs, "doc_id", "text", window=8, min_count=2)
+
+
+#: deterministic literal weights for the oracle-checked scoring query —
+#: Knuth multiplicative spread over [-1e6, 1e6], identical on both engines.
+_MODEL_W = [((i + 1) * 2654435761) % 2000001 - 1000000 for i in range(64)]
+
+
+@register(
+    "q_model_score",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id < 300
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS t FROM tok
+    ), tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 10))::BIGINT % 64 AS b,
+             CASE WHEN (('0x' || substr(md5(t), 11, 1))::INTEGER % 2) = 0
+                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+      FROM ex
+    ), bw AS (
+      SELECT doc_id, b, sum(s) AS w FROM tb GROUP BY doc_id, b
+    ), mv AS (
+      SELECT doc_id, map_from_entries(list({{'k': b, 'v': w}})) AS m
+      FROM bw GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i -> coalesce(m[i][1], 0.0::DOUBLE)) AS v
+      FROM mv
+    )
+    SELECT d.doc_id,
+           coalesce(list_dot_product(b.v,
+             [{", ".join(str(w) for w in _MODEL_W)}]::DOUBLE[]) / 1000000.0,
+             0.0) AS score
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    LEFT JOIN base b USING (doc_id)
+    """,
+    doc=(
+        "Linear-model quality scoring (the DCLM/FineWeb classifier-filter "
+        "stage) with fixed literal weights: hashing-trick signed token "
+        "counts dotted with integer-quantized weights, one final division. "
+        "Every product and partial sum is integer-exact in doubles, so the "
+        "fold is order-independent and the oracle's list_dot_product "
+        "reproduces scores bit-identically. Tokenless docs score exactly "
+        "0.0 via the left join back to the id set."
+    ),
+)
+def q_model_score(spark, sf_dir):
+    from ..operators.model import score_linear_model
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return score_linear_model(
+        d, "doc_id", "text", _MODEL_W, hash_family="md5"
+    )
+
+
+@register(
+    "q_model_fit_score",
+    sql=None,
+    doc=(
+        "End-to-end classifier-filter stage: fit a ridge model on weak "
+        "labels (lang == 'en' vs rest) over a bounded hash-ranked sample "
+        "(driver-side numpy solve, IVF-fit discipline), then score the "
+        "corpus with the quantized weights as pure Column algebra. "
+        "Rows-only by design (the solve is not SQL-expressible); "
+        "separation invariants are pinned in test_model.py."
+    ),
+)
+def q_model_fit_score(spark, sf_dir):
+    from ..operators.model import fit_linear_quality_model, score_linear_model
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    labeled = d.withColumn(
+        "label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    )
+    w = fit_linear_quality_model(
+        labeled, "doc_id", "text", "label", dim=64, sample_n=5000
+    )
+    out = score_linear_model(d, "doc_id", "text", w)
+    return out.withColumn("pred_en", F.col("score") > 0)

@@ -150,3 +150,37 @@ def q_media_stats(spark, sf_dir):
         ).alias("meta"),
     )
     return media_stats(media)
+
+
+@register(
+    "q_pagerank",
+    sql=None,
+    doc=(
+        "PageRank centrality over the nation-to-nation trade network "
+        "(customer nation -> supplier nation per lineitem, parallel edges "
+        "kept so multiplicity weights the transition). Edge-list-only power "
+        "iteration: one join + one grouped sum per round on integer keys, "
+        "localCheckpoint lineage truncation, dangling mass via 1-row driver "
+        "aggregates. Rows-only (per-node float inflow sums are engine-order "
+        "dependent); differential vs a pure-Python power iteration is "
+        "pinned in test_graph.py."
+    ),
+)
+def q_pagerank(spark, sf_dir):
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(
+            c.c_nationkey.alias("src"),
+            s.s_nationkey.alias("dst"),
+        )
+    )
+    out = pagerank(edges, max_iter=8, dedup_edges=False)
+    return out.select(F.col("node").alias("nationkey"), "rank")

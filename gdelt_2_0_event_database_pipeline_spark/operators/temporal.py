@@ -536,3 +536,43 @@ def detect_bursts(
             (F.col("base_days") >= min_baseline_days) & (z >= F.lit(z_threshold))
         ).alias("is_burst"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_cols: Sequence[str],
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``e_1 = v_1;  e_i = α·v_i + (1-α)·e_{i-1}`` — the classic smoothing /
+    simple-forecast recurrence over each entity's ordered series.
+
+    A recurrence is not a window aggregate, so Spark's frame functions can't
+    express it directly; instead the running history is collected in frame
+    order (``collect_list`` over ROWS UNBOUNDED PRECEDING) and folded with a
+    higher-order ``aggregate`` — still whole-stage-codegen JVM expression
+    work, no Python. The fold's float ops are in deterministic order, so an
+    external engine folding the same ordered list (DuckDB ``list_reduce``)
+    reproduces every double bit-identically. O(series²) values ride the
+    window state, so this is for bounded per-entity series (daily rollups,
+    sensor channels), not unbounded logs — exactly where EWMA is used.
+
+    ``order_cols`` must totally order each key's rows. Adds column ``ewma``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = F.collect_list(F.col(value_col)).over(w)
+    folded = F.aggregate(
+        F.slice(hist, 2, F.greatest(F.size(hist) - 1, F.lit(0))),
+        F.element_at(hist, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.withColumn("ewma", folded)

@@ -2062,3 +2062,51 @@ def q_model_fit_score(spark, sf_dir):
     )
     out = score_linear_model(d, "doc_id", "text", w)
     return out.withColumn("pred_en", F.col("score") > 0)
+
+
+@register(
+    "q_k_anonymity",
+    sql="""
+    SELECT c_custkey, c_nationkey, c_mktsegment
+    FROM (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cs
+      FROM customer
+    ) WHERE cs >= 8
+    """,
+    doc=(
+        "k-anonymity suppression (k = 8) over the (nation, market-segment) "
+        "quasi-identifier: rows in equivalence classes smaller than k are "
+        "re-identifying and dropped before release. One window count over "
+        "the quasi-key — a single shuffle on the column subset."
+    ),
+)
+def q_k_anonymity(spark, sf_dir):
+    from ..operators.privacy import suppress_small_groups
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return suppress_small_groups(c, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+@register(
+    "q_k_anonymity_report",
+    sql="""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS class_size,
+           count(*) < 8 AS violates_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc=(
+        "k-anonymity audit: per-equivalence-class sizes and violation flags "
+        "for the (nation, market-segment) quasi-identifier — the release-"
+        "gate report preceding suppression or generalization."
+    ),
+)
+def q_k_anonymity_report(spark, sf_dir):
+    from ..operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=8)

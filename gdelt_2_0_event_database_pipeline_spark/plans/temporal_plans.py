@@ -480,3 +480,35 @@ def q_burst_detection(spark, sf_dir):
         e, ts_col="ts", group_cols=["event_type"],
         baseline_days=7, z_threshold=3.0, min_baseline_days=3,
     )
+
+
+@register(
+    "q_ewma",
+    sql="""
+    WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events),
+    h AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS hist
+      FROM e
+    )
+    SELECT event_id, user_id, value,
+           list_reduce(hist, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma
+    FROM h
+    """,
+    doc=(
+        "Per-user EWMA (alpha = 0.5) over the ordered event series: a "
+        "recurrence, not a frame aggregate — expressed as an ordered "
+        "collect_list + higher-order fold (JVM codegen, no Python). Both "
+        "engines fold the identical ordered list left-to-right, so every "
+        "double is bit-identical (DuckDB list_reduce seeds the accumulator "
+        "with the first element, matching the Spark init)."
+    ),
+)
+def q_ewma(spark, sf_dir):
+    from ..operators.temporal import ewma
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = ewma(e, "user_id", "value", ["ts", "event_id"], alpha=0.5)
+    return out.select("event_id", "user_id", "value", "ewma")

@@ -373,3 +373,25 @@ def test_detect_bursts_range_frame_handles_calendar_gaps(spark):
     out = {r.day.day: r for r in detect_bursts(df, "ts", ["event_type"]).collect()}
     assert out[20].base_days == 0 and out[20].base_mean is None
     assert not out[20].is_burst
+
+
+def test_ewma_recurrence_and_single_element(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import ewma
+
+    t = lambda m: dt.datetime(2024, 9, 1, 0, m)
+    rows = [(1, 1, t(0), 10.0), (2, 1, t(1), 20.0), (3, 1, t(2), 40.0),
+            (4, 2, t(0), 7.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {r.event_id: r.ewma
+           for r in ewma(df, "user_id", "value", ["ts", "event_id"], alpha=0.5).collect()}
+    assert got[1] == 10.0                       # e1 = v1
+    assert got[2] == 0.5 * 20.0 + 0.5 * 10.0    # 15.0
+    assert got[3] == 0.5 * 40.0 + 0.5 * 15.0    # 27.5
+    assert got[4] == 7.0                        # independent key
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ewma(df, "user_id", "value", ["ts"], alpha=0.0)

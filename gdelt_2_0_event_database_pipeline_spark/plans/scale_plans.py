@@ -184,3 +184,40 @@ def q_pagerank(spark, sf_dir):
     )
     out = pagerank(edges, max_iter=8, dedup_edges=False)
     return out.select(F.col("node").alias("nationkey"), "rank")
+
+
+@register(
+    "q_zorder_key",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           {z} AS zkey
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 256 AS pk, l_suppkey % 256 AS sk
+      FROM lineitem
+    )
+    """.format(
+        z=__import__(
+            "gdelt_2_0_event_database_pipeline_spark.functions.zorder",
+            fromlist=["zorder_key_sql"],
+        ).zorder_key_sql(["pk", "sk"], bits=8)
+    ),
+    doc=(
+        "Z-order (Morton) key over two bucketed dimensions — the multi-"
+        "column data-skipping layout key behind write_zorder_clustered. "
+        "Pure shift/and/or integer algebra; the SQL twin is GENERATED from "
+        "the same loop as the Column expression, so the two cannot drift."
+    ),
+)
+def q_zorder_key(spark, sf_dir):
+    from ..functions.zorder import zorder_key
+
+    li = _li(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 256).alias("pk"),
+        (F.col("l_suppkey") % 256).alias("sk"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", zorder_key(["pk", "sk"], bits=8).alias("zkey")
+    )

@@ -1,0 +1,87 @@
+"""Z-order layout tests: interleaving correctness, SQL-twin generation, and
+the actual data-skipping payoff measured from parquet footer min/max stats."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from gdelt_2_0_event_database_pipeline_spark.functions.zorder import (
+    write_zorder_clustered,
+    zorder_key,
+    zorder_key_sql,
+)
+
+
+def _py_morton(vals, bits):
+    out = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * n + i)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255), (170, 85)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = [
+        r.z for r in df.select(zorder_key(["a", "b"], bits=8).alias("z")).collect()
+    ]
+    assert got == [_py_morton(v, 8) for v in rows]
+
+
+def test_zorder_key_null_is_zero_and_validation(spark):
+    df = spark.createDataFrame([(None, 3)], "a long, b long")
+    assert df.select(zorder_key(["a", "b"], bits=4).alias("z")).collect()[0].z == \
+        _py_morton((0, 3), 4)
+    with pytest.raises(ValueError):
+        zorder_key(["a"], bits=8)
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], bits=32)  # 64 > 62
+
+
+def test_zorder_sql_twin_text():
+    s = zorder_key_sql(["x", "y"], bits=2)
+    assert s.count("|") == 3 and "<< 3" in s and "coalesce(CAST(x AS BIGINT), 0)" in s
+
+
+def _files_containing(path, col, value):
+    import pyarrow.parquet as pq
+
+    hit, total = 0, 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                c = rgm.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    st = c.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        total += 1
+        if lo is not None and lo <= value <= hi:
+            hit += 1
+    return hit, total
+
+def test_zorder_write_skips_files_on_both_dimensions(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(40_000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    path = str(tmp_path / "zo")
+    write_zorder_clustered(df, path, ["a", "b"], num_files=16, bits=8)
+
+    for col in ("a", "b"):
+        hits = [
+            _files_containing(path, col, probe)[0] for probe in (10, 100, 200)
+        ]
+        total = _files_containing(path, col, 0)[1]
+        assert total >= 12
+        # a single-dimension range-cluster would leave the OTHER column's
+        # min/max at full width (every file hits). Z-order must prune on BOTH.
+        assert max(hits) <= total * 0.5, (col, hits, total)

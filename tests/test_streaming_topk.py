@@ -1,0 +1,73 @@
+"""applyInPandasWithState running top-k: state survives micro-batches,
+versions increase, displaced items leave, duplicate items keep best score."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import read_event_stream
+from gdelt_2_0_event_database_pipeline_spark.streaming.topk import streaming_topk
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc", T.StringType()),
+        T.StructField("quality", T.DoubleType()),
+    ]
+)
+
+
+def _drop(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(out_stream, out_dir, ckpt):
+    q = (
+        out_stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_topk_across_batches(spark, tmp_path):
+    src, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+
+    _drop(spark, src, [
+        ("web", "d1", 0.9), ("web", "d2", 0.5), ("web", "d3", 0.7),
+        ("web", "d4", 0.1),                       # below top-3
+        ("books", "b1", 0.8),
+    ])
+    stream = read_event_stream(spark, src, SCHEMA)
+    topk = streaming_topk(stream, "source", "doc", "quality", k=3)
+    _drain(topk, out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    v1 = {(r.key, r.rank): (r.item, r.score) for r in rows if r.version == 1}
+    assert v1[("web", 1)] == ("d1", 0.9)
+    assert v1[("web", 2)] == ("d3", 0.7)
+    assert v1[("web", 3)] == ("d2", 0.5)
+    assert v1[("books", 1)] == ("b1", 0.8)
+
+    # batch 2: a new high doc displaces d2; d3 re-seen with a WORSE score
+    # keeps its old one; only "web" gets a new version
+    _drop(spark, src, [
+        ("web", "d5", 0.95), ("web", "d3", 0.2),
+    ])
+    _drain(topk, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    web_latest = max(r.version for r in rows if r.key == "web")
+    assert web_latest == 2
+    v2 = {r.rank: (r.item, r.score) for r in rows if r.key == "web" and r.version == 2}
+    assert v2 == {1: ("d5", 0.95), 2: ("d1", 0.9), 3: ("d3", 0.7)}
+    assert max(r.version for r in rows if r.key == "books") == 1
+
+
+def test_streaming_topk_validates_k(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        streaming_topk(None, "a", "b", "c", k=0)

@@ -20,16 +20,11 @@ from . import scale_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-5 rotation (VERDICT r4 item #1): (a) the 16 queries that have
-    # NEVER received a driver row — 14 were rows-only until this round's
-    # oracle upgrades (md5 sampling ranks, md5 minhash/simhash families,
-    # plane-literal sign-LSH, derived media table) plus the two new
-    # registrations (q_normalize_url, q_simhash_signature); the 4 genuinely
-    # approximate ones (pack_first_fit/ivf/approx sketches) get their first
-    # rows-only row like q_heavy_hitters did in r4. (b) the 29 oracle
-    # queries whose last driver row is r3 — keeps nothing >2 rounds stale.
-    # (c) a small r4-green refresh slice fills the ~50-row window.
-    # (a) never driver-checked (oracle upgrades + new registrations first)
+    # Round-6 rotation: (a) every query without a driver row in ANY
+    # CORRECTNESS_r*.json (r5 artifacts never landed, so the r5 batch and
+    # the r6 additions are all unchecked) — oracle-SQL entries first,
+    # rows-only entries at the tail of the window; (b) the stalest
+    # r3-checked oracle queries fill the remainder of the ~50-row cap.
     "q_semantic_dedup",
     "q_dedup_near_against",
     "q_tfidf_keywords",
@@ -51,6 +46,14 @@ _DRIVER_PRIORITY = [
     "q_dedup_against_bloom",
     "q_domain_stats",
     "q_dedup_chain",
+    "q_dup_spans",
+    "q_model_score",
+    "q_k_anonymity",
+    "q_k_anonymity_report",
+    "q_transitions",
+    "q_burst_detection",
+    "q_ewma",
+    "q_zorder_key",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",
@@ -67,42 +70,11 @@ _DRIVER_PRIORITY = [
     "q_ivf_topk",
     "q_approx_distinct",
     "q_quantiles_approx",
-    # (b) last driver row is r3
+    "q_model_fit_score",
+    "q_pagerank",
     "q_asof_forward",
     "q_asof_join",
     "q_bucketed_join",
-    "q_conditional_agg",
-    "q_dsl_nested",
-    "q_event_paths",
-    "q_events_hourly",
-    "q_explode_embeddings",
-    "q_grouping_sets",
-    "q_join_anti",
-    "q_join_outer_agg",
-    "q_json_extract",
-    "q_null_drop",
-    "q_pivot",
-    "q_profile",
-    "q_range_join",
-    "q_rank_functions",
-    "q_regression",
-    "q_rollup",
-    "q_salted_agg",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_scalar_subquery",
-    "q_set_union",
-    "q_text_stats",
-    "q_top_tokens_per_lang",
-    "q_topk_per_group",
-    "q_window_range_frame",
-    "q_window_running",
-    # (c) r4-green refresh slice (fills the 50-row window)
-    "q01_pricing_summary",
-    "q_dedup_exact_hash",
-    "q_token_budget",
-    "q_sessionize",
-    "q_chunk_documents",
 ]
 
 

@@ -576,3 +576,111 @@ def ewma(
         lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
     )
     return df.withColumn("ewma", folded)
+
+
+def ohlc_downsample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    *,
+    interval_minutes: int = 60,
+) -> DataFrame:
+    """Open/high/low/close bucket downsampling — the canonical lossy
+    compaction for numeric event streams (metrics rollup, price bars,
+    sensor decimation).
+
+    ``first``/``last`` aggregates are partition-order-dependent in Spark, so
+    open/close are instead derived from explicit row_numbers over the
+    (ts, tiebreak) total order inside each bucket — deterministic on any
+    engine and any partitioning. One shuffle on (key, bucket) via the
+    window; high/low/count ride the same pass as conditional aggregates.
+
+    Returns (key, bucket_ts, open, high, low, close, n_obs).
+    """
+    if interval_minutes < 1:
+        raise ValueError("interval_minutes must be >= 1")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / (interval_minutes * 60)).cast("long")
+        * (interval_minutes * 60)
+    )
+    base = df.select(
+        F.col(key_col).alias("key"),
+        bucket.alias("bucket_ts"),
+        F.col(ts_col).alias("__ts__"),
+        F.col(order_tiebreak).alias("__tb__"),
+        F.col(value_col).alias("__v__"),
+    )
+    w_asc = Window.partitionBy("key", "bucket_ts").orderBy(
+        F.col("__ts__").asc(), F.col("__tb__").asc()
+    )
+    w_desc = Window.partitionBy("key", "bucket_ts").orderBy(
+        F.col("__ts__").desc(), F.col("__tb__").desc()
+    )
+    ranked = base.select(
+        "key", "bucket_ts", "__v__",
+        F.row_number().over(w_asc).alias("__ra__"),
+        F.row_number().over(w_desc).alias("__rd__"),
+    )
+    return ranked.groupBy("key", "bucket_ts").agg(
+        F.max(F.when(F.col("__ra__") == 1, F.col("__v__"))).alias("open"),
+        F.max("__v__").alias("high"),
+        F.min("__v__").alias("low"),
+        F.max(F.when(F.col("__rd__") == 1, F.col("__v__"))).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users bucket into cohorts by their FIRST
+    activity period; each later active period increments that cohort's
+    retention at offset = period - cohort_period.
+
+    Two shuffles total: one (user, period) distinct-activity pass (which
+    also yields each user's min period), one (cohort, offset) count. The
+    rate is active-users / cohort-size — two integer counts and one IEEE
+    division, engine-portable. Offset 0 is the cohort size itself
+    (rate = 1.0 by construction).
+
+    Returns (cohort_period, period_offset, n_active, cohort_size, retention).
+    """
+    if period_days < 1:
+        raise ValueError("period_days must be >= 1")
+    period = (
+        F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01"))
+        / period_days
+    ).cast("long")
+    activity = (
+        df.select(F.col(user_col).alias("user"), period.alias("period"))
+        .distinct()
+    )
+    w = Window.partitionBy("user")
+    with_cohort = activity.withColumn("cohort", F.min("period").over(w))
+    counts = (
+        with_cohort.groupBy(
+            F.col("cohort").alias("cohort_period"),
+            (F.col("period") - F.col("cohort")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = counts.filter(F.col("period_offset") == 0).select(
+        F.col("cohort_period").alias("__cp__"),
+        F.col("n_active").alias("cohort_size"),
+    )
+    return (
+        counts.join(sizes, counts.cohort_period == sizes.__cp__)
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )

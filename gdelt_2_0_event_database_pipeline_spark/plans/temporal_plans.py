@@ -512,3 +512,88 @@ def q_ewma(spark, sf_dir):
     e = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
     out = ewma(e, "user_id", "value", ["ts", "event_id"], alpha=0.5)
     return out.select("event_id", "user_id", "value", "ewma")
+
+
+@register(
+    "q_ohlc",
+    sql="""
+    WITH e AS (SELECT event_id, ts::TIMESTAMP AS ts, event_type, value FROM events),
+    b AS (
+      SELECT event_type AS key,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+               AS bucket_ts,
+             ts, event_id, value
+      FROM e
+    ),
+    ranked AS (
+      SELECT key, bucket_ts, value,
+             row_number() OVER (PARTITION BY key, bucket_ts
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY key, bucket_ts
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM b
+    )
+    SELECT key, bucket_ts,
+           max(CASE WHEN ra = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rd = 1 THEN value END) AS close,
+           count(*) AS n_obs
+    FROM ranked GROUP BY key, bucket_ts
+    """,
+    doc=(
+        "OHLC bucket downsampling (hourly bars per event type). Spark's "
+        "first/last aggregates are partition-order dependent, so open/close "
+        "come from explicit row_numbers over the (ts, event_id) total order "
+        "— deterministic on any engine/partitioning; high/low/count ride "
+        "the same grouped pass."
+    ),
+)
+def q_ohlc(spark, sf_dir):
+    from ..operators.temporal import ohlc_downsample
+
+    e = _events(spark, sf_dir)
+    return ohlc_downsample(
+        e, "event_type", "ts", "value", "event_id", interval_minutes=60
+    )
+
+
+@register(
+    "q_cohort_retention",
+    sql="""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+    a AS (
+      SELECT DISTINCT user_id,
+             CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) // 7 AS period
+      FROM e
+    ),
+    c AS (
+      SELECT user_id, period,
+             min(period) OVER (PARTITION BY user_id) AS cohort
+      FROM a
+    ),
+    cnt AS (
+      SELECT cohort AS cohort_period, period - cohort AS period_offset,
+             count(*) AS n_active
+      FROM c GROUP BY cohort, period - cohort
+    ),
+    sz AS (
+      SELECT cohort_period, n_active AS cohort_size
+      FROM cnt WHERE period_offset = 0
+    )
+    SELECT c1.cohort_period, c1.period_offset, c1.n_active, s.cohort_size,
+           c1.n_active / s.cohort_size AS retention
+    FROM cnt c1 JOIN sz s USING (cohort_period)
+    """,
+    doc=(
+        "Weekly cohort retention matrix: users cohort by first-activity "
+        "week; retention(offset) = active users / cohort size — two integer "
+        "counts and one IEEE division. Two shuffles total: the (user, week) "
+        "distinct pass and the (cohort, offset) count."
+    ),
+)
+def q_cohort_retention(spark, sf_dir):
+    from ..operators.temporal import cohort_retention
+
+    e = _events(spark, sf_dir)
+    return cohort_retention(e, "user_id", "ts", period_days=7)

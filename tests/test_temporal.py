@@ -395,3 +395,54 @@ def test_ewma_recurrence_and_single_element(spark):
 
     with pytest.raises(ValueError):
         ewma(df, "user_id", "value", ["ts"], alpha=0.0)
+
+
+def test_ohlc_deterministic_open_close_with_ties(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        ohlc_downsample,
+    )
+
+    t = dt.datetime(2024, 10, 1, 10, 0)
+    rows = [
+        # two observations share the SAME ts: event_id breaks the tie
+        (1, "x", t, 5.0), (2, "x", t, 7.0),
+        (3, "x", t.replace(minute=30), 1.0),
+        (4, "x", t.replace(minute=59), 6.0),
+        (5, "x", t.replace(hour=11), 9.0),       # next bucket
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts timestamp, v double")
+    out = {r.bucket_ts.hour: r for r in
+           ohlc_downsample(df, "k", "ts", "v", "event_id").collect()}
+    b10 = out[10]
+    assert (b10.open, b10.high, b10.low, b10.close, b10.n_obs) == (5.0, 7.0, 1.0, 6.0, 4)
+    b11 = out[11]
+    assert (b11.open, b11.close, b11.n_obs) == (9.0, 9.0, 1)
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    d = lambda off: dt.datetime(2024, 1, 4, 12) + dt.timedelta(days=off)  # Thursday
+    rows = [
+        # cohort A (week of Jan 4): users 1,2; user 1 returns weeks +1,+2,
+        # user 2 returns week +2 only; duplicate same-week activity ignored
+        (1, d(0)), (1, d(1)), (1, d(7)), (1, d(14)),
+        (2, d(0)), (2, d(14)),
+        # cohort B: user 3 one week later, never returns
+        (3, d(7)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_period, r.period_offset): (r.n_active, r.cohort_size, r.retention)
+           for r in cohort_retention(df, "user_id", "ts", period_days=7).collect()}
+    ca = min(k[0] for k in out)
+    assert out[(ca, 0)] == (2, 2, 1.0)
+    assert out[(ca, 1)] == (1, 2, 0.5)
+    assert out[(ca, 2)] == (2, 2, 1.0)
+    assert out[(ca + 1, 0)] == (1, 1, 1.0)
+    assert (ca + 1, 1) not in out

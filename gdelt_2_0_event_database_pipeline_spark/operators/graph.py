@@ -27,6 +27,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 10,
     dedup_edges: bool = True,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -43,16 +44,27 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    e = edges.select(
+    raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-    if dedup_edges:
-        e = e.distinct()
-    e = e.localCheckpoint()
+    # Collapse the raw edge list ONCE into a row-stochastic weighted
+    # adjacency: parallel edges become a multiplicity weight (or 1 under
+    # dedup_edges), normalized by out-weight. Iterations then join against
+    # |distinct pairs| rows, not |raw edges| — on multiplicity-heavy graphs
+    # (co-occurrence, trade) that is orders of magnitude smaller.
+    mult = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("__m__"))
+    w = F.lit(1.0) if dedup_edges else F.col("__m__").cast("double")
+    adj = mult.select("src", "dst", w.alias("w"))
+    outw = adj.groupBy("src").agg(F.sum("w").alias("outw"))
+    adj = (
+        adj.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint()
+    )
 
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        adj.select(F.col("src").alias("node"))
+        .union(adj.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -60,11 +72,12 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # (node, outdeg) for every node; dangling nodes get outdeg NULL
-    base = nodes.join(outdeg, nodes.node == outdeg.src, "left").select(
-        "node", "outdeg"
-    ).localCheckpoint()
+    base = nodes.join(
+        outw.select(F.col("src").alias("__s__"), F.col("outw").alias("outdeg")),
+        nodes.node == F.col("__s__"),
+        "left",
+    ).select("node", "outdeg").localCheckpoint()
 
     ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "outdeg")
     teleport = (1.0 - damping) / n
@@ -72,10 +85,10 @@ def pagerank(
     # graphs (co-occurrence, trade, link graphs with back-edges) have none,
     # so probe once and take the cheaper loop body when possible.
     has_dangling = base.filter(F.col("outdeg").isNull()).limit(1).count() > 0
-    for _ in range(max_iter):
+    for it in range(max_iter):
         contrib = (
-            e.join(ranks, e.src == ranks.node, "inner")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            adj.join(ranks, adj.src == ranks.node, "inner")
+            .select("dst", (F.col("rank") * F.col("p")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
@@ -91,7 +104,10 @@ def pagerank(
             )
             joined = joined.crossJoin(F.broadcast(dang))
             new_rank = new_rank + F.lit(damping) * (F.col("__dang__") / n)
-        ranks = joined.select(
-            "node", new_rank.alias("rank"), "outdeg"
-        ).localCheckpoint()
+        ranks = joined.select("node", new_rank.alias("rank"), "outdeg")
+        # checkpoint every k rounds: lineage stays bounded at k plan layers
+        # while halving (k=2) the materialization jobs — on huge graphs set
+        # checkpoint_interval=1 to trade jobs for minimal recompute surface
+        if (it + 1) % max(checkpoint_interval, 1) == 0 or it == max_iter - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")

@@ -671,3 +671,80 @@ def collocations(
         .filter(F.col("rank") <= k)
         .select("w1", "w2", "pair_count", "lift", "rank")
     )
+
+
+def familiarity_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-familiarity scoring: how common are a document's tokens in the
+    corpus it lives in? ``familiarity = Σ corpus_count(token) / n_tokens`` —
+    an n-gram-LM-lite signal that surfaces OCR garbage, non-language blobs,
+    and boilerplate-heavy outliers (very high scores) without training a
+    model. Token *instances* count, so a doc repeating one common word
+    scores high, mirroring unigram perplexity's behaviour.
+
+    Integer sums + ONE final division keep every double engine-portable
+    (no log arithmetic — ln() implementations differ across engines).
+
+    Plan: one token explode, one vocabulary-sized grouped count, one
+    (token)-keyed join back (vocabulary ≪ corpus at scale), one per-doc
+    aggregate. Tokenless documents return n_tokens = 0 and NULL familiarity.
+
+    Returns (id_col, n_tokens, familiarity).
+    """
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks__"))
+    ex = base.select(F.col(id_col), F.explode("__toks__").alias("__t__"))
+    vocab = ex.groupBy("__t__").agg(F.count(F.lit(1)).alias("__cf__"))
+    per_doc = (
+        ex.join(vocab, "__t__")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("__cf__") / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "familiarity",
+        )
+    )
+
+
+def corpus_report(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang", source_col: str = "source",
+) -> DataFrame:
+    """One-pass corpus card: the summary a dataset release ships with
+    (docs, token volume, mean length, language/source concentration) as a
+    tall (metric, value) frame — every value a count or a single ratio of
+    counts, so any engine reproduces it exactly.
+
+    Single aggregation job (map-side partials); distinct counts are exact
+    (the approx twin for 100 TB is ``sketches.approx_distinct``).
+    """
+    agg = df.select(
+        token_count(F.col(text_col)).alias("__n__"),
+        F.col(lang_col).alias("__lang__"),
+        F.col(source_col).alias("__src__"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n__").cast("double").alias("n_tokens"),
+        (F.sum("__n__") / F.count(F.lit(1))).alias("mean_tokens_per_doc"),
+        (
+            F.count(F.when(F.col("__lang__") == "en", 1))
+            / F.count(F.lit(1))
+        ).alias("frac_en"),
+        F.countDistinct("__lang__").cast("double").alias("n_langs"),
+        F.countDistinct("__src__").cast("double").alias("n_sources"),
+    )
+    cols = [
+        "n_tokens", "mean_tokens_per_doc", "frac_en", "n_langs", "n_sources",
+    ]
+    stacked = agg.select(
+        F.col("n_docs").cast("double").alias("n_docs"), *cols
+    ).unpivot([], ["n_docs"] + cols, "metric", "value")
+    return stacked

@@ -2110,3 +2110,75 @@ def q_k_anonymity_report(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer")
     return k_anonymity_report(c, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+@register(
+    "q_familiarity",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id < 250
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS t FROM base
+    ), vocab AS (
+      SELECT t, count(*) AS cf FROM ex GROUP BY t
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum(cf) / count(*) AS familiarity
+      FROM ex JOIN vocab USING (t)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           p.familiarity
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc=(
+        "Corpus-familiarity scoring (unigram-LM-lite): mean corpus "
+        "frequency of a document's token instances — integer sums and one "
+        "division, no log arithmetic, so scores are engine-exact. Flags "
+        "OCR garbage / non-language docs (low) and boilerplate-heavy "
+        "outliers (high) without training a model."
+    ),
+)
+def q_familiarity(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    return X.familiarity_score(d, "doc_id", "text")
+
+
+@register(
+    "q_corpus_report",
+    sql="""
+    WITH t AS (
+      SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x != '')) AS n,
+             lang, source
+      FROM documents
+    ), agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(n) AS DOUBLE) AS n_tokens,
+             sum(n) / count(*) AS mean_tokens_per_doc,
+             count(CASE WHEN lang = 'en' THEN 1 END) / count(*) AS frac_en,
+             CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+             CAST(count(DISTINCT source) AS DOUBLE) AS n_sources
+      FROM t
+    )
+    SELECT metric, value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+      UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+      UNION ALL SELECT 'mean_tokens_per_doc', mean_tokens_per_doc FROM agg
+      UNION ALL SELECT 'frac_en', frac_en FROM agg
+      UNION ALL SELECT 'n_langs', n_langs FROM agg
+      UNION ALL SELECT 'n_sources', n_sources FROM agg
+    )
+    """,
+    doc=(
+        "Corpus card (dataset-release summary): doc count, token volume, "
+        "mean length, language/source concentration — one aggregation "
+        "job unpivoted to a tall (metric, value) frame; every value a "
+        "count or single ratio, engine-exact."
+    ),
+)
+def q_corpus_report(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.corpus_report(d)

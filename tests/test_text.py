@@ -447,3 +447,41 @@ def test_collocations_finds_planted_phrase(spark):
     # single-token docs don't break the pair explode
     df2 = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
     assert collocations(df2, min_count=1, k=3).count() == 0
+
+
+def test_familiarity_score_semantics(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        familiarity_score,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common"),   # 'common' appears 4x corpus-wide
+            (2, "common rare"),            # (4 + 1) / 2
+            (3, ""),                       # tokenless
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.familiarity)
+           for r in familiarity_score(df).collect()}
+    assert got[1] == (3, 4.0)
+    assert got[2] == (2, 2.5)
+    assert got[3] == (0, None)
+
+
+def test_corpus_report_values(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "quatre cinq", "fr", "web"),
+            (3, "six", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r.metric: r.value for r in corpus_report(df).collect()}
+    assert got["n_docs"] == 3.0 and got["n_tokens"] == 6.0
+    assert got["mean_tokens_per_doc"] == 2.0
+    assert got["frac_en"] == 2.0 / 3.0
+    assert got["n_langs"] == 2.0 and got["n_sources"] == 2.0

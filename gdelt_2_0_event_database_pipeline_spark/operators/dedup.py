@@ -959,3 +959,108 @@ def remove_duplicate_spans(
             .alias("n_dropped_tokens"),
         )
     )
+
+
+# ----------------------------------------------------------- winnowing
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, the MOSS
+    algorithm): hash all character ``k``-grams, slide a ``window`` over the
+    hash sequence, keep each window's minimum — guaranteeing any shared
+    substring of length >= k + window - 1 contributes at least one common
+    fingerprint, while storing only ~2/(window+1) of the grams.
+
+    The third fingerprint family next to MinHash (set-level similarity) and
+    SimHash (vector-level): winnowing is POSITIONAL — it finds shared
+    *contiguous runs* (plagiarism, quotation, partial copies), which
+    set-based signatures dilute on long documents.
+
+    All selection happens inside higher-order functions before the explode,
+    so only (id, 8-byte fingerprint) rows shuffle. ``"md5"`` family is the
+    engine-portable oracle path; ``"xxhash64"`` the fast default.
+
+    Returns exploded distinct (id_col, fp) rows.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    grams = char_ngrams(F.col(text_col), k)
+    if hash_family == "md5":
+        hashes = F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        )
+    elif hash_family == "xxhash64":
+        hashes = F.transform(grams, lambda g: F.xxhash64(g, F.lit(0)))
+    else:
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+    base = df.select(F.col(id_col), hashes.alias("__hs__"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__hs__") - (window - 1), F.lit(1))
+            ),
+            lambda i: F.array_min(F.slice("__hs__", i, window)),
+        )
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def winnow_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Candidate copied-content pairs by shared winnowing fingerprints:
+    self-join on the fingerprint key, count distinct shared prints per pair,
+    keep pairs with >= ``min_shared``. ``overlap`` = shared / smaller
+    fingerprint set — a containment-style score robust to length mismatch.
+
+    ``max_bucket_size`` is the standard LSH skew guard: fingerprints shared
+    by more than that many documents (boilerplate runs) are skipped before
+    the pair join, bounding the quadratic bucket blowup.
+
+    Returns (id_a, id_b, shared_fps, overlap).
+    """
+    fps = winnow_fingerprints(
+        df, id_col, text_col, k=k, window=window, hash_family=hash_family
+    )
+    if max_bucket_size is not None:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__bs__"))
+            .filter(F.col("__bs__") <= max_bucket_size)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp", "semi")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf__"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__nf__").alias("__na__"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__nf__").alias("__nb__"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "shared_fps",
+            (F.col("shared_fps") / F.least("__na__", "__nb__")).alias("overlap"),
+        )
+    )

@@ -2182,3 +2182,56 @@ def q_familiarity(spark, sf_dir):
 def q_corpus_report(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return X.corpus_report(d)
+
+
+@register(
+    "q_winnow",
+    sql="""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 150
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(range(1, greatest(len(t) - 7, 1) + 1),
+                              i -> t[i : i + 7]),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT) AS hashes
+      FROM docs
+    ), fp AS (
+      SELECT DISTINCT doc_id, f
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(hashes) - 4, 1) + 1),
+                 i -> list_min(hashes[i : i + 4])))) AS f
+        FROM hs
+      )
+    ), sizes AS (
+      SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 8
+    )
+    SELECT p.id_a, p.id_b, p.shared_fps,
+           p.shared_fps / least(sa.nf, sb.nf) AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+    doc=(
+        "Winnowing (MOSS) copied-content detection: char 8-gram hashes, "
+        "window-5 minima as positional fingerprints (any shared run >= 12 "
+        "chars leaves a common print), pair join on shared prints, "
+        "containment-style overlap score. md5 hash family so DuckDB "
+        "replays the FULL pipeline — grams, window minima, dedup, pair "
+        "counts — value-identically."
+    ),
+)
+def q_winnow(spark, sf_dir):
+    from ..operators.dedup import winnow_similarity_join
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return winnow_similarity_join(
+        d, "doc_id", "text", k=8, window=5, min_shared=8, hash_family="md5"
+    )

@@ -587,3 +587,50 @@ def test_remove_duplicate_spans_long_run_fully_covered(spark):
     }
     assert out[1] == ("left right", 9)
     assert out[2] == ("start end", 9)
+
+
+def test_winnowing_guarantee_and_pair_detection(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_similarity_join,
+    )
+
+    shared = "zqxwvj kplmnb ytrfde"  # 20-char distinctive run, no English grams
+    rows = [
+        (1, f"aaa bbb ccc {shared} ddd eee"),
+        (2, f"fff ggg {shared} hhh iii jjj"),
+        (3, "kkk lll mmm nnn ooo ppp qqq rrr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # guarantee: any shared run >= k + window - 1 = 8 chars leaves >= 1
+    # common fingerprint between docs 1 and 2
+    f1 = {r.fp for r in winnow_fingerprints(df.filter("doc_id=1"), "doc_id", "text", k=5, window=4).collect()}
+    f2 = {r.fp for r in winnow_fingerprints(df.filter("doc_id=2"), "doc_id", "text", k=5, window=4).collect()}
+    assert f1 & f2
+
+    pairs = winnow_similarity_join(
+        df, "doc_id", "text", k=5, window=4, min_shared=2
+    ).collect()
+    got = {(r.id_a, r.id_b): r for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+    r = got[(1, 2)]
+    assert r.shared_fps >= 2 and 0 < r.overlap <= 1.0
+
+
+def test_winnowing_bucket_cap_prunes_boilerplate(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        winnow_similarity_join,
+    )
+
+    # the same text in 6 docs: every fingerprint bucket has 6 members;
+    # capping at 5 suppresses ALL pairs from that boilerplate
+    rows = [(i, "wwqqzzxx rrttyyuu ooppllkk") for i in range(6)]
+    rows += [(10, "aabbccdd eeffgghh unique one"), (11, "aabbccdd eeffgghh unique two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = winnow_similarity_join(
+        df, "doc_id", "text", k=5, window=4, min_shared=2, max_bucket_size=5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (10, 11) in got
+    assert all(a >= 10 for a, _ in got), got

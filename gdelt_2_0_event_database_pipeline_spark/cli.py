@@ -98,6 +98,22 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--id-col", default="doc_id")
     tb.add_argument("--text-col", default="text")
 
+    rp = sub.add_parser("report", help="corpus card: docs/tokens/lang/source summary")
+    rp.add_argument("--in", dest="in_dir", required=True)
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--lang-col", default="lang")
+    rp.add_argument("--source-col", default="source")
+    rp.add_argument("--id-col", default="doc_id")
+
+    sc = sub.add_parser("score", help="classifier-based quality scoring (fit on labels, score corpus)")
+    sc.add_argument("--in", dest="in_dir", required=True)
+    sc.add_argument("--out", required=True)
+    sc.add_argument("--label-col", required=True, help="numeric column, >0 = positive")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--dim", type=int, default=64)
+    sc.add_argument("--sample-n", type=int, default=10000)
+
     sm = sub.add_parser("sample", help="reproducible sampling")
     sm.add_argument("--in", dest="in_dir", required=True)
     sm.add_argument("--historical", default=None)
@@ -241,6 +257,36 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.command == "report":
+            from .operators.text import corpus_report
+
+            df = lake.read_lake(spark, args.in_dir)
+            rows = corpus_report(
+                df, id_col=args.id_col, text_col=args.text_col,
+                lang_col=args.lang_col, source_col=args.source_col,
+            ).collect()
+            print(json.dumps({r.metric: r.value for r in rows}))
+        elif args.command == "score":
+            from .operators.model import (
+                fit_linear_quality_model,
+                score_linear_model,
+            )
+
+            df = lake.read_lake(spark, args.in_dir)
+            weights = fit_linear_quality_model(
+                df, args.id_col, args.text_col, args.label_col,
+                dim=args.dim, sample_n=args.sample_n,
+            )
+            out = score_linear_model(df, args.id_col, args.text_col, weights)
+            out.write.mode("overwrite").parquet(args.out)
+            from pyspark.sql import functions as F
+
+            written = spark.read.parquet(args.out)
+            st = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg((F.col("score") > 0).cast("double")).alias("frac_pos"),
+            ).first()
+            print(json.dumps({"rows": st.n, "frac_positive": st.frac_pos}))
         elif args.command == "compact":
             report = lake.compact_parquet(spark, args.in_dir, target_file_mb=args.target_mb)
             print(json.dumps(report))

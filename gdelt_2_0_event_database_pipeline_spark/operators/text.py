@@ -748,3 +748,35 @@ def corpus_report(
         F.col("n_docs").cast("double").alias("n_docs"), *cols
     ).unpivot([], ["n_docs"] + cols, "metric", "value")
     return stacked
+
+
+def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
+    """zlib compression ratio (compressed bytes / raw bytes) — the Gopher /
+    RefinedWeb repetitiousness signal: heavily templated or repeated text
+    compresses far below normal prose (~0.4-0.6 for English), machine noise
+    compresses barely at all (~1.0).
+
+    Arrow-batched ``pandas_udf`` (§2.8 discipline — zlib has no Column
+    equivalent, and a DEFLATE reimplementation in expressions would be
+    absurd). Deterministic for a fixed zlib version and level; rows-only
+    at the driver (no SQL twin), invariants pinned in ``test_text.py``.
+    Empty and NULL text → NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def r(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level)) / len(b)
+
+        return s.map(r, na_action="ignore").astype("float64")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _ratio(c)

@@ -2235,3 +2235,30 @@ def q_winnow(spark, sf_dir):
     return winnow_similarity_join(
         d, "doc_id", "text", k=8, window=5, min_shared=8, hash_family="md5"
     )
+
+
+@register(
+    "q_compression_ratio",
+    sql=None,
+    doc=(
+        "zlib compression-ratio quality signal (Gopher/RefinedWeb "
+        "repetitiousness filter): compressed/raw bytes per document plus a "
+        "planted highly-repetitive control group that must score below the "
+        "natural-text floor. Arrow-batched pandas_udf (no Column-level "
+        "DEFLATE); rows-only by design — invariants in test_text.py."
+    ),
+)
+def q_compression_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(" ", F.array_repeat(F.lit("spam spam spam"), 40)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        X.compression_ratio("text").alias("zratio"),
+        (F.col("doc_id") % 10 == 0).alias("planted_repetitive"),
+    )

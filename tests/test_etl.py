@@ -593,3 +593,28 @@ def test_write_clustered_yields_prunable_file_ranges(spark, tmp_path):
         (F.col("id") >= ranges[3][0] + 1) & (F.col("id") <= ranges[3][0] + 10)
     )
     assert hit.count() == 10
+
+
+def test_cli_report_and_score(tmp_path, capsys, spark):
+    import json as _json
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "excellent thorough analysis with careful clear evidence", "en", "web", 1),
+            (2, "buy cheap pills casino bonus click now winner", "en", "spamnet", -1),
+            (3, "bonjour le monde des donnees propres", "fr", "web", 1),
+        ] * 10,
+        "doc_id long, text string, lang string, source string, label int",
+    ).write.mode("overwrite").parquet(docs)
+
+    rc = cli_main(["report", "--in", docs])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_docs"] == 30.0 and rep["n_langs"] == 2.0 and rep["n_sources"] == 2.0
+
+    out = str(tmp_path / "scored")
+    rc = cli_main(["score", "--in", docs, "--out", out, "--label-col", "label", "--dim", "32"])
+    assert rc == 0
+    sc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sc["rows"] == 30 and 0.0 < sc["frac_positive"] < 1.0

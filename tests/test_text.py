@@ -485,3 +485,35 @@ def test_corpus_report_values(spark):
     assert got["mean_tokens_per_doc"] == 2.0
     assert got["frac_en"] == 2.0 / 3.0
     assert got["n_langs"] == 2.0 and got["n_sources"] == 2.0
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        compression_ratio,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "жirafes discuss quantum botany near a velvet harpsichord factory"
+    )
+    df = spark.createDataFrame(
+        [(1, prose * 2), (2, "ab " * 200), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.z for r in df.select("doc_id", compression_ratio("text").alias("z")).collect()}
+    assert got[3] is None and got[4] is None
+    assert got[2] < 0.15              # pure repetition compresses away
+    assert got[1] > got[2] and got[1] > 0.4
+    # deterministic
+    again = {r.doc_id: r.z for r in df.select("doc_id", compression_ratio("text").alias("z")).collect()}
+    assert got == again
+
+
+def test_compression_ratio_is_arrow_batched(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = df.select(compression_ratio("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan

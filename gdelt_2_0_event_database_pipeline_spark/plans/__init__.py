@@ -54,6 +54,12 @@ _DRIVER_PRIORITY = [
     "q_burst_detection",
     "q_ewma",
     "q_zorder_key",
+    "q_ohlc",
+    "q_cohort_retention",
+    "q_familiarity",
+    "q_corpus_report",
+    "q_winnow",
+    "q_compression_ratio",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     tb.add_argument("--id-col", default="doc_id")
     tb.add_argument("--text-col", default="text")
 
+    ex = sub.add_parser("expect", help="data-quality expectation gate (exit 1 on violations)")
+    ex.add_argument("--in", dest="in_dir", required=True)
+    ex.add_argument("--rules", required=True, help="path to a JSON rule list, or an inline JSON array")
+
     rp = sub.add_parser("report", help="corpus card: docs/tokens/lang/source summary")
     rp.add_argument("--in", dest="in_dir", required=True)
     rp.add_argument("--text-col", default="text")
@@ -257,6 +261,32 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.command == "expect":
+            import os
+
+            from .operators.expectations import check_expectations
+
+            raw = args.rules
+            if os.path.exists(raw):
+                with open(raw) as fh:
+                    rules = json.load(fh)
+            else:
+                rules = json.loads(raw)
+            df = lake.read_lake(spark, args.in_dir)
+            report = check_expectations(df, rules).collect()
+            payload = [
+                {
+                    "rule_id": r.rule_id,
+                    "rule_type": r.rule_type,
+                    "column": r.column,
+                    "n_rows": r.n_rows,
+                    "n_violations": r.n_violations,
+                    "passed": r.passed,
+                }
+                for r in sorted(report, key=lambda x: x.rule_id)
+            ]
+            print(json.dumps(payload))
+            return 0 if all(p["passed"] for p in payload) else 1
         elif args.command == "report":
             from .operators.text import corpus_report
 

@@ -1,0 +1,97 @@
+"""Declarative data-quality expectations (Great-Expectations/dbt-test
+style), Spark-first: a JSON-able rule list compiles to ONE aggregation pass
+over the table — every row-level rule a conditional count, uniqueness a
+``countDistinct`` in the same job — then the 1-row result unpivots to a
+tall (rule, column, n_violations, passed) report joined to broadcast rule
+metadata. No per-rule scans, no Python in the data path.
+
+The natural extension of the reference's NULL-filter stage
+(``filtering/filter.py:106-148``, which validates exactly one rule kind)
+to the rule families a lake ingest gate actually needs.
+
+Rule grammar (one dict per rule):
+  {"type": "not_null", "column": c}
+  {"type": "in_range", "column": c, "min": x, "max": y}   # inclusive; NULLs pass
+  {"type": "in_set",   "column": c, "values": [...]}       # NULLs pass
+  {"type": "regex",    "column": c, "pattern": p}          # NULLs pass
+  {"type": "unique",   "columns": [c, ...]}                # NULL keys ignored
+
+NULL handling mirrors SQL three-valued logic deliberately: range/set/regex
+rules do not double-report NULLs — pair them with ``not_null`` when NULL is
+itself a violation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation_expr(rule: dict) -> tuple[Column, str]:
+    """(count-of-violations aggregate, column label) for one rule."""
+    t = rule["type"]
+    if t == "not_null":
+        c = F.col(rule["column"])
+        return F.count(F.when(c.isNull(), 1)), rule["column"]
+    if t == "in_range":
+        c = F.col(rule["column"])
+        bad = c.isNotNull() & (
+            (c < F.lit(rule["min"])) | (c > F.lit(rule["max"]))
+        )
+        return F.count(F.when(bad, 1)), rule["column"]
+    if t == "in_set":
+        c = F.col(rule["column"])
+        bad = c.isNotNull() & ~c.isin(list(rule["values"]))
+        return F.count(F.when(bad, 1)), rule["column"]
+    if t == "regex":
+        c = F.col(rule["column"])
+        bad = c.isNotNull() & ~c.rlike(rule["pattern"])
+        return F.count(F.when(bad, 1)), rule["column"]
+    if t == "unique":
+        cols = [F.col(c) for c in rule["columns"]]
+        nonnull = cols[0].isNotNull()
+        for c in cols[1:]:
+            nonnull = nonnull & c.isNotNull()
+        n_keyed = F.count(F.when(nonnull, 1))
+        return n_keyed - F.countDistinct(*cols), ",".join(rule["columns"])
+    raise ValueError(f"unknown expectation type: {t!r}")
+
+
+def check_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Evaluate all rules in one aggregation job.
+
+    Returns (rule_id, rule_type, column, n_rows, n_violations, passed) —
+    ``rule_id`` is the rule's position in ``rules``, so callers can map
+    back to their config. ``passed`` = zero violations.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__nr__")]
+    meta = []
+    for i, rule in enumerate(rules):
+        expr, label = _violation_expr(rule)
+        aggs.append(expr.cast("long").alias(f"__v_{i}__"))
+        meta.append((i, rule["type"], label))
+    one = df.agg(*aggs)
+    tall = one.unpivot(
+        ["__nr__"], [f"__v_{i}__" for i in range(len(rules))],
+        "__rule__", "n_violations",
+    )
+    spark = df.sparkSession
+    meta_df = spark.createDataFrame(
+        [(f"__v_{i}__", i, t, c) for i, t, c in meta],
+        "__rule__ string, rule_id int, rule_type string, column string",
+    )
+    return (
+        tall.join(F.broadcast(meta_df), "__rule__")
+        .select(
+            "rule_id",
+            "rule_type",
+            "column",
+            F.col("__nr__").alias("n_rows"),
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )

@@ -235,3 +235,62 @@ def q_sql_surface(spark, sf_dir):
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
     return spark.sql(_SQL_SURFACE)
+
+
+@register(
+    "q_expectations",
+    sql="""
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+        count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v0,
+        count(CASE WHEN o_totalprice IS NOT NULL
+                    AND (o_totalprice < 0.0 OR o_totalprice > 1000000.0)
+                   THEN 1 END) AS v1,
+        count(CASE WHEN o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('O', 'F', 'P')
+                   THEN 1 END) AS v2,
+        count(CASE WHEN o_orderpriority IS NOT NULL
+                    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                   THEN 1 END) AS v3,
+        count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+          - count(DISTINCT o_orderkey) AS v4,
+        count(CASE WHEN o_totalprice IS NOT NULL
+                    AND (o_totalprice < 0.0 OR o_totalprice > 2000.0)
+                   THEN 1 END) AS v5
+      FROM orders
+    )
+    SELECT rule_id, rule_type, "column", n_rows, n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 0 AS rule_id, 'not_null' AS rule_type, 'o_custkey' AS "column",
+             n_rows, v0 AS n_violations FROM agg
+      UNION ALL SELECT 1, 'in_range', 'o_totalprice', n_rows, v1 FROM agg
+      UNION ALL SELECT 2, 'in_set', 'o_orderstatus', n_rows, v2 FROM agg
+      UNION ALL SELECT 3, 'regex', 'o_orderpriority', n_rows, v3 FROM agg
+      UNION ALL SELECT 4, 'unique', 'o_orderkey', n_rows, v4 FROM agg
+      UNION ALL SELECT 5, 'in_range', 'o_totalprice', n_rows, v5 FROM agg
+    )
+    """,
+    doc=(
+        "Declarative data-quality expectations (the ingest gate): six rules "
+        "— not-null, range, set, regex, uniqueness, and one deliberately "
+        "failing tight range — compiled into ONE aggregation pass "
+        "(conditional counts + countDistinct in the same job), unpivoted "
+        "to a tall report. NULLs pass range/set/regex rules by SQL "
+        "three-valued-logic convention; pair with not_null when NULL is "
+        "itself a violation."
+    ),
+)
+def q_expectations(spark, sf_dir):
+    from ..operators.expectations import check_expectations
+
+    o = _t(spark, sf_dir, "orders")
+    rules = [
+        {"type": "not_null", "column": "o_custkey"},
+        {"type": "in_range", "column": "o_totalprice", "min": 0.0, "max": 1000000.0},
+        {"type": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+        {"type": "regex", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"type": "unique", "columns": ["o_orderkey"]},
+        {"type": "in_range", "column": "o_totalprice", "min": 0.0, "max": 2000.0},
+    ]
+    return check_expectations(o, rules)

@@ -1,0 +1,73 @@
+"""Expectations engine: each rule family's violation semantics, NULL
+conventions, single-job compilation."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdelt_2_0_event_database_pipeline_spark.operators.expectations import (
+    check_expectations,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "A", "ok-1", 1),
+        (2, -5.0, "B", "bad", 1),      # range viol; set viol ('B'); regex viol; dup key 1
+        (3, None, None, None, 2),      # NULLs: pass range/set/regex; fail not_null
+        (4, 70.0, "A", "ok-2", None),  # NULL key ignored by unique
+    ]
+    return spark.createDataFrame(rows, "id long, price double, status string, tag string, k long")
+
+
+def test_rule_families_and_null_conventions(spark):
+    rules = [
+        {"type": "not_null", "column": "price"},
+        {"type": "in_range", "column": "price", "min": 0.0, "max": 100.0},
+        {"type": "in_set", "column": "status", "values": ["A"]},
+        {"type": "regex", "column": "tag", "pattern": "^ok-"},
+        {"type": "unique", "columns": ["k"]},
+    ]
+    out = {r.rule_id: r for r in check_expectations(_df(spark), rules).collect()}
+    assert (out[0].n_violations, out[0].passed) == (1, False)   # one NULL price
+    assert out[1].n_violations == 1                             # -5 only; NULL passes
+    assert out[2].n_violations == 1                             # 'B'; NULL passes
+    assert out[3].n_violations == 1                             # 'bad'; NULL passes
+    assert out[4].n_violations == 1                             # k=1 twice; NULL key ignored
+    assert all(r.n_rows == 4 for r in out.values())
+
+
+def test_single_aggregation_job(spark):
+    rules = [
+        {"type": "not_null", "column": "price"},
+        {"type": "unique", "columns": ["id"]},
+    ]
+    plan = check_expectations(_df(spark), rules)._jdf.queryExecution().executedPlan().toString()
+    # one scan of the input feeds the whole report (no per-rule re-scans)
+    assert plan.count("ExistingRDD") + plan.count("LocalTableScan") <= 3
+
+
+def test_bad_rules_raise(spark):
+    with pytest.raises(ValueError):
+        check_expectations(_df(spark), [])
+    with pytest.raises(ValueError):
+        check_expectations(_df(spark), [{"type": "nope", "column": "id"}])
+
+
+def test_cli_expect_gate(tmp_path, capsys, spark):
+    import json as _json
+
+    from gdelt_2_0_event_database_pipeline_spark.cli import main as cli_main
+
+    path = str(tmp_path / "lake")
+    _df(spark).write.mode("overwrite").parquet(path)
+
+    ok_rules = '[{"type": "unique", "columns": ["id"]}]'
+    assert cli_main(["expect", "--in", path, "--rules", ok_rules]) == 0
+    capsys.readouterr()
+
+    rules_file = tmp_path / "rules.json"
+    rules_file.write_text(_json.dumps([{"type": "not_null", "column": "price"}]))
+    assert cli_main(["expect", "--in", path, "--rules", str(rules_file)]) == 1
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep[0]["n_violations"] == 1 and not rep[0]["passed"]

@@ -127,3 +127,54 @@ def numeric_histogram(
     )
     cols = ([group_col] if group_col else []) + ["bucket", "bucket_lo", "n"]
     return out.select(*cols)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    *,
+    threshold: float = 3.5,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier flagging by modified z-score (Iglewicz-Hoaglin):
+    ``|x - median| / (scale * MAD) > threshold``. Unlike mean/stddev
+    z-scores, one wild value cannot mask others — the profile-stage
+    complement to :func:`winsorize` (which clips; this FLAGS).
+
+    Two exact interpolated-percentile aggregates (median, then median of
+    absolute deviations) broadcast back per group; the row pass is
+    map-side. Interpolated percentiles are deterministic on identical
+    inputs, and the final ratio mirrors cross-engine. Zero-MAD groups
+    (>= 50% identical values) yield NULL scores and no flags — the
+    documented degenerate case.
+
+    Adds columns ``mad_z`` (nullable double) and ``is_outlier`` (bool).
+    """
+    gcols = [group_col] if group_col else []
+    med = df.groupBy(*gcols).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med__")
+    )
+    joined = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(
+        F.broadcast(med)
+    )
+    mad = joined.groupBy(*gcols).agg(
+        F.percentile(
+            F.abs(F.col(value_col) - F.col("__med__")), F.lit(0.5)
+        ).alias("__mad__")
+    )
+    full = (
+        joined.join(F.broadcast(mad), gcols)
+        if gcols
+        else joined.crossJoin(F.broadcast(mad))
+    )
+    z = F.abs(F.col(value_col) - F.col("__med__")) / (
+        F.lit(scale) * F.col("__mad__")
+    )
+    return full.select(
+        *df.columns,
+        F.when(F.col("__mad__") > 0, z).alias("mad_z"),
+        F.coalesce(
+            F.when(F.col("__mad__") > 0, z > F.lit(threshold)), F.lit(False)
+        ).alias("is_outlier"),
+    )

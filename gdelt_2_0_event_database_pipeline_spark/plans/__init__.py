@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = [
     "q_corpus_report",
     "q_winnow",
     "q_compression_ratio",
+    "q_expectations",
+    "q_mad_outliers",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

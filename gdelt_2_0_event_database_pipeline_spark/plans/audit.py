@@ -54,6 +54,8 @@ SINGLE_PARTITION_OK = {
     "q06_forecast_revenue",  # TPC-H Q6: one-row global revenue aggregate
     "q_collocations",    # two one-row corpus totals + top-20 rank over the
                          # min-support collocation table (vocabulary-bounded)
+    "q_corpus_report",   # one-row corpus card unpivoted to 6 metric rows
+    "q_expectations",    # one-row rule aggregate unpivoted to the report
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -294,3 +294,44 @@ def q_expectations(spark, sf_dir):
         {"type": "in_range", "column": "o_totalprice", "min": 0.0, "max": 2000.0},
     ]
     return check_expectations(o, rules)
+
+
+@register(
+    "q_mad_outliers",
+    sql="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM li GROUP BY l_returnflag
+    ), j AS (
+      SELECT li.*, m.med FROM li JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag,
+             quantile_cont(abs(l_extendedprice - med), 0.5) AS mad
+      FROM j GROUP BY l_returnflag
+    )
+    SELECT j.l_orderkey, j.l_linenumber, j.l_returnflag, j.l_extendedprice,
+           CASE WHEN mad > 0 THEN
+             abs(l_extendedprice - med) / (1.4826 * mad) END AS mad_z,
+           coalesce(CASE WHEN mad > 0 THEN
+             abs(l_extendedprice - med) / (1.4826 * mad) > 3.5 END,
+             false) AS is_outlier
+    FROM j JOIN mad USING (l_returnflag)
+    """,
+    doc=(
+        "Robust outlier flagging by modified z-score (Iglewicz-Hoaglin "
+        "MAD): two exact interpolated-median aggregates broadcast back per "
+        "group, map-side row pass — one wild value cannot mask others the "
+        "way mean/stddev z-scores allow. Zero-MAD degenerate groups yield "
+        "NULL scores, flag false."
+    ),
+)
+def q_mad_outliers(spark, sf_dir):
+    from ..operators.profile import mad_outliers
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return mad_outliers(li, "l_extendedprice", "l_returnflag")

@@ -229,3 +229,18 @@ def test_numeric_histogram_clamps_and_totals(spark):
         numeric_histogram(df, "x", 5.0, 5.0, 4)
     with pytest.raises(ValueError):
         numeric_histogram(df, "x", 0.0, 1.0, 0)
+
+
+def test_mad_outliers_flags_planted_extreme(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        mad_outliers,
+    )
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 9, 10, 11, 500])]
+    rows += [(100 + i, "const", 5.0) for i in range(4)]  # zero-MAD group
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r.id: r for r in mad_outliers(df, "v", "g").collect()}
+    assert out[8].is_outlier and out[8].mad_z > 100
+    assert all(not out[i].is_outlier for i in range(8))
+    # zero-MAD group: NULL score, never flagged
+    assert out[100].mad_z is None and not out[100].is_outlier

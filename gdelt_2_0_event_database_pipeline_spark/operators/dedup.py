@@ -1064,3 +1064,61 @@ def winnow_similarity_join(
             (F.col("shared_fps") / F.least("__na__", "__nb__")).alias("overlap"),
         )
     )
+
+
+def plan_lsh_params(
+    threshold: float,
+    *,
+    target_recall: float = 0.95,
+    max_candidate_rate: float = 0.05,
+    max_hashes: int = 256,
+) -> dict:
+    """Closed-form MinHash-LSH parameter planning: choose (bands, rows) so
+    the S-curve ``P(candidate | sim=s) = 1 - (1 - s^r)^b`` reaches
+    ``target_recall`` at the dedup ``threshold`` while keeping the
+    false-candidate probability at ``threshold/2`` (the "how much junk
+    reaches the exact verifier" number) under ``max_candidate_rate`` —
+    minimizing total hashes among feasible settings. Without the junk
+    constraint the cost optimum degenerates to rows_per_band=1, which
+    candidates nearly everything; both sides of the precision/recall
+    trade must bind.
+
+    Pure arithmetic on the driver (no data touched); feed the result to
+    :func:`minhash_near_dup_pairs`/:func:`minhash_near_dup_against` as
+    ``num_hashes=bands*rows, bands=bands``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    best = None
+    for r in range(1, 33):
+        for b in range(1, max_hashes + 1):
+            if b * r > max_hashes:
+                break
+            recall = 1.0 - (1.0 - threshold**r) ** b
+            if recall < target_recall:
+                continue
+            junk = 1.0 - (1.0 - (threshold / 2.0) ** r) ** b
+            if junk > max_candidate_rate:
+                break  # larger b at this r only raises the junk rate
+            cost = b * r
+            if best is None or cost < best["num_hashes"] or (
+                cost == best["num_hashes"]
+                and recall > best["recall_at_threshold"]
+            ):
+                best = {
+                    "bands": b,
+                    "rows_per_band": r,
+                    "num_hashes": cost,
+                    "recall_at_threshold": recall,
+                    "candidate_rate_at_half_threshold": junk,
+                }
+            break  # larger b only costs more at this r
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {max_hashes} hashes reaches recall "
+            f"{target_recall} at threshold {threshold} with candidate rate "
+            f"<= {max_candidate_rate}"
+        )
+    return best

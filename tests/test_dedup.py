@@ -634,3 +634,26 @@ def test_winnowing_bucket_cap_prunes_boilerplate(spark):
     got = {(r.id_a, r.id_b) for r in capped}
     assert (10, 11) in got
     assert all(a >= 10 for a, _ in got), got
+
+
+def test_plan_lsh_params_curve_properties():
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        plan_lsh_params,
+    )
+
+    p = plan_lsh_params(0.7)
+    assert p["recall_at_threshold"] >= 0.95
+    assert p["candidate_rate_at_half_threshold"] <= 0.05
+    assert p["num_hashes"] == p["bands"] * p["rows_per_band"] <= 256
+    # easier thresholds cost fewer hashes
+    assert plan_lsh_params(0.9)["num_hashes"] < p["num_hashes"]
+    # the verbatim S-curve re-check
+    b, r = p["bands"], p["rows_per_band"]
+    assert abs((1 - (1 - 0.7**r) ** b) - p["recall_at_threshold"]) < 1e-12
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        plan_lsh_params(0.5)          # infeasible at the default junk cap
+    with pytest.raises(ValueError):
+        plan_lsh_params(1.5)

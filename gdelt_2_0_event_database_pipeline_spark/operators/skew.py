@@ -192,3 +192,36 @@ def explain_shuffles(df: DataFrame) -> int:
     reviewer should be able to justify line by line."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_k: int = 10
+) -> DataFrame:
+    """Key-skew diagnosis before a join/agg: the ``top_k`` heaviest keys
+    with their share of the table and a skew factor
+    (``key_rows × n_keys / n_rows`` — 1.0 means perfectly uniform; the
+    largest factor tells you how unbalanced the busiest shuffle task will
+    be, and therefore what salting factor :func:`salted_group_agg` needs).
+
+    One grouped count, one 1-row total broadcast back, one top-k
+    (TakeOrdered, no global sort). Total order ties break on the key
+    columns so the selected row set is engine-independent.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*[F.col(c) for c in keys]).agg(
+        F.count(F.lit(1)).alias("key_rows")
+    )
+    tot = counts.agg(
+        F.sum("key_rows").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(
+        F.col("key_rows").desc(), *[F.col(c).asc() for c in keys]
+    ).limit(top_k)
+    return top.crossJoin(F.broadcast(tot)).select(
+        *keys,
+        "key_rows",
+        "n_rows",
+        "n_keys",
+        (F.col("key_rows").cast("double") * F.col("n_keys") / F.col("n_rows"))
+        .alias("skew_factor"),
+    )

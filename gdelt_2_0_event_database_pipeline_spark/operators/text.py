@@ -780,3 +780,31 @@ def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
 
     c = F.col(col) if isinstance(col, str) else col
     return _ratio(c)
+
+
+def normalize_text(col: Column | str, *, form: str = "NFKC") -> Column:
+    """Unicode normalization + whitespace hygiene — the preprocessing stage
+    before any hashing/fingerprinting dedup (two visually identical strings
+    with different codepoint sequences otherwise hash apart): NFKC-fold
+    (full-width forms, ligatures, compatibility chars), strip C0/C1 control
+    chars, collapse whitespace runs to single spaces, trim.
+
+    Unicode normalization has no Column-level equivalent, so the NFKC step
+    is an Arrow-batched ``pandas_udf`` using pandas' vectorized
+    ``str.normalize``; the regex hygiene stays in JVM expressions around
+    it. Rows-only surface (DuckDB ships no NFKC either); round-trip
+    invariants in ``test_text.py``. NULL → NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def _nfkc(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    c = F.col(col) if isinstance(col, str) else col
+    folded = _nfkc(c)
+    no_ctrl = F.regexp_replace(folded, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
+    return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))

@@ -35,6 +35,7 @@ NESTED_LOOP_OK = {
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
+    "q_skew_report",         # top-k keys × broadcast 1-row total
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
     "q_collocations",        # broadcast one-row totals (t_uni × t_pair)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
@@ -56,6 +57,7 @@ SINGLE_PARTITION_OK = {
                          # min-support collocation table (vocabulary-bounded)
     "q_corpus_report",   # one-row corpus card unpivoted to 6 metric rows
     "q_expectations",    # one-row rule aggregate unpivoted to the report
+    "q_skew_report",     # 1-row totals aggregate behind the top-k join
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -221,3 +221,35 @@ def q_zorder_key(spark, sf_dir):
     return li.select(
         "l_orderkey", "l_linenumber", zorder_key(["pk", "sk"], bits=8).alias("zkey")
     )
+
+
+@register(
+    "q_skew_report",
+    sql="""
+    WITH counts AS (
+      SELECT l_suppkey, count(*) AS key_rows FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(sum(key_rows) AS BIGINT) AS n_rows,
+             count(*) AS n_keys
+      FROM counts
+    ), top AS (
+      SELECT l_suppkey, key_rows FROM counts
+      ORDER BY key_rows DESC, l_suppkey ASC LIMIT 10
+    )
+    SELECT t.l_suppkey, t.key_rows, o.n_rows, o.n_keys,
+           CAST(t.key_rows AS DOUBLE) * o.n_keys / o.n_rows AS skew_factor
+    FROM top t CROSS JOIN tot o
+    """,
+    doc=(
+        "Key-skew diagnosis for the supplier key: top-10 heaviest keys "
+        "with share and skew factor (key_rows x n_keys / n_rows; 1.0 = "
+        "uniform) — the report that sizes the salting factor before a "
+        "skewed join/agg. TakeOrdered top-k (no global sort), 1-row total "
+        "broadcast back."
+    ),
+)
+def q_skew_report(spark, sf_dir):
+    from ..operators.skew import skew_report
+
+    li = _li(spark, sf_dir)
+    return skew_report(li, ["l_suppkey"], top_k=10)

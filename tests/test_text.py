@@ -517,3 +517,27 @@ def test_compression_ratio_is_arrow_batched(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     plan = df.select(compression_ratio("text"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_normalize_text_folds_and_cleans(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "ﬁne ＴＥＸＴ"),          # ligature + nbsp + full-width
+        (2, "a\x00b\x07c   d\t\te"),       # control chars + ws runs
+        (3, None),
+        (4, "  already clean  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.n for r in df.select("id", normalize_text("t").alias("n")).collect()}
+    assert got[1] == "fine TEXT"
+    assert got[2] == "abc d e"
+    assert got[3] is None
+    assert got[4] == "already clean"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_text("t", form="XXX")

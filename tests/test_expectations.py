@@ -71,3 +71,43 @@ def test_cli_expect_gate(tmp_path, capsys, spark):
     assert cli_main(["expect", "--in", path, "--rules", str(rules_file)]) == 1
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep[0]["n_violations"] == 1 and not rep[0]["passed"]
+
+
+def test_streaming_expectations_ledger(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from gdelt_2_0_event_database_pipeline_spark.streaming.expect import (
+        streaming_expectations,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    src, ledger, ckpt = (str(tmp_path / d) for d in ("in", "ledger", "ckpt"))
+    rules = [{"type": "not_null", "column": "price"},
+             {"type": "in_range", "column": "price", "min": 0.0, "max": 100.0}]
+
+    spark.createDataFrame([(1, 10.0), (2, None)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = read_event_stream(spark, src, schema)
+    q = streaming_expectations(stream, rules, ledger, ckpt)
+    q.awaitTermination(120)
+
+    spark.createDataFrame([(3, 500.0)], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = streaming_expectations(stream, rules, ledger, ckpt)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(ledger).collect()
+    batches = {r.batch_id for r in rows}
+    assert len(batches) == 2
+    by = {(r.batch_id, r.rule_id): r for r in rows}
+    b1, b2 = sorted(batches)
+    assert by[(b1, 0)].n_violations == 1 and not by[(b1, 0)].passed
+    assert by[(b1, 1)].n_violations == 0 and by[(b1, 1)].passed
+    assert by[(b2, 0)].n_violations == 0
+    assert by[(b2, 1)].n_violations == 1

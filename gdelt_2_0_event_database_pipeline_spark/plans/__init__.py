@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     "q_compression_ratio",
     "q_expectations",
     "q_mad_outliers",
+    "q_skew_report",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

@@ -684,3 +684,52 @@ def cohort_retention(
             (F.col("n_active") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    *,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct entities per day (the WAU/MAU family):
+    for each observed day, how many distinct entities were active in the
+    last ``window_days`` days ending that day.
+
+    A sliding COUNT DISTINCT cannot merge across window frames, so the
+    scalable shape is contribution explode: dedup to (entity, day) pairs
+    first (the big shrink — raw events never fan out), then each pair
+    contributes to the ``window_days`` report days it covers, and one
+    grouped count-distinct per report day finishes. Shuffle volume is
+    |entity-days| × window_days short rows, independent of raw event
+    count. Report days with no activity of their own are dropped (semi
+    join against observed days), so gaps don't fabricate rows.
+
+    Returns (day, n_active).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    days = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.datediff(F.to_date(F.col(ts_col)), F.lit("1970-01-01")).alias("d"),
+        )
+        .distinct()
+    )
+    contrib = days.select(
+        "entity",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + (window_days - 1))
+        ).alias("rd"),
+    )
+    observed = days.select("d").distinct()
+    counted = (
+        contrib.join(observed, contrib.rd == observed.d, "semi")
+        .groupBy("rd")
+        .agg(F.countDistinct("entity").alias("n_active"))
+    )
+    return counted.select(
+        F.date_add(F.lit("1970-01-01"), F.col("rd").cast("int")).alias("day"),
+        "n_active",
+    )

@@ -597,3 +597,36 @@ def q_cohort_retention(spark, sf_dir):
 
     e = _events(spark, sf_dir)
     return cohort_retention(e, "user_id", "ts", period_days=7)
+
+
+@register(
+    "q_rolling_distinct",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id AS entity,
+             CAST(ts::TIMESTAMP::DATE - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ), contrib AS (
+      SELECT entity, d + off AS rd
+      FROM days, unnest(range(0, 7)) AS o(off)
+    ), observed AS (
+      SELECT DISTINCT d FROM days
+    )
+    SELECT DATE '1970-01-01' + rd::INTEGER AS day,
+           count(DISTINCT entity) AS n_active
+    FROM contrib SEMI JOIN observed ON contrib.rd = observed.d
+    GROUP BY rd
+    """,
+    doc=(
+        "Trailing-7-day distinct active users per observed day (WAU): "
+        "dedup to (user, day) pairs, contribution-explode each pair to the "
+        "7 report days it covers, one grouped count-distinct — shuffle "
+        "volume |user-days| x 7, independent of raw event count; days with "
+        "no native activity emit nothing."
+    ),
+)
+def q_rolling_distinct(spark, sf_dir):
+    from ..operators.temporal import rolling_distinct
+
+    e = _events(spark, sf_dir)
+    return rolling_distinct(e, "ts", "user_id", window_days=7)

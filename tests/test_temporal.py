@@ -446,3 +446,28 @@ def test_cohort_retention_matrix(spark):
     assert out[(ca, 2)] == (2, 2, 1.0)
     assert out[(ca + 1, 0)] == (1, 1, 1.0)
     assert (ca + 1, 1) not in out
+
+
+def test_rolling_distinct_window_semantics(spark):
+    import datetime as dt
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        rolling_distinct,
+    )
+
+    d = lambda day, u: (u, dt.datetime(2024, 6, day, 9))
+    rows = [d(1, 1), d(1, 1), d(1, 2),      # day1: users {1,2} (dup event)
+            d(3, 2),                          # day3: {2}
+            d(10, 3)]                         # far gap
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.day.day: r.n_active for r in rolling_distinct(df, "ts", "user_id", window_days=3).collect()}
+    # observed days only: 1, 3, 10
+    assert set(out) == {1, 3, 10}
+    assert out[1] == 2              # {1,2}
+    assert out[3] == 2              # day1 within 3-day trailing window {1,2}
+    assert out[10] == 1             # gap: only user 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_distinct(df, "ts", "user_id", window_days=0)

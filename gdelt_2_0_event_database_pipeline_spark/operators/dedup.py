@@ -879,6 +879,7 @@ def remove_duplicate_spans(
     *,
     window: int = 20,
     min_count: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style duplicated-span removal (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"): any
@@ -897,6 +898,14 @@ def remove_duplicate_spans(
     over *arbitrary-length* spans is approximated by fixed-width windows:
     every duplicated run >= ``window`` tokens is fully covered by its
     duplicated sub-windows, shorter duplicates are ignored by design.
+
+    ``keep_first=True`` switches to the canonical remove-all-but-one
+    semantics: for each duplicated window, the occurrence with the lowest
+    (id, pos) survives uncovered — one copy of a syndicated paragraph stays
+    in the corpus. A surviving occurrence's tokens can still fall to a
+    DIFFERENT duplicated window whose own first occurrence lies elsewhere
+    (fixed-width approximation of arbitrary-length spans; same caveat as
+    the aggressive mode, documented not hidden).
 
     Returns (id_col, clean_text, n_dropped_tokens).
     """
@@ -926,9 +935,16 @@ def remove_duplicate_spans(
         .filter(F.col("__cnt__") >= min_count)
         .select("h")
     )
+    dup_occ = wins.join(dup, "h", "semi")
+    if keep_first:
+        first = Window.partitionBy("h").orderBy(
+            F.col(id_col).asc(), F.col("pos").asc()
+        )
+        dup_occ = dup_occ.withColumn(
+            "__rn__", F.row_number().over(first)
+        ).filter(F.col("__rn__") >= 2)
     covered = (
-        wins.join(dup, "h", "semi")
-        .select(
+        dup_occ.select(
             F.col(id_col),
             F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("p"),
         )

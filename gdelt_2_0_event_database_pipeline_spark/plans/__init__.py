@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
     "q_expectations",
     "q_mad_outliers",
     "q_skew_report",
+    "q_dup_spans_keep_first",
+    "q_rolling_distinct",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

@@ -2262,3 +2262,79 @@ def q_compression_ratio(spark, sf_dir):
         X.compression_ratio("text").alias("zratio"),
         (F.col("doc_id") % 10 == 0).alias("planted_repetitive"),
     )
+
+
+@register(
+    "q_dup_spans_keep_first",
+    sql="""
+    WITH docs AS (
+      SELECT doc_id,
+             text || (CASE WHEN doc_id % 4 = 0
+               THEN ' share and subscribe to our channel for more daily news updates'
+               ELSE '' END) AS text
+      FROM documents WHERE doc_id < 200
+    ), base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS toks
+      FROM docs
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base
+    ), wins AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i : i + 7], ' ')) AS h
+      FROM sized, unnest(range(1, n - 8 + 2)) AS t(i)
+      WHERE n >= 8
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), occ AS (
+      SELECT w.doc_id, w.pos, w.h,
+             row_number() OVER (PARTITION BY w.h
+                                ORDER BY w.doc_id, w.pos) AS rn
+      FROM wins w SEMI JOIN dup ON w.h = dup.h
+    ), cov AS (
+      SELECT DISTINCT o.doc_id, o.pos + x.off AS p
+      FROM occ o, unnest(range(0, 8)) AS x(off)
+      WHERE o.rn >= 2
+    ), tp AS (
+      SELECT doc_id, i AS p, toks[i] AS tok
+      FROM sized, unnest(range(1, n + 1)) AS t(i)
+    ), kept AS (
+      SELECT tp.* FROM tp
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           s.n - coalesce(a.n_kept, 0) AS n_dropped_tokens
+    FROM sized s LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=(
+        "Duplicated-span removal, canonical keep-one-copy mode: per "
+        "duplicated window the lowest-(doc, pos) occurrence survives, so "
+        "exactly one copy of the planted promo tail remains in the corpus "
+        "(doc 0) while every other copy is cut. Oracle replays the window "
+        "rank and coverage."
+    ),
+)
+def q_dup_spans_keep_first(spark, sf_dir):
+    from ..operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(" share and subscribe to our channel for more daily news updates"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_duplicate_spans(
+        docs, "doc_id", "text", window=8, min_count=2, keep_first=True
+    )

@@ -657,3 +657,23 @@ def test_plan_lsh_params_curve_properties():
         plan_lsh_params(0.5)          # infeasible at the default junk cap
     with pytest.raises(ValueError):
         plan_lsh_params(1.5)
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    span = "alpha beta gamma delta"
+    rows = [
+        (1, f"one uno {span} stays"),
+        (2, f"two duo {span} goes"),
+        (3, f"tri tres {span} gone too"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.clean_text, r.n_dropped_tokens)
+           for r in remove_duplicate_spans(df, "doc_id", "text", window=4, keep_first=True).collect()}
+    # lowest (doc, pos) occurrence survives; later copies are cut
+    assert out[1] == (f"one uno {span} stays", 0)
+    assert out[2] == ("two duo goes", 4)
+    assert out[3] == ("tri tres gone too", 4)

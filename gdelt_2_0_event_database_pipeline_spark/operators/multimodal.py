@@ -66,12 +66,10 @@ def encode_fake_payload(media_id: int, width: int, height: int, n_frames: int = 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def decode_png(payload: bytes) -> dict:
-    """Pure-Python PNG decode (RFC 2083 subset): 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced; all five scanline filters (None/Sub/Up/Average/Paeth).
-    Returns width/height/n_frames=1/mean_intensity (mean over the color
-    channels, alpha excluded; palette indices resolved through PLTE)."""
+def _png_raster(payload: bytes) -> tuple:
+    """De-filtered PNG raster: (width, height, channels, color, plte, bytes).
+    RFC 2083 subset — 8-bit depth, color types 0/2/3/4/6, non-interlaced,
+    all five scanline filters (None/Sub/Up/Average/Paeth)."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, plte, idat = len(_PNG_SIG), None, b"", []
@@ -132,6 +130,14 @@ def decode_png(payload: bytes) -> dict:
                 out[o + x] = (line[x] + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter byte {f}")
+    return width, height, channels, color, plte, bytes(out)
+
+
+def decode_png(payload: bytes) -> dict:
+    """Pure-Python PNG decode: raster via :func:`_png_raster`, then
+    width/height/n_frames=1/mean_intensity (mean over the color channels,
+    alpha excluded; palette indices resolved through PLTE)."""
+    width, height, channels, color, plte, out = _png_raster(payload)
     # mean intensity over color channels (alpha excluded)
     if color == 3:  # palette: index -> mean of its RGB triple
         total = sum(
@@ -351,4 +357,147 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.avg(F.col("meta.width") * F.col("meta.height")).alias("avg_pixels"),
         F.sum("meta.n_frames").alias("total_frames"),
+    )
+
+
+# ------------------------------------------------------------ perceptual hash
+def gray_raster(payload: bytes) -> tuple:
+    """(width, height, grayscale bytes) for any decodable image payload —
+    PNG via the shared de-filter, BMP via the BGR rows. Grayscale = integer
+    mean of the color channels (alpha excluded), matching the decoders'
+    mean-intensity convention."""
+    if payload.startswith(_PNG_SIG):
+        width, height, channels, color, plte, out = _png_raster(payload)
+        if color == 3:
+            gray = bytes(
+                (plte[3 * i] + plte[3 * i + 1] + plte[3 * i + 2]) // 3 for i in out
+            )
+        elif channels == 1:
+            gray = out
+        else:
+            keep = channels - 1 if color in (4, 6) else channels
+            gray = bytes(
+                sum(out[p * channels + c] for c in range(keep)) // keep
+                for p in range(width * height)
+            )
+        return width, height, gray
+    if payload.startswith(b"BM"):
+        pixel_off = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        height = abs(height)
+        padded = (width * 3 + 3) & ~3
+        gray = bytearray(width * height)
+        for y in range(height):
+            base = pixel_off + y * padded
+            row_y = height - 1 - y  # BMP rows are bottom-up
+            for x in range(width):
+                b3 = payload[base + 3 * x : base + 3 * x + 3]
+                gray[row_y * width + x] = (b3[0] + b3[1] + b3[2]) // 3
+        return width, height, bytes(gray)
+    raise ValueError(f"unsupported image payload (magic={payload[:8]!r})")
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash): nearest-neighbor downsample of the
+    grayscale raster to 9×8, then each bit = left pixel brighter than its
+    right neighbor. Robust to resizing, recompression, and brightness
+    shifts — the standard cheap perceptual fingerprint for image near-dup."""
+    w, h, gray = gray_raster(payload)
+    if w < 1 or h < 1:
+        raise ValueError("empty image")
+    gw, gh = 9, 8
+    grid = [
+        gray[min(h - 1, (gy * h) // gh) * w + min(w - 1, (gx * w) // gw)]
+        for gy in range(gh)
+        for gx in range(gw)
+    ]
+    out = 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            bit = 1 if grid[gy * gw + gx] > grid[gy * gw + gx + 1] else 0
+            out = (out << 1) | bit
+    return out
+
+
+def media_dhash(df: DataFrame) -> DataFrame:
+    """(media_id, dhash) via ``mapInPandas`` over the payload column —
+    same Arrow-batched seam as :func:`extract_features`; undecodable
+    payloads yield NULL (kept, so callers can audit failures)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash", T.LongType()),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for p in pdf["payload"]:
+                try:
+                    # dHash is 64 unsigned bits; store as signed long
+                    v = dhash64(p)
+                    vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except Exception:
+                    vals.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values,
+                 "dhash": pd.Series(vals, dtype="Int64")}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_hash, schema)
+
+
+def media_near_dup_pairs(
+    df: DataFrame, *, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-duplicate pairs by banded dHash: split the 64-bit hash
+    into ``max_hamming + 1`` chunks (pigeonhole — any pair within the
+    Hamming budget shares at least one exact chunk), bucket-join on
+    (chunk_idx, chunk_value), verify with ``bit_count(xor)``. The same
+    banding argument as SimHash text near-dup, applied to pixels; payloads
+    never join — only (id, 64-bit) rows.
+
+    Returns (id_a, id_b, hamming).
+    """
+    from pyspark.sql import functions as F
+
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks + (1 if 64 % n_chunks else 0)
+    sig = media_dhash(df).filter(F.col("dhash").isNotNull())
+    chunks = sig.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftrightunsigned(
+                            F.col("dhash"), i * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("cv"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunks.select(
+        F.col("media_id").alias("id_a"), F.col("dhash").alias("ha"), "ci", "cv"
+    )
+    b = chunks.select(
+        F.col("media_id").alias("id_b"), F.col("dhash").alias("hb"), "ci", "cv"
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "q_skew_report",
     "q_dup_spans_keep_first",
     "q_rolling_distinct",
+    "q_media_near_dup",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

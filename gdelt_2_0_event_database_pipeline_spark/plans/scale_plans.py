@@ -253,3 +253,38 @@ def q_skew_report(spark, sf_dir):
 
     li = _li(spark, sf_dir)
     return skew_report(li, ["l_suppkey"], top_k=10)
+
+
+@register(
+    "q_media_near_dup",
+    sql=None,
+    doc=(
+        "Image near-duplicate pairs over REAL decoded pixels: deterministic "
+        "PNG corpus (20 bases + 6 brightness-shifted re-encodes), pure-"
+        "Python decode -> 64-bit dHash in one Arrow-batched mapInPandas, "
+        "pigeonhole-banded Hamming pair join (payloads never join). "
+        "Rows-only by design (no zlib/PNG in the oracle engine); the "
+        "banded-equals-bruteforce differential is pinned in "
+        "test_multimodal.py."
+    ),
+)
+def q_media_near_dup(spark, sf_dir):
+    import random
+
+    from ..operators.multimodal import encode_png, media_near_dup_pairs
+
+    rng = random.Random(42)
+    w, h = 24, 16
+    rows = []
+    bases = []
+    for i in range(20):
+        gray = bytes(rng.randrange(256) for _ in range(w * h))
+        bases.append(gray)
+        rgb = bytes(v for g in gray for v in (g, g, g))
+        rows.append((i, bytearray(encode_png(w, h, rgb))))
+    for j in range(6):  # planted near-dups: brightness-shifted re-encodes
+        gray = bytes(min(255, p + 18) for p in bases[j])
+        rgb = bytes(v for g in gray for v in (g, g, g))
+        rows.append((100 + j, bytearray(encode_png(w, h, rgb))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return media_near_dup_pairs(df, max_hamming=6)

@@ -193,3 +193,70 @@ def test_media_stats_metadata_only(media, tmp_path):
     got = {r.media_type: r for r in out.collect()}
     assert got["image"].cnt + got["video"].cnt == 40
     assert got["video"].total_frames > got["video"].cnt  # multi-frame
+
+
+def _noisy_copy(pixels: bytes, delta: int) -> bytes:
+    return bytes(min(255, p + delta) for p in pixels)
+
+
+def _rgb(gray: bytes) -> bytes:
+    return bytes(v for g in gray for v in (g, g, g))
+
+
+def test_dhash_invariant_to_brightness_and_distinguishes_images(spark):
+    import random
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+    )
+
+    rng = random.Random(3)
+    w, h = 24, 16
+    base = bytes(rng.randrange(256) for _ in range(w * h))
+    other = bytes(rng.randrange(256) for _ in range(w * h))
+    png_a = encode_png(w, h, _rgb(base))
+    png_bright = encode_png(w, h, _rgb(_noisy_copy(base, 20)))
+    png_other = encode_png(w, h, _rgb(other))
+
+    ha, hb, ho = dhash64(png_a), dhash64(png_bright), dhash64(png_other)
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(ha, hb) <= 6          # uniform brightness shift ≈ same dhash
+    assert ham(ha, ho) > 16          # unrelated image is far
+
+
+def test_media_near_dup_pairs_banded_equals_bruteforce(spark):
+    import random
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        media_near_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    w, h = 24, 16
+    imgs = {}
+    base = bytes(rng.randrange(256) for _ in range(w * h))
+    imgs[1] = encode_png(w, h, _rgb(base))
+    imgs[2] = encode_png(w, h, _rgb(_noisy_copy(base, 15)))   # near-dup of 1
+    for i in range(3, 9):                                # unrelated images
+        imgs[i] = encode_png(w, h, _rgb(bytes(rng.randrange(256) for _ in range(w * h))))
+    imgs[9] = b"garbage-not-an-image"                    # undecodable -> skipped
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in imgs.items()], "media_id long, payload binary"
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in media_near_dup_pairs(df, max_hamming=6).collect()}
+
+    # brute-force reference over the decodable images
+    hs = {i: dhash64(p) for i, p in imgs.items() if i != 9}
+    want = {}
+    for a in hs:
+        for b in hs:
+            if a < b:
+                d = bin(hs[a] ^ hs[b]).count("1")
+                if d <= 6:
+                    want[(a, b)] = d
+    assert got == want and (1, 2) in got

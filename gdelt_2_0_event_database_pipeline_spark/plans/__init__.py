@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q_dup_spans_keep_first",
     "q_rolling_distinct",
     "q_media_near_dup",
+    "q_distribution_drift",
     "q_sample_uniform",
     "q_sample_stratified",
     "q_sample_daily",

@@ -58,6 +58,8 @@ SINGLE_PARTITION_OK = {
     "q_corpus_report",   # one-row corpus card unpivoted to 6 metric rows
     "q_expectations",    # one-row rule aggregate unpivoted to the report
     "q_skew_report",     # 1-row totals aggregate behind the top-k join
+    "q_distribution_drift",  # TV-sum window over the <=buckets-row histogram
+                             # join (bucket-level, bounded by construction)
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -335,3 +335,51 @@ def q_mad_outliers(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
     )
     return mad_outliers(li, "l_extendedprice", "l_returnflag")
+
+
+@register(
+    "q_distribution_drift",
+    sql="""
+    WITH a AS (
+      SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19)
+                  AS BIGINT) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 0
+    ), b AS (
+      SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19)
+                  AS BIGINT) AS bucket
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey % 2 = 1
+    ), ha AS (SELECT bucket, count(*) AS n_a FROM a GROUP BY bucket),
+    hb AS (SELECT bucket, count(*) AS n_b FROM b GROUP BY bucket),
+    j AS (
+      SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      FROM ha FULL JOIN hb ON ha.bucket = hb.bucket
+    ), tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+      FROM j
+    )
+    SELECT bucket, n_a, n_b,
+           n_a / ta AS share_a,
+           n_b / tb AS share_b,
+           sum(abs(n_a * tb - n_b * ta)) OVER () / (2.0 * ta * tb)
+             AS tv_distance
+    FROM j CROSS JOIN tot
+    """,
+    doc=(
+        "Distribution drift between two snapshots (even vs odd order keys "
+        "over o_totalprice, 20 buckets): per-bucket share deltas plus the "
+        "total-variation distance computed in INTEGER space "
+        "(|c_a*n_b - c_b*n_a| summed exactly, ONE final division) — TV "
+        "instead of PSI/KL precisely because it needs no logarithms and "
+        "is therefore engine-exact."
+    ),
+)
+def q_distribution_drift(spark, sf_dir):
+    from ..operators.profile import distribution_drift
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter((F.col("o_totalprice").isNotNull()) & (F.col("o_orderkey") % 2 == 0))
+    b = o.filter((F.col("o_totalprice").isNotNull()) & (F.col("o_orderkey") % 2 == 1))
+    return distribution_drift(
+        a, b, "o_totalprice", lo=0.0, hi=500000.0, buckets=20
+    )

@@ -244,3 +244,28 @@ def test_mad_outliers_flags_planted_extreme(spark):
     assert all(not out[i].is_outlier for i in range(8))
     # zero-MAD group: NULL score, never flagged
     assert out[100].mad_z is None and not out[100].is_outlier
+
+
+def test_distribution_drift_tv_semantics(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    # a: 8 values in bucket0, 2 in bucket1 ; b: 2 in bucket0, 8 in bucket1
+    a = spark.createDataFrame([(float(v),) for v in [1] * 8 + [11] * 2], "v double")
+    b = spark.createDataFrame([(float(v),) for v in [1] * 2 + [11] * 8], "v double")
+    out = distribution_drift(a, b, "v", lo=0.0, hi=20.0, buckets=2).collect()
+    by = {r.bucket: r for r in out}
+    assert by[0].n_a == 8 and by[0].n_b == 2
+    assert by[0].share_a == 0.8 and by[0].share_b == 0.2
+    # TV = 0.5*(|0.8-0.2| + |0.2-0.8|) = 0.6, identical on every row
+    assert {r.tv_distance for r in out} == {0.6}
+
+    # identical distributions -> zero drift
+    same = distribution_drift(a, a, "v", lo=0.0, hi=20.0, buckets=2).collect()
+    assert {r.tv_distance for r in same} == {0.0}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        distribution_drift(a, b, "v", lo=5.0, hi=5.0)

@@ -36,6 +36,7 @@ NESTED_LOOP_OK = {
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_skew_report",         # top-k keys × broadcast 1-row total
+    "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
     "q_collocations",        # broadcast one-row totals (t_uni × t_pair)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row

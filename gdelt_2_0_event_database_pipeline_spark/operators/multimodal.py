@@ -449,23 +449,27 @@ def media_dhash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(_hash, schema)
 
 
-def media_near_dup_pairs(
-    df: DataFrame, *, max_hamming: int = 6
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str = "media_id",
+    sig_col: str = "dhash",
+    *,
+    max_hamming: int = 6,
 ) -> DataFrame:
-    """Image near-duplicate pairs by banded dHash: split the 64-bit hash
+    """Banded Hamming pair join over any 64-bit signature column: split
     into ``max_hamming + 1`` chunks (pigeonhole — any pair within the
     Hamming budget shares at least one exact chunk), bucket-join on
     (chunk_idx, chunk_value), verify with ``bit_count(xor)``. The same
-    banding argument as SimHash text near-dup, applied to pixels; payloads
-    never join — only (id, 64-bit) rows.
-
-    Returns (id_a, id_b, hamming).
-    """
+    banding argument as SimHash text near-dup, reused by the image dHash
+    and audio fingerprint fronts; payloads never join — only (id, 64-bit)
+    rows. Returns (id_a, id_b, hamming)."""
     from pyspark.sql import functions as F
 
     n_chunks = max_hamming + 1
     width = 64 // n_chunks + (1 if 64 % n_chunks else 0)
-    sig = media_dhash(df).filter(F.col("dhash").isNotNull())
+    sig = sig.select(
+        F.col(id_col).alias("media_id"), F.col(sig_col).alias("dhash")
+    ).filter(F.col("dhash").isNotNull())
     chunks = sig.select(
         "media_id",
         "dhash",
@@ -501,3 +505,91 @@ def media_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def media_near_dup_pairs(df: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs: decoded-pixel dHash front end over the
+    shared banded Hamming join. Returns (id_a, id_b, hamming)."""
+    return hamming_near_dup_pairs(
+        media_dhash(df), "media_id", "dhash", max_hamming=max_hamming
+    )
+
+
+def wav_mono_samples(payload: bytes) -> list:
+    """Mono PCM samples (channel-averaged) from a RIFF/WAVE payload —
+    16-bit LE or 8-bit unsigned, PCM only (the :func:`decode_wav` subset)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, channels, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        chunk = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"fmt ":
+            fmt, channels, _rate = struct.unpack_from("<HHI", chunk, 0)
+            bits = struct.unpack_from("<H", chunk, 14)[0]
+            if fmt != 1:
+                raise ValueError(f"unsupported WAV format code {fmt}")
+        elif cid == b"data":
+            data = chunk
+    if not channels or data is None:
+        raise ValueError("truncated WAV")
+    if bits == 16:
+        raw = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    elif bits == 8:
+        raw = [b - 128 for b in data]
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    return [
+        sum(raw[i + c] for c in range(channels)) // channels
+        for i in range(0, len(raw) - channels + 1, channels)
+    ]
+
+
+def audio_fingerprint64(payload: bytes, *, n_frames: int = 65) -> int:
+    """64-bit audio fingerprint: frame the mono PCM stream into 65 equal
+    windows, per-frame energy (sum of squares), bit i = energy rises from
+    frame i to i+1 — the energy-delta-sign sketch (a chromaprint-lite).
+    Amplitude scaling preserves every comparison, so re-levelled copies of
+    a recording fingerprint identically; different material diverges."""
+    samples = wav_mono_samples(payload)
+    if len(samples) < n_frames:
+        raise ValueError(f"need >= {n_frames} samples, got {len(samples)}")
+    step = len(samples) / n_frames
+    energies = []
+    for i in range(n_frames):
+        lo, hi = int(i * step), int((i + 1) * step)
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    out = 0
+    for i in range(n_frames - 1):
+        out = (out << 1) | (1 if energies[i + 1] > energies[i] else 0)
+    return out
+
+
+def media_audio_fingerprint(df: DataFrame) -> DataFrame:
+    """(media_id, afp) via ``mapInPandas`` over WAV payloads; undecodable
+    rows yield NULL. Feed into :func:`hamming_near_dup_pairs` with
+    ``sig_col="afp"`` for audio near-dup."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("afp", T.LongType()),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = []
+            for p in pdf["payload"]:
+                try:
+                    v = audio_fingerprint64(p)
+                    vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except Exception:
+                    vals.append(None)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].values,
+                 "afp": pd.Series(vals, dtype="Int64")}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_hash, schema)

@@ -260,3 +260,43 @@ def test_media_near_dup_pairs_banded_equals_bruteforce(spark):
                 if d <= 6:
                     want[(a, b)] = d
     assert got == want and (1, 2) in got
+
+
+def _wav(samples, rate=8000, channels=1):
+    import struct as st
+
+    data = b"".join(st.pack("<h", max(-32768, min(32767, s))) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt + b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_audio_fingerprint_amplitude_invariant(spark):
+    import math
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.multimodal import (
+        audio_fingerprint64,
+        hamming_near_dup_pairs,
+        media_audio_fingerprint,
+    )
+
+    n = 2000
+    # amplitude-modulated tone: energy envelope varies frame to frame
+    tone = [int(8000 * math.sin(i / 7.0) * (1.0 + 0.8 * math.sin(i / 150.0))) for i in range(n)]
+    scaled = [s // 3 for s in tone]                       # re-levelled copy
+    other = [int(8000 * math.sin(i / 3.0) * (1.0 + 0.8 * math.cos(i / 45.0))) for i in range(n)]
+
+    fa, fs, fo = (audio_fingerprint64(_wav(x)) for x in (tone, scaled, other))
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(fa, fs) <= 4          # scaling preserves energy ordering
+    assert ham(fa, fo) > 12
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(tone))), (2, bytearray(_wav(scaled))),
+         (3, bytearray(_wav(other))), (4, b"not audio")],
+        "media_id long, payload binary",
+    )
+    sig = media_audio_fingerprint(df)
+    got = {(r.id_a, r.id_b) for r in
+           hamming_near_dup_pairs(sig, "media_id", "afp", max_hamming=4).collect()}
+    assert got == {(1, 2)}

@@ -20,17 +20,16 @@ from . import scale_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-6 rotation: (a) every query without a driver row in ANY
-    # CORRECTNESS_r*.json (r5 artifacts never landed, so the r5 batch and
-    # the r6 additions are all unchecked) — oracle-SQL entries first,
-    # rows-only entries at the tail of the window; (b) the stalest
-    # r3-checked oracle queries fill the remainder of the ~50-row cap.
+    # Round-6 rotation: every query without a driver row in ANY
+    # CORRECTNESS_r*.json (r5 artifacts never landed, so both the r5 batch
+    # and the r6 additions are unchecked). Oracle-SQL entries lead (they
+    # yield rows+schema+hash evidence); rows-only entries follow; the
+    # stalest r3-checked oracle queries fill any remaining window.
     "q_semantic_dedup",
     "q_dedup_near_against",
     "q_tfidf_keywords",
     "q_winsorize",
     "q06_forecast_revenue",
-    "q_hll_rollup",
     "q_hashed_semantic_dedup",
     "q_resample_ffill",
     "q_asof_tolerance",
@@ -59,13 +58,11 @@ _DRIVER_PRIORITY = [
     "q_familiarity",
     "q_corpus_report",
     "q_winnow",
-    "q_compression_ratio",
     "q_expectations",
     "q_mad_outliers",
     "q_skew_report",
     "q_dup_spans_keep_first",
     "q_rolling_distinct",
-    "q_media_near_dup",
     "q_distribution_drift",
     "q_sample_uniform",
     "q_sample_stratified",
@@ -79,6 +76,9 @@ _DRIVER_PRIORITY = [
     "q_embedding_near_dup",
     "q_normalize_url",
     "q_media_stats",
+    "q_hll_rollup",
+    "q_compression_ratio",
+    "q_media_near_dup",
     "q_pack_first_fit",
     "q_ivf_topk",
     "q_approx_distinct",
@@ -88,6 +88,8 @@ _DRIVER_PRIORITY = [
     "q_asof_forward",
     "q_asof_join",
     "q_bucketed_join",
+    "q_conditional_agg",
+    "q_dsl_nested",
 ]
 
 

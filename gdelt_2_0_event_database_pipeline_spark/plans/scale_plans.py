@@ -288,3 +288,51 @@ def q_media_near_dup(spark, sf_dir):
         rows.append((100 + j, bytearray(encode_png(w, h, rgb))))
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     return media_near_dup_pairs(df, max_hamming=6)
+
+
+@register(
+    "q_audio_near_dup",
+    sql=None,
+    doc=(
+        "Audio near-duplicate pairs over REAL decoded PCM: deterministic "
+        "WAV corpus (10 amplitude-modulated tones + 4 re-levelled copies "
+        "at 1/3 gain), energy-delta-sign fingerprint (chromaprint-lite, "
+        "amplitude-invariant) in one Arrow-batched mapInPandas, the SAME "
+        "pigeonhole-banded Hamming join as the image path. Rows-only (no "
+        "PCM in the oracle engine); invariants in test_multimodal.py."
+    ),
+)
+def q_audio_near_dup(spark, sf_dir):
+    import math
+    import struct as st
+
+    from ..operators.multimodal import (
+        hamming_near_dup_pairs,
+        media_audio_fingerprint,
+    )
+
+    def wav(samples):
+        data = b"".join(
+            st.pack("<h", max(-32768, min(32767, s))) for s in samples
+        )
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    rows = []
+    tones = []
+    for k in range(10):
+        tone = [
+            int(8000 * math.sin(i / (3.0 + k)) * (1.0 + 0.8 * math.sin(i / (60.0 + 17 * k))))
+            for i in range(2000)
+        ]
+        tones.append(tone)
+        rows.append((k, bytearray(wav(tone))))
+    for j in range(4):  # planted near-dups: re-levelled copies
+        rows.append((100 + j, bytearray(wav([s // 3 for s in tones[j]]))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sig = media_audio_fingerprint(df)
+    return hamming_near_dup_pairs(sig, "media_id", "afp", max_hamming=4)

@@ -69,6 +69,18 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # warm the Arrow python-worker pool + ArrowEvalPython codegen: the
+    # alphabetical walk otherwise charges the FIRST Arrow query
+    # (q_audio_near_dup) ~8 s of session-wide spin-up
+    from pyspark.sql import functions as F
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        compression_ratio,
+    )
+
+    docs.limit(50).select(compression_ratio("text")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     # registry order is the DRIVER's correctness-priority order; bench walks
     # names alphabetically so per-query timings stay comparable across rounds
     # even when the driver priority shuffles

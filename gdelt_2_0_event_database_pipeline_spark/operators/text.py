@@ -808,3 +808,74 @@ def normalize_text(col: Column | str, *, form: str = "NFKC") -> Column:
     folded = _nfkc(c)
     no_ctrl = F.regexp_replace(folded, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", "")
     return F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval over the corpus for a literal term list — full-text
+    search as ONE aggregation plus a map-side score pass, no index build.
+
+    Engine-exactness by construction: per-term tf and doc length are
+    integers from the same tokenizer both engines share; corpus stats
+    (N, total length, per-term document frequencies) come from a single
+    1-row aggregate broadcast back; the idf uses the RATIONAL BM25 form
+    ``(N - df + 0.5) / (df + 0.5)`` (the log is monotone per term but not
+    over the sum — documented variant, same spirit as ``tfidf_top_terms``);
+    and the final score adds the per-term contributions in literal term
+    order, so the float ops mirror exactly in SQL. Top-k totally ordered
+    (score desc, id asc).
+
+    Returns (id_col, score) — the k best matching documents.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks__")
+    ).select(
+        id_col,
+        F.size("__toks__").alias("__len__"),
+        # NB: a two-arg lambda would bind Spark's (element, index) HOF form,
+        # so the term must be captured via a factory, not a default arg
+        *[
+            F.size(
+                F.filter("__toks__", (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"__tf_{i}__")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N__"),
+        F.sum("__len__").alias("__TL__"),
+        *[
+            F.sum((F.col(f"__tf_{i}__") > 0).cast("long")).alias(f"__df_{i}__")
+            for i in range(len(terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}__").cast("double")
+        dfreq = F.col(f"__df_{i}__")
+        idf = (F.col("__N__") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        # len/avgdl as (len * N) / TL: integer product, one division
+        rel_len = (F.col("__len__") * F.col("__N__")).cast("double") / F.col(
+            "__TL__"
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel_len)
+        s = idf * (tf * F.lit(k1 + 1.0)) / denom
+        score = s if score is None else score + s
+    return (
+        joined.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

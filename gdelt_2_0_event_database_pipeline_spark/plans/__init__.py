@@ -25,6 +25,7 @@ _DRIVER_PRIORITY = [
     # and the r6 additions are unchecked). Oracle-SQL entries lead (they
     # yield rows+schema+hash evidence); rows-only entries follow; the
     # stalest r3-checked oracle queries fill any remaining window.
+    "q_bm25_search",
     "q_semantic_dedup",
     "q_dedup_near_against",
     "q_tfidf_keywords",

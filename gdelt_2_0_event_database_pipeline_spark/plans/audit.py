@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_skew_report",         # top-k keys × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
+    "q_bm25_search",         # corpus × broadcast 1-row BM25 stats
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
     "q_collocations",        # broadcast one-row totals (t_uni × t_pair)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
@@ -61,6 +62,7 @@ SINGLE_PARTITION_OK = {
     "q_skew_report",     # 1-row totals aggregate behind the top-k join
     "q_distribution_drift",  # TV-sum window over the <=buckets-row histogram
                              # join (bucket-level, bounded by construction)
+    "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

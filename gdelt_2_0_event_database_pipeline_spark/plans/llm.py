@@ -2338,3 +2338,52 @@ def q_dup_spans_keep_first(spark, sf_dir):
     return remove_duplicate_spans(
         docs, "doc_id", "text", window=8, min_count=2, keep_first=True
     )
+
+
+@register(
+    "q_bm25_search",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS}) AS l,
+             len(list_filter({_SQL_TOKENS}, x -> x = 'spark')) AS tf0,
+             len(list_filter({_SQL_TOKENS}, x -> x = 'shuffle')) AS tf1,
+             len(list_filter({_SQL_TOKENS}, x -> x = 'window')) AS tf2
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS N,
+             CAST(sum(l) AS BIGINT) AS TL,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM base
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id,
+        ((N - df0 + 0.5) / (df0 + 0.5))
+          * (CAST(tf0 AS DOUBLE) * 2.2)
+          / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))
+        + ((N - df1 + 0.5) / (df1 + 0.5))
+          * (CAST(tf1 AS DOUBLE) * 2.2)
+          / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))
+        + ((N - df2 + 0.5) / (df2 + 0.5))
+          * (CAST(tf2 AS DOUBLE) * 2.2)
+          / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))
+        AS score
+      FROM base CROSS JOIN stats
+    ) WHERE score > 0
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc=(
+        "BM25 full-text retrieval for the literal query ['spark', "
+        "'shuffle', 'window']: one 1-row corpus-stats aggregate broadcast "
+        "back, map-side rational scoring (rational idf, integer tf/len, "
+        "per-term contributions added in literal term order so the float "
+        "ops mirror exactly), total-ordered top-10. Search over the lake "
+        "with no index build."
+    ),
+)
+def q_bm25_search(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.bm25_topk(d, ["spark", "shuffle", "window"], k=10)

@@ -541,3 +541,31 @@ def test_normalize_text_folds_and_cleans(spark):
 
     with pytest.raises(ValueError):
         normalize_text("t", form="XXX")
+
+
+def test_bm25_ranking_semantics(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark shuffle spark shuffle spark"),        # both terms, high tf
+        (2, "spark " + "filler " * 50),                  # one term, long doc
+        (3, "spark shuffle"),                            # both terms, short doc
+        (4, "nothing relevant here at all"),             # no terms -> excluded
+        (5, "shuffle"),                                  # rare-term only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, ["spark", "shuffle"], k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 4 not in ids and set(ids) == {1, 2, 3, 5}
+    # short doc with both terms outranks the long doc with one diluted term
+    assert ids.index(3) < ids.index(2)
+    # repeated matches outrank single short match
+    assert ids[0] == 1
+    # scores strictly ordered, all positive
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True) and min(scores) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topk(df, [], k=5)

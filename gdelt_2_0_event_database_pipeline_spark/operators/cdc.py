@@ -78,3 +78,116 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type")
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    *,
+    order_cols: Sequence[str] = (),
+    collapse: bool = True,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 table from a change log.
+
+    Input: one row per observed state ``(key, ts, attrs)``. Output: one row
+    per *version* — ``(*key_cols, *attr_cols, valid_from, valid_to,
+    version, is_current)`` where ``valid_from`` is the change timestamp,
+    ``valid_to`` is the next version's ``valid_from`` (NULL on the current
+    version, making intervals half-open ``[from, to)``), and ``version``
+    numbers versions 1..n per key in time order.
+
+    ``collapse=True`` (default) drops no-op changes: a log row whose
+    ``attr_cols`` digest equals the previous row's for the same key starts
+    no new version (standard SCD2 semantics — versions exist only where the
+    tracked attributes actually changed). ``order_cols`` breaks timestamp
+    ties deterministically (same-``ts`` rows produce zero-width versions
+    that, under the half-open interval, match no point-in-time lookup
+    except the final one at that instant).
+
+    Scale shape: ONE shuffle on ``key_cols`` serves the collapse ``lag``,
+    the ``valid_to`` ``lead``, and the version ``row_number`` — all three
+    window functions share the same (partition, order) spec so Catalyst
+    collapses them into a single Window node over a single Exchange.
+    Dimension payloads ride that one shuffle once; no self-join.
+
+    Extension surface beyond the reference (file-level ``.done``
+    incrementality, ``conversion/converter.py:118-125``): the reference has
+    no versioned-dimension story at all.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+
+    base = list(key_cols) + [ts_col] + list(attr_cols)
+    extra_order = [c for c in order_cols if c not in set(base)]
+    out = changes.select(*base, *extra_order)
+    if collapse:
+        digest = _row_digest(attr_cols)
+        out = (
+            out.withColumn("__d__", digest)
+            .withColumn("__pd__", F.lag("__d__").over(w))
+            .filter(F.col("__pd__").isNull() | (F.col("__pd__") != F.col("__d__")))
+            .drop("__d__", "__pd__")
+        )
+    out = (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+    if ts_col != "valid_from":
+        out = out.drop(ts_col)
+    if extra_order:
+        out = out.drop(*extra_order)
+    return out
+
+
+def scd2_pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    fact_ts: str,
+    *,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time enrichment: each fact row picks the dimension version
+    whose half-open validity interval ``[valid_from, valid_to)`` contains
+    the fact timestamp (``valid_to IS NULL`` = open-ended current version).
+
+    Left join — facts with no valid version at their timestamp (before the
+    key's first version, or an unknown key) survive with NULL dimension
+    columns. Intervals partition time per key (``scd2_build`` guarantees
+    it), so each fact matches at most one version.
+
+    Scale shape: an EQUI-join on ``key_cols`` with the interval predicate
+    as join residual — Catalyst plans a shuffled (or AQE-broadcast) hash
+    join on the key, and the per-key version list is short by construction
+    (versions-per-entity, not events-per-entity), so the residual filter
+    fans out boundedly. No range-join explosion, no window over facts.
+    """
+    # explicit aliases: facts and dim often share lineage (dimension built
+    # from the same source table), which otherwise makes f[k] == d[k]
+    # resolve to a trivially-true self-comparison
+    f = facts.alias("__pit_f__")
+    d = dim.alias("__pit_d__")
+    fc = lambda c: F.col(f"__pit_f__.{c}")  # noqa: E731
+    dc = lambda c: F.col(f"__pit_d__.{c}")  # noqa: E731
+    cond = None
+    for k in key_cols:
+        c = fc(k) == dc(k)
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (fc(fact_ts) >= dc(valid_from))
+        & (dc(valid_to).isNull() | (fc(fact_ts) < dc(valid_to)))
+    )
+    joined = f.join(d, cond, "left")
+    # drop the duplicate key columns from the dimension side
+    keep = [fc(c) for c in facts.columns] + [
+        dc(c) for c in dim.columns if c not in set(key_cols)
+    ]
+    return joined.select(*keep)

@@ -630,3 +630,105 @@ def q_rolling_distinct(spark, sf_dir):
 
     e = _events(spark, sf_dir)
     return rolling_distinct(e, "ts", "user_id", window_days=7)
+
+
+@register(
+    "q_scd2_build",
+    sql="""
+    WITH e AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type AS status
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, status,
+             lag(status) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM e
+    ), kept AS (
+      SELECT user_id, ts, event_id, status FROM s
+      WHERE prev IS NULL OR prev IS DISTINCT FROM status
+    )
+    SELECT user_id, status,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           row_number() OVER w AS version,
+           (lead(ts) OVER w) IS NULL AS is_current
+    FROM kept
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "SCD2 dimension build from a change log: collapse no-op changes "
+        "(lag digest), then valid_from/valid_to/version/is_current — all "
+        "three window functions share one (key, ts) spec so the whole "
+        "build is ONE shuffle on the dimension key. Spark compares 8-byte "
+        "null-sentinel digests; the oracle compares values directly "
+        "(IS DISTINCT FROM), so digest equivalence is itself under test."
+    ),
+)
+def q_scd2_build(spark, sf_dir):
+    from ..operators.cdc import scd2_build
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("status")
+    )
+    return scd2_build(
+        e, ["user_id"], "ts", ["status"], order_cols=["event_id"]
+    )
+
+
+@register(
+    "q_scd2_pit",
+    sql="""
+    WITH e AS (
+      SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type AS status,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM e WHERE event_type <> 'purchase'
+    ), kept AS (
+      SELECT user_id, ts, event_id, status FROM s
+      WHERE prev IS NULL OR prev IS DISTINCT FROM status
+    ), dim AS (
+      SELECT user_id, status,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM kept
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.status, d.valid_from
+    FROM (SELECT * FROM e WHERE event_type = 'purchase') f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    doc=(
+        "Point-in-time enrichment of facts against an SCD2 dimension: "
+        "purchases pick the user-status version whose half-open interval "
+        "[valid_from, valid_to) contains the purchase timestamp. Plan is "
+        "an EQUI-join on the key with the interval predicate as join "
+        "residual — versions-per-key is bounded, so no range-join "
+        "explosion and no window over the fact table."
+    ),
+)
+def q_scd2_pit(spark, sf_dir):
+    from ..operators.cdc import scd2_build, scd2_pit_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    dim = scd2_build(
+        e.filter(F.col("event_type") != "purchase").select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("status")
+        ),
+        ["user_id"],
+        "ts",
+        ["status"],
+        order_cols=["event_id"],
+    ).select("user_id", "status", "valid_from", "valid_to")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = scd2_pit_join(facts, dim, ["user_id"], "ts")
+    return out.select("event_id", "user_id", "ts", "status", "valid_from")

@@ -92,3 +92,81 @@ def test_snapshot_diff_fuzz_matches_reference(spark, old_rows, new_rows):
     new = spark.createDataFrame(new_rows, schema) if new_rows else spark.createDataFrame([], schema)
     got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == _reference_diff(old_rows, new_rows)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 build + point-in-time join
+# ---------------------------------------------------------------------------
+
+from gdelt_2_0_event_database_pipeline_spark.operators.cdc import (  # noqa: E402
+    scd2_build,
+    scd2_pit_join,
+)
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, "k long, ts long, attr string").withColumn(
+        "ts", F.timestamp_micros(F.col("ts") * 1_000_000)
+    )
+
+
+def test_scd2_collapses_noop_changes(spark):
+    log = _log(spark, [(1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "b")])
+    vs = scd2_build(log, ["k"], "ts", ["attr"]).orderBy("version").collect()
+    assert [(v.attr, v.version, v.is_current) for v in vs] == [
+        ("a", 1, False),
+        ("b", 2, True),
+    ]
+    # valid_to of version 1 == valid_from of version 2 (half-open chain)
+    assert vs[0].valid_to == vs[1].valid_from
+    assert vs[1].valid_to is None
+
+
+def test_scd2_no_collapse_keeps_every_row(spark):
+    log = _log(spark, [(1, 10, "a"), (1, 20, "a")])
+    assert scd2_build(log, ["k"], "ts", ["attr"], collapse=False).count() == 2
+
+
+def test_scd2_attr_reverts_start_new_version(spark):
+    # a -> b -> a must be 3 versions (SCD2 tracks history, not distinct states)
+    log = _log(spark, [(1, 10, "a"), (1, 20, "b"), (1, 30, "a")])
+    vs = scd2_build(log, ["k"], "ts", ["attr"]).orderBy("version").collect()
+    assert [v.attr for v in vs] == ["a", "b", "a"]
+
+
+def test_scd2_null_attr_transitions(spark):
+    # NULL <-> value transitions are real changes; NULL == NULL is a no-op
+    log = _log(spark, [(1, 10, None), (1, 20, None), (1, 30, "x"), (1, 40, None)])
+    vs = scd2_build(log, ["k"], "ts", ["attr"]).orderBy("version").collect()
+    assert [v.attr for v in vs] == [None, "x", None]
+
+
+def test_scd2_pit_picks_containing_interval(spark):
+    dim = scd2_build(
+        _log(spark, [(1, 10, "a"), (1, 20, "b"), (2, 15, "z")]), ["k"], "ts", ["attr"]
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 10), (102, 1, 19), (103, 1, 20), (104, 2, 99), (105, 3, 50)],
+        "fid long, k long, fts long",
+    ).withColumn("fts", F.timestamp_micros(F.col("fts") * 1_000_000))
+    out = scd2_pit_join(facts, dim.select("k", "attr", "valid_from", "valid_to"),
+                        ["k"], "fts")
+    got = {r.fid: r.attr for r in out.collect()}
+    # 5 predates the first version -> NULL; 19 still 'a'; 20 flips to 'b';
+    # unknown key 3 -> NULL
+    assert got == {100: None, 101: "a", 102: "a", 103: "b", 104: "z", 105: None}
+    assert out.count() == facts.count()  # left join, no fan-out
+
+
+def test_scd2_same_ts_versions_zero_width(spark):
+    # two changes at one instant: the later order_col wins for PIT lookups
+    log = spark.createDataFrame(
+        [(1, 10, 0, "a"), (1, 10, 1, "b")], "k long, ts long, seq long, attr string"
+    ).withColumn("ts", F.timestamp_micros(F.col("ts") * 1_000_000))
+    dim = scd2_build(log, ["k"], "ts", ["attr"], order_cols=["seq"])
+    facts = spark.createDataFrame([(1, 1, 10)], "fid long, k long, fts long").withColumn(
+        "fts", F.timestamp_micros(F.col("fts") * 1_000_000)
+    )
+    out = scd2_pit_join(facts, dim.select("k", "attr", "valid_from", "valid_to"),
+                        ["k"], "fts").collect()
+    assert len(out) == 1 and out[0].attr == "b"

@@ -111,3 +111,104 @@ def pagerank(
         if (it + 1) % max(checkpoint_interval, 1) == 0 or it == max_iter - 1:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list.
+
+    Edges are normalized to ordered distinct pairs ``(a < b)`` (direction,
+    duplicates, and self-loops all collapse). A triangle ``a < b < c`` is
+    found exactly once: wedge-join ``(a,b) x (b,c)`` on the shared middle
+    node, then verify the closing edge ``(a,c)`` with a semi join. Returns
+    ``(node, n_triangles)`` for every node of the edge list (0 for
+    triangle-free nodes).
+
+    Scale shape: two equi-joins on integer node ids — the wedge join is
+    the O(sum deg^2) step every distributed triangle algorithm pays; the
+    ordered orientation halves it and guarantees once-per-triangle without
+    a global dedup. No cartesian, payloads never travel (ids only).
+    """
+    # materialize the normalized edge list ONCE — it feeds four consumers
+    # (both wedge sides, the closing-edge probe, the node universe); without
+    # this the upstream derivation (often a join+groupBy) re-executes per
+    # consumer and the plan quadruples its exchanges
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = e.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
+    wedges = ab.join(bc, F.col("t_b") == F.col("t_b2")).select(
+        "t_a", "t_b", "t_c"
+    )
+    closing = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tris = wedges.join(closing, ["t_a", "t_c"], "left_semi")
+    per_node = (
+        tris.select(F.explode(F.array("t_a", "t_b", "t_c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum-hop labels for every node within ``k`` hops of a seed set
+    (bounded BFS). Returns ``(node, hop)`` with ``hop`` in ``0..k`` — the
+    distributed twin of a bounded recursive CTE.
+
+    Frontier discipline: each round expands only the PREVIOUS frontier
+    (one equi-join edges x frontier on int keys), dedups the new frontier,
+    and anti-joins the visited set, so a node is expanded exactly once at
+    its minimum hop — work is O(edges incident to newly reached nodes) per
+    round, never O(paths) like the naive CTE. ``localCheckpoint`` per
+    round keeps the lineage flat across iterations.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct().localCheckpoint()
+
+    frontier = (
+        seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint()
+    )
+    visited = frontier.withColumn("hop", F.lit(0))
+    for h in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e.u == frontier.node)
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.rdd.isEmpty():
+            break
+        visited = visited.union(nxt.withColumn("hop", F.lit(h))).localCheckpoint()
+        frontier = nxt
+    return visited

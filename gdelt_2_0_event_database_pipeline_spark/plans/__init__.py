@@ -8,6 +8,8 @@ from . import llm  # noqa: E402,F401
 from . import sampling_plans  # noqa: E402,F401
 from . import temporal_plans  # noqa: E402,F401
 from . import scale_plans  # noqa: E402,F401
+from . import geo_plans  # noqa: E402,F401
+from . import graph_plans  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering.

@@ -185,3 +185,39 @@ def q_json_tuple(spark, sf_dir):
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
         F.get_json_object("props", "$").isNotNull().alias("is_valid"),
     )
+
+
+@register(
+    "q_unpivot",
+    sql="""
+    WITH w AS (
+      SELECT lang,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, 'n_docs' AS metric, n_docs AS value FROM w
+    UNION ALL
+    SELECT lang, 'total_chars' AS metric, total_chars AS value FROM w
+    UNION ALL
+    SELECT lang, 'n_sources' AS metric, n_sources AS value FROM w
+    """,
+    doc=(
+        "Unpivot/melt — the inverse of q_pivot: per-lang wide stats "
+        "(n_docs, total_chars, n_sources) melted to (lang, metric, value) "
+        "long form via the native unpivot operator (Expand node: one pass, "
+        "3x fan-out, no join/union re-scan — the oracle's UNION ALL of "
+        "three scans is the shape Spark's Expand avoids)."
+    ),
+)
+def q_unpivot(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return wide.unpivot(
+        ["lang"], ["n_docs", "total_chars", "n_sources"], "metric", "value"
+    )

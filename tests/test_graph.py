@@ -55,3 +55,84 @@ def test_pagerank_empty_and_bad_damping(spark):
     assert pagerank(df).count() == 0
     with pytest.raises(ValueError):
         pagerank(df, damping=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+from gdelt_2_0_event_database_pipeline_spark.operators.graph import (  # noqa: E402
+    k_hop,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_k4_every_node_in_three(spark):
+    # K4: 4 triangles total, every node participates in C(3,2)=3
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.node: r.n_triangles for r in triangle_count(_edges(spark, pairs)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_direction_duplicates_selfloops_collapse(spark):
+    # triangle 0-1-2 written with reversed/duplicate edges + a self-loop +
+    # a dangling pendant node 3 (zero triangles, still reported)
+    pairs = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (2, 2), (2, 3)]
+    got = {r.node: r.n_triangles for r in triangle_count(_edges(spark, pairs)).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 0}
+
+
+def test_triangle_free_graph_all_zero(spark):
+    pairs = [(0, 1), (1, 2), (2, 3)]  # path: no triangles
+    got = triangle_count(_edges(spark, pairs)).collect()
+    assert {r.node for r in got} == {0, 1, 2, 3}
+    assert all(r.n_triangles == 0 for r in got)
+
+
+def test_triangle_two_shared_edge(spark):
+    # bowtie-ish: triangles (0,1,2) and (1,2,3) share edge 1-2
+    pairs = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+    got = {r.node: r.n_triangles for r in triangle_count(_edges(spark, pairs)).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# Bounded-k BFS reachability
+# ---------------------------------------------------------------------------
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def test_khop_chain_min_hops(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # node 4 beyond k
+
+
+def test_khop_undirected_vs_directed(spark):
+    e = _edges(spark, [(1, 0), (1, 2)])  # arrows point away from 0 only via 1
+    und = {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=2).collect()}
+    assert und == {0: 0, 1: 1, 2: 2}
+    dird = {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=2, directed=True).collect()}
+    assert dird == {0: 0}  # 0 has no out-edges
+
+
+def test_khop_min_hop_wins_on_multiple_paths(spark):
+    # diamond: 0->1->3 and 0->3 direct; 3 must label hop 1, not 2
+    e = _edges(spark, [(0, 1), (1, 3), (0, 3)])
+    got = {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=3).collect()}
+    assert got[3] == 1
+
+
+def test_khop_k0_and_early_termination(spark):
+    e = _edges(spark, [(0, 1)])
+    assert {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=0).collect()} == {0: 0}
+    # component exhausted before k: loop must stop, labels stay minimal
+    got = {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=10).collect()}
+    assert got == {0: 0, 1: 1}

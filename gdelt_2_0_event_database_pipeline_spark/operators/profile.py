@@ -240,3 +240,93 @@ def distribution_drift(
         (F.col("n_b") / F.col("__tb__")).alias("share_b"),
         tv.alias("tv_distance"),
     )
+
+
+def gini(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group Gini coefficient of an INTEGER-valued column — the
+    inequality/concentration measure for curation decisions ("is this
+    source's contribution dominated by a few documents?", "how skewed is
+    per-customer volume?").
+
+    Formula (sorted-rank form): with ``x_1 <= ... <= x_n`` and 1-based
+    ranks ``i``, ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))``.
+    Both accumulators are exact BIGINT sums (the rank sum over tied values
+    is permutation-invariant, so no tiebreaker is needed), and the final
+    expression is one pinned double tree — engine-exact, no rounding.
+
+    Plan: one rank window + one grouped sum, both on ``group_cols`` — a
+    single exchange. Groups with ``sum(x) = 0`` return NULL.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__x__").asc())
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("long").alias("__x__"),
+    ).withColumn("__i__", F.row_number().over(w))
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x__").alias("__sx__"),
+        F.sum(F.col("__i__") * F.col("__x__")).alias("__six__"),
+    )
+    g = (
+        F.lit(2.0) * F.col("__six__")
+        - ((F.col("n") + F.lit(1)) * F.col("__sx__")).cast("double")
+    ) / (F.col("n").cast("double") * F.col("__sx__").cast("double"))
+    return s.select(
+        *group_cols,
+        F.when(F.col("__sx__") != 0, g).alias("gini"),
+        "n",
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square contribution of each ``row_col`` category toward the
+    independence test of ``row_col`` x ``col_col`` — the drift/association
+    screen for categorical columns ("is event mix independent of weekday?",
+    "is language independent of source?").
+
+    Per cell: ``(O - E)^2 / E`` with ``E = row_total * col_total / N``.
+    Observed counts and the ``row_total * col_total`` products are exact
+    integers; the per-cell term is a fixed double tree; the per-row sum
+    over cells is a float aggregate (round when comparing engines).
+    Returns ``(row_value, chi2_part, n_cells)``; the full statistic is
+    ``sum(chi2_part)`` with ``(rows-1)*(cols-1)`` degrees of freedom.
+
+    Plan: one grouped count on (row, col) — cells — then two broadcast
+    joins against the tiny marginal aggregates. Cardinality after the
+    first count is |categories|^2, so everything downstream is
+    broadcast-sized no matter how big the input.
+    """
+    observed = df.groupBy(
+        F.col(row_col).alias("__r__"), F.col(col_col).alias("__c__")
+    ).agg(F.count(F.lit(1)).alias("__o__"))
+    rt = observed.groupBy("__r__").agg(F.sum("__o__").alias("__rt__"))
+    ct = observed.groupBy("__c__").agg(F.sum("__o__").alias("__ct__"))
+    n = observed.agg(F.sum("__o__").alias("__n__"))
+    # densify: unobserved (row, col) pairs still contribute (0-E)^2/E = E —
+    # dropping them understates the statistic. The dense grid is the cross
+    # of the two tiny marginals, with observed counts left-joined back.
+    e = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(F.broadcast(observed), ["__r__", "__c__"], "left")
+        .withColumn("__o__", F.coalesce("__o__", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "__e__",
+            (F.col("__rt__") * F.col("__ct__")).cast("double")
+            / F.col("__n__").cast("double"),
+        )
+    )
+    diff = F.col("__o__").cast("double") - F.col("__e__")
+    term = diff * diff / F.col("__e__")
+    return e.groupBy(F.col("__r__").alias("row_value")).agg(
+        F.sum(term).alias("chi2_part"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )

@@ -348,6 +348,77 @@ def resample_ffill(
     return filled
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    interval_minutes: int,
+) -> DataFrame:
+    """Regular-grid resampling with LINEAR INTERPOLATION between the
+    surrounding observed buckets — the numeric twin of
+    :func:`resample_ffill` (state columns forward-fill; continuous metrics
+    interpolate).
+
+    Same spine discipline as ``resample_ffill`` (per-key ``sequence()``
+    grid, latest-state-wins in-bucket dedup, ONE key exchange). Fill value
+    for an empty bucket at grid time ``t`` between known buckets
+    ``(t0, v0)`` and ``(t1, v1)``:
+    ``v0 + (v1 - v0) * (t - t0) / (t1 - t0)`` — the time deltas are exact
+    integer micros and the expression tree is fixed, so the IEEE result is
+    bit-identical across engines (no rounding needed in the oracle). The
+    grid spans first..last observation per key, so every empty bucket has
+    both neighbors; the forward/backward neighbor windows share the fill
+    window's (key, bucket) sort — still one exchange total.
+    """
+    if interval_minutes <= 0:
+        raise ValueError(f"interval_minutes must be positive, got {interval_minutes}")
+    step = interval_minutes * 60 * 1_000_000
+    bucket = (F.floor(_us(F.col(ts_col)) / step) * step).alias("__bus__")
+    obs = df.select(*key_cols, bucket, _us(F.col(ts_col)).alias("__us__"), value_col)
+    w_in = Window.partitionBy(*key_cols, "__bus__").orderBy(F.desc("__us__"))
+    per_bucket = (
+        obs.withColumn("__rn__", F.row_number().over(w_in))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__us__")
+    )
+    span = per_bucket.groupBy(*key_cols).agg(
+        F.min("__bus__").alias("__lo__"), F.max("__bus__").alias("__hi__")
+    )
+    grid = span.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo__"), F.col("__hi__"), F.lit(step))
+        ).alias("__bus__"),
+    )
+    joined = grid.join(per_bucket, [*key_cols, "__bus__"], "left")
+    v = F.col(value_col)
+    known_ts = F.when(v.isNotNull(), F.col("__bus__"))
+    w_back = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bus__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bus__")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(known_ts, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(known_ts, ignorenulls=True).over(w_fwd)
+    interp = prev_v + (next_v - prev_v) * (
+        (F.col("__bus__") - prev_t).cast("double")
+        / (next_t - prev_t).cast("double")
+    )
+    return joined.select(
+        *key_cols,
+        F.timestamp_micros(F.col("__bus__")).alias("bucket_ts"),
+        F.when(v.isNotNull(), v).otherwise(interp).alias(value_col),
+    )
+
+
 def funnel_steps(
     df: DataFrame,
     user_col: str,
@@ -732,4 +803,47 @@ def rolling_distinct(
     return counted.select(
         F.date_add(F.lit("1970-01-01"), F.col("rd").cast("int")).alias("day"),
         "n_active",
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key: each observation's value is weighted
+    by how long it remained current (until the next observation), i.e.
+    ``TWAP = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_1)`` — the standard
+    fix for irregularly-sampled series where a plain ``avg`` over-weights
+    bursts of closely-spaced updates.
+
+    The final observation carries no duration and drops out (standard TWAP
+    convention over a closed observation window). Keys with a single
+    observation (zero total duration) return NULL. Durations are exact
+    integer micros; the weighted sum is a float aggregate, so cross-engine
+    comparisons must round (sum order differs) — callers' responsibility,
+    as with every double sum in this repo.
+
+    One exchange: the lead window and the grouped sum share ``key_cols``
+    partitioning. Requires unique ``(key, ts)`` rows for a deterministic
+    lead (pre-aggregate duplicates like the resample queries do).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__us__").asc())
+    us = _us(F.col(ts_col))
+    stepped = df.select(
+        *key_cols, us.alias("__us__"), F.col(value_col).alias("__v__")
+    ).withColumn("__next__", F.lead("__us__").over(w))
+    dur = (F.col("__next__") - F.col("__us__")).cast("double")
+    agg = stepped.groupBy(*key_cols).agg(
+        F.sum(F.col("__v__") * dur).alias("__wsum__"),
+        F.sum(dur).alias("__wtot__"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.select(
+        *key_cols,
+        F.when(
+            F.col("__wtot__") > 0, F.col("__wsum__") / F.col("__wtot__")
+        ).alias("twap"),
+        "n_obs",
     )

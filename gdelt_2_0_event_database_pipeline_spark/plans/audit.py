@@ -44,6 +44,9 @@ NESTED_LOOP_OK = {
                              # counts aggregate (bounded by construction)
     "q_token_budget",        # same bounded triangular-offsets pattern
     "q_token_budget_per_lang",
+    "q_chi2",                # |rows|x|cols| marginal cross + 1-row grand total
+                             # (everything after the first count is
+                             # category-cardinality-bounded)
 }
 
 #: queries whose Exchange SinglePartition feeds a SINGLE-ROW summary
@@ -63,6 +66,7 @@ SINGLE_PARTITION_OK = {
     "q_distribution_drift",  # TV-sum window over the <=buckets-row histogram
                              # join (bucket-level, bounded by construction)
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
+    "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

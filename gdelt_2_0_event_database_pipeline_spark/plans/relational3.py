@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..operators.profile import profile_table
 from .registry import register
-from .relational import _t
+from .relational import _events, _t
 
 
 @register(
@@ -382,4 +382,131 @@ def q_distribution_drift(spark, sf_dir):
     b = o.filter((F.col("o_totalprice").isNotNull()) & (F.col("o_orderkey") % 2 == 1))
     return distribution_drift(
         a, b, "o_totalprice", lo=0.0, hi=500000.0, buckets=20
+    )
+
+
+@register(
+    "q_gini",
+    sql="""
+    WITH x AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             count(*) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT nationkey, cnt,
+             row_number() OVER (PARTITION BY nationkey ORDER BY cnt) AS i
+      FROM x
+    ), s AS (
+      SELECT nationkey, count(*) AS n,
+             CAST(sum(cnt) AS BIGINT) AS sx,
+             CAST(sum(i * cnt) AS BIGINT) AS six
+      FROM r GROUP BY nationkey
+    )
+    SELECT nationkey,
+           CASE WHEN sx <> 0 THEN
+             (2.0 * six - CAST((n + 1) * sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+           END AS gini,
+           n
+    FROM s
+    """,
+    doc=(
+        "Per-nation Gini coefficient of orders-per-customer concentration "
+        "(sorted-rank form): both accumulators are exact BIGINT sums — the "
+        "rank-weighted sum is permutation-invariant under ties, so no "
+        "tiebreaker — and the final double tree is pinned on both engines; "
+        "NO rounding. One rank window + one grouped sum, one exchange."
+    ),
+)
+def q_gini(spark, sf_dir):
+    from ..operators.profile import gini
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return gini(per_cust, ["nationkey"], "cnt")
+
+
+@register(
+    "q_twap",
+    sql="""
+    WITH uniq AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, max(value) AS value
+      FROM events GROUP BY user_id, ts
+    ), s AS (
+      SELECT user_id, epoch_us(ts) AS us, value,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts
+             ) AS nxt
+      FROM uniq
+    )
+    SELECT user_id,
+           round(sum(value * CAST(nxt - us AS DOUBLE))
+                 / sum(CAST(nxt - us AS DOUBLE)), 6) AS twap,
+           count(*) AS n_obs
+    FROM s GROUP BY user_id
+    """,
+    doc=(
+        "Time-weighted average value per user (each observation weighted "
+        "by how long it stayed current — the irregular-sampling fix for "
+        "plain averages). Durations are exact integer micros; the "
+        "weighted sum is a float aggregate, rounded 6dp on both engines. "
+        "Lead window + grouped sum share one key exchange."
+    ),
+)
+def q_twap(spark, sf_dir):
+    from ..operators.temporal import time_weighted_avg
+
+    ev = _events(spark, sf_dir)
+    uniq = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    out = time_weighted_avg(uniq, ["user_id"], "ts", "value")
+    return out.select("user_id", F.round("twap", 6).alias("twap"), "n_obs")
+
+
+@register(
+    "q_chi2",
+    sql="""
+    WITH cells AS (
+      SELECT event_type AS r, dayofweek(ts::TIMESTAMP::DATE) AS c,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT r, sum(o) AS rtot FROM cells GROUP BY r),
+       ct AS (SELECT c, sum(o) AS ctot FROM cells GROUP BY c),
+       n  AS (SELECT sum(o) AS grand FROM cells),
+    e AS (
+      SELECT rt.r, COALESCE(cells.o, 0) AS o,
+             CAST(rt.rtot * ct.ctot AS DOUBLE) / CAST(n.grand AS DOUBLE) AS exp
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+      CROSS JOIN n
+    )
+    SELECT r AS row_value,
+           round(sum((CAST(o AS DOUBLE) - exp) * (CAST(o AS DOUBLE) - exp)
+                     / exp), 6) AS chi2_part,
+           count(*) AS n_cells
+    FROM e GROUP BY r
+    """,
+    doc=(
+        "Chi-square independence screen (event_type x weekday): per-cell "
+        "(O-E)^2/E with E from exact integer marginal products; per-row "
+        "contributions summed (float aggregate, rounded 6dp both sides). "
+        "After the first grouped count everything is |categories|^2 rows — "
+        "marginals broadcast, so the plan stays one real shuffle at any "
+        "input size."
+    ),
+)
+def q_chi2(spark, sf_dir):
+    from ..operators.profile import chi_square_independence
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("weekday")
+    )
+    out = chi_square_independence(ev, "event_type", "weekday")
+    return out.select(
+        "row_value", F.round("chi2_part", 6).alias("chi2_part"), "n_cells"
     )

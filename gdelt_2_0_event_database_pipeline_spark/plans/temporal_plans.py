@@ -732,3 +732,76 @@ def q_scd2_pit(spark, sf_dir):
     )
     out = scd2_pit_join(facts, dim, ["user_id"], "ts")
     return out.select("event_id", "user_id", "ts", "status", "valid_from")
+
+
+@register(
+    "q_interpolate",
+    sql=f"""
+    WITH uniq AS (
+      SELECT user_id, ts, max(value) AS value
+      FROM events WHERE user_id < 20 GROUP BY user_id, ts
+    ), obs AS (
+      SELECT user_id, (epoch_us(ts) // {_RS_STEP}) * {_RS_STEP} AS bus,
+             epoch_us(ts) AS us, value
+      FROM uniq
+    ), pb AS (
+      SELECT user_id, bus, value FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id, bus ORDER BY us DESC
+        ) AS rn FROM obs
+      ) WHERE rn = 1
+    ), span AS (
+      SELECT user_id, min(bus) AS lo, max(bus) AS hi FROM pb GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(range(lo, hi + {_RS_STEP}, {_RS_STEP})) AS bus
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.bus, p.value
+      FROM grid g LEFT JOIN pb p ON g.user_id = p.user_id AND g.bus = p.bus
+    ), w AS (
+      SELECT user_id, bus, value,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN bus END IGNORE NULLS)
+               OVER (
+               PARTITION BY user_id ORDER BY bus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS pt,
+             first_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bus
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN bus END IGNORE NULLS)
+               OVER (
+               PARTITION BY user_id ORDER BY bus
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS nt
+      FROM j
+    )
+    SELECT user_id, make_timestamp(bus) AS bucket_ts,
+           CASE WHEN value IS NOT NULL THEN value
+                ELSE pv + (nv - pv) * (CAST(bus - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE))
+           END AS value
+    FROM w
+    """,
+    doc=(
+        "Regular-grid resampling with LINEAR INTERPOLATION (6-hour "
+        "buckets per user) — the numeric twin of q_resample_ffill: empty "
+        "buckets fill with pv + (nv-pv)*(dt/span) between the surrounding "
+        "observed buckets. Time deltas are exact integer micros and the "
+        "expression tree is pinned on both engines, so the doubles are "
+        "bit-identical with NO rounding. Forward/backward neighbor "
+        "windows share the fill sort — still one key exchange."
+    ),
+)
+def q_interpolate(spark, sf_dir):
+    from ..operators.temporal import resample_interpolate
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    uniq = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    return resample_interpolate(
+        uniq, ["user_id"], "ts", "value", interval_minutes=360
+    )

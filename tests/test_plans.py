@@ -269,3 +269,64 @@ def test_distribution_drift_tv_semantics(spark):
 
     with pytest.raises(ValueError):
         distribution_drift(a, b, "v", lo=5.0, hi=5.0)
+
+
+# ---------------------------------------------------------------------------
+# Gini + chi-square (profile stats batch)
+# ---------------------------------------------------------------------------
+
+
+def test_gini_known_values(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import gini
+
+    df = spark.createDataFrame(
+        # group a: perfect equality -> G = 0
+        [("a", 5), ("a", 5), ("a", 5), ("a", 5)]
+        # group b: one holder of everything, n=4 -> G = (n-1)/n = 0.75
+        + [("b", 0), ("b", 0), ("b", 0), ("b", 12)]
+        # group c: sum(x)=0 -> NULL
+        + [("c", 0), ("c", 0)],
+        "g string, x long",
+    )
+    got = {r.g: r.gini for r in gini(df, ["g"], "x").collect()}
+    assert got["a"] == 0.0
+    assert got["b"] == 0.75
+    assert got["c"] is None
+
+
+def test_gini_tie_permutation_invariant(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import gini
+
+    # shuffling tied values across partitions must not change the result
+    rows = [("g", v) for v in [3, 1, 3, 1, 3, 1, 7, 7]]
+    df = spark.createDataFrame(rows, "g string, x long").repartition(8)
+    g1 = gini(df, ["g"], "x").collect()[0].gini
+    g2 = gini(df.repartition(3), ["g"], "x").collect()[0].gini
+    assert g1 == g2
+
+
+def test_chi2_independent_table_is_zero(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    # perfectly independent 2x2: chi2 = 0 in every row bucket
+    rows = (
+        [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 60
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {x.row_value: x.chi2_part for x in chi_square_independence(df, "r", "c").collect()}
+    assert got["x"] == 0.0 and got["y"] == 0.0
+
+
+def test_chi2_dependent_table_positive(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        chi_square_independence,
+    )
+
+    rows = [("x", "u")] * 30 + [("y", "v")] * 30  # perfectly dependent
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = chi_square_independence(df, "r", "c").collect()
+    assert all(x.chi2_part > 0 for x in out)
+    # full statistic for a 2x2 with perfect association = N
+    assert sum(x.chi2_part for x in out) == 60.0

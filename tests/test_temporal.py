@@ -471,3 +471,59 @@ def test_rolling_distinct_window_semantics(spark):
 
     with pytest.raises(ValueError):
         rolling_distinct(df, "ts", "user_id", window_days=0)
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resample + time-weighted average
+# ---------------------------------------------------------------------------
+
+from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (  # noqa: E402
+    resample_interpolate,
+    time_weighted_avg,
+)
+
+
+def _series(spark, rows):
+    # rows: (key, minute, value)
+    return spark.createDataFrame(rows, "k long, m long, v double").select(
+        "k", F.timestamp_micros(F.col("m") * 60_000_000).alias("ts"), "v"
+    )
+
+
+def test_interpolate_fills_linearly(spark):
+    # observations at minute 0 (v=0) and minute 30 (v=3) on a 10-min grid:
+    # buckets 10 and 20 interpolate to 1.0 and 2.0
+    s = _series(spark, [(1, 0, 0.0), (1, 30, 3.0)])
+    out = resample_interpolate(s, ["k"], "ts", "v", interval_minutes=10)
+    got = {r.bucket_ts.minute: r.v for r in out.collect()}
+    assert got == {0: 0.0, 10: 1.0, 20: 2.0, 30: 3.0}
+
+
+def test_interpolate_observed_buckets_untouched(spark):
+    s = _series(spark, [(1, 0, 5.0), (1, 10, 7.5), (1, 20, -1.0)])
+    out = resample_interpolate(s, ["k"], "ts", "v", interval_minutes=10)
+    got = {r.bucket_ts.minute: r.v for r in out.collect()}
+    assert got == {0: 5.0, 10: 7.5, 20: -1.0}
+
+
+def test_interpolate_last_in_bucket_wins_then_interpolates(spark):
+    # two obs inside bucket 0 (minutes 1 and 9): the later one (9, v=10)
+    # is the bucket value; bucket 10 empty -> midpoint to minute-20 obs
+    s = _series(spark, [(1, 1, 2.0), (1, 9, 10.0), (1, 20, 20.0)])
+    out = resample_interpolate(s, ["k"], "ts", "v", interval_minutes=10)
+    got = {r.bucket_ts.minute: r.v for r in out.collect()}
+    assert got[0] == 10.0 and got[10] == 15.0 and got[20] == 20.0
+
+
+def test_twap_weights_by_duration(spark):
+    # v=1 held 10 min, then v=5 held 30 min (last obs closes the window)
+    s = _series(spark, [(1, 0, 1.0), (1, 10, 5.0), (1, 40, 99.0)])
+    out = time_weighted_avg(s, ["k"], "ts", "v").collect()[0]
+    assert out.twap == (1.0 * 10 + 5.0 * 30) / 40
+    assert out.n_obs == 3
+
+
+def test_twap_single_observation_null(spark):
+    s = _series(spark, [(1, 0, 7.0)])
+    out = time_weighted_avg(s, ["k"], "ts", "v").collect()[0]
+    assert out.twap is None and out.n_obs == 1

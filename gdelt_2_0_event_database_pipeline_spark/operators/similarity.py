@@ -361,3 +361,55 @@ def semantic_dedup(
             F.col("__id__").alias(id_col), "cluster_id", "cos_to_centroid"
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    ``k`` corpus vectors MOST similar to it that carry a DIFFERENT label —
+    the negatives that actually teach a metric model something (random
+    negatives are trivially separable; the hard ones sit near the decision
+    boundary by construction).
+
+    Same plan shape as :func:`cosine_topk` (the anchors broadcast, the
+    corpus never shuffles, one fold per pair, per-anchor ranked window with
+    a deterministic neighbor-id tiebreak); the label-mismatch predicate
+    rides the broadcast join. Returns
+    ``(anchor_id, anchor_label, negative_id, negative_label, cos_sim, rank)``.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        _as_double(vec_col).alias("__av__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        _as_double(vec_col).alias("__cv__"),
+    )
+    scored = c.join(
+        F.broadcast(a),
+        (F.col("anchor_id") != F.col("negative_id"))
+        & (F.col("anchor_label") != F.col("negative_label")),
+    ).withColumn("cos_sim", cosine(F.col("__av__"), F.col("__cv__")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            "rank",
+        )
+    )

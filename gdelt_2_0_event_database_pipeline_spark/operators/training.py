@@ -427,3 +427,52 @@ def pack_linear(
         .withColumn("pack_id", (F.col("start_offset") / budget).cast("long"))
         .drop("__cum__", "__nt__")
     )
+
+
+def class_balance(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-parity oversampling: replicate every class's rows so each
+    class totals EXACTLY the majority class's count — the deterministic
+    fix for class imbalance before fine-tune/classifier training (random
+    oversampling is irreproducible; quota sampling changes the majority).
+
+    Replication plan: with majority count ``m`` and class count ``c``,
+    every row gets ``m // c`` copies and the first ``m % c`` rows of the
+    class (ordered by ``id_col``) get one extra — sum is exactly ``m`` per
+    class. Output adds ``copy_idx`` (1..copies per source row), so
+    downstream shuffles can decorrelate the replicas.
+
+    Plan: one grouped count (tiny — |classes| rows) broadcast back, one
+    rank window on the class key for the extra-copy threshold, then a
+    map-side ``explode(sequence(...))``. The window shuffle keys on the
+    class column — skewed by class size at extreme scale; swap the rank
+    threshold for a hash-rank cut (``xxhash64(id) % c < m % c`` is
+    approximate-parity) when a single class exceeds a task's sort budget.
+    """
+    cnt = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__c__"))
+    mx = cnt.agg(F.max("__c__").alias("__m__"))
+    w = Window.partitionBy(class_col).orderBy(F.col(id_col).asc())
+    ranked = (
+        df.select(class_col, id_col)
+        .withColumn("__i__", F.row_number().over(w))
+        .join(F.broadcast(cnt), class_col)
+        .crossJoin(F.broadcast(mx))
+    )
+    # integer `div`, not float division + truncate: a float quotient one ulp
+    # below an exact integer would truncate to k-1 at large counts
+    copies = F.expr("__m__ div __c__") + F.when(
+        F.col("__i__") <= F.col("__m__") % F.col("__c__"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("__copies__", copies)
+        .select(
+            id_col,
+            class_col,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("__copies__"))).alias(
+                "copy_idx"
+            ),
+        )
+    )

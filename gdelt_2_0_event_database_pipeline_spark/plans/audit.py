@@ -32,6 +32,8 @@ NESTED_LOOP_OK = {
     "q_dedup_canonical",     # exact-Jaccard edges, doc_id < 200 (oracle-able)
     "q_dedup_keep_longest",  # same capped edge kernel
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
+    "q_hard_negatives",      # same broadcast-anchor shape (5-row anchor set)
+    "q_class_balance",       # broadcast 1-row majority-count join
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -67,6 +69,7 @@ SINGLE_PARTITION_OK = {
                              # join (bucket-level, bounded by construction)
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
+    "q_class_balance",       # one-row max-class-count aggregate
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -2387,3 +2387,77 @@ def q_dup_spans_keep_first(spark, sf_dir):
 def q_bm25_search(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return X.bm25_topk(d, ["spark", "shuffle", "window"], k=10)
+
+
+@register(
+    "q_hard_negatives",
+    sql="""
+    WITH a AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label,
+           cos_sim, rank
+    FROM (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id
+             ) AS rank
+      FROM a JOIN c
+        ON a.vec_id != c.vec_id AND a.label != c.label
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "Hard-negative mining for contrastive training: per anchor, the 5 "
+        "most-similar OTHER-label vectors (boundary negatives, not random "
+        "ones). Same broadcast-anchor map-only shape as q_cosine_topk — "
+        "the label-mismatch predicate rides the broadcast join, the corpus "
+        "never shuffles; fold arithmetic bit-identical cross-engine."
+    ),
+)
+def q_hard_negatives(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "q_class_balance",
+    sql="""
+    WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    mx AS (SELECT max(c) AS m FROM cnt),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS i
+      FROM documents
+    ),
+    rep AS (
+      SELECT r.doc_id, r.lang,
+             (m // c) + CASE WHEN i <= (m % c) THEN 1 ELSE 0 END AS copies
+      FROM r JOIN cnt USING (lang) CROSS JOIN mx
+    )
+    SELECT doc_id, lang, unnest(range(1, copies + 1)) AS copy_idx
+    FROM rep
+    """,
+    doc=(
+        "Exact-parity class-balanced oversampling by language: every class "
+        "replicates to EXACTLY the majority count (m div c copies each, "
+        "first m%c rows by doc_id get one extra) — deterministic, "
+        "reproducible, oracle-exact. Tiny count aggregate broadcast back; "
+        "replication is a map-side explode(sequence)."
+    ),
+)
+def q_class_balance(spark, sf_dir):
+    from ..operators.training import class_balance
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return class_balance(d, "lang", "doc_id")

@@ -167,3 +167,20 @@ def test_semantic_dedup_deterministic_and_custom_centroids(emb):
     # cos_to_centroid of vec 0 against itself is exactly 1
     self_row = [r for r in one if r.vec_id == 0]
     assert self_row and abs(self_row[0].cos_to_centroid - 1.0) < 1e-12
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor, label 0
+        (1, [1.0, 0.01], 0),  # nearly identical but SAME label -> excluded
+        (2, [0.9, 0.1], 1),   # most similar other-label
+        (3, [0.0, 1.0], 1),   # orthogonal other-label
+        (4, [-1.0, 0.0], 2),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    got = [(r.negative_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r.negative_label != r.anchor_label for r in out)

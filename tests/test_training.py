@@ -329,3 +329,36 @@ def test_select_token_budget_per_group_caps_each_group(spark):
             default=float("-inf"),
         )
         assert kept_min_q >= dropped_max_q - 1e-9 or dropped_max_q == float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# Exact-parity class balancing
+# ---------------------------------------------------------------------------
+
+
+def test_class_balance_exact_parity(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import class_balance
+
+    rows = [(i, "big") for i in range(10)] + [(100 + i, "small") for i in range(3)] + [
+        (200, "tiny")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    out = class_balance(df, "cls", "doc_id")
+    per_class = {r.cls: r.n for r in out.groupBy("cls").count().withColumnRenamed("count", "n").collect()}
+    assert per_class == {"big": 10, "small": 10, "tiny": 10}
+    # majority rows appear exactly once
+    assert out.filter("cls = 'big'").groupBy("doc_id").count().filter("count > 1").count() == 0
+    # extra copies go to the LOWEST doc_ids: small has 10 = 3*3 + 1 extra on id 100
+    small = {r.doc_id: r.n for r in out.filter("cls='small'").groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert small == {100: 4, 101: 3, 102: 3}
+    # copy_idx enumerates 1..copies per source row
+    idx = sorted(r.copy_idx for r in out.filter("doc_id = 100").collect())
+    assert idx == [1, 2, 3, 4]
+
+
+def test_class_balance_single_class_noop(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import class_balance
+
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, cls string")
+    out = class_balance(df, "cls", "doc_id")
+    assert out.count() == 2 and out.filter("copy_idx <> 1").count() == 0

@@ -27,6 +27,21 @@ _DRIVER_PRIORITY = [
     # and the r6 additions are unchecked). Oracle-SQL entries lead (they
     # yield rows+schema+hash evidence); rows-only entries follow; the
     # stalest r3-checked oracle queries fill any remaining window.
+    # -- round-6 continuation batch (newest, zero driver evidence) --
+    "q_scd2_build",
+    "q_scd2_pit",
+    "q_unpivot",
+    "q_geo_hotspots",
+    "q_geo_radius_join",
+    "q_triangle_count",
+    "q_khop_reach",
+    "q_interpolate",
+    "q_gini",
+    "q_twap",
+    "q_chi2",
+    "q_hard_negatives",
+    "q_class_balance",
+    # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",
     "q_dedup_near_against",

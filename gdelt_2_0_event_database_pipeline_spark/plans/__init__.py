@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "q_chi2",
     "q_hard_negatives",
     "q_class_balance",
+    "q_skyline",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
     "q_hard_negatives",      # same broadcast-anchor shape (5-row anchor set)
     "q_class_balance",       # broadcast 1-row majority-count join
+    "q_skyline",             # broadcast 1-row x-bounds join (bucket prune)
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -70,6 +71,10 @@ SINGLE_PARTITION_OK = {
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_class_balance",       # one-row max-class-count aggregate
+    "q_skyline",             # 1-row bounds agg + n_buckets-row prefix window
+                             # + final window over the pruned survivor set
+                             # (bounded by construction — the documented
+                             # small single-partition step, like top-k)
 }
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")

@@ -510,3 +510,39 @@ def q_chi2(spark, sf_dir):
     return out.select(
         "row_value", F.round("chi2_part", 6).alias("chi2_part"), "n_cells"
     )
+
+
+@register(
+    "q_skyline",
+    sql="""
+    WITH p AS (
+      SELECT o_orderkey,
+             o_orderdate::DATE - DATE '1970-01-01' AS x_days,
+             o_totalprice
+      FROM orders
+    )
+    SELECT o_orderkey, x_days, o_totalprice FROM p q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p d
+      WHERE d.x_days <= q.x_days AND d.o_totalprice >= q.o_totalprice
+        AND (d.x_days < q.x_days OR d.o_totalprice > q.o_totalprice)
+    )
+    """,
+    doc=(
+        "2D skyline / Pareto frontier (earliest order date, highest "
+        "total price): Spark runs the two-phase plan — equal-width bucket "
+        "prune against broadcast prefix maxima (map-side, kills ~all "
+        "rows), then one exact dense-rank window over the bounded "
+        "survivor set — while the oracle runs the quadratic NOT EXISTS "
+        "dominance self-join. Exact agreement, no arithmetic to round."
+    ),
+)
+def q_skyline(spark, sf_dir):
+    from ..operators.pareto import skyline2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("x_days"),
+        "o_totalprice",
+    )
+    return skyline2d(o, "x_days", "o_totalprice")

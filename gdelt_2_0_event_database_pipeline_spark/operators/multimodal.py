@@ -397,12 +397,9 @@ def gray_raster(payload: bytes) -> tuple:
     raise ValueError(f"unsupported image payload (magic={payload[:8]!r})")
 
 
-def dhash64(payload: bytes) -> int:
-    """64-bit difference hash (dHash): nearest-neighbor downsample of the
-    grayscale raster to 9×8, then each bit = left pixel brighter than its
-    right neighbor. Robust to resizing, recompression, and brightness
-    shifts — the standard cheap perceptual fingerprint for image near-dup."""
-    w, h, gray = gray_raster(payload)
+def _dhash_from_gray(w: int, h: int, gray: bytes) -> int:
+    """dHash core over a raw grayscale raster (shared by the image payload
+    front end and the per-frame video path)."""
     if w < 1 or h < 1:
         raise ValueError("empty image")
     gw, gh = 9, 8
@@ -417,6 +414,15 @@ def dhash64(payload: bytes) -> int:
             bit = 1 if grid[gy * gw + gx] > grid[gy * gw + gx + 1] else 0
             out = (out << 1) | bit
     return out
+
+
+def dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash): nearest-neighbor downsample of the
+    grayscale raster to 9×8, then each bit = left pixel brighter than its
+    right neighbor. Robust to resizing, recompression, and brightness
+    shifts — the standard cheap perceptual fingerprint for image near-dup."""
+    w, h, gray = gray_raster(payload)
+    return _dhash_from_gray(w, h, gray)
 
 
 def media_dhash(df: DataFrame) -> DataFrame:
@@ -593,3 +599,151 @@ def media_audio_fingerprint(df: DataFrame) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(_hash, schema)
+
+
+# ------------------------------------------------------------------- video
+_VID_MAGIC = b"SGVID1\x00\x00"
+
+
+def encode_video(frames: list) -> bytes:
+    """Pack raw grayscale frames [(w, h, gray_bytes), ...] into the stub
+    video container (magic + frame count + per-frame header + raster).
+    Stands at the same codec seam an ffmpeg demuxer would plug into — the
+    Spark-side plumbing (schema, Arrow batching, frame sampling, pair
+    join) is identical for a real container."""
+    out = [_VID_MAGIC, struct.pack("<I", len(frames))]
+    for w, h, gray in frames:
+        if len(gray) != w * h:
+            raise ValueError("frame raster size mismatch")
+        out.append(struct.pack("<II", w, h))
+        out.append(bytes(gray))
+    return b"".join(out)
+
+
+def decode_video(payload: bytes) -> list:
+    """Inverse of :func:`encode_video` → [(w, h, gray_bytes), ...]."""
+    if not payload.startswith(_VID_MAGIC):
+        raise ValueError(f"unsupported video payload (magic={payload[:8]!r})")
+    n = struct.unpack_from("<I", payload, 8)[0]
+    off, frames = 12, []
+    for _ in range(n):
+        w, h = struct.unpack_from("<II", payload, off)
+        off += 8
+        frames.append((w, h, payload[off : off + w * h]))
+        off += w * h
+    return frames
+
+
+def video_frame_dhashes(df: DataFrame, every_k: int = 1) -> DataFrame:
+    """Per-frame perceptual hashes: decode the container, keep every
+    ``k``-th frame, dHash each frame's raster. One Arrow-batched
+    ``mapInPandas`` pass — the payload is read once per video and never
+    shuffles; what leaves the stage is (media_id, frame_idx, fhash) 20-byte
+    rows. Undecodable payloads emit nothing (auditable via anti-join
+    against the input ids)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("fhash", T.LongType()),
+        ]
+    )
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = decode_video(p)
+                except Exception:
+                    continue
+                for fi in range(0, len(frames), every_k):
+                    w, h, gray = frames[fi]
+                    v = _dhash_from_gray(w, h, gray)
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "fhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_hash, schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    *,
+    every_k: int = 1,
+    max_hamming: int = 4,
+    min_matched_frames: int = 2,
+) -> DataFrame:
+    """Video near-duplicate pairs: per-frame dHashes feed the SAME banded
+    Hamming join as image/audio/text (frames get synthetic unique ids),
+    frame-level matches roll up per video pair, and a pair survives with
+    ``>= min_matched_frames`` matching frames — robust to trims and
+    temporal shifts because frames match by CONTENT, not by index.
+
+    Scale shape: |videos| x frames/k rows of 20 bytes through one banded
+    equi-join; payloads decoded exactly once, map-side."""
+    frames = video_frame_dhashes(df, every_k=every_k)
+    # frame uid packs (video, frame): video near-dup never needs more than
+    # 2^20 sampled frames per clip
+    uid = (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias(
+        "frame_uid"
+    )
+    pairs = hamming_near_dup_pairs(
+        frames.select(uid, "fhash"), "frame_uid", "fhash",
+        max_hamming=max_hamming,
+    )
+    vid_a = F.expr(f"id_a div {1 << 20}").alias("vid_a")
+    vid_b = F.expr(f"id_b div {1 << 20}").alias("vid_b")
+    cross = pairs.select(vid_a, vid_b).filter(F.col("vid_a") != F.col("vid_b"))
+    norm = cross.select(
+        F.least("vid_a", "vid_b").alias("id_a"),
+        F.greatest("vid_a", "vid_b").alias("id_b"),
+    )
+    return (
+        norm.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matched_frames"))
+        .filter(F.col("n_matched_frames") >= min_matched_frames)
+    )
+
+
+def make_video_df(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    """Synthetic video corpus with planted near-duplicates: every 6th clip
+    is a brightness-shifted, first-frame-trimmed copy of its predecessor
+    (dHash is invariant to uniform brightness shifts; content matching is
+    invariant to the trim). Frames are deterministic gradient rasters."""
+    import random as _random
+
+    rng = _random.Random(seed)
+
+    rows = []
+    for i in range(n):
+        w, h = 24 + (i % 3) * 8, 24
+        if i % 6 == 5:
+            # near-dup of clip i-1: drop first frame, shift brightness
+            prev = rows[-1][1]
+            frames = [
+                (fw, fh, bytes(min(255, p + 4) for p in g))
+                for fw, fh, g in decode_video(prev)[1:]
+            ]
+        else:
+            # pseudo-random rasters: distinct clips collide at Hamming<=4
+            # with probability ~1e-12, so only the planted pairs match
+            frames = [
+                (w, h, bytes(rng.randrange(256) for _ in range(w * h)))
+                for _ in range(4 + i % 3)
+            ]
+        rows.append(
+            (
+                i,
+                encode_video(frames),
+                ("video", "sgvid", w, h, len(frames), None),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

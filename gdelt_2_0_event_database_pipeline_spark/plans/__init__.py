@@ -99,6 +99,7 @@ _DRIVER_PRIORITY = [
     "q_compression_ratio",
     "q_media_near_dup",
     "q_audio_near_dup",
+    "q_video_near_dup",
     "q_pack_first_fit",
     "q_ivf_topk",
     "q_approx_distinct",

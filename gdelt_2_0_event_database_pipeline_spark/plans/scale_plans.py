@@ -336,3 +336,26 @@ def q_audio_near_dup(spark, sf_dir):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     sig = media_audio_fingerprint(df)
     return hamming_near_dup_pairs(sig, "media_id", "afp", max_hamming=4)
+
+
+@register(
+    "q_video_near_dup",
+    sql=None,
+    doc=(
+        "Video near-duplicate pairs over REAL per-frame rasters: "
+        "deterministic gradient-frame corpus with planted copies that are "
+        "BOTH brightness-shifted and first-frame-trimmed; one Arrow-"
+        "batched mapInPandas decodes each container once and emits "
+        "(video, frame, dHash) 20-byte rows; frames match by CONTENT "
+        "through the SAME pigeonhole-banded Hamming join as image/audio/"
+        "text, then roll up per video pair with a min-matched-frames "
+        "threshold (trim/shift robust). Rows-only (no codec in the oracle "
+        "engine); planted-pair exactness + trim invariance pinned in "
+        "test_multimodal.py."
+    ),
+)
+def q_video_near_dup(spark, sf_dir):
+    from ..operators.multimodal import make_video_df, video_near_dup_pairs
+
+    df = make_video_df(spark, n=24)
+    return video_near_dup_pairs(df, max_hamming=4, min_matched_frames=2)

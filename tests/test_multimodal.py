@@ -300,3 +300,55 @@ def test_audio_fingerprint_amplitude_invariant(spark):
     got = {(r.id_a, r.id_b) for r in
            hamming_near_dup_pairs(sig, "media_id", "afp", max_hamming=4).collect()}
     assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Video: container round-trip, frame hashing, near-dup pairs
+# ---------------------------------------------------------------------------
+
+from gdelt_2_0_event_database_pipeline_spark.operators.multimodal import (  # noqa: E402
+    decode_video,
+    encode_video,
+    make_video_df,
+    video_frame_dhashes,
+    video_near_dup_pairs,
+)
+
+
+def test_video_container_roundtrip():
+    frames = [(4, 3, bytes(range(12))), (2, 2, bytes([9, 8, 7, 6]))]
+    assert decode_video(encode_video(frames)) == frames
+
+
+def test_video_frame_dhashes_counts_and_sampling(spark):
+    df = make_video_df(spark, n=6)
+    all_frames = video_frame_dhashes(df, every_k=1)
+    total = {r.meta.n_frames for r in df.select("meta").collect()}
+    assert all_frames.count() == sum(
+        r.meta.n_frames for r in df.select("meta").collect()
+    )
+    sampled = video_frame_dhashes(df, every_k=2)
+    # every_k=2 keeps ceil(n/2) frames per clip
+    per = {r.media_id: r.cnt for r in sampled.groupBy("media_id").count().withColumnRenamed("count", "cnt").collect()}
+    want = {r.media_id: -(-r.meta.n_frames // 2) for r in df.select("media_id", "meta").collect()}
+    assert per == want
+
+
+def test_video_near_dup_finds_planted_trimmed_copies(spark):
+    df = make_video_df(spark, n=24)
+    got = {
+        (r.id_a, r.id_b)
+        for r in video_near_dup_pairs(df, max_hamming=4, min_matched_frames=2).collect()
+    }
+    # planted: every 6th clip copies its predecessor (trim + brightness)
+    want = {(4, 5), (10, 11), (16, 17), (22, 23)}
+    assert want <= got
+    # nothing else should collide on >=2 frames in this corpus
+    assert got == want
+
+
+def test_video_undecodable_payloads_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"garbage-not-a-video"))], "media_id long, payload binary"
+    )
+    assert video_frame_dhashes(df).count() == 0

@@ -476,3 +476,46 @@ def class_balance(
             ),
         )
     )
+
+
+def select_top_p(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    id_col: str,
+    p: float,
+) -> DataFrame:
+    """Nucleus (top-p) curation per group: keep the highest-score rows
+    until their cumulative score mass reaches fraction ``p`` of the
+    group's total — the budget rule that adapts to each group's score
+    distribution (a flat group keeps many rows, a spiky one few), unlike
+    fixed top-k. The row that crosses the threshold is included, so the
+    kept mass is always >= p (and the smallest superset achieving it).
+
+    Requires non-negative integer-ish scores (token counts, char counts,
+    vote counts) — cumulative and total sums stay exact, and the single
+    threshold comparison ``(cum - score) < p * total`` is one pinned
+    double expression. Total order (score desc, id asc) makes the kept
+    set engine-independent under ties.
+
+    ONE exchange: the running-sum window and the group-total window share
+    the ``group_cols`` partitioning.
+    """
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = F.sum(score_col).over(w_ord)
+    total = F.sum(score_col).over(w_all)
+    keep = (cum - F.col(score_col)).cast("double") < F.lit(p) * total.cast(
+        "double"
+    )
+    return (
+        df.withColumn("__keep__", keep)
+        .filter(F.col("__keep__"))
+        .drop("__keep__")
+    )

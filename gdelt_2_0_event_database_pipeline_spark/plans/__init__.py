@@ -42,6 +42,8 @@ _DRIVER_PRIORITY = [
     "q_hard_negatives",
     "q_class_balance",
     "q_skyline",
+    "q_ks_drift",
+    "q_top_p",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -35,6 +35,7 @@ NESTED_LOOP_OK = {
     "q_hard_negatives",      # same broadcast-anchor shape (5-row anchor set)
     "q_class_balance",       # broadcast 1-row majority-count join
     "q_skyline",             # broadcast 1-row x-bounds join (bucket prune)
+    "q_ks_drift",            # broadcast 1-row totals join (na, nb)
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -71,6 +72,10 @@ SINGLE_PARTITION_OK = {
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_class_balance",       # one-row max-class-count aggregate
+    "q_ks_drift",            # 1-row totals + KS max over the |distinct
+                             # pooled values| cumulative window — the exact
+                             # twin of the bucketed TV drift (documented
+                             # verification-sized stance, like q_quantiles)
     "q_skyline",             # 1-row bounds agg + n_buckets-row prefix window
                              # + final window over the pruned survivor set
                              # (bounded by construction — the documented

@@ -546,3 +546,80 @@ def q_skyline(spark, sf_dir):
         "o_totalprice",
     )
     return skyline2d(o, "x_days", "o_totalprice")
+
+
+@register(
+    "q_ks_drift",
+    sql="""
+    WITH a AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), b AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+    ), ca AS (SELECT v, count(*) AS ka FROM a GROUP BY v),
+       cb AS (SELECT v, count(*) AS kb FROM b GROUP BY v),
+    m AS (
+      SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(ka, 0) AS ka, COALESCE(kb, 0) AS kb
+      FROM ca FULL JOIN cb ON ca.v = cb.v
+    ), t AS (
+      SELECT CAST(sum(ka) AS BIGINT) AS na,
+             CAST(sum(kb) AS BIGINT) AS nb FROM m
+    ), c AS (
+      SELECT CAST(sum(ka) OVER w AS BIGINT) AS fa,
+             CAST(sum(kb) OVER w AS BIGINT) AS fb
+      FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+             / CAST(na * nb AS DOUBLE) AS ks,
+           na AS n_a, nb AS n_b
+    FROM c CROSS JOIN t GROUP BY na, nb
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift (purchase vs click value "
+        "distributions): integer cumulative CDFs, max over the exact "
+        "integer cross-product numerator |fa*nb - fb*na|, ONE final IEEE "
+        "division — engine-exact, no float inside the max. The exact "
+        "companion of the bucketed TV drift (q_distribution_drift); at "
+        "100 TB quantize first, this is the verification-sized tool."
+    ),
+)
+def q_ks_drift(spark, sf_dir):
+    from ..operators.profile import ks_statistic
+
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "purchase")
+    b = e.filter(F.col("event_type") == "click")
+    return ks_statistic(a, b, "value")
+
+
+@register(
+    "q_top_p",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum,
+             CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM s
+    WHERE CAST(cum - n_chars AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+    """,
+    doc=(
+        "Nucleus (top-p) curation per source: keep the longest documents "
+        "until they cover half the source's character mass — the budget "
+        "rule that adapts to each group's distribution (unlike fixed "
+        "top-k). Exact integer running/total sums, one pinned double "
+        "threshold comparison, total-ordered under ties; running-sum and "
+        "group-total windows share ONE exchange."
+    ),
+)
+def q_top_p(spark, sf_dir):
+    from ..operators.training import select_top_p
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return select_top_p(d, ["source"], "n_chars", "doc_id", p=0.5)

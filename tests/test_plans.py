@@ -330,3 +330,46 @@ def test_chi2_dependent_table_positive(spark):
     assert all(x.chi2_part > 0 for x in out)
     # full statistic for a 2x2 with perfect association = N
     assert sum(x.chi2_part for x in out) == 60.0
+
+
+def test_ks_statistic_known_values(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import ks_statistic
+
+    a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "v double")
+    b = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]], "v double")
+    row = ks_statistic(a, b, "v").collect()[0]
+    # F_a - F_b maximal at v=2: |2/4 - 0/4| = 0.5
+    assert row.ks == 0.5 and row.n_a == 4 and row.n_b == 4
+    # identical samples -> 0
+    same = ks_statistic(a, a, "v").collect()[0]
+    assert same.ks == 0.0
+    # disjoint supports -> 1
+    c = spark.createDataFrame([(v,) for v in [10.0, 11.0]], "v double")
+    assert ks_statistic(a, c, "v").collect()[0].ks == 1.0
+
+
+def test_top_p_adapts_to_distribution(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import select_top_p
+
+    rows = (
+        # spiky group: one row holds 90 of 100 -> p=0.5 keeps just it
+        [(1, "spiky", 90), (2, "spiky", 5), (3, "spiky", 5)]
+        # flat group: 4x25 -> p=0.5 keeps two rows
+        + [(10, "flat", 25), (11, "flat", 25), (12, "flat", 25), (13, "flat", 25)]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, score long")
+    got = {r.id for r in select_top_p(df, ["g"], "score", "id", p=0.5).collect()}
+    assert got == {1, 10, 11}
+
+
+def test_top_p_threshold_row_included_and_ties(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import select_top_p
+
+    # equal scores: deterministic id order decides who crosses the line
+    df = spark.createDataFrame(
+        [(i, "g", 10) for i in range(5)], "id long, g string, score long"
+    )
+    got = sorted(r.id for r in select_top_p(df, ["g"], "score", "id", p=0.5).collect())
+    assert got == [0, 1, 2]  # 30/50 >= 0.5 reached ON row id=2 (included)
+    # p=1 keeps everything
+    assert select_top_p(df, ["g"], "score", "id", p=1.0).count() == 5

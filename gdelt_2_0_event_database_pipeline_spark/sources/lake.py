@@ -291,3 +291,94 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shards: int,
+    shard_key: str | None = None,
+    compress: bool = True,
+) -> DataFrame:
+    """Export a curated corpus as ``shards`` JSON-Lines files — the
+    interchange format training loaders consume (one JSON object per
+    line, gzip optional). Returns the manifest DataFrame
+    ``(shard, n_rows)`` (also written to ``path/_manifest``).
+
+    Sharding is DETERMINISTIC: rows route by ``xxhash64(shard_key) %
+    shards`` (or uniform hash of the whole row when no key is given), so
+    re-running the export reproduces identical shard membership on any
+    cluster size/partitioning — the property row-count-based splits
+    (``df.randomSplit``, round-robin repartition) cannot give. A stable
+    key also means incremental re-exports move only the rows that
+    changed. One shuffle (the repartition on the shard id); each shard is
+    exactly one output file, written in parallel.
+
+    The reference has no export stage at all (its terminal artifact is
+    sampled parquet, ``sampling/samplers.py``); JSONL is the extension
+    surface every 100 TB curation pipeline ends with.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    key = (
+        F.xxhash64(F.col(shard_key))
+        if shard_key
+        else F.xxhash64(*[F.col(c) for c in df.columns])
+    )
+    tagged = df.withColumn("__shard__", F.pmod(key, F.lit(shards)))
+    writer = (
+        tagged.repartition(shards, "__shard__")
+        .write.mode("overwrite")
+        .partitionBy("__shard__")
+    )
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.json(path)
+    spark = df.sparkSession
+    manifest = (
+        spark.read.json(path)
+        .groupBy(F.col("__shard__").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a JSONL export back (schema optional but recommended — without
+    it Spark runs an extra inference pass over every file)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return df.drop("__shard__") if "__shard__" in df.columns else df
+
+
+def read_lake_evolved(
+    spark: SparkSession,
+    paths: Sequence[str],
+    *,
+    target_schema=None,
+) -> DataFrame:
+    """Read parquet written under EVOLVING schemas as one DataFrame:
+    ``mergeSchema`` unions the field sets (older files yield NULL for
+    columns they predate), then ``target_schema`` (optional) projects and
+    casts to the canonical current shape — the read-side half of schema
+    evolution, needed the first time a column is added to a live lake.
+
+    Scale note: ``mergeSchema`` costs one footer read per file at plan
+    time (driver-side, no data I/O); steady-state lakes should converge
+    files to the current schema via ``compact_parquet`` and drop the flag.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if target_schema is not None:
+        cols = []
+        have = set(df.columns)
+        for field in target_schema.fields:
+            if field.name in have:
+                cols.append(F.col(field.name).cast(field.dataType))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        df = df.select(*cols)
+    return df

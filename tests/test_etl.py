@@ -618,3 +618,58 @@ def test_cli_report_and_score(tmp_path, capsys, spark):
     assert rc == 0
     sc = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert sc["rows"] == 30 and 0.0 < sc["frac_positive"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# JSONL sharded export + schema-evolved lake read
+# ---------------------------------------------------------------------------
+
+
+def test_export_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import (
+        export_jsonl_shards,
+        read_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}", i % 3) for i in range(200)], "doc_id long, text string, lang long"
+    )
+    out = str(tmp_path / "export")
+    manifest = export_jsonl_shards(df, out, shards=4, shard_key="doc_id")
+    m = {r.shard: r.n_rows for r in manifest.collect()}
+    assert sum(m.values()) == 200 and set(m) <= {0, 1, 2, 3}
+    back = read_jsonl(spark, out)
+    assert back.count() == 200
+    assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(200))
+    assert "__shard__" not in back.columns
+    # deterministic: re-export yields identical shard membership
+    out2 = str(tmp_path / "export2")
+    export_jsonl_shards(df.repartition(13), out2, shards=4, shard_key="doc_id")
+    s1 = {(r["doc_id"], r["__shard__"]) for r in spark.read.json(out).collect()}
+    s2 = {(r["doc_id"], r["__shard__"]) for r in spark.read.json(out2).collect()}
+    assert s1 == s2
+
+
+def test_read_lake_evolved_merges_and_projects(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import read_lake_evolved
+
+    old = str(tmp_path / "v1")
+    new = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(old)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(new)
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.StringType()),  # in neither file
+        ]
+    )
+    df = read_lake_evolved(spark, [old, new], target_schema=target)
+    rows = {r.id: (r.name, r.score, r.added_later) for r in df.collect()}
+    assert rows == {1: ("a", None, None), 2: ("b", 9.5, None)}
+    assert [f.name for f in df.schema.fields] == ["id", "name", "score", "added_later"]

@@ -127,3 +127,44 @@ def test_convert_stream_exactly_once(spark, tmp_path):
     q2 = convert_stream(spark, str(csv_dir), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 100
+
+
+def test_convert_stream_dlq_quarantines_malformed(spark, tmp_path):
+    """DLQ convert: parseable rows land typed in the lake; structurally
+    malformed lines (column overflow) land in the quarantine sink with
+    their raw text — nothing dropped, nothing NULL-polluted."""
+    from gdelt_2_0_event_database_pipeline_spark.schema import GDELT_COLUMNS
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import (
+        convert_stream_with_dlq,
+    )
+
+    from tests.conftest import make_gdelt_pdf
+
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    out, dlq, ckpt = (
+        str(tmp_path / "out"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+    )
+    pdf = make_gdelt_pdf(20).reindex(columns=list(GDELT_COLUMNS))
+    f = csv_dir / "20150101.export.CSV"
+    pdf.to_csv(f, sep="\t", header=False, index=False)
+    # append two structurally-broken lines (way too many columns)
+    with open(f, "a") as fh:
+        fh.write("\t".join(str(i) for i in range(80)) + "\n")
+        fh.write("\t".join(["x"] * 75) + "\n")
+
+    q = convert_stream_with_dlq(spark, str(csv_dir), out, dlq, ckpt)
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(out)
+    assert good.count() == 20
+    assert list(good.columns) == list(GDELT_COLUMNS)
+    assert dict(good.dtypes)["GlobalEventID"] == "bigint"
+
+    bad = spark.read.parquet(dlq)
+    assert bad.count() == 2
+    raws = {r.raw_line for r in bad.collect()}
+    assert any(line.startswith("0\t1\t2") for line in raws)
+    assert all("export.CSV" in r.source_file for r in bad.collect())

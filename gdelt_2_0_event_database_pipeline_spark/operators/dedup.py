@@ -1138,3 +1138,48 @@ def plan_lsh_params(
             f"<= {max_candidate_rate}"
         )
     return best
+
+
+def fuzzy_join_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    block_len: int = 10,
+    prefix_len: int = 30,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked fuzzy self-join: candidate pairs share an exact ``block_len``-
+    char prefix block, then verify with ``levenshtein`` over the
+    ``prefix_len``-char prefix — the entity-resolution pattern that makes
+    edit-distance matching feasible at scale (the all-pairs kernel in
+    ``q_levenshtein`` is O(n^2) and exists as the capped verification twin;
+    this is the production shape: an equi-join on block keys bounds
+    candidates to block-local pairs, and the expensive distance runs only
+    on survivors of the cheap exact-prefix filter).
+
+    Blocking recall caveat (standard): a typo INSIDE the first
+    ``block_len`` chars moves a record to a different block — production
+    pipelines union several complementary blockers (prefix, phonetic,
+    length-band); the operator takes any precomputed block via
+    ``block_len`` on the text prefix here to stay oracle-expressible.
+    Returns ``(id_a, id_b, edit_dist)`` with ``id_a < id_b``.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("prefix"),
+        F.substring(F.col(text_col), 1, block_len).alias("blk"),
+    )
+    a = d.select(
+        F.col("id").alias("id_a"), F.col("prefix").alias("pa"), "blk"
+    )
+    b = d.select(
+        F.col("id").alias("id_b"), F.col("prefix").alias("pb"), "blk"
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein(F.col("pa"), F.col("pb")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -847,3 +847,35 @@ def time_weighted_avg(
         ).alias("twap"),
         "n_obs",
     )
+
+
+def longest_streak(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per key — the engagement
+    streak metric. Classic gaps-and-islands: dedup to (key, day), then
+    ``epoch_day - row_number`` is constant within a consecutive run (the
+    island key), so two grouped aggregations finish the job. Exact
+    integer arithmetic throughout.
+
+    Returns ``(*key_cols, longest_streak, n_active_days)``. One exchange:
+    the day-dedup, the island window, and both rollups all partition by
+    the same key columns.
+    """
+    day = F.col(ts_col).cast("date")
+    days = df.select(*key_cols, day.alias("__d__")).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("__d__")
+    islands = days.withColumn(
+        "__grp__",
+        F.datediff(F.col("__d__"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    runs = islands.groupBy(*key_cols, "__grp__").agg(
+        F.count(F.lit(1)).alias("__len__")
+    )
+    return runs.groupBy(*key_cols).agg(
+        F.max("__len__").alias("longest_streak"),
+        F.sum("__len__").alias("n_active_days"),
+    )

@@ -44,6 +44,8 @@ _DRIVER_PRIORITY = [
     "q_skyline",
     "q_ks_drift",
     "q_top_p",
+    "q_fuzzy_blocked",
+    "q_streaks",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -2461,3 +2461,33 @@ def q_class_balance(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return class_balance(d, "lang", "doc_id")
+
+
+@register(
+    "q_fuzzy_blocked",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 30) AS prefix,
+             substr(text, 1, 10) AS blk
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.prefix, b.prefix) AS edit_dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 8
+    """,
+    doc=(
+        "Blocked fuzzy join (entity-resolution shape): exact 10-char "
+        "prefix blocks bound candidates via an EQUI-join, levenshtein "
+        "verifies survivors only — the scale pattern that replaces the "
+        "O(n^2) all-pairs kernel (q_levenshtein stays as the capped "
+        "verification twin). Identical pair set on both engines."
+    ),
+)
+def q_fuzzy_blocked(spark, sf_dir):
+    from ..operators.dedup import fuzzy_join_blocked
+
+    d = _t(spark, sf_dir, "documents")
+    return fuzzy_join_blocked(
+        d, "doc_id", "text", block_len=10, prefix_len=30, max_dist=8
+    )

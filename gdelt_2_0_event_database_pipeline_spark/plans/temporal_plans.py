@@ -805,3 +805,33 @@ def q_interpolate(spark, sf_dir):
     return resample_interpolate(
         uniq, ["user_id"], "ts", "value", interval_minutes=360
     )
+
+
+@register(
+    "q_streaks",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS d FROM events
+    ), g AS (
+      SELECT user_id, d,
+             CAST(d - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, max(len) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+    doc=(
+        "Longest consecutive-active-day streak per user (gaps-and-"
+        "islands): epoch_day minus row_number is constant within a run, "
+        "two grouped rollups finish it — exact integers, ONE key exchange "
+        "shared by the dedup, the island window, and both rollups."
+    ),
+)
+def q_streaks(spark, sf_dir):
+    from ..operators.temporal import longest_streak
+
+    return longest_streak(_events(spark, sf_dir), ["user_id"], "ts")

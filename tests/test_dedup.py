@@ -677,3 +677,24 @@ def test_remove_duplicate_spans_keep_first(spark):
     assert out[1] == (f"one uno {span} stays", 0)
     assert out[2] == ("two duo goes", 4)
     assert out[3] == ("tri tres gone too", 4)
+
+
+def test_fuzzy_join_blocked_matches_and_blocks(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import fuzzy_join_blocked
+
+    rows = [
+        (1, "the quick brown fox jumps over it"),
+        (2, "the quick brown fax jumps over it"),   # 1 edit, same block
+        (3, "the quick brXwn fox jumps over it"),   # 1 edit inside prefix, same block
+        (4, "a totally different sentence here"),   # different block
+        (5, "the quicX brown fox jumps over it"),   # edit INSIDE block -> blocked away
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in fuzzy_join_blocked(df, block_len=10, prefix_len=30, max_dist=5).collect()
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(2, 3)] == 2
+    # the blocking caveat is real: doc 5 is 1 edit from doc 1 but unblocked
+    assert not any(5 in pair for pair in got)

@@ -527,3 +527,27 @@ def test_twap_single_observation_null(spark):
     s = _series(spark, [(1, 0, 7.0)])
     out = time_weighted_avg(s, ["k"], "ts", "v").collect()[0]
     assert out.twap is None and out.n_obs == 1
+
+
+def test_longest_streak_gaps_and_islands(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import longest_streak
+
+    def d(day):
+        return F.timestamp_micros(F.lit(day * 86_400_000_000))
+
+    rows = []
+    # user 1: days 1,2,3, gap, 5,6 -> longest 3, active 5
+    for day in [1, 2, 3, 5, 6]:
+        rows.append((1, day))
+    # user 2: single day -> 1
+    rows.append((2, 10))
+    # user 3: duplicate events same day must not inflate the streak
+    rows += [(3, 20), (3, 20), (3, 21)]
+    df = spark.createDataFrame(rows, "k long, day long").select(
+        "k", F.timestamp_micros(F.col("day") * 86_400_000_000).alias("ts")
+    )
+    got = {
+        r.k: (r.longest_streak, r.n_active_days)
+        for r in longest_streak(df, ["k"], "ts").collect()
+    }
+    assert got == {1: (3, 5), 2: (1, 1), 3: (2, 2)}

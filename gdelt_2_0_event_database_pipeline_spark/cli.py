@@ -118,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--dim", type=int, default=64)
     sc.add_argument("--sample-n", type=int, default=10000)
 
+    xp = sub.add_parser("export", help="JSONL sharded export with manifest")
+    xp.add_argument("--in", dest="in_dir", required=True)
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--shards", type=int, required=True)
+    xp.add_argument("--shard-key", default=None)
+    xp.add_argument("--no-compress", action="store_true")
+
     sm = sub.add_parser("sample", help="reproducible sampling")
     sm.add_argument("--in", dest="in_dir", required=True)
     sm.add_argument("--historical", default=None)
@@ -320,6 +327,17 @@ def main(argv: list[str] | None = None) -> int:
         elif args.command == "compact":
             report = lake.compact_parquet(spark, args.in_dir, target_file_mb=args.target_mb)
             print(json.dumps(report))
+        elif args.command == "export":
+            df = lake.read_lake(spark, args.in_dir)
+            manifest_df = lake.export_jsonl_shards(
+                df,
+                args.out,
+                shards=args.shards,
+                shard_key=args.shard_key,
+                compress=not args.no_compress,
+            )
+            shards = {int(r.shard): int(r.n_rows) for r in manifest_df.collect()}
+            print(json.dumps({"shards": shards, "total": sum(shards.values())}))
         elif args.command == "select":
             from .operators.text import quality_score
             from .operators.training import select_token_budget

@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "q_top_p",
     "q_fuzzy_blocked",
     "q_streaks",
+    "q_mode_per_group",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

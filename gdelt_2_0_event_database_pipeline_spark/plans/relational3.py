@@ -623,3 +623,45 @@ def q_top_p(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return select_top_p(d, ["source"], "n_chars", "doc_id", p=0.5)
+
+
+@register(
+    "q_mode_per_group",
+    sql="""
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS cnt
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ), r AS (
+      SELECT c_mktsegment, c_nationkey, cnt,
+             row_number() OVER (
+               PARTITION BY c_mktsegment ORDER BY cnt DESC, c_nationkey
+             ) AS rn
+      FROM c
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nationkey, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    doc=(
+        "Deterministic grouped mode (most frequent nation per market "
+        "segment): count + ranked window with an explicit value tiebreak "
+        "instead of the built-in mode() aggregate, whose tie choice is "
+        "engine- and order-dependent. Two shuffles on tiny keys."
+    ),
+)
+def q_mode_per_group(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("cnt"), F.asc("c_nationkey")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )

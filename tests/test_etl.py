@@ -673,3 +673,19 @@ def test_read_lake_evolved_merges_and_projects(spark, tmp_path):
     rows = {r.id: (r.name, r.score, r.added_later) for r in df.collect()}
     assert rows == {1: ("a", None, None), 2: ("b", 9.5, None)}
     assert [f.name for f in df.schema.fields] == ["id", "name", "score", "added_later"]
+
+
+def test_cli_export_jsonl(spark, tmp_path, capsys):
+    lakep = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(100)], "doc_id long, text string"
+    ).write.parquet(lakep)
+    out = str(tmp_path / "exported")
+    rc = cli_main(
+        ["export", "--in", lakep, "--out", out, "--shards", "3",
+         "--shard-key", "doc_id"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["total"] == 100 and set(map(int, rep["shards"])) <= {0, 1, 2}
+    assert spark.read.json(out).count() == 100

@@ -395,3 +395,60 @@ def ks_statistic(
             "n_b",
         )
     )
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    *,
+    critical_z: float = 1.959963984540054,
+) -> DataFrame:
+    """Two-proportion z-test between every pair of experiment arms — the
+    A/B readout: per arm pair, conversion rates, pooled-variance z
+    statistic, and a significance flag at the given critical value
+    (default two-sided 5%).
+
+    ``z = (p1 - p2) / sqrt(p*(1-p)*(1/n1 + 1/n2))`` with ``p`` the pooled
+    rate. Counts are exact integers; every division/sqrt sits in one
+    pinned expression tree (IEEE ops on identical inputs are
+    bit-identical, sqrt is exactly rounded) — engine-exact with NO
+    rounding. Plan: one grouped count (|arms| rows), then the tiny arm
+    table self-joins — everything after the first aggregate is
+    arm-cardinality-bounded.
+    """
+    arms = df.groupBy(F.col(group_col).alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(success_col, 1).otherwise(0)).alias("k"),
+    )
+    a = arms.select(
+        F.col("arm").alias("arm_a"), F.col("n").alias("na"), F.col("k").alias("ka")
+    )
+    b = arms.select(
+        F.col("arm").alias("arm_b"), F.col("n").alias("nb"), F.col("k").alias("kb")
+    )
+    j = a.join(F.broadcast(b), F.col("arm_a") < F.col("arm_b"))
+    p1 = F.col("ka").cast("double") / F.col("na").cast("double")
+    p2 = F.col("kb").cast("double") / F.col("nb").cast("double")
+    pool = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    z = (p1 - p2) / se
+    return j.select(
+        "arm_a",
+        "arm_b",
+        F.col("na"),
+        F.col("nb"),
+        p1.alias("rate_a"),
+        p2.alias("rate_b"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(critical_z)).alias("significant"),
+    )

@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "q_fuzzy_blocked",
     "q_streaks",
     "q_mode_per_group",
+    "q_ab_test",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -36,6 +36,7 @@ NESTED_LOOP_OK = {
     "q_class_balance",       # broadcast 1-row majority-count join
     "q_skyline",             # broadcast 1-row x-bounds join (bucket prune)
     "q_ks_drift",            # broadcast 1-row totals join (na, nb)
+    "q_ab_test",             # |arms|-row self-join on arm_a < arm_b
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)

@@ -665,3 +665,51 @@ def q_mode_per_group(spark, sf_dir):
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q_ab_test",
+    sql="""
+    WITH arms AS (
+      SELECT user_id % 3 AS arm, count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY user_id % 3
+    )
+    SELECT a.arm AS arm_a, b.arm AS arm_b, a.n AS na, b.n AS nb,
+           CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE) AS rate_a,
+           CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate_b,
+           (CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+            - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
+           / sqrt(
+               (CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+               * (1.0 - CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+               * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))
+             ) AS z,
+           abs(
+             (CAST(a.k AS DOUBLE) / CAST(a.n AS DOUBLE)
+              - CAST(b.k AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(
+                 (CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                 * (1.0 - CAST(a.k + b.k AS DOUBLE) / CAST(a.n + b.n AS DOUBLE))
+                 * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))
+               )
+           ) > 1.959963984540054 AS significant
+    FROM arms a JOIN arms b ON a.arm < b.arm
+    """,
+    doc=(
+        "Two-proportion z-test between experiment arms (user_id%3 splits, "
+        "purchase conversion): exact integer counts, pooled-variance z in "
+        "ONE pinned double tree (divisions + exactly-rounded sqrt) — "
+        "engine-exact, no rounding. Everything after the first grouped "
+        "count is arm-cardinality-bounded and broadcast."
+    ),
+)
+def q_ab_test(spark, sf_dir):
+    from ..operators.profile import ab_test_proportions
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 3).alias("arm"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return ab_test_proportions(e, "arm", F.col("converted"))

@@ -373,3 +373,28 @@ def test_top_p_threshold_row_included_and_ties(spark):
     assert got == [0, 1, 2]  # 30/50 >= 0.5 reached ON row id=2 (included)
     # p=1 keeps everything
     assert select_top_p(df, ["g"], "score", "id", p=1.0).count() == 5
+
+
+def test_ab_test_known_z(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        ab_test_proportions,
+    )
+
+    rows = [("A", i < 30) for i in range(100)] + [("B", i < 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "arm string, conv boolean")
+    out = ab_test_proportions(df, "arm", F.col("conv")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.rate_a, r.rate_b) == (0.3, 0.1)
+    # hand-computed pooled z: p=0.2, se=sqrt(0.2*0.8*0.02)
+    import math
+
+    want = (0.3 - 0.1) / math.sqrt(0.2 * 0.8 * 0.02)
+    assert r.z == want and bool(r.significant) is True
+    # identical arms -> z == 0, not significant
+    same = spark.createDataFrame(
+        [("A", i % 2 == 0) for i in range(50)] + [("B", i % 2 == 0) for i in range(50)],
+        "arm string, conv boolean",
+    )
+    r2 = ab_test_proportions(same, "arm", F.col("conv")).collect()[0]
+    assert r2.z == 0.0 and bool(r2.significant) is False

@@ -879,3 +879,65 @@ def longest_streak(
         F.max("__len__").alias("longest_streak"),
         F.sum("__len__").alias("n_active_days"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    period: int = 7,
+    trend_window: int = 7,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Additive seasonal decomposition of the DAILY EVENT COUNT series:
+    ``count = trend + seasonal + residual`` — the monitoring decomposition
+    that separates weekly rhythm from real growth/incidents.
+
+    - daily series: events per day (exact integers — counting, not
+      averaging a double column, keeps the series engine-exact);
+    - ``trend``: centered moving average over ``trend_window`` days (a
+      rows-frame window; integer sums / window size = one pinned double);
+    - ``seasonal``: mean detrended value per phase ``epoch_day % period``,
+      joined back via broadcast (a ``period``-row table);
+    - ``residual``: the rest.
+
+    Seasonal/residual are float aggregates (round for cross-engine
+    compares); trend is exact. After the first grouped count everything
+    operates on |days| rows — the windows are day-cardinality-bounded, so
+    the global sort of the keyless variant is the same documented bounded
+    single-partition stance as the top-k plans. Output:
+    ``(*key_cols, day, n_events, trend, seasonal, residual)``.
+    """
+    half = trend_window // 2
+    keys = list(key_cols)
+    day = F.col(ts_col).cast("date")
+    daily = df.select(*keys, day.alias("day")).groupBy(*keys, "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w_trend = (
+        Window.partitionBy(*keys)
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    with_trend = daily.withColumn(
+        "trend",
+        F.sum("n_events").over(w_trend).cast("double")
+        / F.count(F.lit(1)).over(w_trend).cast("double"),
+    ).withColumn(
+        "__phase__",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        % F.lit(period),
+    )
+    detrended = F.col("n_events").cast("double") - F.col("trend")
+    seasonal = with_trend.groupBy(*keys, "__phase__").agg(
+        F.avg(detrended).alias("seasonal")
+    )
+    out = with_trend.join(F.broadcast(seasonal), [*keys, "__phase__"])
+    return out.select(
+        *keys,
+        "day",
+        "n_events",
+        "trend",
+        "seasonal",
+        (detrended - F.col("seasonal")).alias("residual"),
+    )

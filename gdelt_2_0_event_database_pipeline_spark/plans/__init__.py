@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "q_streaks",
     "q_mode_per_group",
     "q_ab_test",
+    "q_seasonal_decompose",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

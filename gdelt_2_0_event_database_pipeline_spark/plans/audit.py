@@ -73,6 +73,9 @@ SINGLE_PARTITION_OK = {
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_class_balance",       # one-row max-class-count aggregate
+    "q_seasonal_decompose",  # trend window over the |days|-row daily-count
+                             # series (day-cardinality-bounded after the
+                             # first grouped count)
     "q_ks_drift",            # 1-row totals + KS max over the |distinct
                              # pooled values| cumulative window — the exact
                              # twin of the bucketed TV drift (documented

@@ -835,3 +835,47 @@ def q_streaks(spark, sf_dir):
     from ..operators.temporal import longest_streak
 
     return longest_streak(_events(spark, sf_dir), ["user_id"], "ts")
+
+
+@register(
+    "q_seasonal_decompose",
+    sql="""
+    WITH daily AS (
+      SELECT ts::TIMESTAMP::DATE AS day, count(*) AS n_events
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT day, n_events,
+             CAST(sum(n_events) OVER w AS DOUBLE)
+               / CAST(count(*) OVER w AS DOUBLE) AS trend,
+             CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS phase
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), s AS (
+      SELECT phase, avg(CAST(n_events AS DOUBLE) - trend) AS seasonal
+      FROM t GROUP BY phase
+    )
+    SELECT t.day, t.n_events, t.trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(CAST(t.n_events AS DOUBLE) - t.trend - s.seasonal, 6)
+             AS residual
+    FROM t JOIN s USING (phase)
+    """,
+    doc=(
+        "Additive seasonal decomposition of daily event volume: centered "
+        "7-day moving-average trend (integer sums / window size — exact), "
+        "per-weekday-phase mean seasonal (float aggregate, rounded 6dp), "
+        "residual. After the first grouped count everything is day-"
+        "cardinality-bounded; the 7-row seasonal table broadcasts."
+    ),
+)
+def q_seasonal_decompose(spark, sf_dir):
+    from ..operators.temporal import seasonal_decompose
+
+    out = seasonal_decompose(_events(spark, sf_dir), "ts", period=7, trend_window=7)
+    return out.select(
+        "day",
+        "n_events",
+        "trend",
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+    )

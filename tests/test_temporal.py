@@ -551,3 +551,31 @@ def test_longest_streak_gaps_and_islands(spark):
         for r in longest_streak(df, ["k"], "ts").collect()
     }
     assert got == {1: (3, 5), 2: (1, 1), 3: (2, 2)}
+
+
+def test_seasonal_decompose_reconstructs_and_finds_weekly_pattern(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        seasonal_decompose,
+    )
+
+    # 8 weeks of synthetic events: base 3/day + 5 extra on phase-0 days
+    rows = []
+    for day in range(56):
+        n = 3 + (5 if day % 7 == 0 else 0)
+        for i in range(n):
+            rows.append((day * 86_400_000_000 + i,))
+    df = spark.createDataFrame(rows, "us long").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    out = seasonal_decompose(df, "ts", period=7, trend_window=7).collect()
+    assert len(out) == 56
+    # additive identity holds exactly
+    for r in out:
+        assert abs(r.n_events - (r.trend + r.seasonal + r.residual)) < 1e-9
+    # the planted phase dominates the seasonal component
+    by_phase = {}
+    for r in out:
+        phase = (r.day - __import__("datetime").date(1970, 1, 1)).days % 7
+        by_phase.setdefault(phase, r.seasonal)
+    assert by_phase[0] == max(by_phase.values())
+    assert by_phase[0] > 3  # ~ +5*6/7 on interior days

@@ -452,3 +452,54 @@ def ab_test_proportions(
         z.alias("z"),
         (F.abs(z) > F.lit(critical_z)).alias("significant"),
     )
+
+
+def percentile_vs_ref(
+    probe: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    probe_cols: Sequence[str],
+) -> DataFrame:
+    """Score every probe row by its percentile within a REFERENCE
+    distribution: ``pct = |ref <= value| / |ref|`` — normalization against
+    a fixed corpus (score calibration, drift-aware thresholds), where
+    z-scores mislead on skewed distributions.
+
+    The join-free shape: tag and UNION both sides, sort once on
+    ``(value, is_ref desc)`` so reference rows at a tied value count
+    BEFORE probes (inclusive ``<=`` semantics), and take a running sum of
+    the reference tag — every probe row reads its rank off the single
+    sorted pass instead of probing the reference per row (the oracle runs
+    that quadratic correlated count; this plan replaces it). The count is
+    exact integers; the final ratio is one IEEE division.
+
+    Scale stance: the global sort is the documented exact-twin stance
+    (KS/quantiles family) — at 100 TB, bucket the reference into a CDF
+    histogram and map probes through broadcast bucket boundaries.
+    """
+    r = ref.select(F.col(value_col).cast("double").alias("__v__")).filter(
+        F.col("__v__").isNotNull()
+    )
+    n_ref = r.agg(F.count(F.lit(1)).alias("__n__"))
+    tagged = r.select(F.lit(1).alias("__isref__"), "__v__")
+    p = probe.select(
+        *probe_cols, F.col(value_col).cast("double").alias("__v__")
+    ).withColumn("__isref__", F.lit(0))
+    u = tagged.unionByName(p, allowMissingColumns=True)
+    w = (
+        Window.orderBy(F.col("__v__").asc(), F.col("__isref__").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_ref = F.sum("__isref__").over(w)
+    return (
+        u.withColumn("__cum__", cum_ref)
+        .filter(F.col("__isref__") == 0)
+        .crossJoin(F.broadcast(n_ref))
+        .select(
+            *probe_cols,
+            F.col("__v__").alias(value_col),
+            (
+                F.col("__cum__").cast("double") / F.col("__n__").cast("double")
+            ).alias("ref_pct"),
+        )
+    )

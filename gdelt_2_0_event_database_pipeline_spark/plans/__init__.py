@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "q_mode_per_group",
     "q_ab_test",
     "q_seasonal_decompose",
+    "q_percentile_vs_ref",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "q_skyline",             # broadcast 1-row x-bounds join (bucket prune)
     "q_ks_drift",            # broadcast 1-row totals join (na, nb)
     "q_ab_test",             # |arms|-row self-join on arm_a < arm_b
+    "q_percentile_vs_ref",   # broadcast 1-row reference-count join
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -73,6 +74,8 @@ SINGLE_PARTITION_OK = {
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_class_balance",       # one-row max-class-count aggregate
+    "q_percentile_vs_ref",   # single sorted pass over ref+probe (exact-twin
+                             # stance; 100 TB path = broadcast CDF histogram)
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count
                              # series (day-cardinality-bounded after the
                              # first grouped count)

@@ -713,3 +713,38 @@ def q_ab_test(spark, sf_dir):
         (F.col("event_type") == "purchase").alias("converted"),
     )
     return ab_test_proportions(e, "arm", F.col("converted"))
+
+
+@register(
+    "q_percentile_vs_ref",
+    sql="""
+    WITH ref AS (
+      SELECT value FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+    ), n AS (SELECT count(*) AS n_ref FROM ref)
+    SELECT p.event_id, p.value,
+           CAST((SELECT count(*) FROM ref r WHERE r.value <= p.value)
+                AS DOUBLE) / CAST(n.n_ref AS DOUBLE) AS ref_pct
+    FROM (SELECT event_id, value FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL) p
+    CROSS JOIN n
+    """,
+    doc=(
+        "Percentile-vs-reference calibration (purchase values scored "
+        "against the click distribution): Spark tags and unions both "
+        "sides, sorts ONCE on (value, is_ref desc) and reads each probe's "
+        "inclusive reference rank off a running sum — replacing the "
+        "quadratic correlated count the oracle runs. Exact integer ranks, "
+        "one final IEEE division. At 100 TB: histogram the reference, map "
+        "probes through broadcast bucket boundaries."
+    ),
+)
+def q_percentile_vs_ref(spark, sf_dir):
+    from ..operators.profile import percentile_vs_ref
+
+    e = _events(spark, sf_dir)
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    ref = e.filter(F.col("event_type") == "click")
+    return percentile_vs_ref(probe, ref, "value", ["event_id"])

@@ -398,3 +398,17 @@ def test_ab_test_known_z(spark):
     )
     r2 = ab_test_proportions(same, "arm", F.col("conv")).collect()[0]
     assert r2.z == 0.0 and bool(r2.significant) is False
+
+
+def test_percentile_vs_ref_inclusive_ties(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        percentile_vs_ref,
+    )
+
+    ref = spark.createDataFrame([(v,) for v in [1.0, 2.0, 2.0, 3.0]], "v double")
+    probe = spark.createDataFrame(
+        [(1, 0.5), (2, 2.0), (3, 3.0), (4, 99.0)], "id long, v double"
+    )
+    got = {r.id: r.ref_pct for r in percentile_vs_ref(probe, ref, "v", ["id"]).collect()}
+    # inclusive <=: value 2.0 covers 3 of 4 ref rows
+    assert got == {1: 0.0, 2: 0.75, 3: 1.0, 4: 1.0}

@@ -50,6 +50,8 @@ _DRIVER_PRIORITY = [
     "q_ab_test",
     "q_seasonal_decompose",
     "q_percentile_vs_ref",
+    "q_share_of_parent",
+    "q_mom_growth",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -74,6 +74,8 @@ SINGLE_PARTITION_OK = {
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_class_balance",       # one-row max-class-count aggregate
+    "q_share_of_parent",     # grand-total window over the |nations|-row agg
+    "q_mom_growth",          # lag window over the |months|-row aggregate
     "q_percentile_vs_ref",   # single sorted pass over ref+probe (exact-twin
                              # stance; 100 TB path = broadcast CDF histogram)
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count

@@ -748,3 +748,100 @@ def q_percentile_vs_ref(spark, sf_dir):
     )
     ref = e.filter(F.col("event_type") == "click")
     return percentile_vs_ref(probe, ref, "value", ["event_id"])
+
+
+@register(
+    "q_share_of_parent",
+    sql="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, revenue,
+           round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(revenue / sum(revenue) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+    doc=(
+        "Share-of-parent ratios (nation revenue within region, and of the "
+        "grand total) — the ratio_to_report BI idiom as two windows over "
+        "the tiny |nations|-row aggregate. Revenue rounded 2dp first so "
+        "the window sums run on identical inputs on both engines; shares "
+        "rounded 6dp (float aggregate)."
+    ),
+)
+def q_share_of_parent(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(w_region), 6
+        ).alias("share_of_region"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_of_total"
+        ),
+    )
+
+
+@register(
+    "q_mom_growth",
+    sql="""
+    WITH m AS (
+      SELECT strftime(o_orderdate::DATE, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(
+             (revenue - lag(revenue) OVER (ORDER BY month))
+               / lag(revenue) OVER (ORDER BY month), 6
+           ) AS mom_growth
+    FROM m
+    """,
+    doc=(
+        "Month-over-month growth: monthly revenue (rounded 2dp so both "
+        "engines window over identical inputs), lag window, growth ratio "
+        "rounded 6dp. The ordered window runs over the |months|-row "
+        "aggregate — month-cardinality-bounded."
+    ),
+)
+def q_mom_growth(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
+    )

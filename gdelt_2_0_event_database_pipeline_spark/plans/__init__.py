@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = [
     "q_media_near_dup",
     "q_audio_near_dup",
     "q_video_near_dup",
+    "q_bpe_train",
     "q_pack_first_fit",
     "q_ivf_topk",
     "q_approx_distinct",

@@ -2491,3 +2491,29 @@ def q_fuzzy_blocked(spark, sf_dir):
     return fuzzy_join_blocked(
         d, "doc_id", "text", block_len=10, prefix_len=30, max_dist=8
     )
+
+
+@register(
+    "q_bpe_train",
+    sql=None,
+    doc=(
+        "BPE tokenizer training (Sennrich-style merge learning) on a "
+        "200-document slice: per round, adjacent-pair counting is ONE "
+        "map-side-combinable grouped count, the argmax pair is a 1-row "
+        "driver aggregate with lexicographic tie-break, and the merge "
+        "applies map-side via an aggregate fold with exact sequential "
+        "chain semantics. Returns the learned merge table. Rows-only "
+        "(iterative, not SQL-expressible); known-sequence, tie-"
+        "determinism, partitioning-invariance, and chain-fold tests in "
+        "test_bpe.py."
+    ),
+)
+def q_bpe_train(spark, sf_dir):
+    from ..operators.bpe import train_bpe
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    merges = train_bpe(d, "text", num_merges=6)
+    return spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_idx long, left string, right string, pair_count long",
+    )

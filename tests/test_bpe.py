@@ -1,0 +1,60 @@
+"""BPE training: known merge sequences, deterministic ties, chain-merge
+fold semantics, encode round-trip."""
+
+from __future__ import annotations
+
+from gdelt_2_0_event_database_pipeline_spark.operators.bpe import (
+    EOW,
+    encode_bpe,
+    train_bpe,
+)
+
+
+def _corpus(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "text string")
+
+
+def test_train_bpe_classic_sequence(spark):
+    df = _corpus(spark, ["low low", "lower"])
+    merges = train_bpe(df, num_merges=3)
+    # (l,o) and (o,w) tie at 3; lexicographic tiebreak picks (l,o);
+    # then (lo,w)=3; then (low, EOW)=2
+    assert [(a, b) for a, b, _ in merges] == [("l", "o"), ("lo", "w"), ("low", EOW)]
+    assert [c for _, _, c in merges] == [3, 3, 2]
+
+
+def test_train_bpe_partitioning_invariant(spark):
+    texts = ["the cat sat", "the bat", "the hat mat"]
+    m1 = train_bpe(_corpus(spark, texts), num_merges=4)
+    m2 = train_bpe(_corpus(spark, texts).repartition(7), num_merges=4)
+    assert m1 == m2
+
+
+def test_apply_merge_chain_semantics(spark):
+    # 'aaa' + merge (a,a) must fuse left-to-right: [aa, a, EOW], not [aa, aa]
+    df = _corpus(spark, ["aaa"])
+    out = encode_bpe(df, [("a", "a", 0)]).collect()[0].bpe_tokens
+    assert out == ["aa", "a", EOW]
+
+
+def test_encode_applies_merges_in_order(spark):
+    df = _corpus(spark, ["low lower"])
+    merges = [("l", "o", 0), ("lo", "w", 0), ("low", EOW, 0)]
+    out = encode_bpe(df, merges).collect()[0].bpe_tokens
+    assert out == ["low" + EOW, "low", "e", "r", EOW]
+
+
+def test_train_bpe_exhausts_gracefully(spark):
+    # single 2-symbol word: one merge possible, then no pairs remain
+    df = _corpus(spark, ["ab"])
+    merges = train_bpe(df, num_merges=10)
+    assert [(a, b) for a, b, _ in merges][:2] == [("a", "b"), ("ab", EOW)]
+    assert len(merges) == 2
+
+
+def test_train_bpe_never_crosses_word_boundary(spark):
+    # natural corpus where the flattened-stream bug would pick (EOW, s):
+    # many words followed by words starting with 's'
+    df = _corpus(spark, ["as so", "is sa", "us se", "es si"])
+    merges = train_bpe(df, num_merges=3)
+    assert all(a != EOW for a, b, _ in merges)

@@ -907,6 +907,12 @@ def seasonal_decompose(
     the global sort of the keyless variant is the same documented bounded
     single-partition stance as the top-k plans. Output:
     ``(*key_cols, day, n_events, trend, seasonal, residual)``.
+
+    The trend frame is ROWS-based over OBSERVED days: a day with zero
+    events emits no row, so across gaps the centered window spans the
+    nearest observed days rather than the calendar. Gap-free decomposition
+    = resample with ``resample_ffill``/``resample_interpolate`` (or
+    densify with zero-fill) first, then decompose.
     """
     half = trend_window // 2
     keys = list(key_cols)

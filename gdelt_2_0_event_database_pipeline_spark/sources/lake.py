@@ -382,3 +382,97 @@ def read_lake_evolved(
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         df = df.select(*cols)
     return df
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    *,
+    null_check_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet and collect quality metrics IN THE SAME JOB via
+    Spark's ``observe`` API — row count and per-column null counts ride
+    the write's own pass over the data, so the post-write "how many rows
+    landed / how dirty were they" report costs ZERO extra scans (the
+    naive pattern is write + re-read + aggregate: three passes).
+
+    Returns ``{"rows": n, "nulls": {col: n}}``.
+    """
+    from pyspark.sql import Observation
+
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in null_check_cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"nulls_{c}")
+        )
+    obs = Observation()
+    observed = df.observe(obs, *aggs)
+    observed.write.mode(mode).parquet(path)
+    got = obs.get
+    return {
+        "rows": got["rows"],
+        "nulls": {c: got[f"nulls_{c}"] for c in null_check_cols},
+    }
+
+
+# ------------------------------------------------------------- versioning
+def versioned_write(df: DataFrame, root: str, *, mode: str = "error") -> int:
+    """Append-only snapshot versioning without a table format: each write
+    lands in ``root/v=N`` (N = 1 + current max), so readers of version
+    ``N-1`` are never disturbed and "time travel" is a directory choice.
+    Returns the new version number.
+
+    This is the poor-man's subset of Delta/Iceberg semantics that plain
+    parquet can deliver safely: IMMUTABLE whole-version directories.
+    Concurrent writers may race to the same N (first rename wins at the
+    FS level) — single-writer-per-root is the documented contract, same
+    stance as ``compact_parquet``.
+    """
+    versions = list_versions(df.sparkSession, root)
+    n = (max(versions) if versions else 0) + 1
+    df.write.mode(mode).parquet(f"{root}/v={n}")
+    return n
+
+
+def list_versions(spark: SparkSession, root: str) -> list[int]:
+    """Existing snapshot versions under ``root`` (ascending)."""
+    import os
+
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read snapshot ``version`` (default: latest)."""
+    versions = list_versions(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no versions under {root}")
+    v = version if version is not None else versions[-1]
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    return spark.read.parquet(f"{root}/v={v}")
+
+
+def vacuum_versions(spark: SparkSession, root: str, keep_last: int) -> list[int]:
+    """Delete all but the newest ``keep_last`` version directories.
+    Deletes ONLY whole ``v=N`` directories this module created — never
+    individual files of a live version (the lesson from compact_parquet's
+    review: name-scoped deletion, not rmtree over shared space). Returns
+    the versions removed."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(spark, root)
+    drop = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in drop:
+        shutil.rmtree(f"{root}/v={v}")
+    return drop

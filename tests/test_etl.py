@@ -689,3 +689,40 @@ def test_cli_export_jsonl(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["total"] == 100 and set(map(int, rep["shards"])) <= {0, 1, 2}
     assert spark.read.json(out).count() == 100
+
+
+def test_write_with_metrics_single_job(spark, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import write_with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id long, name string"
+    )
+    out = str(tmp_path / "metrics_out")
+    rep = write_with_metrics(df, out, null_check_cols=["name"])
+    assert rep == {"rows": 4, "nulls": {"name": 2}}
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_versioned_write_read_vacuum(spark, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import (
+        list_versions,
+        read_versioned,
+        vacuum_versions,
+        versioned_write,
+    )
+
+    root = str(tmp_path / "snapshots")
+    v1 = versioned_write(spark.range(3), root)
+    v2 = versioned_write(spark.range(10), root)
+    v3 = versioned_write(spark.range(7), root)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert read_versioned(spark, root).count() == 7          # latest
+    assert read_versioned(spark, root, 2).count() == 10      # time travel
+    assert vacuum_versions(spark, root, keep_last=2) == [1]
+    assert list_versions(spark, root) == [2, 3]
+    # the surviving old version is intact, the vacuumed one is gone
+    assert read_versioned(spark, root, 2).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, root, 1)

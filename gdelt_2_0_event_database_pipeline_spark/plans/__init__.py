@@ -52,6 +52,9 @@ _DRIVER_PRIORITY = [
     "q_percentile_vs_ref",
     "q_share_of_parent",
     "q_mom_growth",
+    "q_corpus_venn",
+    "q_decile_lift",
+    "q_weighted_median",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -38,6 +38,7 @@ NESTED_LOOP_OK = {
     "q_ks_drift",            # broadcast 1-row totals join (na, nb)
     "q_ab_test",             # |arms|-row self-join on arm_a < arm_b
     "q_percentile_vs_ref",   # broadcast 1-row reference-count join
+    "q_decile_lift",         # broadcast 1-row boundary/total aggregates
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -76,6 +77,7 @@ SINGLE_PARTITION_OK = {
     "q_class_balance",       # one-row max-class-count aggregate
     "q_share_of_parent",     # grand-total window over the |nations|-row agg
     "q_mom_growth",          # lag window over the |months|-row aggregate
+    "q_decile_lift",         # 1-row exact-percentile boundary aggregate
     "q_percentile_vs_ref",   # single sorted pass over ref+probe (exact-twin
                              # stance; 100 TB path = broadcast CDF histogram)
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count

@@ -845,3 +845,163 @@ def q_mom_growth(spark, sf_dir):
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@register(
+    "q_corpus_venn",
+    sql="""
+    SELECT (doc_id % 2 = 0) AS in_even,
+           (doc_id % 3 = 0) AS in_third,
+           (n_chars >= 200) AS in_long,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Multi-corpus Venn overlap: membership flags for three derived "
+        "corpora grouped into the 8 intersection cells with doc and char "
+        "mass per cell — the 'how much do my sources overlap' question "
+        "answered in ONE grouped count over membership booleans (no "
+        "pairwise joins)."
+    ),
+)
+def q_corpus_venn(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        (F.col("doc_id") % 2 == 0).alias("in_even"),
+        (F.col("doc_id") % 3 == 0).alias("in_third"),
+        (F.col("n_chars") >= 200).alias("in_long"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "q_decile_lift",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM events WHERE value IS NOT NULL
+    ), scored AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS converted,
+             1 + (CASE WHEN value > bs[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[4] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[5] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[6] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[7] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[8] THEN 1 ELSE 0 END)
+               + (CASE WHEN value > bs[9] THEN 1 ELSE 0 END) AS decile
+      FROM events CROSS JOIN b WHERE value IS NOT NULL
+    ), g AS (
+      SELECT decile, count(*) AS n,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM scored GROUP BY decile
+    ), t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(k) AS BIGINT) AS kt
+      FROM g
+    )
+    SELECT decile, n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+           (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)) AS lift
+    FROM g CROSS JOIN t
+    """,
+    doc=(
+        "Decile lift chart (model-evaluation staple) in the 100 TB shape: "
+        "decile assignment by comparison against NINE broadcast exact-"
+        "percentile boundaries (one tiny aggregate) instead of a global "
+        "ntile sort — the row stream never shuffles for ranking. Tied "
+        "scores share a decile (deterministic; ntile would split them "
+        "arbitrarily). Exact integer counts, two pinned divisions."
+    ),
+)
+def q_decile_lift(spark, sf_dir):
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    b = e.agg(F.percentile("value", probs).alias("bs"))
+    scored = e.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "converted"
+        ),
+        sum(
+            [F.lit(1)]
+            + [
+                F.when(
+                    F.col("value") > F.element_at(F.col("bs"), i), 1
+                ).otherwise(0)
+                for i in range(1, 10)
+            ],
+            F.lit(0),
+        ).alias("decile"),
+    )
+    g = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("k").cast("bigint").alias("kt"),
+    )
+    rate = F.col("k").cast("double") / F.col("n").cast("double")
+    base = F.col("kt").cast("double") / F.col("nt").cast("double")
+    return g.crossJoin(F.broadcast(t)).select(
+        "decile", "n", "k", rate.alias("rate"), (rate / base).alias("lift")
+    )
+
+
+@register(
+    "q_weighted_median",
+    sql="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), c AS (
+      SELECT l_returnflag, v, wt,
+             CAST(sum(wt) OVER (
+               PARTITION BY l_returnflag ORDER BY v, wt
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum,
+             CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+      FROM w
+    )
+    SELECT l_returnflag, min(v) AS weighted_median
+    FROM c WHERE cum * 2 >= total
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Quantity-weighted median price per return flag: the smallest "
+        "value whose cumulative weight reaches half the total — exact "
+        "BIGINT cumulative weights under a total order, one min() at the "
+        "threshold; running and total windows share the group exchange. "
+        "The weighted complement of the exact percentile family."
+    ),
+)
+def q_weighted_median(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("v").asc(), F.col("wt").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    c = li.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(w_cum).alias("cum"),
+        F.sum("wt").over(w_all).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+    )

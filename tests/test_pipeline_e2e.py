@@ -1,0 +1,105 @@
+"""End-to-end training-data pipeline: the composability test.
+
+One corpus flows normalize -> exact dedup -> quality filter ->
+decontaminate -> leakage-safe split -> class balance -> pack -> JSONL
+export, with the invariant each stage owes the next asserted in place.
+Every stage is the registered operator, not a reimplementation — if two
+operators disagree about column contracts, this test is where it breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators.dedup import dedup_exact_hash
+from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+    ngram_contamination,
+    normalize_text,
+    quality_score,
+    token_count,
+)
+from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+    assign_split,
+    class_balance,
+    pack_linear,
+)
+from gdelt_2_0_event_database_pipeline_spark.sources.lake import (
+    export_jsonl_shards,
+    read_jsonl,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant: an exact duplicate pair (unicode-confusable whitespace), and a
+    # benchmark-contaminated doc
+    extra = spark.createDataFrame(
+        [
+            (9001, "THE QUICK brown fox   jumps", "en", "planted", 30),
+            (9002, "the quick brown fox jumps", "en", "planted", 25),
+            (9003, "the story was that alpha beta gamma delta epsilon zeta eta theta "
+                   "appeared in the data and we kept it for the test of this", "en", "planted", 120),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return base.unionByName(extra)
+
+
+def test_full_pipeline(spark, corpus, tmp_path):
+    n0 = corpus.count()
+
+    # 1. normalize: NFKC + whitespace collapse makes 9001 == 9002 textually
+    norm = corpus.withColumn("text", F.lower(normalize_text("text")))
+
+    # 2. exact dedup on content hash: keeps min doc_id per distinct text
+    deduped = dedup_exact_hash(norm, "text", "doc_id")
+    assert deduped.count() < n0
+    ids = {r.doc_id for r in deduped.select("doc_id").collect()}
+    assert 9001 in ids and 9002 not in ids  # normalize made them equal
+
+    # 3. quality filter: drop the bottom of the quality distribution
+    scored = deduped.withColumn("q", quality_score("text"))
+    thresh = scored.agg(F.percentile("q", F.lit(0.1)).alias("t")).collect()[0].t
+    kept = scored.filter(F.col("q") >= thresh)
+    assert 0 < kept.count() <= deduped.count()
+
+    # 4. decontaminate against a "benchmark" probe set
+    probes = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], "pid long, text string"
+    ).select(F.col("pid").alias("doc_id"), "text")
+    hits = ngram_contamination(kept, probes, n=5)
+    hit_ids = {r.doc_id for r in hits.collect()}
+    assert 9003 in hit_ids
+    clean = kept.join(hits.select("doc_id"), "doc_id", "left_anti")
+    assert 9003 not in {r.doc_id for r in clean.select("doc_id").collect()}
+
+    # 5. leakage-safe split: content-keyed, deterministic
+    split = assign_split(clean, "text")
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"} and counts.get("train", 0) > 0
+
+    # 6. class-balance the train split by language to exact parity
+    train = split.filter(F.col("split") == "train")
+    bal = class_balance(train, "lang", "doc_id")
+    per_lang = {r.lang: r.n for r in bal.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert len(set(per_lang.values())) == 1  # exact parity
+
+    # 7. pack the balanced corpus into fixed-token sequences
+    bal_docs = bal.join(train.select("doc_id", "text"), "doc_id")
+    packed = pack_linear(bal_docs.withColumn(
+        "uid", F.col("doc_id") * 100 + F.col("copy_idx")
+    ), id_col="uid", budget=256, text_col="text")
+    tok_total = bal_docs.select(F.sum(token_count("text"))).collect()[0][0]
+    n_packs = packed.select(F.countDistinct("pack_id")).collect()[0][0]
+    assert n_packs >= tok_total // 256  # every token lands somewhere
+
+    # 8. export: deterministic JSONL shards, counts preserved
+    out = str(tmp_path / "final")
+    manifest = export_jsonl_shards(
+        bal_docs.select("doc_id", "copy_idx", "text"), out, shards=2,
+        shard_key="doc_id",
+    )
+    assert sum(r.n_rows for r in manifest.collect()) == bal_docs.count()
+    assert read_jsonl(spark, out).count() == bal_docs.count()

@@ -503,3 +503,84 @@ def percentile_vs_ref(
             ).alias("ref_pct"),
         )
     )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between two samples — the ordinal
+    companion to :func:`ks_statistic` (KS asks "same distribution?";
+    MWU asks "does one tend larger?", robust to outliers where the t-test
+    is not).
+
+    Exactness discipline (the KS pattern): per-value counts and pooled
+    cumulative counts are integers, and the doubled rank-sum stays
+    integer — for a tie group at one value, ``2*avg_rank = 2*prev_cum +
+    cnt + 1``, so ``2*R_a = sum(ca * (2*prev_cum + cnt + 1))`` is an
+    exact BIGINT. The tie-corrected variance also needs only
+    ``sum(t^3 - t)`` over tie-group sizes (integer). One sqrt + two
+    divisions at the end, pinned. Returns one row
+    ``(u_a, z, n_a, n_b)`` where ``u_a`` counts (a > b) pairs plus half
+    the ties and ``z`` uses the tie-corrected normal approximation
+    (NULL when the variance degenerates — all values identical).
+    """
+    a = df_a.select(F.col(value_col).alias("__v__")).filter(
+        F.col("__v__").isNotNull()
+    )
+    b = df_b.select(F.col(value_col).alias("__v__")).filter(
+        F.col("__v__").isNotNull()
+    )
+    ca = a.groupBy("__v__").agg(F.count(F.lit(1)).alias("__ca__"))
+    cb = b.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cb__"))
+    merged = ca.join(cb, "__v__", "full_outer").select(
+        "__v__",
+        F.coalesce("__ca__", F.lit(0)).alias("__ca__"),
+        F.coalesce("__cb__", F.lit(0)).alias("__cb__"),
+    )
+    w = Window.orderBy("__v__").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = F.col("__ca__") + F.col("__cb__")
+    cum = F.sum(t).over(w)
+    rows = merged.select(
+        "__ca__",
+        "__cb__",
+        t.alias("__t__"),
+        (cum - t).alias("__prev__"),
+    )
+    agg = rows.agg(
+        F.sum("__ca__").alias("n_a"),
+        F.sum("__cb__").alias("n_b"),
+        F.sum(
+            F.col("__ca__")
+            * (F.lit(2) * F.col("__prev__") + F.col("__t__") + F.lit(1))
+        ).alias("__2ra__"),
+        F.sum(
+            F.col("__t__") * F.col("__t__") * F.col("__t__") - F.col("__t__")
+        ).alias("__ties__"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # U_a = R_a - n_a(n_a+1)/2 ; doubled arithmetic stays integer
+    u_a = (
+        F.col("__2ra__") - F.col("n_a") * (F.col("n_a") + 1)
+    ).cast("double") / F.lit(2.0)
+    var = (
+        na
+        * nb
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("__ties__").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    z = (u_a - na * nb / F.lit(2.0)) / F.sqrt(var)
+    return agg.select(
+        u_a.alias("u_a"),
+        F.when(var > 0, z).alias("z"),
+        "n_a",
+        "n_b",
+    )

@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "q_corpus_venn",
     "q_decile_lift",
     "q_weighted_median",
+    "q_mannwhitney",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

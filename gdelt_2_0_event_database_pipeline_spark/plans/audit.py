@@ -83,6 +83,8 @@ SINGLE_PARTITION_OK = {
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count
                              # series (day-cardinality-bounded after the
                              # first grouped count)
+    "q_mannwhitney",         # rank window over |distinct pooled values| +
+                             # 1-row final aggregate (same stance as KS)
     "q_ks_drift",            # 1-row totals + KS max over the |distinct
                              # pooled values| cumulative window — the exact
                              # twin of the bucketed TV drift (documented

@@ -1005,3 +1005,62 @@ def q_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("v").alias("weighted_median"))
     )
+
+
+@register(
+    "q_mannwhitney",
+    sql="""
+    WITH a AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), b AS (
+      SELECT value AS v FROM events
+      WHERE event_type = 'view' AND value IS NOT NULL
+    ), ca AS (SELECT v, count(*) AS ka FROM a GROUP BY v),
+       cb AS (SELECT v, count(*) AS kb FROM b GROUP BY v),
+    m AS (
+      SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(ka, 0) AS ka, COALESCE(kb, 0) AS kb
+      FROM ca FULL JOIN cb ON ca.v = cb.v
+    ), r AS (
+      SELECT ka, kb, ka + kb AS t,
+             CAST(sum(ka + kb) OVER (
+               ORDER BY v ROWS UNBOUNDED PRECEDING
+             ) - (ka + kb) AS BIGINT) AS prev
+      FROM m
+    ), s AS (
+      SELECT CAST(sum(ka) AS BIGINT) AS n_a,
+             CAST(sum(kb) AS BIGINT) AS n_b,
+             CAST(sum(ka * (2 * prev + t + 1)) AS BIGINT) AS r2a,
+             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+      FROM r
+    )
+    SELECT CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+           / sqrt(
+               CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                  - CAST(ties AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1.0)))
+             ) AS z,
+           n_a, n_b
+    FROM s
+    """,
+    doc=(
+        "Mann-Whitney U rank-sum test (purchase vs view values): doubled "
+        "rank arithmetic keeps the rank-sum an exact BIGINT even under "
+        "ties (2*avg_rank = 2*prev_cum + t + 1), tie-corrected variance "
+        "from exact sum(t^3 - t); one sqrt + two divisions at the end in "
+        "a pinned tree — engine-exact, no rounding. The ordinal companion "
+        "of q_ks_drift."
+    ),
+)
+def q_mannwhitney(spark, sf_dir):
+    from ..operators.profile import mann_whitney_u
+
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "purchase")
+    b = e.filter(F.col("event_type") == "view")
+    return mann_whitney_u(a, b, "value")

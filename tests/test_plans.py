@@ -412,3 +412,25 @@ def test_percentile_vs_ref_inclusive_ties(spark):
     got = {r.id: r.ref_pct for r in percentile_vs_ref(probe, ref, "v", ["id"]).collect()}
     # inclusive <=: value 2.0 covers 3 of 4 ref rows
     assert got == {1: 0.0, 2: 0.75, 3: 1.0, 4: 1.0}
+
+
+def test_mann_whitney_known_values(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import mann_whitney_u
+
+    # a = {1,2}, b = {3,4}: every b beats every a -> U_a = 0
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    b = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert r.u_a == 0.0 and r.n_a == 2 and r.n_b == 2
+    # symmetric swap -> U = n1*n2
+    r2 = mann_whitney_u(b, a, "v").collect()[0]
+    assert r2.u_a == 4.0
+    # full ties: U = n1*n2/2, variance degenerates -> z NULL
+    t1 = spark.createDataFrame([(5.0,)] * 3, "v double")
+    t2 = spark.createDataFrame([(5.0,)] * 2, "v double")
+    rt = mann_whitney_u(t1, t2, "v").collect()[0]
+    assert rt.u_a == 3.0 and rt.z is None
+    # half ties: a={1,2}, b={2,3}: pairs a>b:0, ties:1 -> U_a = 0.5
+    ha = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    hb = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    assert mann_whitney_u(ha, hb, "v").collect()[0].u_a == 0.5

@@ -947,3 +947,66 @@ def seasonal_decompose(
         "seasonal",
         (detrended - F.col("seasonal")).alias("residual"),
     )
+
+
+def interval_intersect(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    *,
+    a_cols: Sequence[str] = (),
+    b_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pairwise intersection of two per-key interval sets — the temporal-
+    algebra complement of :func:`merge_intervals` (which unions): "when was
+    the user in a session AND the system degraded", "billing period ∩
+    subscription period".
+
+    Output: one row per overlapping (a, b) pair — ``(*key_cols,
+    *a_cols, *b_cols, intersect_start, intersect_end)`` with the clipped
+    bounds (half-open semantics: intervals that merely touch —
+    ``a.end == b.start`` — do NOT intersect). ``a_cols``/``b_cols`` carry
+    payload/id columns through (must not collide). Callers
+    wanting disjoint coverage run ``merge_intervals`` on each side first
+    (then per-key outputs are disjoint too).
+
+    Plan: ONE equi-join on ``key_cols`` with the overlap predicate as join
+    residual — per-key interval counts are bounded in every real use
+    (sessions/day, incidents/system), the same stance as the SCD2 PIT
+    join. No stencil needed because the key carries the locality.
+    """
+    keys = list(key_cols)
+    clash = set(a_cols) & set(b_cols)
+    if clash:
+        raise ValueError(f"a_cols/b_cols overlap: {sorted(clash)}")
+    aa = a.select(
+        *keys,
+        *a_cols,
+        F.col(start_col).alias("__as__"),
+        F.col(end_col).alias("__ae__"),
+    ).alias("__ia__")
+    bb = b.select(
+        *keys,
+        *b_cols,
+        F.col(start_col).alias("__bs__"),
+        F.col(end_col).alias("__be__"),
+    ).alias("__ib__")
+    cond = None
+    for k in keys:
+        c = F.col(f"__ia__.{k}") == F.col(f"__ib__.{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col("__as__") < F.col("__be__"))
+        & (F.col("__bs__") < F.col("__ae__"))
+    )
+    j = aa.join(bb, cond)
+    return j.select(
+        *[F.col(f"__ia__.{k}") for k in keys],
+        *[F.col(f"__ia__.{c}") for c in a_cols],
+        *[F.col(f"__ib__.{c}") for c in b_cols],
+        F.greatest("__as__", "__bs__").alias("intersect_start"),
+        F.least("__ae__", "__be__").alias("intersect_end"),
+    )

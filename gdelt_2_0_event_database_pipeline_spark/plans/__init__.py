@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "q_decile_lift",
     "q_weighted_median",
     "q_mannwhitney",
+    "q_interval_intersect",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -879,3 +879,52 @@ def q_seasonal_decompose(spark, sf_dir):
         F.round("seasonal", 6).alias("seasonal"),
         F.round("residual", 6).alias("residual"),
     )
+
+
+@register(
+    "q_interval_intersect",
+    sql="""
+    WITH a AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS s,
+             ts::TIMESTAMP + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'view'
+    ), b AS (
+      SELECT user_id, event_id, ts::TIMESTAMP - INTERVAL 60 MINUTE AS s,
+             ts::TIMESTAMP AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+           greatest(a.s, b.s) AS intersect_start,
+           least(a.e, b.e) AS intersect_end
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.s < b.e AND b.s < a.e
+    """,
+    doc=(
+        "Interval intersection (temporal-algebra complement of "
+        "merge_intervals' union): 30-minute view-attention windows "
+        "clipped against 60-minute pre-purchase windows per user — one "
+        "equi-join on the key with the overlap predicate as residual "
+        "(per-key interval counts bounded; no stencil needed, the key "
+        "carries locality). Half-open: touching endpoints don't match."
+    ),
+)
+def q_interval_intersect(spark, sf_dir):
+    from ..operators.temporal import interval_intersect
+
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 60 MINUTES")).alias("s"),
+        F.col("ts").alias("e"),
+    )
+    return interval_intersect(
+        a, b, ["user_id"], "s", "e",
+        a_cols=["view_id"], b_cols=["purchase_id"],
+    )

@@ -579,3 +579,31 @@ def test_seasonal_decompose_reconstructs_and_finds_weekly_pattern(spark):
         by_phase.setdefault(phase, r.seasonal)
     assert by_phase[0] == max(by_phase.values())
     assert by_phase[0] > 3  # ~ +5*6/7 on interior days
+
+
+def test_interval_intersect_clipping_and_touching(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        interval_intersect,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 100, 0, 10), (1, 101, 20, 30), (2, 102, 0, 5)],
+        "k long, aid long, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [(1, 200, 5, 25), (1, 201, 30, 40), (2, 202, 7, 9)],
+        "k long, bid long, s long, e long",
+    )
+    got = {
+        (r.aid, r.bid): (r.intersect_start, r.intersect_end)
+        for r in interval_intersect(
+            a, b, ["k"], "s", "e", a_cols=["aid"], b_cols=["bid"]
+        ).collect()
+    }
+    # 100∩200 = [5,10]; 101∩200 = [20,25]; 101∩201 touches at 30 -> excluded;
+    # key 2 intervals disjoint -> nothing
+    assert got == {(100, 200): (5, 10), (101, 200): (20, 25)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_intersect(a, b, ["k"], "s", "e", a_cols=["x"], b_cols=["x"])

@@ -57,6 +57,7 @@ _DRIVER_PRIORITY = [
     "q_weighted_median",
     "q_mannwhitney",
     "q_interval_intersect",
+    "q_attribution_linear",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -9,6 +9,7 @@ the same resolution on both engines).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.temporal import asof_join, asof_nearest, range_join, sessionize
@@ -927,4 +928,62 @@ def q_interval_intersect(spark, sf_dir):
     return interval_intersect(
         a, b, ["user_id"], "s", "e",
         a_cols=["view_id"], b_cols=["purchase_id"],
+    )
+
+
+@register(
+    "q_attribution_linear",
+    sql="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts::TIMESTAMP AS pts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts::TIMESTAMP AS cts
+      FROM events WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT p.purchase_id, c.click_id,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touch
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.cts >= p.pts - INTERVAL 120 MINUTE
+       AND c.cts < p.pts
+    )
+    SELECT purchase_id, click_id,
+           1.0 / CAST(n_touch AS DOUBLE) AS credit
+    FROM pairs
+    """,
+    doc=(
+        "Linear multi-touch attribution: every click in the 2-hour window "
+        "before a purchase shares the conversion credit equally "
+        "(1/n_touch — exact per row, no float sums). Equi-join on the "
+        "user key with the time window as residual (bounded per user), "
+        "one count window on the purchase id. The multi-touch complement "
+        "of as-of's last-touch."
+    ),
+)
+def q_attribution_linear(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 120 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+    )
+    w = Window.partitionBy("purchase_id")
+    return pairs.select(
+        "purchase_id",
+        "click_id",
+        (F.lit(1.0) / F.count(F.lit(1)).over(w).cast("double")).alias(
+            "credit"
+        ),
     )

@@ -95,3 +95,62 @@ def check_expectations(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
             (F.col("n_violations") == 0).alias("passed"),
         )
     )
+
+
+def schema_diff(df: DataFrame, expected) -> list[dict]:
+    """Schema contract check: compare a DataFrame's schema against the
+    expected StructType and report every deviation —
+    ``{"column", "status", "expected", "actual"}`` rows with status in
+    ``missing`` (contracted column absent), ``extra`` (un-contracted
+    column present), ``type_drift`` (same name, different type),
+    ``nullability_drift`` (expected non-nullable, actual nullable).
+
+    The schema-level companion of the row-level expectation rules above:
+    run it BEFORE the data expectations — a renamed or re-typed column
+    fails here in milliseconds (schema-only, no job) instead of surfacing
+    as a thousand row-level violations.
+    """
+    actual = {f.name: f for f in df.schema.fields}
+    exp = {f.name: f for f in expected.fields}
+    out: list[dict] = []
+    for name, f in exp.items():
+        if name not in actual:
+            out.append(
+                {
+                    "column": name,
+                    "status": "missing",
+                    "expected": f.dataType.simpleString(),
+                    "actual": None,
+                }
+            )
+            continue
+        a = actual[name]
+        if a.dataType != f.dataType:
+            out.append(
+                {
+                    "column": name,
+                    "status": "type_drift",
+                    "expected": f.dataType.simpleString(),
+                    "actual": a.dataType.simpleString(),
+                }
+            )
+        elif (not f.nullable) and a.nullable:
+            out.append(
+                {
+                    "column": name,
+                    "status": "nullability_drift",
+                    "expected": "not null",
+                    "actual": "nullable",
+                }
+            )
+    for name, a in actual.items():
+        if name not in exp:
+            out.append(
+                {
+                    "column": name,
+                    "status": "extra",
+                    "expected": None,
+                    "actual": a.dataType.simpleString(),
+                }
+            )
+    return out

@@ -111,3 +111,31 @@ def test_streaming_expectations_ledger(spark, tmp_path):
     assert by[(b1, 1)].n_violations == 0 and by[(b1, 1)].passed
     assert by[(b2, 0)].n_violations == 0
     assert by[(b2, 1)].n_violations == 1
+
+
+def test_schema_diff_all_statuses(spark):
+    from pyspark.sql import types as T
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.expectations import (
+        schema_diff,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0)], "id long, name string, score double"
+    )
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),   # nullability drift
+            T.StructField("name", T.IntegerType()),              # type drift
+            T.StructField("created", T.DateType()),              # missing
+        ]
+    )
+    got = {(d["column"], d["status"]) for d in schema_diff(df, expected)}
+    assert got == {
+        ("id", "nullability_drift"),
+        ("name", "type_drift"),
+        ("created", "missing"),
+        ("score", "extra"),
+    }
+    # identical schema -> clean
+    assert schema_diff(df, df.schema) == []

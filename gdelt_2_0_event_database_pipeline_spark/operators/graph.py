@@ -198,17 +198,25 @@ def k_hop(
     frontier = (
         seeds.select(F.col(seed_col).alias("node")).distinct().localCheckpoint()
     )
-    visited = frontier.withColumn("hop", F.lit(0))
+    # layers are individually checkpointed, so the visited union is a
+    # shallow plan over materialized pieces — checkpointing the union per
+    # round would re-materialize all prior layers every iteration
+    layers = [frontier.withColumn("hop", F.lit(0))]
+    visited_nodes = frontier
     for h in range(1, k + 1):
         nxt = (
             e.join(frontier, e.u == frontier.node)
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .localCheckpoint()
         )
         if nxt.rdd.isEmpty():
             break
-        visited = visited.union(nxt.withColumn("hop", F.lit(h))).localCheckpoint()
+        layers.append(nxt.withColumn("hop", F.lit(h)))
+        visited_nodes = visited_nodes.union(nxt)
         frontier = nxt
-    return visited
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.union(layer)
+    return out

@@ -67,3 +67,38 @@ def test_skyline_nulls_excluded(spark):
     )
     got = {r.id for r in skyline2d(df, "x", "y").collect()}
     assert got == {1}
+
+
+# ---------------------------------------------------------------------------
+# property-based: skyline == brute force on arbitrary small point sets
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _points(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    return [
+        (i, float(draw(st.integers(0, 8))), float(draw(st.integers(0, 8))))
+        for i in range(n)
+    ]
+
+
+@settings(max_examples=15, deadline=None)
+@given(_points())
+def test_skyline_property_matches_bruteforce(spark, pts):
+    got = {
+        r.id
+        for r in skyline2d(_df(spark, pts), "x", "y", n_buckets=4).collect()
+    }
+    want = set()
+    for i, xi, yi in pts:
+        dominated = any(
+            xj <= xi and yj >= yi and (xj < xi or yj > yi)
+            for j, xj, yj in pts
+            if j != i
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want

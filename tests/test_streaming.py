@@ -168,3 +168,57 @@ def test_convert_stream_dlq_quarantines_malformed(spark, tmp_path):
     raws = {r.raw_line for r in bad.collect()}
     assert any(line.startswith("0\t1\t2") for line in raws)
     assert all("export.CSV" in r.source_file for r in bad.collect())
+
+
+def test_stream_static_scd2_pit_enrichment(spark, tmp_path):
+    """Streaming facts PIT-joined to a STATIC SCD2 dimension: the interval
+    predicate rides the stream-static join (re-planned per micro-batch, so
+    dimension refreshes are picked up on the next trigger) — the streaming
+    twin of q_scd2_pit."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.cdc import (
+        scd2_build,
+        scd2_pit_join,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import (
+        read_event_stream,
+        run_stream_to_memory,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # static dimension: user 1 is 'bronze' from t0, 'gold' from t30
+    changes = spark.createDataFrame(
+        [(1, ts(0), "bronze"), (1, ts(30), "gold")],
+        "user_id long, ts timestamp, tier string",
+    )
+    dim = scd2_build(changes, ["user_id"], "ts", ["tier"]).select(
+        "user_id", "tier", "valid_from", "valid_to"
+    )
+
+    facts_schema = T.StructType(
+        [
+            T.StructField("fact_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("fts", T.TimestampType()),
+        ]
+    )
+    fdir = str(tmp_path / "facts")
+    spark.createDataFrame(
+        [(100, 1, ts(10)), (101, 1, ts(45)), (102, 2, ts(5))], facts_schema
+    ).write.parquet(fdir)
+
+    stream = read_event_stream(spark, fdir, facts_schema)
+    enriched = scd2_pit_join(stream, dim, ["user_id"], "fts")
+    run_stream_to_memory(enriched, "scd2_pit_stream")
+    got = {
+        r.fact_id: r.tier
+        for r in spark.sql("SELECT * FROM scd2_pit_stream").collect()
+    }
+    assert got == {100: "bronze", 101: "gold", 102: None}

@@ -607,3 +607,42 @@ def test_interval_intersect_clipping_and_touching(spark):
 
     with _pytest.raises(ValueError):
         interval_intersect(a, b, ["k"], "s", "e", a_cols=["x"], b_cols=["x"])
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _intervals(draw):
+    n = draw(st.integers(min_value=0, max_value=8))
+    out = []
+    for i in range(n):
+        s = draw(st.integers(0, 20))
+        e = s + draw(st.integers(1, 10))
+        out.append((draw(st.integers(1, 2)), i, s, e))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_intervals(), _intervals())
+def test_interval_intersect_property(spark, xs, ys):
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        interval_intersect,
+    )
+
+    a = spark.createDataFrame(xs or [(1, 99, 0, 1)], "k long, aid long, s long, e long")
+    b = spark.createDataFrame(ys or [(1, 99, 5, 6)], "k long, bid long, s long, e long")
+    xs = xs or [(1, 99, 0, 1)]
+    ys = ys or [(1, 99, 5, 6)]
+    got = {
+        (r.k, r.aid, r.bid, r.intersect_start, r.intersect_end)
+        for r in interval_intersect(
+            a, b, ["k"], "s", "e", a_cols=["aid"], b_cols=["bid"]
+        ).collect()
+    }
+    want = set()
+    for ka, ai, sa, ea in xs:
+        for kb, bi, sb, eb in ys:
+            if ka == kb and sa < eb and sb < ea:
+                want.add((ka, ai, bi, max(sa, sb), min(ea, eb)))
+    assert got == want

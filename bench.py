@@ -101,7 +101,8 @@ def main() -> None:
     # caches (IVF codebook, bucketed tables): the repeated-invocation cost is
     # the number that matters for a long-lived session / real deployment
     steady: dict[str, float] = {}
-    for name in ("q_ivf_topk", "q_bucketed_join", "q_semantic_dedup", "q_dedup_minhash"):
+    for name in ("q_ivf_topk", "q_bucketed_join", "q_semantic_dedup", "q_dedup_minhash",
+                 "q_khop_reach", "q_bpe_train", "q_video_near_dup"):
         if name in QUERIES:
             t0 = time.time()
             try:

@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "q_mannwhitney",
     "q_interval_intersect",
     "q_attribution_linear",
+    "q_spearman",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

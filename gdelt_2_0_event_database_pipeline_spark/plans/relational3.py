@@ -1064,3 +1064,84 @@ def q_mannwhitney(spark, sf_dir):
     a = e.filter(F.col("event_type") == "purchase")
     b = e.filter(F.col("event_type") == "view")
     return mann_whitney_u(a, b, "value")
+
+
+@register(
+    "q_spearman",
+    sql="""
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+               AS rx,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+               AS ry
+      FROM lineitem
+    ), s AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+    FROM s
+    """,
+    doc=(
+        "Spearman rank correlation per return flag (quantity vs price): "
+        "tie-averaged ranks kept INTEGER via the doubling trick "
+        "(2*avg_rank = 2*min_rank + tie_count - 1), so every accumulator "
+        "is an exact BIGINT and rho is one pinned double tree — "
+        "engine-exact, no rounding (Pearson-on-ranks is scale-invariant, "
+        "so doubled ranks change nothing). BIGINT accumulators bound "
+        "per-group cardinality at ~1.5M rows (sum of squared doubled "
+        "ranks ~ (4/3)n^3); beyond that, switch the accumulators to "
+        "DOUBLE and round — documented trade."
+    ),
+)
+def q_spearman(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rx = (
+        F.lit(2) * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_quantity")
+        )
+        - F.lit(1)
+    ).cast("long")
+    ry = (
+        F.lit(2) * F.rank().over(
+            Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        )
+        + F.count(F.lit(1)).over(
+            Window.partitionBy("l_returnflag", "l_extendedprice")
+        )
+        - F.lit(1)
+    ).cast("long")
+    r = li.select(
+        F.col("l_returnflag").alias("g"), rx.alias("rx"), ry.alias("ry")
+    )
+    s = r.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("g").alias("l_returnflag"),
+        "n",
+        (num / den).alias("spearman_rho"),
+    )

@@ -434,3 +434,21 @@ def test_mann_whitney_known_values(spark):
     ha = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     hb = spark.createDataFrame([(2.0,), (3.0,)], "v double")
     assert mann_whitney_u(ha, hb, "v").collect()[0].u_a == 0.5
+
+
+def test_spearman_query_known_values(spark, tmp_path):
+    # monotone-increasing pair -> rho = 1; reversed -> rho = -1, via the
+    # registered query machinery on a crafted lineitem slice
+    from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES
+
+    rows = []
+    for i in range(10):
+        rows.append(("A", float(i), 100.0 + i))        # perfectly concordant
+        rows.append(("B", float(i), 100.0 - i))        # perfectly discordant
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_extendedprice double"
+    )
+    d = str(tmp_path / "li")
+    df.write.parquet(d + "/lineitem.parquet")
+    out = {r.l_returnflag: r.spearman_rho for r in QUERIES["q_spearman"].fn(spark, d).collect()}
+    assert out == {"A": 1.0, "B": -1.0}

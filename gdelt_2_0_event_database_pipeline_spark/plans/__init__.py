@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "q_interval_intersect",
     "q_attribution_linear",
     "q_spearman",
+    "q_benford",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -39,6 +39,7 @@ NESTED_LOOP_OK = {
     "q_ab_test",             # |arms|-row self-join on arm_a < arm_b
     "q_percentile_vs_ref",   # broadcast 1-row reference-count join
     "q_decile_lift",         # broadcast 1-row boundary/total aggregates
+    "q_benford",             # broadcast 1-row total over the 9-digit table
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -77,6 +78,7 @@ SINGLE_PARTITION_OK = {
     "q_class_balance",       # one-row max-class-count aggregate
     "q_share_of_parent",     # grand-total window over the |nations|-row agg
     "q_mom_growth",          # lag window over the |months|-row aggregate
+    "q_benford",             # 1-row total aggregate over the 9-digit table
     "q_decile_lift",         # 1-row exact-percentile boundary aggregate
     "q_percentile_vs_ref",   # single sorted pass over ref+probe (exact-twin
                              # stance; 100 TB path = broadcast CDF histogram)

@@ -1145,3 +1145,65 @@ def q_spearman(spark, sf_dir):
         "n",
         (num / den).alias("spearman_rho"),
     )
+
+
+_BENFORD = {
+    1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
+    4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,
+    7: 0.057991946978, 8: 0.051152522447, 9: 0.045757490561,
+}
+_BENFORD_SQL_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "q_benford",
+    sql=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT d, count(*) AS observed FROM digits GROUP BY d
+    ), t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c)
+    SELECT d AS first_digit, observed,
+           CAST(n AS DOUBLE) * ({_BENFORD_SQL_CASE}) AS expected,
+           (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_SQL_CASE}))
+             * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_SQL_CASE}))
+             / (CAST(n AS DOUBLE) * ({_BENFORD_SQL_CASE})) AS chi2_part
+    FROM c CROSS JOIN t
+    """,
+    doc=(
+        "Benford's-law first-digit screen on order totals (the classic "
+        "fabricated/synthetic-data detector): observed first-significant-"
+        "digit counts vs n*log10(1+1/d). The nine Benford probabilities "
+        "are DRIVER-SIDE LITERALS embedded identically in both engines, "
+        "so expected counts and per-digit chi-square contributions are "
+        "pinned double trees — engine-exact, no rounding, no log() at "
+        "query time. First digit via integer-string truncation (exact)."
+    ),
+)
+def q_benford(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("string"), 1, 1
+        ).cast("long").alias("d")
+    )
+    c = d.groupBy("d").agg(F.count(F.lit(1)).alias("observed"))
+    t = c.agg(F.sum("observed").cast("bigint").alias("n"))
+    p = F.element_at(
+        F.create_map(
+            *[x for kv in _BENFORD.items() for x in (F.lit(kv[0]).cast("long"), F.lit(kv[1]))]
+        ),
+        F.col("d"),
+    )
+    exp = F.col("n").cast("double") * p
+    diff = F.col("observed").cast("double") - exp
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("d").alias("first_digit"),
+        "observed",
+        exp.alias("expected"),
+        (diff * diff / exp).alias("chi2_part"),
+    )

@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = [
     "q_attribution_linear",
     "q_spearman",
     "q_benford",
+    "q_autocorr",
+    "q_runs_test",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -987,3 +987,171 @@ def q_attribution_linear(spark, sf_dir):
             "credit"
         ),
     )
+
+
+@register(
+    "q_autocorr",
+    sql="""
+    WITH daily AS (
+      SELECT ts::TIMESTAMP::DATE AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT x,
+             lag(x, 1) OVER (ORDER BY day) AS x1,
+             lag(x, 7) OVER (ORDER BY day) AS x7
+      FROM daily
+    ),
+    s1 AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x1) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x1 * x1) AS BIGINT) AS syy,
+             CAST(sum(x * x1) AS BIGINT) AS sxy
+      FROM lagged WHERE x1 IS NOT NULL
+    ),
+    s7 AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x7) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x7 * x7) AS BIGINT) AS syy,
+             CAST(sum(x * x7) AS BIGINT) AS sxy
+      FROM lagged WHERE x7 IS NOT NULL
+    )
+    SELECT 1 AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr
+    FROM s1
+    UNION ALL
+    SELECT 7, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+    FROM s7
+    """,
+    doc=(
+        "Lag-1 and lag-7 autocorrelation of daily event volume (trend "
+        "persistence + weekly seasonality strength): integer daily "
+        "counts through lag windows, exact BIGINT Pearson accumulators, "
+        "one pinned double tree per lag — engine-exact, no rounding. "
+        "Windows run over the |days|-row aggregate."
+    ),
+)
+def q_autocorr(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+
+    def corr_for(col, lag_val):
+        f = lagged.filter(F.col(col).isNotNull())
+        s = f.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(col).cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col(col) * F.col(col)).cast("bigint").alias("syy"),
+            F.sum(F.col("x") * F.col(col)).cast("bigint").alias("sxy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+        return s.select(
+            F.lit(lag_val).alias("lag"), "n", (num / den).alias("autocorr")
+        )
+
+    return corr_for("x1", 1).unionByName(corr_for("x7", 7))
+
+
+@register(
+    "q_runs_test",
+    sql="""
+    WITH daily AS (
+      SELECT ts::TIMESTAMP::DATE AS day, count(*) AS x
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(x, 0.5) AS m FROM daily
+    ), signs AS (
+      SELECT day, CASE WHEN x > m THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med WHERE x <> m
+    ), flagged AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                    OR lag(s) OVER (ORDER BY day) <> s
+                  THEN 1 ELSE 0 END AS new_run
+      FROM signs
+    ), agg AS (
+      SELECT CAST(sum(new_run) AS BIGINT) AS runs,
+             CAST(sum(s) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(s) AS BIGINT) AS n_neg
+      FROM flagged
+    )
+    SELECT runs, n_pos, n_neg,
+           (CAST(runs AS DOUBLE)
+            - (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+               / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1.0))
+           / sqrt(
+               (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                * (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)
+                   - CAST(n_pos AS DOUBLE) - CAST(n_neg AS DOUBLE)))
+               / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                  * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+                  * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1.0))
+             ) AS z
+    FROM agg
+    """,
+    doc=(
+        "Wald-Wolfowitz runs test on daily event volume (randomness vs "
+        "trending/clustering): above/below-median signs (exact-median "
+        "days excluded), run boundaries via lag, exact integer run and "
+        "sign counts, normal-approximation z in one pinned double tree — "
+        "engine-exact. Everything after the daily count is "
+        "|days|-bounded."
+    ),
+)
+def q_runs_test(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    med = daily.agg(F.percentile("x", F.lit(0.5)).alias("m"))
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select("day", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    w = Window.orderBy("day")
+    flagged = signs.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            1,
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = flagged.agg(
+        F.sum("new_run").cast("bigint").alias("runs"),
+        F.sum("s").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    n = np_ + nn
+    mu = F.lit(2.0) * np_ * nn / n + F.lit(1.0)
+    var = (
+        F.lit(2.0) * np_ * nn * (F.lit(2.0) * np_ * nn - np_ - nn)
+    ) / (n * n * (n - F.lit(1.0)))
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    return agg.select("runs", "n_pos", "n_neg", z.alias("z"))

@@ -1087,9 +1087,13 @@ def q_mannwhitney(spark, sf_dir):
       FROM r GROUP BY g
     )
     SELECT g AS l_returnflag, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)) AS spearman_rho
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS spearman_rho
     FROM s
     """,
     doc=(
@@ -1098,10 +1102,11 @@ def q_mannwhitney(spark, sf_dir):
         "(2*avg_rank = 2*min_rank + tie_count - 1), so every accumulator "
         "is an exact BIGINT and rho is one pinned double tree — "
         "engine-exact, no rounding (Pearson-on-ranks is scale-invariant, "
-        "so doubled ranks change nothing). BIGINT accumulators bound "
-        "per-group cardinality at ~1.5M rows (sum of squared doubled "
-        "ranks ~ (4/3)n^3); beyond that, switch the accumulators to "
-        "DOUBLE and round — documented trade."
+        "so doubled ranks change nothing). The accumulators stay exact "
+        "BIGINT; the final cross products would overflow long past "
+        "~60k-row groups, so each accumulator converts to double ONCE "
+        "before the pinned closing tree (identical conversion on both "
+        "engines - determinism preserved at any group size)."
     ),
 )
 def q_spearman(spark, sf_dir):
@@ -1135,11 +1140,18 @@ def q_spearman(spark, sf_dir):
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    )
+    # the per-group accumulators are exact BIGINTs, but their FINAL cross
+    # products (n*sxx, sx*sx ~ n^3..n^4) overflow long beyond ~60k-row
+    # groups — convert each accumulator to double first: both engines round
+    # the same exact integer to the same double, and the remaining pinned
+    # tree stays bit-identical (accuracy loss is ulp-level, determinism
+    # none)
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxD, syyD = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyD = F.col("sxy").cast("double")
+    num = nD * sxyD - sxD * syD
+    den = F.sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))
     return s.select(
         F.col("g").alias("l_returnflag"),
         "n",

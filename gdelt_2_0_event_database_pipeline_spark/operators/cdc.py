@@ -191,3 +191,60 @@ def scd2_pit_join(
         dc(c) for c in dim.columns if c not in set(key_cols)
     ]
     return joined.select(*keep)
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change set to a keyed snapshot — the batch MERGE/upsert:
+    ``changes`` rows carry ``op_col`` in ``{'upsert', 'delete'}`` plus the
+    full payload for upserts. Result: base rows minus deleted keys, with
+    upserted keys replaced/inserted. The inverse of :func:`snapshot_diff`
+    (``apply(old, diff(old, new) + payloads) == new`` — pinned as a
+    round-trip property test).
+
+    Assumes unique keys per side (keyed snapshots; duplicate change rows
+    for one key are the caller's bug, same stance as ``snapshot_diff``).
+
+    Plan: ONE full-outer join on the key columns (8-byte-ish keys;
+    payloads ride once) with a map-side case merge — no window, no
+    multi-pass. At lake scale this is the compaction-friendly shape:
+    partition both sides by key range and the join is co-located.
+    """
+    ops = {"upsert", "delete"}
+    c = changes.withColumn(
+        op_col, F.lower(F.col(op_col))
+    )
+    payload_cols = [x for x in base.columns if x not in set(key_cols)]
+    cb = base.alias("__b__")
+    cc = c.alias("__c__")
+    cond = None
+    for k in key_cols:
+        e = F.col(f"__b__.{k}") == F.col(f"__c__.{k}")
+        cond = e if cond is None else cond & e
+    j = cb.join(cc, cond, "full_outer")
+    op = F.col(f"__c__.{op_col}")
+    # deleted keys drop; upserts take the change payload; untouched keys
+    # keep the base payload. A change row with an unknown op is an error
+    # surfaced as a NULL-key row rather than silently kept — guard first.
+    bad = c.filter(~F.col(op_col).isin(*ops)).limit(1).count()
+    if bad:
+        raise ValueError(f"unknown {op_col!r} value in changes (want {ops})")
+    keep = op.isNull() | (op == "upsert")
+    merged = j.filter(keep).select(
+        *[
+            F.coalesce(F.col(f"__c__.{k}"), F.col(f"__b__.{k}")).alias(k)
+            for k in key_cols
+        ],
+        *[
+            F.when(op == "upsert", F.col(f"__c__.{p}"))
+            .otherwise(F.col(f"__b__.{p}"))
+            .alias(p)
+            for p in payload_cols
+        ],
+    )
+    return merged

@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     "q_benford",
     "q_autocorr",
     "q_runs_test",
+    "q_apply_changes",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -2517,3 +2517,52 @@ def q_bpe_train(spark, sf_dir):
         [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_idx long, left string, right string, pair_count long",
     )
+
+
+@register(
+    "q_apply_changes",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 4 <> 0
+    ), changes AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+             upper(text) AS text, lang, source, n_chars
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN c.op = 'upsert' THEN c.text ELSE b.text END AS text,
+           CASE WHEN c.op = 'upsert' THEN c.lang ELSE b.lang END AS lang,
+           CASE WHEN c.op = 'upsert' THEN c.source ELSE b.source END AS source,
+           CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS n_chars
+    FROM base b FULL JOIN changes c ON b.doc_id = c.doc_id
+    WHERE c.op IS NULL OR c.op = 'upsert'
+    """,
+    doc=(
+        "Batch MERGE/upsert (CDC apply): one full-outer join on the key "
+        "with a map-side case merge — deletes drop, upserts replace or "
+        "insert, untouched keys keep the base payload. The inverse of "
+        "q_snapshot_diff (the apply(old, diff)==new round-trip is pinned "
+        "in test_cdc.py). Base = doc_id%4<>0; changes = doc_id%2=0 "
+        "(deletes where also %3=0, upserts with uppercased text)."
+    ),
+)
+def q_apply_changes(spark, sf_dir):
+    from ..operators.cdc import apply_changes
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = d.filter(F.col("doc_id") % 4 != 0)
+    changes = d.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.upper(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return apply_changes(base, changes, ["doc_id"])

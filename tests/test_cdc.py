@@ -170,3 +170,58 @@ def test_scd2_same_ts_versions_zero_width(spark):
     out = scd2_pit_join(facts, dim.select("k", "attr", "valid_from", "valid_to"),
                         ["k"], "fts").collect()
     assert len(out) == 1 and out[0].attr == "b"
+
+
+# ---------------------------------------------------------------------------
+# apply_changes (batch MERGE) + diff/apply round-trip
+# ---------------------------------------------------------------------------
+
+from gdelt_2_0_event_database_pipeline_spark.operators.cdc import (  # noqa: E402
+    apply_changes,
+)
+
+
+def test_apply_changes_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "upsert", "B"), (3, "delete", None), (4, "upsert", "d")],
+        "k long, op string, v string",
+    )
+    got = {r.k: r.v for r in apply_changes(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_changes_rejects_unknown_op(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame([(1, "merge", "x")], "k long, op string, v string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        apply_changes(base, bad, ["k"])
+
+
+def test_diff_apply_roundtrip(spark):
+    """apply(old, payload-enriched diff(old, new)) reproduces new exactly."""
+    old = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(40)], "k long, v string, g long"
+    )
+    new = spark.createDataFrame(
+        [(i, ("V" if i % 5 == 0 else "v") + str(i), i % 3) for i in range(7, 45)],
+        "k long, v string, g long",
+    )
+    d = snapshot_diff(old, new, ["k"])
+    # enrich the diff into a change set: removed -> delete; added/changed ->
+    # upsert with the NEW payload
+    changes = d.join(new, ["k"], "left").select(
+        "k",
+        F.when(F.col("change_type") == "removed", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        "v",
+        "g",
+    )
+    rebuilt = apply_changes(old, changes, ["k"])
+    assert rebuilt.exceptAll(new).count() == 0
+    assert new.exceptAll(rebuilt).count() == 0

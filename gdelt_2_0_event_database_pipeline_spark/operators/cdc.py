@@ -229,11 +229,17 @@ def apply_changes(
     j = cb.join(cc, cond, "full_outer")
     op = F.col(f"__c__.{op_col}")
     # deleted keys drop; upserts take the change payload; untouched keys
-    # keep the base payload. A change row with an unknown op is an error
-    # surfaced as a NULL-key row rather than silently kept — guard first.
-    bad = c.filter(~F.col(op_col).isin(*ops)).limit(1).count()
-    if bad:
-        raise ValueError(f"unknown {op_col!r} value in changes (want {ops})")
+    # keep the base payload. Unknown ops fail IN-PLAN (assert_true rides
+    # the job itself — no eager validation pass per call).
+    op = F.when(
+        op.isNull() | op.isin(*ops), op
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"unknown {op_col} value in changes: "), op
+            )
+        )
+    )
     keep = op.isNull() | (op == "upsert")
     merged = j.filter(keep).select(
         *[

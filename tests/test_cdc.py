@@ -194,12 +194,14 @@ def test_apply_changes_semantics(spark):
 
 
 def test_apply_changes_rejects_unknown_op(spark):
+    # validation is IN-PLAN (raise_error rides the job — no eager
+    # validation pass per call), so it surfaces at action time
     base = spark.createDataFrame([(1, "a")], "k long, v string")
     bad = spark.createDataFrame([(1, "merge", "x")], "k long, op string, v string")
     import pytest as _pytest
 
-    with _pytest.raises(ValueError):
-        apply_changes(base, bad, ["k"])
+    with _pytest.raises(Exception, match="unknown op value"):
+        apply_changes(base, bad, ["k"]).collect()
 
 
 def test_diff_apply_roundtrip(spark):

@@ -584,3 +584,73 @@ def mann_whitney_u(
         "n_a",
         "n_b",
     )
+
+
+def quantile_table(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    *,
+    points: int = 11,
+) -> DataFrame:
+    """The broadcast-ready CDF artifact: ``points`` exact interpolated
+    quantiles per group as ``(group?, p, q)`` rows — the small table the
+    scale paths of :func:`percentile_vs_ref` and the decile machinery
+    consume instead of sorting the raw stream (compute once per
+    snapshot, broadcast everywhere).
+
+    One tiny aggregate (percentile array) + a map-side posexplode.
+    """
+    if points < 2:
+        raise ValueError("points must be >= 2")
+    probs = [i / (points - 1) for i in range(points)]
+    keys = [group_col] if group_col else []
+    agg = df.groupBy(*keys).agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias(
+            "__qs__"
+        )
+    )
+    out = agg.select(
+        *keys, F.posexplode("__qs__").alias("__i__", "q")
+    ).withColumn(
+        "p", F.element_at(F.array(*[F.lit(p) for p in probs]), F.col("__i__") + 1)
+    )
+    cols = keys + ["p", "q"]
+    return out.select(*cols)
+
+
+def percentile_vs_ref_bucketed(
+    probe: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    probe_cols: Sequence[str],
+    *,
+    buckets: int = 100,
+) -> DataFrame:
+    """The 100 TB shape of :func:`percentile_vs_ref`: quantize the
+    reference CDF into ``buckets`` exact-percentile boundaries (ONE tiny
+    aggregate, broadcast), then score every probe map-side as
+    ``ref_pct_bucketed = |boundaries <= v| / buckets`` — the row stream
+    never shuffles and never sorts, at the cost of 1/buckets resolution
+    (plus tie slack at repeated values). Exact twin differential lives in
+    the tests; both paths agree within one bucket away from heavy ties.
+    """
+    probs = [i / buckets for i in range(1, buckets + 1)]
+    b = ref.filter(F.col(value_col).isNotNull()).agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias(
+            "__bs__"
+        )
+    )
+    v = F.col(value_col).cast("double")
+    n_le = F.size(F.filter("__bs__", lambda x: x <= v))
+    return (
+        probe.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(b))
+        .select(
+            *probe_cols,
+            v.alias(value_col),
+            (n_le.cast("double") / F.lit(float(buckets))).alias(
+                "ref_pct_bucketed"
+            ),
+        )
+    )

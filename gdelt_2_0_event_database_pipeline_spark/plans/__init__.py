@@ -63,6 +63,8 @@ _DRIVER_PRIORITY = [
     "q_autocorr",
     "q_runs_test",
     "q_apply_changes",
+    "q_quantile_table",
+    "q_pct_ref_bucketed",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

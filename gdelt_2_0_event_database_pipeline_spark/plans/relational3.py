@@ -1219,3 +1219,68 @@ def q_benford(spark, sf_dir):
         exp.alias("expected"),
         (diff * diff / exp).alias("chi2_part"),
     )
+
+
+_QT_PROBS = [i / 10 for i in range(11)]
+_PCTB_PROBS = [i / 20 for i in range(1, 21)]
+
+
+@register(
+    "q_quantile_table",
+    sql=f"""
+    WITH a AS (
+      SELECT lang,
+             quantile_cont(n_chars, {_QT_PROBS!r}) AS qs
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, unnest({_QT_PROBS!r}) AS p, unnest(qs) AS q
+    FROM a
+    """,
+    doc=(
+        "Broadcast-ready CDF artifact: 11-point exact quantile table of "
+        "document length per language — ONE tiny percentile-array "
+        "aggregate + map-side posexplode. The small table the bucketed "
+        "percentile/decile scale paths consume instead of sorting raw "
+        "streams; interpolated quantiles proven engine-identical by the "
+        "q_quantiles family."
+    ),
+)
+def q_quantile_table(spark, sf_dir):
+    from ..operators.profile import quantile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_table(d, "n_chars", "lang", points=11)
+
+
+@register(
+    "q_pct_ref_bucketed",
+    sql=f"""
+    WITH b AS (
+      SELECT quantile_cont(value, {_PCTB_PROBS!r}) AS bs
+      FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    )
+    SELECT event_id, value,
+           CAST(len(list_filter(bs, x -> x <= value)) AS DOUBLE) / 20.0
+             AS ref_pct_bucketed
+    FROM events CROSS JOIN b
+    WHERE event_type = 'purchase' AND value IS NOT NULL
+    """,
+    doc=(
+        "Bucketed percentile-vs-reference (the 100 TB path "
+        "q_percentile_vs_ref documents): 20 exact-percentile boundaries "
+        "from ONE tiny aggregate broadcast to a map-side array-filter "
+        "count — the probe stream never shuffles and never sorts; "
+        "resolution 1/20. Exact-vs-bucketed agreement pinned in pytest."
+    ),
+)
+def q_pct_ref_bucketed(spark, sf_dir):
+    from ..operators.profile import percentile_vs_ref_bucketed
+
+    e = _events(spark, sf_dir)
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "value"
+    )
+    ref = e.filter(F.col("event_type") == "click")
+    return percentile_vs_ref_bucketed(
+        probe, ref, "value", ["event_id"], buckets=20
+    )

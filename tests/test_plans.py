@@ -452,3 +452,41 @@ def test_spearman_query_known_values(spark, tmp_path):
     df.write.parquet(d + "/lineitem.parquet")
     out = {r.l_returnflag: r.spearman_rho for r in QUERIES["q_spearman"].fn(spark, d).collect()}
     assert out == {"A": 1.0, "B": -1.0}
+
+
+def test_bucketed_pct_close_to_exact(spark):
+    """The scale path must track the exact path within bucket resolution
+    (plus tie slack) — the differential that justifies calling it a twin."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        percentile_vs_ref,
+        percentile_vs_ref_bucketed,
+    )
+
+    ref = spark.createDataFrame([(float(i),) for i in range(200)], "v double")
+    probe = spark.createDataFrame(
+        [(i, float(i * 7 % 200) + 0.5) for i in range(50)], "id long, v double"
+    )
+    exact = {
+        r.id: r.ref_pct
+        for r in percentile_vs_ref(probe, ref, "v", ["id"]).collect()
+    }
+    approx = {
+        r.id: r.ref_pct_bucketed
+        for r in percentile_vs_ref_bucketed(
+            probe, ref, "v", ["id"], buckets=20
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for i in exact:
+        assert abs(exact[i] - approx[i]) <= 0.05 + 1e-9  # one bucket
+
+
+def test_quantile_table_shape(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.profile import (
+        quantile_table,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "v double")
+    rows = quantile_table(df, "v", points=5).collect()
+    got = {r.p: r.q for r in rows}
+    assert got == {0.0: 0.0, 0.25: 25.0, 0.5: 50.0, 0.75: 75.0, 1.0: 100.0}

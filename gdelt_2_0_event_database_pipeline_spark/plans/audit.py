@@ -55,6 +55,7 @@ NESTED_LOOP_OK = {
     "q_token_budget",        # same bounded triangular-offsets pattern
     "q_token_budget_per_lang",
     "q_chi2",                # |rows|x|cols| marginal cross + 1-row grand total
+    "q_cramers_v",           # same shape + 1-row chi2/dims join
                              # (everything after the first count is
                              # category-cardinality-bounded)
 }
@@ -77,6 +78,7 @@ SINGLE_PARTITION_OK = {
                              # join (bucket-level, bounded by construction)
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
+    "q_cramers_v",           # one-row chi2 + one-row dims aggregates
     "q_class_balance",       # one-row max-class-count aggregate
     "q_share_of_parent",     # grand-total window over the |nations|-row agg
     "q_mom_growth",          # lag window over the |months|-row aggregate

@@ -1284,3 +1284,75 @@ def q_pct_ref_bucketed(spark, sf_dir):
     return percentile_vs_ref_bucketed(
         probe, ref, "value", ["event_id"], buckets=20
     )
+
+
+@register(
+    "q_cramers_v",
+    sql="""
+    WITH cells AS (
+      SELECT event_type AS r, dayofweek(ts::TIMESTAMP::DATE) AS c,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (SELECT r, sum(o) AS rtot FROM cells GROUP BY r),
+       ct AS (SELECT c, sum(o) AS ctot FROM cells GROUP BY c),
+       n  AS (SELECT CAST(sum(o) AS BIGINT) AS grand FROM cells),
+    e AS (
+      SELECT COALESCE(cells.o, 0) AS o,
+             CAST(rt.rtot * ct.ctot AS DOUBLE) / CAST(n.grand AS DOUBLE)
+               AS exp
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+      CROSS JOIN n
+    ), chi AS (
+      SELECT round(sum((CAST(o AS DOUBLE) - exp) * (CAST(o AS DOUBLE) - exp)
+                       / exp), 6) AS chi2,
+             (SELECT count(*) FROM rt) AS n_rows,
+             (SELECT count(*) FROM ct) AS n_cols
+      FROM e
+    )
+    SELECT chi2,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           n.grand AS n,
+           round(sqrt(chi2 / (CAST(n.grand AS DOUBLE)
+                 * least(n_rows - 1, n_cols - 1))), 6) AS cramers_v
+    FROM chi CROSS JOIN n
+    """,
+    doc=(
+        "Cramer's V effect size for event_type x weekday: full chi-square "
+        "over the densified contingency grid (zero cells included), "
+        "normalized by n*min(r-1, c-1) — the 0..1 association strength "
+        "the raw chi2 statistic lacks. Chi2 is a float sum (rounded 6dp "
+        "both sides BEFORE the derived V, so V's input is identical); "
+        "everything after the first count is category-bounded."
+    ),
+)
+def q_cramers_v(spark, sf_dir):
+    from ..operators.profile import chi_square_independence
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("weekday")
+    )
+    parts = chi_square_independence(ev, "event_type", "weekday")
+    n_row = _events(spark, sf_dir).select(
+        F.countDistinct("event_type").alias("n_rows"),
+        F.countDistinct(F.dayofweek(F.col("ts").cast("date"))).alias("n_cols"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi = parts.agg(F.round(F.sum("chi2_part"), 6).alias("chi2"))
+    j = chi.crossJoin(F.broadcast(n_row))
+    dof = ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long")
+    v = F.round(
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1).cast(
+                    "double"
+                )
+            )
+        ),
+        6,
+    )
+    return j.select(
+        "chi2", dof.alias("dof"), F.col("n").cast("long").alias("n"), v.alias("cramers_v")
+    )

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "q_quantile_table",
     "q_pct_ref_bucketed",
     "q_cramers_v",
+    "q_lorenz",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -1356,3 +1356,69 @@ def q_cramers_v(spark, sf_dir):
     return j.select(
         "chi2", dof.alias("dof"), F.col("n").cast("long").alias("n"), v.alias("cramers_v")
     )
+
+
+@register(
+    "q_lorenz",
+    sql="""
+    WITH x AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey, count(*) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT nationkey, cnt,
+             row_number() OVER (
+               PARTITION BY nationkey ORDER BY cnt, o_custkey
+             ) AS i,
+             CAST(sum(cnt) OVER (
+               PARTITION BY nationkey ORDER BY cnt, o_custkey
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum,
+             count(*) OVER (PARTITION BY nationkey) AS n,
+             CAST(sum(cnt) OVER (PARTITION BY nationkey) AS BIGINT) AS total
+      FROM x
+    )
+    SELECT nationkey,
+           CAST(i AS DOUBLE) / CAST(n AS DOUBLE) AS pop_share,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS mass_share
+    FROM r
+    WHERE (i * 10) // n <> ((i - 1) * 10) // n
+    """,
+    doc=(
+        "Lorenz curve points per nation (the visual companion of q_gini): "
+        "customers ranked by order count under a total order, cumulative "
+        "mass share at each population-decile boundary crossing — exact "
+        "BIGINT running sums, two IEEE divisions per emitted point, "
+        "~10 points per group. All windows share the nation exchange."
+    ),
+)
+def q_lorenz(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_ord = Window.partitionBy("nationkey").orderBy(
+        F.col("cnt").asc(), F.col("o_custkey").asc()
+    )
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("nationkey")
+    r = x.select(
+        "nationkey",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("total"),
+    )
+    boundary = F.expr("(i * 10) div n") != F.expr("((i - 1) * 10) div n")
+    return r.filter(boundary).select(
+        "nationkey",
+        (F.col("i").cast("double") / F.col("n").cast("double")).alias(
+            "pop_share"
+        ),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "mass_share"
+        ),
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     "q_pct_ref_bucketed",
     "q_cramers_v",
     "q_lorenz",
+    "q_hhi",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

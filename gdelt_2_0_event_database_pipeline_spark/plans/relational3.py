@@ -1422,3 +1422,50 @@ def q_lorenz(spark, sf_dir):
             "mass_share"
         ),
     )
+
+
+@register(
+    "q_hhi",
+    sql="""
+    WITH x AS (
+      SELECT l_returnflag, l_suppkey, count(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             count(*) AS n_suppliers
+      FROM x GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_suppliers,
+           CAST(sq AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)) AS hhi
+    FROM s
+    """,
+    doc=(
+        "Herfindahl-Hirschman concentration index per return flag (how "
+        "concentrated is volume across suppliers): HHI = sum(share^2) "
+        "computed as sum(cnt^2)/total^2 — exact BIGINT accumulators, ONE "
+        "division, engine-exact. The square-law companion of q_gini "
+        "(HHI weights large shares harder); two grouped counts, no "
+        "window."
+    ),
+)
+def q_hhi(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    x = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = x.groupBy("l_returnflag").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sq"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n_suppliers",
+        (
+            F.col("sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double"))
+        ).alias("hhi"),
+    )

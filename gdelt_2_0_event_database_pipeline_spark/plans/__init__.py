@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "q_cramers_v",
     "q_lorenz",
     "q_hhi",
+    "q_life_table",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "q_decile_lift",         # broadcast 1-row boundary/total aggregates
     "q_benford",             # broadcast 1-row total over the 9-digit table
     "q_runs_test",           # broadcast 1-row median over the daily counts
+    "q_life_table",          # broadcast 1-row max-day (censoring cutoff)
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
@@ -90,6 +91,7 @@ SINGLE_PARTITION_OK = {
     "q_autocorr",            # lag windows + 1-row accumulators over the
                              # |days|-row daily-count series
     "q_runs_test",           # same |days|-bounded stance (signs + 1-row agg)
+    "q_life_table",          # at-risk window over |distinct durations| rows
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count
                              # series (day-cardinality-bounded after the
                              # first grouped count)

@@ -1155,3 +1155,69 @@ def q_runs_test(spark, sf_dir):
     ) / (n * n * (n - F.lit(1.0)))
     z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
     return agg.select("runs", "n_pos", "n_neg", z.alias("z"))
+
+
+@register(
+    "q_life_table",
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(ts::TIMESTAMP::DATE) - min(ts::TIMESTAMP::DATE)
+                  AS BIGINT) AS duration,
+             CASE WHEN max(ts::TIMESTAMP::DATE)
+                       >= (SELECT max(ts::TIMESTAMP::DATE) FROM events)
+                          - INTERVAL 3 DAY
+                  THEN 0 ELSE 1 END AS churned
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT duration,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(churned) AS BIGINT) AS n_events
+      FROM u GROUP BY duration
+    )
+    SELECT duration,
+           CAST(sum(n_total) OVER (
+             ORDER BY duration DESC ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS n_at_risk,
+           n_events
+    FROM d
+    """,
+    doc=(
+        "Kaplan-Meier life table for time-to-churn (duration = active "
+        "span per user; users still active in the last 3 days are "
+        "censored): per distinct duration, the at-risk count via one "
+        "reverse cumulative window and the churn-event count — ALL exact "
+        "integers (the KM survival product derives downstream from "
+        "n_events/n_at_risk). Windows run over |distinct durations| rows."
+    ),
+)
+def q_life_table(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    maxday = e.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.max(F.col("ts").cast("date")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(maxday))
+        .select(
+            F.datediff("last_d", "first_d").cast("bigint").alias("duration"),
+            F.when(
+                F.col("last_d") >= F.date_sub(F.col("mx"), 3), 0
+            ).otherwise(1).alias("churned"),
+        )
+    )
+    d = u.groupBy("duration").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("churned").cast("bigint").alias("n_events"),
+    )
+    w = (
+        Window.orderBy(F.col("duration").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select(
+        "duration",
+        F.sum("n_total").over(w).cast("bigint").alias("n_at_risk"),
+        "n_events",
+    )

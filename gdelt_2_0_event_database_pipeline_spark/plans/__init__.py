@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "q_lorenz",
     "q_hhi",
     "q_life_table",
+    "q_coverage_topk",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

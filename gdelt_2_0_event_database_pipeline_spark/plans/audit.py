@@ -92,6 +92,7 @@ SINGLE_PARTITION_OK = {
                              # |days|-row daily-count series
     "q_runs_test",           # same |days|-bounded stance (signs + 1-row agg)
     "q_life_table",          # at-risk window over |distinct durations| rows
+    "q_coverage_topk",       # running share over the |sources|-row aggregate
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count
                              # series (day-cardinality-bounded after the
                              # first grouped count)

@@ -1469,3 +1469,49 @@ def q_hhi(spark, sf_dir):
             / (F.col("total").cast("double") * F.col("total").cast("double"))
         ).alias("hhi"),
     )
+
+
+@register(
+    "q_coverage_topk",
+    sql="""
+    WITH x AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT source, mass,
+             row_number() OVER (ORDER BY mass DESC, source) AS k,
+             CAST(sum(mass) OVER (
+               ORDER BY mass DESC, source ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum,
+             CAST(sum(mass) OVER () AS BIGINT) AS total
+      FROM x
+    )
+    SELECT k, source, mass,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+    FROM r
+    """,
+    doc=(
+        "Coverage curve: how much of the corpus' character mass the top-k "
+        "sources account for (the 'how many sources until 90%' planning "
+        "question) — descending total-ordered running share over the "
+        "|sources|-row aggregate; exact BIGINT sums, one division per "
+        "point."
+    ),
+)
+def q_coverage_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    x = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    )
+    w_ord = Window.orderBy(F.col("mass").desc(), F.col("source").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return x.select(
+        F.row_number().over(w_ord).alias("k"),
+        "source",
+        "mass",
+        (
+            F.sum("mass").over(w_cum).cast("double")
+            / F.sum("mass").over(w_all).cast("double")
+        ).alias("coverage"),
+    )

@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "q_hhi",
     "q_life_table",
     "q_coverage_topk",
+    "q_zipf",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -2566,3 +2566,49 @@ def q_apply_changes(spark, sf_dir):
         "n_chars",
     )
     return apply_changes(base, changes, ["doc_id"])
+
+
+@register(
+    "q_zipf",
+    sql=f"""
+    WITH h AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+      GROUP BY token
+    ), r AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rank
+      FROM h
+    )
+    SELECT rank, token, freq, CAST(rank AS BIGINT) * freq AS rank_x_freq
+    FROM r WHERE rank <= 50
+    """,
+    doc=(
+        "Zipf's-law check: top-50 tokens with rank x frequency (constant "
+        "under Zipf — the quick 'is this corpus natural language or "
+        "template spam' screen). Exact integers; the rank window runs "
+        "over the vocabulary-bounded histogram, selection total-ordered."
+    ),
+)
+def q_zipf(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    h = (
+        d.select(F.explode(X.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = W.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        h.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "rank",
+            "token",
+            "freq",
+            (F.col("rank").cast("bigint") * F.col("freq")).alias(
+                "rank_x_freq"
+            ),
+        )
+    )

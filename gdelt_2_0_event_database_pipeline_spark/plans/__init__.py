@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "q_life_table",
     "q_coverage_topk",
     "q_zipf",
+    "q_ttr",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -2612,3 +2612,38 @@ def q_zipf(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_ttr",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT) AS n_types,
+           CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+           CASE WHEN len({_SQL_TOKENS}) > 0 THEN
+             CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+               / CAST(len({_SQL_TOKENS}) AS DOUBLE)
+           END AS ttr
+    FROM documents
+    """,
+    doc=(
+        "Type-token ratio per document (lexical diversity — the cheap "
+        "'template spam vs natural text' signal that complements the "
+        "repetition and compression-ratio screens): distinct-token and "
+        "token counts are exact integers from map-side array ops, one "
+        "IEEE division, no shuffle at all."
+    ),
+)
+def q_ttr(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_types = F.size(F.array_distinct(toks)).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_types.alias("n_types"),
+        n_tokens.alias("n_tokens"),
+        F.when(
+            n_tokens > 0, n_types.cast("double") / n_tokens.cast("double")
+        ).alias("ttr"),
+    )

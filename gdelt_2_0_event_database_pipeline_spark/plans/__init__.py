@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "q_coverage_topk",
     "q_zipf",
     "q_ttr",
+    "q_odds_ratio",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

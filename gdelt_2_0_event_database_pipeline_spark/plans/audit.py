@@ -57,6 +57,7 @@ NESTED_LOOP_OK = {
     "q_token_budget_per_lang",
     "q_chi2",                # |rows|x|cols| marginal cross + 1-row grand total
     "q_cramers_v",           # same shape + 1-row chi2/dims join
+    "q_odds_ratio",          # broadcast marginals + 1-row grand total
                              # (everything after the first count is
                              # category-cardinality-bounded)
 }
@@ -80,6 +81,7 @@ SINGLE_PARTITION_OK = {
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_cramers_v",           # one-row chi2 + one-row dims aggregates
+    "q_odds_ratio",          # one-row grand-total aggregate
     "q_class_balance",       # one-row max-class-count aggregate
     "q_share_of_parent",     # grand-total window over the |nations|-row agg
     "q_mom_growth",          # lag window over the |months|-row aggregate

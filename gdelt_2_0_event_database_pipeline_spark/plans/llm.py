@@ -2647,3 +2647,65 @@ def q_ttr(spark, sf_dir):
             n_tokens > 0, n_types.cast("double") / n_tokens.cast("double")
         ).alias("ttr"),
     )
+
+
+@register(
+    "q_odds_ratio",
+    sql="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS a
+      FROM documents GROUP BY source, lang
+    ), src AS (
+      SELECT source, CAST(sum(a) AS BIGINT) AS src_total FROM cells GROUP BY source
+    ), lng AS (
+      SELECT lang, CAST(sum(a) AS BIGINT) AS lang_total FROM cells GROUP BY lang
+    ), n AS (SELECT CAST(sum(a) AS BIGINT) AS grand FROM cells)
+    SELECT c.source, c.lang, a,
+           src_total - a AS b,
+           lang_total - a AS c,
+           grand - src_total - lang_total + a AS d,
+           CASE WHEN (src_total - a) * (lang_total - a) > 0 THEN
+             CAST(a * (grand - src_total - lang_total + a) AS DOUBLE)
+               / CAST((src_total - a) * (lang_total - a) AS DOUBLE)
+           END AS odds_ratio
+    FROM cells c JOIN src USING (source) JOIN lng USING (lang) CROSS JOIN n
+    """,
+    doc=(
+        "Keyness/affinity odds ratio per (source, language): the 2x2 "
+        "cell counts (a,b,c,d) are exact integers from one grouped count "
+        "plus broadcast marginals, and OR = ad/bc is one pinned division "
+        "— engine-exact, no logs (the plain-OR form of the log-odds "
+        "keyness staple). Degenerate cells (b*c = 0) yield NULL."
+    ),
+)
+def q_odds_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    src = cells.groupBy("source").agg(
+        F.sum("a").cast("bigint").alias("src_total")
+    )
+    lng = cells.groupBy("lang").agg(
+        F.sum("a").cast("bigint").alias("lang_total")
+    )
+    n = cells.agg(F.sum("a").cast("bigint").alias("grand"))
+    j = (
+        cells.join(F.broadcast(src), "source")
+        .join(F.broadcast(lng), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    b = F.col("src_total") - F.col("a")
+    c = F.col("lang_total") - F.col("a")
+    dd = F.col("grand") - F.col("src_total") - F.col("lang_total") + F.col("a")
+    return j.select(
+        "source",
+        "lang",
+        "a",
+        b.alias("b"),
+        c.alias("c"),
+        dd.alias("d"),
+        F.when(
+            b * c > 0, (F.col("a") * dd).cast("double") / (b * c).cast("double")
+        ).alias("odds_ratio"),
+    )

@@ -73,6 +73,8 @@ _DRIVER_PRIORITY = [
     "q_zipf",
     "q_ttr",
     "q_odds_ratio",
+    "q_gap_stats",
+    "q_peak_hour",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

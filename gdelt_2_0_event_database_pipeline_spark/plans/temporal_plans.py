@@ -1221,3 +1221,89 @@ def q_life_table(spark, sf_dir):
         F.sum("n_total").over(w).cast("bigint").alias("n_at_risk"),
         "n_events",
     )
+
+
+@register(
+    "q_gap_stats",
+    sql="""
+    WITH uniq AS (
+      SELECT DISTINCT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             us - lag(us) OVER (
+               PARTITION BY user_id, event_type ORDER BY us
+             ) AS gap_us
+      FROM uniq
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS median_gap_us,
+           quantile_cont(gap_us, 0.9) AS p90_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc=(
+        "Inter-event gap distribution per event type (the cadence/"
+        "heartbeat profile behind session-gap and burst thresholds): "
+        "integer microsecond gaps from one lag window, exact interpolated "
+        "median/p90 per type — deterministic on identical integer inputs "
+        "(the q_quantiles-proven property). One key exchange for the lag, "
+        "one grouped percentile."
+    ),
+)
+def q_gap_stats(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    uniq = e.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).distinct()
+    w = Window.partitionBy("user_id", "event_type").orderBy("us")
+    gaps = uniq.select(
+        "event_type", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+        F.percentile("gap_us", F.lit(0.9)).alias("p90_gap_us"),
+    )
+
+
+@register(
+    "q_peak_hour",
+    sql="""
+    WITH h AS (
+      SELECT event_type, extract(hour FROM ts::TIMESTAMP) AS hour,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, hour, cnt,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, hour
+             ) AS rn
+      FROM h
+    )
+    SELECT event_type, hour AS peak_hour, cnt AS peak_count
+    FROM r WHERE rn = 1
+    """,
+    doc=(
+        "Peak activity hour per event type: hourly counts + ranked window "
+        "with a deterministic hour tiebreak — the diurnal-profile "
+        "question answered with two tiny shuffles."
+    ),
+)
+def q_peak_hour(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    h = e.groupBy(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cnt"), F.asc("hour")
+    )
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour").alias("peak_hour"),
+            F.col("cnt").alias("peak_count"),
+        )
+    )

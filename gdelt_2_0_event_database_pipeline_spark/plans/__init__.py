@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "q_odds_ratio",
     "q_gap_stats",
     "q_peak_hour",
+    "q_fk_check",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -1515,3 +1515,60 @@ def q_coverage_topk(spark, sf_dir):
             / F.sum("mass").over(w_all).cast("double")
         ).alias("coverage"),
     )
+
+
+@register(
+    "q_fk_check",
+    sql="""
+    SELECT 'lineitem.l_suppkey -> supplier' AS fk,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders', count(*),
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer', count(*),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc=(
+        "Referential-integrity report: orphan counts for the three fact-"
+        "dimension foreign keys via left-join null probes — the "
+        "constraint check a schemaless lake never enforces at write time. "
+        "Exact integer counts; dimension sides broadcast under AQE."
+    ),
+)
+def q_fk_check(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def probe(fact, dim, fk_col, dim_col, label):
+        j = fact.join(dim, fact[fk_col] == dim[dim_col], "left")
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(dim[dim_col].isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return (
+        probe(li.select("l_suppkey"), s, "l_suppkey", "s_suppkey",
+              "lineitem.l_suppkey -> supplier")
+        .unionByName(
+            probe(li.select("l_orderkey"), o.select("o_orderkey"),
+                  "l_orderkey", "o_orderkey",
+                  "lineitem.l_orderkey -> orders")
+        )
+        .unionByName(
+            probe(o.select("o_custkey"), c, "o_custkey", "c_custkey",
+                  "orders.o_custkey -> customer")
+        )
+    )

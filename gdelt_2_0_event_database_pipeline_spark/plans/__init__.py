@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "q_gap_stats",
     "q_peak_hour",
     "q_fk_check",
+    "q_pk_check",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

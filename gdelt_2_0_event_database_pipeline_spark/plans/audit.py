@@ -83,6 +83,7 @@ SINGLE_PARTITION_OK = {
     "q_cramers_v",           # one-row chi2 + one-row dims aggregates
     "q_odds_ratio",          # one-row grand-total aggregate
     "q_fk_check",            # three one-row orphan-count aggregates
+    "q_pk_check",            # three one-row dup-count aggregates
     "q_class_balance",       # one-row max-class-count aggregate
     "q_share_of_parent",     # grand-total window over the |nations|-row agg
     "q_mom_growth",          # lag window over the |months|-row aggregate

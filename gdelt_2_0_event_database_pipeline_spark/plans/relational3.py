@@ -1572,3 +1572,54 @@ def q_fk_check(spark, sf_dir):
                   "orders.o_custkey -> customer")
         )
     )
+
+
+@register(
+    "q_pk_check",
+    sql="""
+    SELECT 'orders.o_orderkey' AS pk, count(*) AS n_rows,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'customer.c_custkey', count(*),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+           CAST(count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber)
+                AS BIGINT)
+    FROM lineitem
+    """,
+    doc=(
+        "Primary-key uniqueness report (the write-time constraint a "
+        "schemaless lake never enforces): duplicate-row counts for two "
+        "scalar keys and one composite key (packed into one BIGINT — "
+        "l_linenumber < 100 by TPC-H construction). Exact counts, "
+        "single-pass distinct aggregates."
+    ),
+)
+def q_pk_check(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def row(df, expr, label):
+        return df.agg(
+            F.lit(label).alias("pk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(expr))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+        ).select("pk", "n_rows", "n_dup_rows")
+
+    return (
+        row(o, F.col("o_orderkey"), "orders.o_orderkey")
+        .unionByName(row(c, F.col("c_custkey"), "customer.c_custkey"))
+        .unionByName(
+            row(
+                li,
+                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+    )

@@ -77,6 +77,8 @@ _DRIVER_PRIORITY = [
     "q_peak_hour",
     "q_fk_check",
     "q_pk_check",
+    "q_stickiness",
+    "q_retention_d7",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

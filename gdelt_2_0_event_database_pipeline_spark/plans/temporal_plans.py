@@ -1307,3 +1307,118 @@ def q_peak_hour(spark, sf_dir):
             F.col("cnt").alias("peak_count"),
         )
     )
+
+
+@register(
+    "q_stickiness",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(ts::TIMESTAMP::DATE - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events
+    ), dau AS (
+      SELECT d, count(*) AS dau FROM days GROUP BY d
+    ), contrib AS (
+      SELECT user_id, d + off AS rd
+      FROM days, unnest(range(0, 7)) AS o(off)
+    ), wau AS (
+      SELECT rd AS d, count(DISTINCT user_id) AS wau FROM contrib GROUP BY rd
+    )
+    SELECT DATE '1970-01-01' + dau.d::INTEGER AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    doc=(
+        "DAU/WAU stickiness per observed day: daily actives over "
+        "trailing-7-day actives (the product-engagement ratio). WAU via "
+        "the same contribution-explode as q_rolling_distinct (shuffle "
+        "volume |user-days| x 7, independent of event count); exact "
+        "integer counts, one division."
+    ),
+)
+def q_stickiness(spark, sf_dir):
+    from ..operators.temporal import rolling_distinct
+
+    e = _events(spark, sf_dir)
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = rolling_distinct(e, "ts", "user_id", window_days=7).select(
+        F.col("day").alias("wday"), F.col("n_active").alias("wau")
+    )
+    j = dau.join(wau, dau.day == wau.wday)
+    return j.select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "q_retention_d7",
+    sql="""
+    WITH days AS (
+      SELECT DISTINCT user_id, ts::TIMESTAMP::DATE AS d FROM events
+    ), firsts AS (
+      SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id
+    ), cohorts AS (
+      SELECT cohort_day, count(*) AS cohort_size
+      FROM firsts GROUP BY cohort_day
+    ), returned AS (
+      SELECT f.cohort_day, count(*) AS n_returned
+      FROM firsts f
+      WHERE EXISTS (
+        SELECT 1 FROM days a
+        WHERE a.user_id = f.user_id
+          AND a.d = f.cohort_day + INTERVAL 7 DAY
+      )
+      GROUP BY f.cohort_day
+    )
+    SELECT c.cohort_day, c.cohort_size,
+           COALESCE(r.n_returned, 0) AS n_returned,
+           CAST(COALESCE(r.n_returned, 0) AS DOUBLE)
+             / CAST(c.cohort_size AS DOUBLE) AS d7_retention
+    FROM cohorts c LEFT JOIN returned r ON c.cohort_day = r.cohort_day
+    """,
+    doc=(
+        "Day-7 retention per signup-day cohort (the bounce metric the "
+        "weekly cohort matrix summarizes away): first-active day per "
+        "user, exact-day-7 return via a semi join on (user, day+7), "
+        "exact counts and one division. Two key shuffles total."
+    ),
+)
+def q_retention_d7(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    cohorts = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    probe = firsts.select(
+        "user_id", F.date_add("cohort_day", 7).alias("d7"), "cohort_day"
+    )
+    returned = (
+        probe.join(
+            days,
+            (probe.user_id == days.user_id) & (probe.d7 == days.d),
+            "left_semi",
+        )
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+    )
+    j = cohorts.join(returned, "cohort_day", "left")
+    return j.select(
+        "cohort_day",
+        "cohort_size",
+        F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+        (
+            F.coalesce("n_returned", F.lit(0)).cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("d7_retention"),
+    )

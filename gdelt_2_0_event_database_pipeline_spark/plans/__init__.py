@@ -79,6 +79,8 @@ _DRIVER_PRIORITY = [
     "q_pk_check",
     "q_stickiness",
     "q_retention_d7",
+    "q_seq_trigrams",
+    "q_conversion_latency",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

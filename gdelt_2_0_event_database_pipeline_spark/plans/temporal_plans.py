@@ -1422,3 +1422,97 @@ def q_retention_d7(spark, sf_dir):
             / F.col("cohort_size").cast("double")
         ).alias("d7_retention"),
     )
+
+
+@register(
+    "q_seq_trigrams",
+    sql="""
+    WITH uniq AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us, event_id
+      FROM events
+    ), s AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM uniq
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT a, b, c, count(*) AS cnt
+    FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY cnt DESC, a, b, c LIMIT 20
+    """,
+    doc=(
+        "Behavioral trigrams: top-20 three-step event sequences per user "
+        "stream (the order-3 extension of q_transitions' Markov bigrams) "
+        "— two lead offsets over ONE window sort, grouped count, "
+        "total-ordered selection. Exact integers."
+    ),
+)
+def q_seq_trigrams(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id")
+    )
+    s = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        s.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"), F.asc("c"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_conversion_latency",
+    sql="""
+    WITH e AS (
+      SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id FROM events
+    ), l AS (SELECT * FROM e WHERE event_type = 'purchase'),
+       r AS (SELECT * FROM e WHERE event_type = 'click')
+    SELECT CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) // 600000000
+             AS latency_10min_bucket,
+           count(*) AS n
+    FROM l ASOF JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    GROUP BY 1
+    """,
+    doc=(
+        "Click-to-purchase conversion latency histogram (10-minute "
+        "buckets): last-touch attribution via the as-of backward join "
+        "(one union+window shuffle), exact integer microsecond gaps "
+        "floor-bucketed — the funnel-timing readout."
+    ),
+)
+def q_conversion_latency(spark, sf_dir):
+    from ..operators.temporal import asof_join
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "click").withColumn(
+        "click_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    out = asof_join(
+        left,
+        right.select("user_id", "ts", "click_us"),
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["click_us"],
+    )
+    return (
+        out.filter(F.col("asof_click_us").isNotNull())
+        .select(
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.col("asof_click_us")
+            ).alias("gap_us")
+        )
+        .select(F.expr("gap_us div 600000000").alias("latency_10min_bucket"))
+        .groupBy("latency_10min_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

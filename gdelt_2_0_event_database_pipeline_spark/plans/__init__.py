@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "q_retention_d7",
     "q_seq_trigrams",
     "q_conversion_latency",
+    "q_label_separability",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -29,6 +29,7 @@ import re
 NESTED_LOOP_OK = {
     "q_ngram_jaccard",       # exact verify kernel, doc_id < 60
     "q_levenshtein",         # exact kernel, doc_id < 25
+    "q_label_separability",  # exact pair kernel, vec_id < 80
     "q_dedup_canonical",     # exact-Jaccard edges, doc_id < 200 (oracle-able)
     "q_dedup_keep_longest",  # same capped edge kernel
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set

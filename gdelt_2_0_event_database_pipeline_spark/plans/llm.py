@@ -2709,3 +2709,54 @@ def q_odds_ratio(spark, sf_dir):
             b * c > 0, (F.col("a") * dd).cast("double") / (b * c).cast("double")
         ).alias("odds_ratio"),
     )
+
+
+@register(
+    "q_label_separability",
+    sql="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id < 80
+    ), pairs AS (
+      SELECT CASE WHEN a.label = b.label THEN 'within' ELSE 'across' END
+               AS pair_kind,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT pair_kind, count(*) AS n_pairs,
+           round(avg(cos_sim), 6) AS mean_cos
+    FROM pairs GROUP BY pair_kind
+    """,
+    doc=(
+        "Label separability of the embedding space: mean cosine within "
+        "vs across labels over the vec_id<80 capped pair kernel (the "
+        "documented O(n^2) verification-sized stance — at scale, sample "
+        "per label first). Per-pair folds are bit-identical cross-engine; "
+        "the mean is a float aggregate, rounded 6dp. A within-across gap "
+        "near zero means the labels are not linearly separable — the "
+        "go/no-go check before training a centroid classifier."
+    ),
+)
+def q_label_separability(spark, sf_dir):
+    from ..operators.similarity import cosine
+
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 80)
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.when(F.col("a.label") == F.col("b.label"), "within")
+        .otherwise("across")
+        .alias("pair_kind"),
+        cosine(F.col("a.e"), F.col("b.e")).alias("cos_sim"),
+    )
+    return pairs.groupBy("pair_kind").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("cos_sim"), 6).alias("mean_cos"),
+    )

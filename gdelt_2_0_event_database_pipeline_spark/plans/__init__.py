@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "q_seq_trigrams",
     "q_conversion_latency",
     "q_label_separability",
+    "q_dim_variance",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

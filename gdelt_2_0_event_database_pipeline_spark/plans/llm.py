@@ -2760,3 +2760,38 @@ def q_label_separability(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("cos_sim"), 6).alias("mean_cos"),
     )
+
+
+@register(
+    "q_dim_variance",
+    sql="""
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT dim, count(*) AS n,
+           round(var_samp(v), 8) AS variance,
+           round(avg(v), 8) AS mean
+    FROM x GROUP BY dim
+    """,
+    doc=(
+        "Per-dimension embedding variance (dead/collapsed-dimension "
+        "detection — a near-zero-variance dimension carries no signal "
+        "and wastes index space): posexplode to (dim, value), one "
+        "grouped variance over 64 integer keys. Float aggregates rounded "
+        "8dp both sides."
+    ),
+)
+def q_dim_variance(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    )
+    return x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.var_samp("v"), 8).alias("variance"),
+        F.round(F.avg("v"), 8).alias("mean"),
+    )

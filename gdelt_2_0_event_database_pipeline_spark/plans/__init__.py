@@ -83,6 +83,8 @@ _DRIVER_PRIORITY = [
     "q_conversion_latency",
     "q_label_separability",
     "q_dim_variance",
+    "q_basket_sizes",
+    "q_repeat_rate",
     # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",

@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "q_ab_test",             # |arms|-row self-join on arm_a < arm_b
     "q_percentile_vs_ref",   # broadcast 1-row reference-count join
     "q_pct_ref_bucketed",    # broadcast 1-row boundary-array join
+    "q_basket_sizes",        # broadcast 1-row total over the size table
     "q_decile_lift",         # broadcast 1-row boundary/total aggregates
     "q_benford",             # broadcast 1-row total over the 9-digit table
     "q_runs_test",           # broadcast 1-row median over the daily counts
@@ -91,6 +92,7 @@ SINGLE_PARTITION_OK = {
     "q_benford",             # 1-row total aggregate over the 9-digit table
     "q_decile_lift",         # 1-row exact-percentile boundary aggregate
     "q_pct_ref_bucketed",    # same 1-row boundary-array aggregate
+    "q_basket_sizes",        # one-row total over the |sizes|-row table
     "q_percentile_vs_ref",   # single sorted pass over ref+probe (exact-twin
                              # stance; 100 TB path = broadcast CDF histogram)
     "q_autocorr",            # lag windows + 1-row accumulators over the

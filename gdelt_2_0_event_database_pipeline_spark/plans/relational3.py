@@ -1623,3 +1623,83 @@ def q_pk_check(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "q_basket_sizes",
+    sql="""
+    WITH b AS (
+      SELECT l_orderkey, count(*) AS basket_size
+      FROM lineitem GROUP BY l_orderkey
+    ), d AS (
+      SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders
+      FROM b GROUP BY basket_size
+    ), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM d)
+    SELECT basket_size, n_orders,
+           CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM d CROSS JOIN t
+    """,
+    doc=(
+        "Basket-size distribution (count-of-counts): lineitems per order, "
+        "then orders per basket size with share — two grouped counts and "
+        "one broadcast total; exact integers, one division."
+    ),
+)
+def q_basket_sizes(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("basket_size"))
+    d = b.groupBy("basket_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    t = d.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return d.crossJoin(F.broadcast(t)).select(
+        "basket_size",
+        "n_orders",
+        (F.col("n_orders").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@register(
+    "q_repeat_rate",
+    sql="""
+    WITH m AS (
+      SELECT strftime(o_orderdate::DATE, '%Y-%m') AS month, o_custkey,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS repeat_rate
+    FROM m GROUP BY month
+    """,
+    doc=(
+        "Monthly repeat-customer rate (customers with 2+ orders in the "
+        "month over active customers) — two grouped counts sharing the "
+        "(month, customer) exchange; exact integers, one division."
+    ),
+)
+def q_repeat_rate(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias(
+            "month"
+        ),
+        "o_custkey",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return m.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repeat"),
+        (
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("repeat_rate"),
+    )

@@ -525,13 +525,31 @@ def mann_whitney_u(
     ``(u_a, z, n_a, n_b)`` where ``u_a`` counts (a > b) pairs plus half
     the ties and ``z`` uses the tie-corrected normal approximation
     (NULL when the variance degenerates — all values identical).
+
+    Scale plan (round-6 verdict item 3): the pooled exclusive cumulative
+    ``prev_cum`` used to be one ``ORDER BY v`` window over ALL distinct
+    pooled values — an ``Exchange SinglePartition`` that is unbounded for
+    continuous columns at 100×. It is now
+    :func:`~..operators.ranks.exclusive_prefix_sum`: range-bucketed,
+    windows only over ``__bkt__`` (≥256 parallel partitions), triangular
+    offsets over the bounded bucket aggregate. Exact integers throughout,
+    so the result — and the DuckDB oracle — are unchanged. The only
+    remaining single-partition exchange is the final 1-row accumulator
+    aggregate (map-side partials; one row per partition crosses the wire).
     """
+    from .ranks import exclusive_prefix_sum
+
     a = df_a.select(F.col(value_col).alias("__v__")).filter(
         F.col("__v__").isNotNull()
     )
     b = df_b.select(F.col(value_col).alias("__v__")).filter(
         F.col("__v__").isNotNull()
     )
+    # one bounded driver action: pooled min/max from the raw union (scan +
+    # partial agg — cheaper than forcing the groupBy/join subtree twice)
+    bounds_row = a.unionByName(b).agg(
+        F.min("__v__").alias("lo"), F.max("__v__").alias("hi")
+    ).first()
     ca = a.groupBy("__v__").agg(F.count(F.lit(1)).alias("__ca__"))
     cb = b.groupBy("__v__").agg(F.count(F.lit(1)).alias("__cb__"))
     merged = ca.join(cb, "__v__", "full_outer").select(
@@ -539,17 +557,19 @@ def mann_whitney_u(
         F.coalesce("__ca__", F.lit(0)).alias("__ca__"),
         F.coalesce("__cb__", F.lit(0)).alias("__cb__"),
     )
-    w = Window.orderBy("__v__").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     t = F.col("__ca__") + F.col("__cb__")
-    cum = F.sum(t).over(w)
-    rows = merged.select(
-        "__ca__",
-        "__cb__",
-        t.alias("__t__"),
-        (cum - t).alias("__prev__"),
-    )
+    merged = merged.withColumn("__t__", t)
+    if bounds_row is None or bounds_row.lo is None:
+        merged = merged.withColumn("__prev__", F.lit(0).cast("long"))
+    else:
+        merged = exclusive_prefix_sum(
+            merged,
+            "__v__",
+            "__t__",
+            bounds=(float(bounds_row.lo), float(bounds_row.hi)),
+            out_col="__prev__",
+        )
+    rows = merged.select("__ca__", "__cb__", "__t__", "__prev__")
     agg = rows.agg(
         F.sum("__ca__").alias("n_a"),
         F.sum("__cb__").alias("n_b"),

@@ -1,0 +1,247 @@
+"""Scale-safe exact rank machinery: bucketed exclusive prefix sums and
+tie-averaged rank maps.
+
+The problem this module solves: exact rank statistics (Spearman rho,
+Mann-Whitney U, tie-averaged percentile ranks) are usually written as
+``rank() OVER (PARTITION BY group ORDER BY value)``. When ``group`` has tiny
+cardinality (``l_returnflag`` has 3 values) that window funnels the whole
+table through 3 tasks — a single-reducer sort per group, the canonical
+100×-scale killer flagged in the round-6 verdict for ``q_spearman`` and
+``q_mannwhitney``.
+
+The fix is the range-bucket pattern already proven by
+:func:`~..operators.sampling.sample_systematic` and the token-budget
+selector (``operators/training.py``), applied to *rank* computation:
+
+1. aggregate to per-(group, value) counts — a shuffle on a FINE-GRAINED key
+   (the value itself), never on the low-cardinality group alone;
+2. range-bucket the distinct values (monotone ``floor((v - lo) / width)``,
+   so bucket order == value order);
+3. per-(group, bucket) subtotal → exclusive running offsets via a triangular
+   self-join over that ≤ ``|groups| · n_buckets``-row aggregate (bounded by
+   construction; broadcast);
+4. a window partitioned by ``(group, bucket)`` — ≥ ``n_buckets`` parallel
+   partitions per group, each holding only the distinct values of one value
+   range — finishes the exclusive prefix *within* buckets.
+
+Everything is exact integer arithmetic: the results are bit-identical to the
+single-window form, so the same DuckDB oracle SQL validates the scale-safe
+plan directly (no approximate-twin discipline needed — unlike
+``q_quantiles_approx`` this is a *plan* change, not a *semantics* change).
+
+Doubled tie-averaged ranks (the ``q_spearman`` / ``q_mannwhitney``
+discipline): for a tie group of ``cnt`` equal values preceded by ``lt``
+smaller rows, ``2 * avg_rank = 2 * lt + cnt + 1`` — an exact BIGINT, no
+``0.5`` floats in the accumulators.
+
+Skew note: a skewed *value distribution* only skews bucket sizes, never
+correctness; raise ``n_buckets`` (or feed quantile-derived bucket bounds
+from ``profile.quantile_table``) if one value range would dominate.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exclusive_prefix_sum",
+    "rank_map",
+    "spearman_bucketed",
+]
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    n_buckets: int = 256,
+    bounds: tuple[float, float] | None = None,
+    out_col: str = "__lt__",
+) -> DataFrame:
+    """Add ``out_col`` = sum of ``weight_col`` over rows with a strictly
+    smaller ``order_col`` (within ``group_cols``) — an exclusive running sum
+    with NO single-partition window.
+
+    Requires ``order_col`` numeric and distinct within each group (callers
+    aggregate to distinct values first; ties would make "strictly smaller"
+    ambiguous row-by-row).
+
+    ``bounds`` is the global ``(min, max)`` of ``order_col``; pass it when a
+    cheaper upstream frame can supply it (e.g. the raw rows before the
+    distinct-count aggregation) — otherwise one bounded 1-row driver action
+    computes it here, the same class of metadata collect as
+    ``sample_systematic``.
+    """
+    if bounds is None:
+        row = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).first()
+        if row is None or row.lo is None:
+            return df.withColumn(out_col, F.lit(0).cast("long"))
+        bounds = (float(row.lo), float(row.hi))
+    lo, hi = bounds
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    gcols = list(group_cols)
+    with_bkt = df.withColumn("__bkt__", bucket)
+
+    # per-(group, bucket) subtotals: ≤ |groups|·n_buckets rows by construction
+    subtot = with_bkt.groupBy(*gcols, "__bkt__").agg(
+        F.sum(weight_col).alias("__bw__")
+    )
+    prior = subtot.select(
+        *[F.col(g).alias(f"__pg_{g}__") for g in gcols],
+        F.col("__bkt__").alias("__pb__"),
+        F.col("__bw__").alias("__pw__"),
+    )
+    cond = F.col("__pb__") < F.col("__bkt__")
+    for g in gcols:
+        cond = cond & (F.col(f"__pg_{g}__") == F.col(g))
+    offsets = (
+        subtot.join(F.broadcast(prior), cond, "left")
+        .groupBy(*gcols, "__bkt__")
+        .agg(F.coalesce(F.sum("__pw__"), F.lit(0)).alias("__off__"))
+    )
+
+    w = (
+        Window.partitionBy(*gcols, "__bkt__")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_bkt.join(F.broadcast(offsets), gcols + ["__bkt__"])
+        .withColumn(
+            out_col,
+            (F.sum(weight_col).over(w) - F.col(weight_col) + F.col("__off__"))
+            .cast("long"),
+        )
+        .drop("__bkt__", "__off__")
+    )
+
+
+def rank_map(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    n_buckets: int = 256,
+    bounds: tuple[float, float] | None = None,
+) -> DataFrame:
+    """Exact doubled tie-averaged rank per distinct ``(group, value)``:
+    ``(group..., value_col, __cnt__, __rank2__)`` with
+    ``__rank2__ = 2·|{rows < v}| + |{rows == v}| + 1`` (an exact BIGINT;
+    halve only at the very end if an undoubled rank is ever needed).
+
+    Join rows back on ``(group..., value)`` to attach per-row ranks: the join
+    key includes the fine-grained value, so the shuffle distributes on value
+    cardinality, not group cardinality — and when the map is small (few
+    distinct values) AQE broadcasts it automatically.
+    """
+    gcols = list(group_cols)
+    cnts = df.groupBy(*gcols, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt__")
+    )
+    m = exclusive_prefix_sum(
+        cnts,
+        value_col,
+        "__cnt__",
+        gcols,
+        n_buckets=n_buckets,
+        bounds=bounds,
+    )
+    return m.withColumn(
+        "__rank2__",
+        (F.lit(2) * F.col("__lt__") + F.col("__cnt__") + F.lit(1)).cast(
+            "long"
+        ),
+    ).drop("__lt__")
+
+
+def spearman_bucketed(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    *,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Spearman rank correlation per group — exact, tie-averaged, and
+    scale-safe (the round-6 verdict's prescribed rewrite of ``q_spearman``,
+    ``plans/relational3.py``; reference parity target: the filter/stats
+    surface of ``filtering/filter.py:79-214``).
+
+    Identical output to the window form: doubled tie-averaged ranks are an
+    affine transform of the true ranks and Pearson-on-ranks is affine-
+    invariant, so ``rho`` matches bit-for-bit given the identical pinned
+    closing tree. The plan difference: NO window partitioned by the
+    low-cardinality ``group_col`` — both rank maps come from
+    :func:`rank_map` (windows over ``(group, bucket)``), and rows join their
+    ranks back on ``(group, value)`` keys.
+
+    One bounded driver action: a single 1-row min/max aggregate over both
+    value columns (column-pruned scan), shared by the two rank maps.
+    """
+    b = df.agg(
+        F.min(x_col).alias("xlo"),
+        F.max(x_col).alias("xhi"),
+        F.min(y_col).alias("ylo"),
+        F.max(y_col).alias("yhi"),
+    ).first()
+    if b is None or b.xlo is None:
+        empty = df.select(
+            F.col(group_col).alias("g"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("spearman_rho"),
+        )
+        return empty.filter(F.lit(False))
+
+    mx = rank_map(
+        df,
+        x_col,
+        [group_col],
+        n_buckets=n_buckets,
+        bounds=(float(b.xlo), float(b.xhi)),
+    ).select(group_col, x_col, F.col("__rank2__").alias("__rx__"))
+    my = rank_map(
+        df,
+        y_col,
+        [group_col],
+        n_buckets=n_buckets,
+        bounds=(float(b.ylo), float(b.yhi)),
+    ).select(group_col, y_col, F.col("__rank2__").alias("__ry__"))
+
+    rows = (
+        df.select(group_col, x_col, y_col)
+        .join(mx, [group_col, x_col])
+        .join(my, [group_col, y_col])
+    )
+    s = rows.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx__").alias("sx"),
+        F.sum("__ry__").alias("sy"),
+        F.sum(F.col("__rx__") * F.col("__rx__")).alias("sxx"),
+        F.sum(F.col("__ry__") * F.col("__ry__")).alias("syy"),
+        F.sum(F.col("__rx__") * F.col("__ry__")).alias("sxy"),
+    )
+    # identical closing tree to q_spearman: accumulators are exact BIGINTs,
+    # each converted to double ONCE before the pinned rho expression (the
+    # final cross products would overflow long past ~60k-row groups)
+    nD = F.col("n").cast("double")
+    sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxxD, syyD = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxyD = F.col("sxy").cast("double")
+    num = nD * sxyD - sxD * syD
+    den = F.sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD))
+    return s.select(
+        group_col,
+        "n",
+        (num / den).alias("spearman_rho"),
+    )

@@ -22,62 +22,30 @@ from . import graph_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-6 rotation: every query without a driver row in ANY
-    # CORRECTNESS_r*.json (r5 artifacts never landed, so both the r5 batch
-    # and the r6 additions are unchecked). Oracle-SQL entries lead (they
-    # yield rows+schema+hash evidence); rows-only entries follow; the
-    # stalest r3-checked oracle queries fill any remaining window.
-    # -- round-6 continuation batch (newest, zero driver evidence) --
-    "q_scd2_build",
-    "q_scd2_pit",
-    "q_unpivot",
-    "q_geo_hotspots",
-    "q_geo_radius_join",
-    "q_triangle_count",
-    "q_khop_reach",
-    "q_interpolate",
-    "q_gini",
-    "q_twap",
-    "q_chi2",
-    "q_hard_negatives",
-    "q_class_balance",
-    "q_skyline",
-    "q_ks_drift",
-    "q_top_p",
-    "q_fuzzy_blocked",
-    "q_streaks",
-    "q_mode_per_group",
-    "q_ab_test",
-    "q_seasonal_decompose",
-    "q_percentile_vs_ref",
-    "q_share_of_parent",
-    "q_mom_growth",
-    "q_corpus_venn",
-    "q_decile_lift",
-    "q_weighted_median",
-    "q_mannwhitney",
-    "q_interval_intersect",
-    "q_attribution_linear",
-    "q_spearman",
-    "q_benford",
-    "q_autocorr",
-    "q_runs_test",
-    "q_apply_changes",
-    "q_quantile_table",
-    "q_pct_ref_bucketed",
-    "q_cramers_v",
-    "q_lorenz",
-    "q_hhi",
-    "q_life_table",
-    "q_coverage_topk",
-    "q_zipf",
-    "q_ttr",
-    "q_odds_ratio",
-    "q_gap_stats",
-    "q_peak_hour",
-    "q_fk_check",
-    "q_pk_check",
-    "q_stickiness",
+    # Round-7 rotation (round-6 verdict item 1): the 71 registry queries
+    # without a driver row in ANY checked-in CORRECTNESS_r*.json, fronted.
+    # The 12 rows-only queries that have NEVER been driver-touched lead
+    # (explicit verdict priority), then this round's new/changed queries,
+    # then the 59 never-checked oracle queries in registry order — the
+    # first ~50 get CORRECTNESS_r07 rows, the tail rolls to round 8.
+    # -- never-driver-touched rows-only queries (12) --
+    "q_hll_rollup",
+    "q_compression_ratio",
+    "q_media_near_dup",
+    "q_audio_near_dup",
+    "q_video_near_dup",
+    "q_bpe_train",
+    "q_pack_first_fit",
+    "q_ivf_topk",
+    "q_approx_distinct",
+    "q_quantiles_approx",
+    "q_model_fit_score",
+    "q_pagerank",
+    # -- new or re-implemented in round 7 (need fresh driver rows) --
+    "q_spearman_bucketed",
+    "q_heavy_hitters_exact",
+    "q_mannwhitney",  # r6-green, but the rank prefix was rewritten in r7
+    # -- never-driver-checked oracle queries (registry order) --
     "q_retention_d7",
     "q_seq_trigrams",
     "q_conversion_latency",
@@ -85,7 +53,6 @@ _DRIVER_PRIORITY = [
     "q_dim_variance",
     "q_basket_sizes",
     "q_repeat_rate",
-    # -- earlier round-6 batches --
     "q_bm25_search",
     "q_semantic_dedup",
     "q_dedup_near_against",
@@ -130,6 +97,8 @@ _DRIVER_PRIORITY = [
     "q_sample_stratified",
     "q_sample_daily",
     "q_sample_filtered",
+    # ---- driver cap (~50) usually lands around here; the tail below
+    # ---- rolls into the round-8 window in this same order
     "q_sample_weighted",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -138,23 +107,6 @@ _DRIVER_PRIORITY = [
     "q_embedding_near_dup",
     "q_normalize_url",
     "q_media_stats",
-    "q_hll_rollup",
-    "q_compression_ratio",
-    "q_media_near_dup",
-    "q_audio_near_dup",
-    "q_video_near_dup",
-    "q_bpe_train",
-    "q_pack_first_fit",
-    "q_ivf_topk",
-    "q_approx_distinct",
-    "q_quantiles_approx",
-    "q_model_fit_score",
-    "q_pagerank",
-    "q_asof_forward",
-    "q_asof_join",
-    "q_bucketed_join",
-    "q_conditional_agg",
-    "q_dsl_nested",
 ]
 
 

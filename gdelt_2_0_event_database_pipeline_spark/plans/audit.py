@@ -49,6 +49,7 @@ NESTED_LOOP_OK = {
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
     "q_skew_report",         # top-k keys × broadcast 1-row total
+    "q_heavy_hitters_exact", # |event types|-row counts × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
     "q_bm25_search",         # corpus × broadcast 1-row BM25 stats
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
@@ -57,6 +58,10 @@ NESTED_LOOP_OK = {
                              # counts aggregate (bounded by construction)
     "q_token_budget",        # same bounded triangular-offsets pattern
     "q_token_budget_per_lang",
+    "q_mannwhitney",         # same ≤n_buckets-row triangular-offsets join
+                             # (ranks.exclusive_prefix_sum, groupless form —
+                             # pure pb<bkt condition plans as BNLJ over the
+                             # 256-row bucket aggregate)
     "q_chi2",                # |rows|x|cols| marginal cross + 1-row grand total
     "q_cramers_v",           # same shape + 1-row chi2/dims join
     "q_odds_ratio",          # broadcast marginals + 1-row grand total
@@ -70,6 +75,7 @@ SINGLE_PARTITION_OK = {
     "q_null_drop",       # retention report row (rows_before/after/retention)
     "q_profile",         # one-row dataset profile
     "q_heavy_hitters",   # freqItems sketch merges to one summary row
+    "q_heavy_hitters_exact",  # 1-row grand-total aggregate (partial-agg'd)
     "q_approx_distinct", # single-row HLL++ summary
     "q_tfidf_keywords",  # one-row corpus-count scalar (partial-agg'd)
     "q06_forecast_revenue",  # TPC-H Q6: one-row global revenue aggregate
@@ -103,8 +109,9 @@ SINGLE_PARTITION_OK = {
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count
                              # series (day-cardinality-bounded after the
                              # first grouped count)
-    "q_mannwhitney",         # rank window over |distinct pooled values| +
-                             # 1-row final aggregate (same stance as KS)
+    "q_mannwhitney",         # 1-row final accumulator aggregate ONLY — the
+                             # pooled rank prefix is bucket-parallel since r7
+                             # (ranks.exclusive_prefix_sum; verdict item 3)
     "q_ks_drift",            # 1-row totals + KS max over the |distinct
                              # pooled values| cumulative window — the exact
                              # twin of the bucketed TV drift (documented

@@ -1115,6 +1115,48 @@ def q_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "q_heavy_hitters_exact",
+    sql="""
+    WITH c AS (
+      SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    ), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+    SELECT event_type, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS support
+    FROM c CROSS JOIN t
+    WHERE CAST(cnt AS DOUBLE) >= 0.1 * CAST(total AS DOUBLE)
+    """,
+    doc=(
+        "Exact oracle twin of q_heavy_hitters (round-6 verdict item 5): "
+        "items at >=10% support by exact count-threshold — grouped count + "
+        "broadcast 1-row grand total (partial-agg'd), "
+        "HAVING cnt >= support*total. The freqItems sketch form stays "
+        "rows-only (approximate superset by construction) with its planted-"
+        "hitter containment pytest; this twin gives the family a "
+        "rows+schema+hash CORRECTNESS row. Support ratio is one division "
+        "of exact BIGINTs — engine-exact."
+    ),
+)
+def q_heavy_hitters_exact(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    total = c.agg(F.sum("cnt").alias("total"))
+    return (
+        c.join(F.broadcast(total))
+        .filter(
+            F.col("cnt").cast("double")
+            >= F.lit(0.1) * F.col("total").cast("double")
+        )
+        .select(
+            "event_type",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias(
+                "support"
+            ),
+        )
+    )
+
+
+@register(
     "q_quantiles_approx",
     sql=None,  # sketch interpolation is engine-specific; q_quantiles is the exact twin
     doc=(

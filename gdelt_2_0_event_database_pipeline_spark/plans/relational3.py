@@ -1159,6 +1159,58 @@ def q_spearman(spark, sf_dir):
     )
 
 
+@register(
+    "q_spearman_bucketed",
+    sql="""
+    WITH r AS (
+      SELECT l_returnflag AS g,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+               AS rx,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+               AS ry
+      FROM lineitem
+    ), s AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM r GROUP BY g
+    )
+    SELECT g AS l_returnflag, n,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS spearman_rho
+    FROM s
+    """,
+    doc=(
+        "Spearman rho, 100 TB plan (round-6 verdict item 2): identical "
+        "semantics and oracle SQL as q_spearman, but the rank maps come "
+        "from operators/ranks.py — per-(group, value) counts, range-"
+        "bucketed exclusive prefix sums (triangular offsets over the "
+        "bounded bucket aggregate), windows only over (group, bucket) — "
+        "so NO window partitioned by the 3-value l_returnflag key and no "
+        "single-task 200M-row sort at 100x. Exact integer ranks, so the "
+        "same oracle validates the scale plan directly; the window form "
+        "is kept as q_spearman, the differential twin "
+        "(tests/test_ranks.py pins bucketed == exact)."
+    ),
+)
+def q_spearman_bucketed(spark, sf_dir):
+    from ..operators.ranks import spearman_bucketed
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_bucketed(
+        li, "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
 _BENFORD = {
     1: 0.301029995664, 2: 0.176091259056, 3: 0.124938736608,
     4: 0.096910013008, 5: 0.079181246048, 6: 0.066946789631,

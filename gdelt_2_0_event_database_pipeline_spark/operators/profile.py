@@ -536,6 +536,16 @@ def mann_whitney_u(
     so the result — and the DuckDB oracle — are unchanged. The only
     remaining single-partition exchange is the final 1-row accumulator
     aggregate (map-side partials; one row per partition crosses the wire).
+
+    Parameter contract (round-7 advisory): ``value_col`` must be NUMERIC —
+    the range-bucketing casts values to double and arithmetic-buckets them,
+    so arbitrary orderable types (strings, dates) are NOT supported; use a
+    plain rank window form if you need those. Construction is also EAGER:
+    one bounded 1-row min/max Spark job runs when this function is called
+    (the same metadata-collect class as ``sample_systematic``), not at
+    first action on the returned frame. The squared/cubed accumulators run
+    in exact decimal(38,0) — see the overflow contract in
+    ``ranks.spearman_bucketed``.
     """
     from .ranks import exclusive_prefix_sum
 
@@ -570,23 +580,29 @@ def mann_whitney_u(
             out_col="__prev__",
         )
     rows = merged.select("__ca__", "__cb__", "__t__", "__prev__")
+    # overflow discipline (round-7 advisory family): 2*R_a ~ 2N^2 and
+    # sum(t^3) can blow past int64 on billion-row pooled samples; the
+    # accumulators run in exact decimal(38,0) (see ranks.spearman_bucketed
+    # for the bound derivation) — the oracle matches with HUGEINT
+    caD = F.col("__ca__").cast("decimal(19,0)")
+    tD = F.col("__t__").cast("decimal(19,0)")
+    termD = (
+        F.lit(2) * F.col("__prev__") + F.col("__t__") + F.lit(1)
+    ).cast("decimal(19,0)")
     agg = rows.agg(
         F.sum("__ca__").alias("n_a"),
         F.sum("__cb__").alias("n_b"),
-        F.sum(
-            F.col("__ca__")
-            * (F.lit(2) * F.col("__prev__") + F.col("__t__") + F.lit(1))
-        ).alias("__2ra__"),
-        F.sum(
-            F.col("__t__") * F.col("__t__") * F.col("__t__") - F.col("__t__")
-        ).alias("__ties__"),
+        F.sum(caD * termD).alias("__2ra__"),
+        F.sum(tD * tD * tD - tD).alias("__ties__"),
     )
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     n = na + nb
     # U_a = R_a - n_a(n_a+1)/2 ; doubled arithmetic stays integer
     u_a = (
-        F.col("__2ra__") - F.col("n_a") * (F.col("n_a") + 1)
+        F.col("__2ra__")
+        - F.col("n_a").cast("decimal(19,0)")
+        * (F.col("n_a") + 1).cast("decimal(19,0)")
     ).cast("double") / F.lit(2.0)
     var = (
         na

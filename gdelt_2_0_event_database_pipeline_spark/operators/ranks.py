@@ -67,9 +67,12 @@ def exclusive_prefix_sum(
     smaller ``order_col`` (within ``group_cols``) — an exclusive running sum
     with NO single-partition window.
 
-    Requires ``order_col`` numeric and distinct within each group (callers
-    aggregate to distinct values first; ties would make "strictly smaller"
-    ambiguous row-by-row).
+    Requires ``order_col`` numeric, NON-NULL, and distinct within each group
+    (callers aggregate to distinct values first; ties would make "strictly
+    smaller" ambiguous row-by-row). NULL ``order_col`` rows are dropped
+    explicitly here — a NULL bucket key would silently fall out of the
+    offsets equi-join anyway, so the contract is enforced up front rather
+    than left as silent row loss (round-7 advisory).
 
     ``bounds`` is the global ``(min, max)`` of ``order_col``; pass it when a
     cheaper upstream frame can supply it (e.g. the raw rows before the
@@ -77,6 +80,7 @@ def exclusive_prefix_sum(
     computes it here, the same class of metadata collect as
     ``sample_systematic``.
     """
+    df = df.filter(F.col(order_col).isNotNull())
     if bounds is None:
         row = df.agg(
             F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
@@ -188,7 +192,25 @@ def spearman_bucketed(
 
     One bounded driver action: a single 1-row min/max aggregate over both
     value columns (column-pruned scan), shared by the two rank maps.
+
+    NULL contract (round-7 advisory): rows where ``x_col`` or ``y_col`` is
+    NULL are excluded up front (complete-case analysis — the standard
+    Spearman contract). The plain window form would instead assign NULLs a
+    rank; on nullable columns the two forms therefore differ BY DESIGN, and
+    the filter here makes that an explicit contract rather than silent
+    join-key row loss.
+
+    Overflow contract (round-7 advisory, medium): the doubled ranks are
+    ``rx ≈ 2n`` so ``sum(rx·rx) ≈ (16/3)·n³`` — past int64 at ~1.2M rows
+    per group. The squared/cross accumulators therefore run in
+    ``decimal(38,0)``: the per-row product of two ``decimal(19,0)`` ranks
+    is exact (< 2^126 < 10^38), and the decimal sum is exact up to ~10^38,
+    i.e. ~3·10^12 rows PER GROUP (≫ 100 TB scale). Unlike a silently
+    wrapping BIGINT sum, a decimal overflow under non-ANSI Spark yields
+    NULL — loud, not wrong. Each accumulator converts to double exactly
+    once before the pinned closing tree, matching the oracle.
     """
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     b = df.agg(
         F.min(x_col).alias("xlo"),
         F.max(x_col).alias("xhi"),
@@ -196,8 +218,10 @@ def spearman_bucketed(
         F.max(y_col).alias("yhi"),
     ).first()
     if b is None or b.xlo is None:
+        # keep the caller's group column NAME so both branches share one
+        # schema (round-7 advisory: the old `.alias("g")` diverged)
         empty = df.select(
-            F.col(group_col).alias("g"),
+            F.col(group_col).alias(group_col),
             F.lit(0).cast("long").alias("n"),
             F.lit(None).cast("double").alias("spearman_rho"),
         )
@@ -223,17 +247,20 @@ def spearman_bucketed(
         .join(mx, [group_col, x_col])
         .join(my, [group_col, y_col])
     )
+    rxD = F.col("__rx__").cast("decimal(19,0)")
+    ryD = F.col("__ry__").cast("decimal(19,0)")
     s = rows.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("__rx__").alias("sx"),
-        F.sum("__ry__").alias("sy"),
-        F.sum(F.col("__rx__") * F.col("__rx__")).alias("sxx"),
-        F.sum(F.col("__ry__") * F.col("__ry__")).alias("syy"),
-        F.sum(F.col("__rx__") * F.col("__ry__")).alias("sxy"),
+        F.sum(rxD).alias("sx"),
+        F.sum(ryD).alias("sy"),
+        F.sum(rxD * rxD).alias("sxx"),
+        F.sum(ryD * ryD).alias("syy"),
+        F.sum(rxD * ryD).alias("sxy"),
     )
-    # identical closing tree to q_spearman: accumulators are exact BIGINTs,
-    # each converted to double ONCE before the pinned rho expression (the
-    # final cross products would overflow long past ~60k-row groups)
+    # identical closing tree to q_spearman: accumulators are exact
+    # decimal(38,0) (see overflow contract above), each converted to double
+    # ONCE before the pinned rho expression (the final cross products would
+    # overflow any fixed-width integer)
     nD = F.col("n").cast("double")
     sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxxD, syyD = F.col("sxx").cast("double"), F.col("syy").cast("double")

@@ -22,65 +22,14 @@ from . import graph_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-7 rotation (round-6 verdict item 1): the 71 registry queries
-    # without a driver row in ANY checked-in CORRECTNESS_r*.json, fronted.
-    # The 12 rows-only queries that have NEVER been driver-touched lead
-    # (explicit verdict priority), then this round's new/changed queries,
-    # then the 59 never-checked oracle queries in registry order — the
-    # first ~50 get CORRECTNESS_r07 rows, the tail rolls to round 8.
-    # -- never-driver-touched rows-only queries (12) --
-    "q_hll_rollup",
-    "q_compression_ratio",
-    "q_media_near_dup",
-    "q_audio_near_dup",
-    "q_video_near_dup",
-    "q_bpe_train",
-    "q_pack_first_fit",
-    "q_ivf_topk",
-    "q_approx_distinct",
-    "q_quantiles_approx",
-    "q_model_fit_score",
-    "q_pagerank",
-    # -- new or re-implemented in round 7 (need fresh driver rows) --
-    "q_spearman_bucketed",
-    "q_heavy_hitters_exact",
-    "q_mannwhitney",  # r6-green, but the rank prefix was rewritten in r7
-    # -- never-driver-checked oracle queries (registry order) --
-    "q_retention_d7",
-    "q_seq_trigrams",
-    "q_conversion_latency",
-    "q_label_separability",
-    "q_dim_variance",
-    "q_basket_sizes",
-    "q_repeat_rate",
-    "q_bm25_search",
-    "q_semantic_dedup",
-    "q_dedup_near_against",
-    "q_tfidf_keywords",
-    "q_winsorize",
-    "q06_forecast_revenue",
-    "q_hashed_semantic_dedup",
-    "q_resample_ffill",
-    "q_asof_tolerance",
-    "q_funnel",
-    "q_sql_surface",
-    "q_histogram",
-    "q_setsim_join",
-    "q_merge_intervals",
-    "q_containment_join",
-    "q_boilerplate_lines",
-    "q_collocations",
-    "q_snapshot_diff",
-    "q_dedup_against_bloom",
-    "q_domain_stats",
-    "q_dedup_chain",
-    "q_dup_spans",
-    "q_model_score",
-    "q_k_anonymity",
-    "q_k_anonymity_report",
-    "q_transitions",
-    "q_burst_detection",
-    "q_ewma",
+    # Round-8 rotation (round-7 verdict item 1): the 24 registry queries
+    # that have never had a driver row in ANY checked-in CORRECTNESS_r*.json
+    # lead — landing these closes the final judge-local-only gap. After
+    # them: queries whose plans changed this round (need fresh evidence),
+    # then a MAINTENANCE rotation over the already-green set ordered
+    # oldest-driver-evidence-first, so every query's evidence is refreshed
+    # on a bounded cycle (~4 rounds at the observed ~50/round driver cap).
+    # -- never-driver-checked queries (24) --
     "q_zorder_key",
     "q_ohlc",
     "q_cohort_retention",
@@ -97,8 +46,6 @@ _DRIVER_PRIORITY = [
     "q_sample_stratified",
     "q_sample_daily",
     "q_sample_filtered",
-    # ---- driver cap (~50) usually lands around here; the tail below
-    # ---- rolls into the round-8 window in this same order
     "q_sample_weighted",
     "q_dedup_minhash",
     "q_dedup_simhash",
@@ -107,6 +54,186 @@ _DRIVER_PRIORITY = [
     "q_embedding_near_dup",
     "q_normalize_url",
     "q_media_stats",
+    # -- plans touched in round 8 (rank-overflow fix family) --
+    "q_spearman_bucketed",
+    "q_spearman",
+    "q_mannwhitney",
+    # -- maintenance rotation: oldest driver evidence first --
+    "q_join_anti",  # last driver row: r3
+    "q_join_outer_agg",  # last driver row: r3
+    "q_set_union",  # last driver row: r3
+    "q_topk_per_group",  # last driver row: r3
+    "q_window_running",  # last driver row: r3
+    "q_rollup",  # last driver row: r3
+    "q_conditional_agg",  # last driver row: r3
+    "q_dsl_nested",  # last driver row: r3
+    "q_null_drop",  # last driver row: r3
+    "q_scalar_date",  # last driver row: r3
+    "q_scalar_math",  # last driver row: r3
+    "q_json_extract",  # last driver row: r3
+    "q_events_hourly",  # last driver row: r3
+    "q_pivot",  # last driver row: r3
+    "q_explode_embeddings",  # last driver row: r3
+    "q_scalar_subquery",  # last driver row: r3
+    "q_window_range_frame",  # last driver row: r3
+    "q_rank_functions",  # last driver row: r3
+    "q_regression",  # last driver row: r3
+    "q_profile",  # last driver row: r3
+    "q_grouping_sets",  # last driver row: r3
+    "q_text_stats",  # last driver row: r3
+    "q_top_tokens_per_lang",  # last driver row: r3
+    "q_asof_join",  # last driver row: r3
+    "q_asof_forward",  # last driver row: r3
+    "q_range_join",  # last driver row: r3
+    "q_event_paths",  # last driver row: r3
+    "q_salted_agg",  # last driver row: r3
+    "q_bucketed_join",  # last driver row: r3
+    "q01_pricing_summary",  # last driver row: r4
+    "q03_shipping_priority",  # last driver row: r4
+    "q05_local_supplier_volume",  # last driver row: r4
+    "q_join_semi",  # last driver row: r4
+    "q_set_intersect",  # last driver row: r4
+    "q_set_except",  # last driver row: r4
+    "q_sort_limit",  # last driver row: r4
+    "q_having",  # last driver row: r4
+    "q_distinct",  # last driver row: r4
+    "q_agg_stats",  # last driver row: r4
+    "q_dsl_equality",  # last driver row: r4
+    "q_dsl_in_list",  # last driver row: r4
+    "q_dsl_ops",  # last driver row: r4
+    "q_scalar_string",  # last driver row: r4
+    "q_array_funcs",  # last driver row: r4
+    "q_union_by_name",  # last driver row: r4
+    "q_bpe_tokens",  # last driver row: r4
+    "q_json_tuple",  # last driver row: r4
+    "q_cube",  # last driver row: r4
+    "q_levenshtein",  # last driver row: r4
+    "q_date_gaps",  # last driver row: r4
+    "q_zscore",  # last driver row: r4
+    "q_token_count_udf",  # last driver row: r4
+    "q_text_quality",  # last driver row: r4
+    "q_quality_filter",  # last driver row: r4
+    "q_token_budget",  # last driver row: r4
+    "q_token_budget_per_lang",  # last driver row: r4
+    "q_lang_id",  # last driver row: r4
+    "q_fingerprint",  # last driver row: r4
+    "q_token_histogram",  # last driver row: r4
+    "q_redact_pii",  # last driver row: r4
+    "q_repetition",  # last driver row: r4
+    "q_contamination",  # last driver row: r4
+    "q_chunk_documents",  # last driver row: r4
+    "q_assign_split",  # last driver row: r4
+    "q_mix_sources",  # last driver row: r4
+    "q_pack_linear",  # last driver row: r4
+    "q_dedup_exact",  # last driver row: r4
+    "q_dedup_exact_hash",  # last driver row: r4
+    "q_ngram_jaccard",  # last driver row: r4
+    "q_dedup_canonical",  # last driver row: r4
+    "q_dedup_against",  # last driver row: r4
+    "q_dedup_keep_longest",  # last driver row: r4
+    "q_cosine_topk",  # last driver row: r4
+    "q_exact_distinct",  # last driver row: r4
+    "q_heavy_hitters",  # last driver row: r4
+    "q_quantiles",  # last driver row: r4
+    "q_sample_systematic",  # last driver row: r4
+    "q_asof_nearest",  # last driver row: r4
+    "q_sessionize",  # last driver row: r4
+    "q_unpivot",  # last driver row: r6
+    "q_gini",  # last driver row: r6
+    "q_twap",  # last driver row: r6
+    "q_chi2",  # last driver row: r6
+    "q_skyline",  # last driver row: r6
+    "q_ks_drift",  # last driver row: r6
+    "q_top_p",  # last driver row: r6
+    "q_mode_per_group",  # last driver row: r6
+    "q_ab_test",  # last driver row: r6
+    "q_percentile_vs_ref",  # last driver row: r6
+    "q_share_of_parent",  # last driver row: r6
+    "q_mom_growth",  # last driver row: r6
+    "q_corpus_venn",  # last driver row: r6
+    "q_decile_lift",  # last driver row: r6
+    "q_weighted_median",  # last driver row: r6
+    "q_benford",  # last driver row: r6
+    "q_quantile_table",  # last driver row: r6
+    "q_pct_ref_bucketed",  # last driver row: r6
+    "q_cramers_v",  # last driver row: r6
+    "q_lorenz",  # last driver row: r6
+    "q_hhi",  # last driver row: r6
+    "q_coverage_topk",  # last driver row: r6
+    "q_fk_check",  # last driver row: r6
+    "q_pk_check",  # last driver row: r6
+    "q_hard_negatives",  # last driver row: r6
+    "q_class_balance",  # last driver row: r6
+    "q_fuzzy_blocked",  # last driver row: r6
+    "q_apply_changes",  # last driver row: r6
+    "q_zipf",  # last driver row: r6
+    "q_ttr",  # last driver row: r6
+    "q_odds_ratio",  # last driver row: r6
+    "q_scd2_build",  # last driver row: r6
+    "q_scd2_pit",  # last driver row: r6
+    "q_interpolate",  # last driver row: r6
+    "q_streaks",  # last driver row: r6
+    "q_seasonal_decompose",  # last driver row: r6
+    "q_interval_intersect",  # last driver row: r6
+    "q_attribution_linear",  # last driver row: r6
+    "q_autocorr",  # last driver row: r6
+    "q_runs_test",  # last driver row: r6
+    "q_life_table",  # last driver row: r6
+    "q_gap_stats",  # last driver row: r6
+    "q_peak_hour",  # last driver row: r6
+    "q_stickiness",  # last driver row: r6
+    "q_geo_hotspots",  # last driver row: r6
+    "q_geo_radius_join",  # last driver row: r6
+    "q_triangle_count",  # last driver row: r6
+    "q_khop_reach",  # last driver row: r6
+    "q_hll_rollup",  # last driver row: r7
+    "q_compression_ratio",  # last driver row: r7
+    "q_media_near_dup",  # last driver row: r7
+    "q_audio_near_dup",  # last driver row: r7
+    "q_video_near_dup",  # last driver row: r7
+    "q_bpe_train",  # last driver row: r7
+    "q_pack_first_fit",  # last driver row: r7
+    "q_ivf_topk",  # last driver row: r7
+    "q_approx_distinct",  # last driver row: r7
+    "q_quantiles_approx",  # last driver row: r7
+    "q_model_fit_score",  # last driver row: r7
+    "q_pagerank",  # last driver row: r7
+    "q_heavy_hitters_exact",  # last driver row: r7
+    "q_retention_d7",  # last driver row: r7
+    "q_seq_trigrams",  # last driver row: r7
+    "q_conversion_latency",  # last driver row: r7
+    "q_label_separability",  # last driver row: r7
+    "q_dim_variance",  # last driver row: r7
+    "q_basket_sizes",  # last driver row: r7
+    "q_repeat_rate",  # last driver row: r7
+    "q_bm25_search",  # last driver row: r7
+    "q_semantic_dedup",  # last driver row: r7
+    "q_dedup_near_against",  # last driver row: r7
+    "q_tfidf_keywords",  # last driver row: r7
+    "q_winsorize",  # last driver row: r7
+    "q06_forecast_revenue",  # last driver row: r7
+    "q_hashed_semantic_dedup",  # last driver row: r7
+    "q_resample_ffill",  # last driver row: r7
+    "q_asof_tolerance",  # last driver row: r7
+    "q_funnel",  # last driver row: r7
+    "q_sql_surface",  # last driver row: r7
+    "q_histogram",  # last driver row: r7
+    "q_setsim_join",  # last driver row: r7
+    "q_merge_intervals",  # last driver row: r7
+    "q_containment_join",  # last driver row: r7
+    "q_boilerplate_lines",  # last driver row: r7
+    "q_collocations",  # last driver row: r7
+    "q_snapshot_diff",  # last driver row: r7
+    "q_dedup_against_bloom",  # last driver row: r7
+    "q_domain_stats",  # last driver row: r7
+    "q_dedup_chain",  # last driver row: r7
+    "q_dup_spans",  # last driver row: r7
+    "q_model_score",  # last driver row: r7
+    "q_k_anonymity",  # last driver row: r7
+    "q_k_anonymity_report",  # last driver row: r7
+    "q_transitions",  # last driver row: r7
+    "q_burst_detection",  # last driver row: r7
+    "q_ewma",  # last driver row: r7
 ]
 
 

@@ -1031,12 +1031,12 @@ def q_weighted_median(spark, sf_dir):
     ), s AS (
       SELECT CAST(sum(ka) AS BIGINT) AS n_a,
              CAST(sum(kb) AS BIGINT) AS n_b,
-             CAST(sum(ka * (2 * prev + t + 1)) AS BIGINT) AS r2a,
-             CAST(sum(t * t * t - t) AS BIGINT) AS ties
+             sum(CAST(ka AS HUGEINT) * (2 * prev + t + 1)) AS r2a,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
       FROM r
     )
-    SELECT CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
-           (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+    SELECT CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+           (CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2.0
               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
            / sqrt(
                CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
@@ -1050,11 +1050,12 @@ def q_weighted_median(spark, sf_dir):
     """,
     doc=(
         "Mann-Whitney U rank-sum test (purchase vs view values): doubled "
-        "rank arithmetic keeps the rank-sum an exact BIGINT even under "
+        "rank arithmetic keeps the rank-sum an exact integer even under "
         "ties (2*avg_rank = 2*prev_cum + t + 1), tie-corrected variance "
-        "from exact sum(t^3 - t); one sqrt + two divisions at the end in "
-        "a pinned tree — engine-exact, no rounding. The ordinal companion "
-        "of q_ks_drift."
+        "from exact sum(t^3 - t); accumulators run in decimal(38,0) / "
+        "HUGEINT (int64 wraps past ~2e9 pooled rows); one sqrt + two "
+        "divisions at the end in a pinned tree — engine-exact, no "
+        "rounding. The ordinal companion of q_ks_drift."
     ),
 )
 def q_mannwhitney(spark, sf_dir):
@@ -1080,10 +1081,10 @@ def q_mannwhitney(spark, sf_dir):
       FROM lineitem
     ), s AS (
       SELECT g, count(*) AS n,
-             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-             CAST(sum(rx * rx) AS BIGINT) AS sxx,
-             CAST(sum(ry * ry) AS BIGINT) AS syy,
-             CAST(sum(rx * ry) AS BIGINT) AS sxy
+             sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
       FROM r GROUP BY g
     )
     SELECT g AS l_returnflag, n,
@@ -1102,11 +1103,12 @@ def q_mannwhitney(spark, sf_dir):
         "(2*avg_rank = 2*min_rank + tie_count - 1), so every accumulator "
         "is an exact BIGINT and rho is one pinned double tree — "
         "engine-exact, no rounding (Pearson-on-ranks is scale-invariant, "
-        "so doubled ranks change nothing). The accumulators stay exact "
-        "BIGINT; the final cross products would overflow long past "
-        "~60k-row groups, so each accumulator converts to double ONCE "
-        "before the pinned closing tree (identical conversion on both "
-        "engines - determinism preserved at any group size)."
+        "so doubled ranks change nothing). The squared/cross accumulators "
+        "run in decimal(38,0) (Spark) / HUGEINT (DuckDB): sum(rx*rx) ~ "
+        "(16/3)n^3 exceeds int64 at ~1.2M rows per group, and non-ANSI "
+        "BIGINT would wrap silently. Each accumulator converts to double "
+        "ONCE before the pinned closing tree (identical conversion on "
+        "both engines - determinism preserved to ~3e12 rows per group)."
     ),
 )
 def q_spearman(spark, sf_dir):
@@ -1132,20 +1134,23 @@ def q_spearman(spark, sf_dir):
     r = li.select(
         F.col("l_returnflag").alias("g"), rx.alias("rx"), ry.alias("ry")
     )
+    rxD = F.col("rx").cast("decimal(19,0)")
+    ryD = F.col("ry").cast("decimal(19,0)")
     s = r.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(rxD).alias("sx"),
+        F.sum(ryD).alias("sy"),
+        F.sum(rxD * rxD).alias("sxx"),
+        F.sum(ryD * ryD).alias("syy"),
+        F.sum(rxD * ryD).alias("sxy"),
     )
-    # the per-group accumulators are exact BIGINTs, but their FINAL cross
-    # products (n*sxx, sx*sx ~ n^3..n^4) overflow long beyond ~60k-row
-    # groups — convert each accumulator to double first: both engines round
-    # the same exact integer to the same double, and the remaining pinned
-    # tree stays bit-identical (accuracy loss is ulp-level, determinism
-    # none)
+    # accumulators run in exact decimal(38,0): sum(rx*rx) ~ (16/3)n^3 blows
+    # past int64 at ~1.2M rows per group (round-7 advisory), and non-ANSI
+    # BIGINT would wrap silently; decimal is exact to ~1e38 (~3e12 rows per
+    # group) and NULLs loudly on overflow. The FINAL cross products
+    # (n*sxx, sx*sx ~ n^3..n^4) convert each accumulator to double ONCE —
+    # both engines round the same exact integer to the same double, and the
+    # remaining pinned tree stays bit-identical
     nD = F.col("n").cast("double")
     sxD, syD = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxxD, syyD = F.col("sxx").cast("double"), F.col("syy").cast("double")
@@ -1173,10 +1178,10 @@ def q_spearman(spark, sf_dir):
       FROM lineitem
     ), s AS (
       SELECT g, count(*) AS n,
-             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
-             CAST(sum(rx * rx) AS BIGINT) AS sxx,
-             CAST(sum(ry * ry) AS BIGINT) AS syy,
-             CAST(sum(rx * ry) AS BIGINT) AS sxy
+             sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+             sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+             sum(CAST(ry AS HUGEINT) * ry) AS syy,
+             sum(CAST(rx AS HUGEINT) * ry) AS sxy
       FROM r GROUP BY g
     )
     SELECT g AS l_returnflag, n,

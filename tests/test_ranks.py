@@ -105,6 +105,11 @@ def test_mannwhitney_no_single_partition_rank_prefix(spark):
     for line in plan.splitlines():
         if "Window " in line:
             assert "__bkt__" in line, line
+    # pin the stated invariant literally (round-7 advisory): at most ONE
+    # Exchange SinglePartition in the whole plan — the final 1-row
+    # accumulator aggregate. A regression reintroducing a global sort or
+    # pooled-rank window anywhere else must fail here.
+    assert plan.count("Exchange SinglePartition") <= 1, plan
     out = df.collect()
     assert len(out) == 1 and out[0]["n_a"] > 0 and out[0]["n_b"] > 0
 
@@ -118,3 +123,57 @@ def test_spearman_bucketed_sanity_direction(spark):
     )
     for r in spearman_bucketed(df, "x", "y", "g", n_buckets=8).collect():
         assert r["spearman_rho"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_spearman_bucketed_null_rows_complete_case(spark):
+    """Round-7 advisory: NULL x/y rows are excluded up front (explicit
+    complete-case contract), not silently lost in the rank-map join — the
+    result equals running on the pre-filtered frame."""
+    base = spark.range(0, 200).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") * 3).cast("double").alias("y"),
+    )
+    with_nulls = base.unionByName(
+        spark.range(0, 20).select(
+            F.lit("0").alias("g"),
+            F.lit(None).cast("double").alias("x"),
+            F.col("id").cast("double").alias("y"),
+        )
+    )
+    got = {
+        r["g"]: (r["n"], r["spearman_rho"])
+        for r in spearman_bucketed(with_nulls, "x", "y", "g").collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["spearman_rho"])
+        for r in spearman_bucketed(base, "x", "y", "g").collect()
+    }
+    assert got == want
+
+
+def test_spearman_bucketed_empty_input_schema_matches(spark):
+    """Round-7 advisory: the empty-input branch must keep the caller's
+    group column name so both branches share one schema."""
+    df = spark.range(0, 10).select(
+        F.col("id").cast("string").alias("grp"),
+        F.lit(None).cast("double").alias("x"),
+        F.lit(None).cast("double").alias("y"),
+    )
+    out = spearman_bucketed(df, "x", "y", "grp")
+    assert out.columns == ["grp", "n", "spearman_rho"]
+    assert out.count() == 0
+
+
+def test_exclusive_prefix_sum_drops_null_order_rows(spark):
+    """NULL order keys are filtered explicitly (documented contract), so
+    the output row count is the non-null count — no silent join loss."""
+    df = spark.range(0, 50).select(
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id"))
+        .cast("double")
+        .alias("v"),
+        F.lit(1).alias("w"),
+    )
+    out = exclusive_prefix_sum(df, "v", "w", n_buckets=4)
+    assert out.count() == 40

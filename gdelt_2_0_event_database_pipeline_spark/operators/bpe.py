@@ -7,26 +7,34 @@ merge table from the corpus itself, the way sentencepiece/tiktoken
 vocabularies are built (Sennrich et al. 2016, "Neural Machine Translation
 of Rare Words with Subword Units" — public algorithm).
 
-Distributed shape per merge round:
+Distributed shape (the production path, round-7 verdict item 2):
 
-1. every document is an ARRAY of current symbols (starts as characters
-   with a word-boundary marker);
+0. ONE up-front collapse of the corpus to a ``(word, count)`` vocabulary
+   table — a single groupBy on the fine-grained word key. Since merges
+   never cross word boundaries, every later round operates on |vocab|
+   weighted rows instead of |corpus| documents: Zipf's law makes |vocab|
+   sublinear in corpus size (~millions of rows at 100 TB vs billions of
+   documents), so the per-round cost is decoupled from corpus size.
+1. each word is an ARRAY of current symbols (starts as characters with a
+   word-boundary marker);
 2. adjacent-pair counting is ``transform + posexplode`` → one grouped
-   count — the only shuffle, carrying (pair, partial count) rows;
+   ``sum(count)`` — the only per-round shuffle, carrying (pair, partial
+   weighted count) rows, map-side-combinable;
 3. the argmax pair is a 1-row driver aggregate (deterministic: count
    desc, then lexicographic pair order);
 4. the merge applies map-side via one ``aggregate`` fold that rebuilds
    each symbol array, fusing occurrences left-to-right (exactly the
    sequential BPE semantics — a fold, not a parallel zip, because merges
-   can chain: ``a a a`` with merge ``(a,a)`` → ``aa a``).
+   can chain: ``a a a`` with merge ``(a,a)`` → ``aa a``). Distinct words
+   always map to distinct symbol arrays (the array concatenates back to
+   the word), so no re-aggregation is needed between rounds.
 
 Iterations are driver-bounded like PageRank/k-hop: ``num_merges`` rounds,
-``localCheckpoint`` every round to keep lineage flat. At 100 TB the
-pair-count shuffle is the whole cost and it is map-side-combinable. The
-production evolution (not needed at test scale) collapses the corpus to a
-(word, count) table first — one extra groupBy — so each round counts
-pairs over |vocab| weighted rows instead of |corpus| documents; the merge
-fold and argmax are unchanged.
+``localCheckpoint`` every round to keep lineage flat. The per-document
+path (``collapse_words=False``) is kept as the differential twin — it is
+the same weighted computation with weight 1 per word OCCURRENCE instead
+of aggregated word counts, so both paths produce the identical merge
+table (pinned by tests/test_bpe.py).
 """
 
 from __future__ import annotations
@@ -78,19 +86,49 @@ def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 10,
+    *,
+    collapse_words: bool = True,
 ) -> list[tuple[str, str, int]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the merge
     table ``[(left, right, count_at_merge_time), ...]`` in merge order —
     the artifact a tokenizer ships. Deterministic: ties on count break by
     lexicographic pair order, so any cluster size/partitioning produces
-    the identical table."""
-    syms = df.select(
-        F.explode(_word_symbol_arrays(F.col(text_col))).alias("s")
-    )
-    syms = syms.filter(F.size("s") > 1).localCheckpoint()
+    the identical table.
+
+    ``collapse_words=True`` (default, the 100 TB path) first aggregates
+    the corpus to a ``(word, count)`` vocabulary so each merge round
+    counts weighted pairs over |vocab| rows; ``False`` keeps one row per
+    word occurrence — identical output (differential twin), cost linear
+    in corpus size per round."""
+    if collapse_words:
+        words = F.split(F.lower(F.col(text_col)), r"\s+")
+        vocab = (
+            df.select(
+                F.explode(
+                    F.filter(words, lambda w: w != F.lit(""))
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        syms = vocab.select(
+            F.concat(F.split("w", ""), F.array(F.lit(EOW))).alias("s"),
+            "cnt",
+        )
+    else:
+        syms = df.select(
+            F.explode(_word_symbol_arrays(F.col(text_col))).alias("s"),
+            F.lit(1).alias("cnt"),
+        )
+    # lazy checkpoints: lineage still truncates at materialization,
+    # but no separate eager job per round — the next round's argmax
+    # collect materializes the checkpoint as a side effect, halving
+    # the per-round job count (driver-overhead dominates at small n)
+    syms = syms.filter(F.size("s") > 1).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(num_merges):
         pairs = syms.select(
+            "cnt",
             F.posexplode(
                 F.transform(
                     F.slice(F.col("s"), 1, F.size("s") - 1),
@@ -98,11 +136,11 @@ def train_bpe(
                         x.alias("a"), F.element_at(F.col("s"), i + 2).alias("b")
                     ),
                 )
-            ).alias("pos", "p")
+            ).alias("pos", "p"),
         )
         top = (
             pairs.groupBy("p")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("cnt").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p.a"), F.asc("p.b"))
             .limit(1)
             .collect()
@@ -110,9 +148,10 @@ def train_bpe(
         if not top:
             break
         a, b, cnt = top[0]["p"]["a"], top[0]["p"]["b"], top[0]["cnt"]
-        merges.append((a, b, cnt))
-        syms = syms.select(_apply_merge(F.col("s"), a, b).alias("s"))
-        syms = syms.localCheckpoint()
+        merges.append((a, b, int(cnt)))
+        syms = syms.select(
+            _apply_merge(F.col("s"), a, b).alias("s"), "cnt"
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -2540,14 +2540,17 @@ def q_fuzzy_blocked(spark, sf_dir):
     sql=None,
     doc=(
         "BPE tokenizer training (Sennrich-style merge learning) on a "
-        "200-document slice: per round, adjacent-pair counting is ONE "
-        "map-side-combinable grouped count, the argmax pair is a 1-row "
-        "driver aggregate with lexicographic tie-break, and the merge "
-        "applies map-side via an aggregate fold with exact sequential "
-        "chain semantics. Returns the learned merge table. Rows-only "
-        "(iterative, not SQL-expressible); known-sequence, tie-"
-        "determinism, partitioning-invariance, and chain-fold tests in "
-        "test_bpe.py."
+        "200-document slice, via the (word, count)-collapsed production "
+        "path: the corpus aggregates ONCE to a weighted vocabulary, so "
+        "each merge round counts pairs over |vocab| rows (Zipf-sublinear "
+        "in corpus size) — not |corpus| documents. Per round: one map-"
+        "side-combinable weighted grouped count, a 1-row driver argmax "
+        "with lexicographic tie-break, and a map-side aggregate-fold "
+        "merge with exact sequential chain semantics. Returns the "
+        "learned merge table. Rows-only (iterative, not SQL-"
+        "expressible); known-sequence, tie-determinism, partitioning-"
+        "invariance, chain-fold, and collapsed==per-document "
+        "differential tests in test_bpe.py."
     ),
 )
 def q_bpe_train(spark, sf_dir):

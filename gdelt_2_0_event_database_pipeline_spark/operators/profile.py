@@ -136,6 +136,7 @@ def mad_outliers(
     *,
     threshold: float = 3.5,
     scale: float = 1.4826,
+    exact: bool = True,
 ) -> DataFrame:
     """Robust outlier flagging by modified z-score (Iglewicz-Hoaglin):
     ``|x - median| / (scale * MAD) > threshold``. Unlike mean/stddev
@@ -149,17 +150,27 @@ def mad_outliers(
     (>= 50% identical values) yield NULL scores and no flags — the
     documented degenerate case.
 
+    100 TB stance (round-7 verdict item 3, mirroring :func:`winsorize`):
+    ``exact=True`` keeps interpolated ``percentile`` — per-group exact
+    medians buffer the group's values in the aggregation, which is the
+    one unbounded-memory risk on a billion-row group. ``exact=False``
+    swaps both medians for ``approx_percentile`` (t-digest-style bounded
+    sketch, mergeable map-side) — the scale path; flags near the
+    threshold may differ by the sketch's rank error. The oracle query
+    (``q_mad_outliers``) pins the exact form.
+
     Adds columns ``mad_z`` (nullable double) and ``is_outlier`` (bool).
     """
+    pfn = F.percentile if exact else F.percentile_approx
     gcols = [group_col] if group_col else []
     med = df.groupBy(*gcols).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med__")
+        pfn(F.col(value_col), F.lit(0.5)).alias("__med__")
     )
     joined = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(
         F.broadcast(med)
     )
     mad = joined.groupBy(*gcols).agg(
-        F.percentile(
+        pfn(
             F.abs(F.col(value_col) - F.col("__med__")), F.lit(0.5)
         ).alias("__mad__")
     )

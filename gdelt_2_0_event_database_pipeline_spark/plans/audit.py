@@ -11,8 +11,16 @@ A query plan is flagged when it contains a shape that would not survive a
   join is the canonical scale killer;
 - ``Exchange SinglePartition`` outside the single-row summary aggregates
   (`SINGLE_PARTITION_OK`) — funnelling a large intermediate through one task
-  serializes the stage. (A global scalar aggregate is fine: partial
-  aggregation means one row per upstream partition crosses the exchange.)
+  serializes the stage. CONTRACT (round-7 verdict item 8, binding): a
+  final 1-row accumulator aggregate is a PERMANENT exemption class, not
+  tech debt to restructure away — partial aggregation means exactly one
+  partial-state row per upstream partition crosses the exchange, which is
+  Spark's canonical (and irreducible) shape for any global scalar; no
+  engine computes a single global number without some final single-point
+  merge. Entries below annotated "1-row" are therefore closed, by design.
+  What the allowlist must NEVER grow to cover: a single-partition exchange
+  carrying per-ROW data (global sort, pooled rank window, unbounded
+  intermediate) — those are the real scale killers this audit exists for.
 - a global ``Sort`` (``Sort [...], true, ...``) anywhere — ordered output
   must go through ``TakeOrderedAndProject`` (orderBy+limit); a bare
   ``orderBy`` without ``limit`` range-shuffles the full dataset to produce
@@ -58,10 +66,11 @@ NESTED_LOOP_OK = {
                              # counts aggregate (bounded by construction)
     "q_token_budget",        # same bounded triangular-offsets pattern
     "q_token_budget_per_lang",
-    "q_mannwhitney",         # same ≤n_buckets-row triangular-offsets join
-                             # (ranks.exclusive_prefix_sum, groupless form —
-                             # pure pb<bkt condition plans as BNLJ over the
-                             # 256-row bucket aggregate)
+    "q_mannwhitney",         # triangular-offsets BNLJ over the ≤n_buckets-row
+                             # bucket aggregate (ranks.exclusive_prefix_sum:
+                             # the groupless pb<bkt condition has no equi-key,
+                             # so it plans as BNLJ — bounded at 256 rows by
+                             # construction, permanent)
     "q_chi2",                # |rows|x|cols| marginal cross + 1-row grand total
     "q_cramers_v",           # same shape + 1-row chi2/dims join
     "q_odds_ratio",          # broadcast marginals + 1-row grand total
@@ -109,9 +118,10 @@ SINGLE_PARTITION_OK = {
     "q_seasonal_decompose",  # trend window over the |days|-row daily-count
                              # series (day-cardinality-bounded after the
                              # first grouped count)
-    "q_mannwhitney",         # 1-row final accumulator aggregate ONLY — the
-                             # pooled rank prefix is bucket-parallel since r7
-                             # (ranks.exclusive_prefix_sum; verdict item 3)
+    "q_mannwhitney",         # 1-row final accumulator aggregate (permanent
+                             # exemption class per module contract; the rank
+                             # prefix itself is bucket-parallel and pinned
+                             # single-exchange-max by test_ranks.py)
     "q_ks_drift",            # 1-row totals + KS max over the |distinct
                              # pooled values| cumulative window — the exact
                              # twin of the bucketed TV drift (documented

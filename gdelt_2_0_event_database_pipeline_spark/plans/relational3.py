@@ -1098,10 +1098,15 @@ def q_mannwhitney(spark, sf_dir):
     FROM s
     """,
     doc=(
-        "Spearman rank correlation per return flag (quantity vs price): "
+        "VERIFICATION-SIZED exact twin (SCALE.md): the rank windows here "
+        "partition by the 3-value l_returnflag — a single-reducer sort "
+        "per group that does NOT survive 100x; the production plan is "
+        "q_spearman_bucketed, which this query exists to validate bit-"
+        "for-bit (test_ranks.py pins equality). Spearman rank "
+        "correlation per return flag (quantity vs price): "
         "tie-averaged ranks kept INTEGER via the doubling trick "
         "(2*avg_rank = 2*min_rank + tie_count - 1), so every accumulator "
-        "is an exact BIGINT and rho is one pinned double tree — "
+        "is exact and rho is one pinned double tree — "
         "engine-exact, no rounding (Pearson-on-ranks is scale-invariant, "
         "so doubled ranks change nothing). The squared/cross accumulators "
         "run in decimal(38,0) (Spark) / HUGEINT (DuckDB): sum(rx*rx) ~ "

@@ -13,10 +13,14 @@ append-only sinks select the newest snapshot per key with one max-version
 filter. Determinism: duplicate items keep their best score; ties break on
 item ascending.
 
-(Spark 4's ``transformWithStateInPandas`` would express this with typed
-ListState/ValueState primitives, but its state protocol requires the
-``protobuf`` package, absent from this container — the
-``applyInPandasWithState`` formulation below is functionally equivalent.)
+``applyInPandasWithState`` is the CANONICAL custom-stateful-operator path
+in this engine (SCALE.md "Streaming" stance): one state schema, one
+Arrow-batched update function, exactly-once state semantics per key —
+everything this operator needs. Spark 4's ``transformWithStateInPandas``
+offers typed ListState/ValueState primitives as an alternative surface
+for the same semantics; adopting it is an optional ergonomic migration,
+not a dependency of any functionality here (tests/test_streaming_topk.py
+pins this path's behavior directly).
 """
 
 from __future__ import annotations

@@ -244,6 +244,12 @@ def test_mad_outliers_flags_planted_extreme(spark):
     assert all(not out[i].is_outlier for i in range(8))
     # zero-MAD group: NULL score, never flagged
     assert out[100].mad_z is None and not out[100].is_outlier
+    # sketch path (exact=False, round-7 verdict item 3): same flags on
+    # this clear-cut data, and zero-MAD degenerate handling intact
+    approx = {r.id: r for r in mad_outliers(df, "v", "g", exact=False).collect()}
+    assert approx[8].is_outlier
+    assert all(not approx[i].is_outlier for i in range(8))
+    assert approx[100].mad_z is None and not approx[100].is_outlier
 
 
 def test_distribution_drift_tv_semantics(spark):

@@ -71,3 +71,16 @@ def test_streaming_topk_validates_k(spark):
 
     with pytest.raises(ValueError):
         streaming_topk(None, "a", "b", "c", k=0)
+
+
+def test_streaming_topk_canonical_stateful_operator(spark, tmp_path):
+    """Round-7 verdict item 5: applyInPandasWithState IS the canonical
+    custom-stateful path — pin that the streaming plan actually contains
+    the FlatMapGroupsInPandasWithState operator (not a workaround we might
+    silently swap out)."""
+    src = str(tmp_path / "in")
+    _drop(spark, src, [("web", "d1", 0.9)])
+    stream = read_event_stream(spark, src, SCHEMA)
+    topk = streaming_topk(stream, "source", "doc", "quality", k=3)
+    plan = topk._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan, plan

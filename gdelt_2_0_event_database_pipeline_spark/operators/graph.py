@@ -204,14 +204,19 @@ def k_hop(
     layers = [frontier.withColumn("hop", F.lit(0))]
     visited_nodes = frontier
     for h in range(1, k + 1):
+        # lazy checkpoint + count(): ONE job per round both materializes
+        # the new frontier (truncating lineage) and answers the emptiness
+        # check — the old eager checkpoint + rdd.isEmpty() pair ran two
+        # jobs per round plus a DataFrame->RDD conversion (round-7 verdict
+        # item 9; the same fusion as BPE training's merge loop)
         nxt = (
             e.join(frontier, e.u == frontier.node)
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited_nodes, "node", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if nxt.rdd.isEmpty():
+        if nxt.count() == 0:
             break
         layers.append(nxt.withColumn("hop", F.lit(h)))
         visited_nodes = visited_nodes.union(nxt)

@@ -18,6 +18,12 @@ Sign-LSH vs IVF: LSH is stateless/streaming-friendly; IVF adapts to the
 data distribution (clustered corpora get far better recall at the same
 candidate budget) at the cost of a fit pass.
 
+Measured recall-vs-nprobe curve: SCALE.md "ANN recall curves" (regenerate
+with ``tools/ann_recall.py``; artifact ``ANN_RECALL.json``) — at sf0.1,
+recall@5 rises ~linearly in probed mass on the near-uniform synthetic
+embeddings (0.25 at nprobe=1 → 0.79 at 8 → exact 1.000 at nprobe=cells,
+the built-in sanity bound).
+
 Two assignment paths, measured trade-off:
 - ``nearest_cells`` — pure expression against literal centroids, map-only
   (zero shuffles, zero extra stages). Interpreted HOF folds cost

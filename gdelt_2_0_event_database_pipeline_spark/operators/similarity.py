@@ -17,6 +17,12 @@ Extension surface beyond the reference (no vector data there). Two tiers:
 
 An IVF variant (k-means coarse quantizer) would slot in the same signature
 but needs an iterative fit; LSH keeps round 1 deterministic and stateless.
+
+Measured recall curves for BOTH tiers: SCALE.md "ANN recall curves"
+(regenerate with ``tools/ann_recall.py``; artifact ``ANN_RECALL.json``) —
+the num_planes × probe_hamming sweep quantifies the bucket-granularity vs
+multi-probe-radius trade on the weak-similarity synthetic corpus (e.g.
+4 planes/H=2 → 0.90 recall@5; 8 planes/H=2 → 0.38).
 """
 
 from __future__ import annotations

@@ -1,0 +1,126 @@
+"""ANN recall curves — the measured accuracy/cost trade for the two
+approximate-nearest-neighbor paths (round-7 verdict item 6).
+
+Ground truth is exact brute-force ``cosine_topk`` over the full corpus for
+a fixed query set. Then:
+
+- **IVF** (``operators/ivf.py``): recall@k as ``nprobe`` sweeps 1..n_cells —
+  the knob that bounds how many inverted-list cells each query rescores.
+- **LSH** (``operators/similarity.py::cosine_topk_lsh``): recall@k as the
+  bucket structure sweeps ``num_planes`` (bucket granularity: 2^planes
+  buckets) × ``probe_hamming`` (multi-probe radius). More planes = smaller
+  buckets = less rescoring but lower recall at fixed radius; raising the
+  probe radius buys recall back — the same bands-vs-rows trade as MinHash
+  banding.
+
+Recall@k = |approx top-k ∩ exact top-k| / |exact top-k|, averaged over
+queries (per-query exact lists may be < k only on thin corpora).
+
+Regenerate the SCALE.md table:
+
+    python tools/ann_recall.py              # sf0.1 defaults, ~2 min
+    python tools/ann_recall.py /root/testdata/sf0.01 --queries 10
+
+Prints one markdown table per family plus a trailing JSON line for
+machine diffing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (  # noqa: E402
+    fit_ivf_centroids,
+    ivf_topk,
+)
+from gdelt_2_0_event_database_pipeline_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_lsh,
+)
+from gdelt_2_0_event_database_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _topk_sets(df) -> dict:
+    """(query_id -> frozenset of neighbor_ids) from a topk result frame."""
+    out: dict = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict, exact: dict) -> float:
+    num = den = 0
+    for qid, truth in exact.items():
+        den += len(truth)
+        num += len(truth & approx.get(qid, set()))
+    return num / den if den else float("nan")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", type=int, default=25)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--cells", type=int, default=16)
+    args = ap.parse_args()
+
+    spark = get_spark("ann-recall")
+    emb = spark.read.parquet(os.path.join(args.sf_dir, "embeddings.parquet"))
+    # deterministic query set: hash-ranked sample (partitioning-independent)
+    queries = (
+        emb.orderBy(F.xxhash64("vec_id", F.lit(7)))
+        .limit(args.queries)
+        .localCheckpoint()
+    )
+
+    t0 = time.time()
+    exact = _topk_sets(cosine_topk(emb, queries, k=args.k))
+    t_exact = time.time() - t0
+
+    results = {"sf_dir": args.sf_dir, "n_queries": args.queries, "k": args.k,
+               "exact_sec": round(t_exact, 2), "ivf": [], "lsh": []}
+
+    cents = fit_ivf_centroids(emb, k=args.cells)
+    print(f"\n## IVF recall@{args.k} vs nprobe ({args.cells} cells, "
+          f"{args.queries} queries, exact pass {t_exact:.1f}s)\n")
+    print("| nprobe | recall@k | sec |")
+    print("|---|---|---|")
+    for nprobe in (1, 2, 3, 4, 6, 8, 12, args.cells):
+        t0 = time.time()
+        rec = _recall(_topk_sets(
+            ivf_topk(emb, queries, cents, k=args.k, nprobe=nprobe)), exact)
+        dt = time.time() - t0
+        print(f"| {nprobe} | {rec:.3f} | {dt:.1f} |")
+        results["ivf"].append({"nprobe": nprobe, "recall": round(rec, 4),
+                               "sec": round(dt, 2)})
+
+    print(f"\n## LSH recall@{args.k} vs (num_planes, probe_hamming)\n")
+    print("| planes | probe_hamming | buckets | recall@k | sec |")
+    print("|---|---|---|---|---|")
+    for planes in (4, 6, 8):
+        for ham in (0, 1, 2):
+            t0 = time.time()
+            rec = _recall(_topk_sets(cosine_topk_lsh(
+                emb, queries, k=args.k,
+                num_planes=planes, probe_hamming=ham)), exact)
+            dt = time.time() - t0
+            print(f"| {planes} | {ham} | {2 ** planes} | {rec:.3f} | {dt:.1f} |")
+            results["lsh"].append({"planes": planes, "probe_hamming": ham,
+                                   "recall": round(rec, 4), "sec": round(dt, 2)})
+
+    print()
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

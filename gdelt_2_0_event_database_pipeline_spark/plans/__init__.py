@@ -54,6 +54,9 @@ _DRIVER_PRIORITY = [
     "q_embedding_near_dup",
     "q_normalize_url",
     "q_media_stats",
+    # -- new in round 8 (no driver row yet) --
+    "q_lm_score",
+    "q_lm_score_against",
     # -- plans touched in round 8 (rank-overflow fix family) --
     "q_spearman_bucketed",
     "q_spearman",

@@ -60,6 +60,8 @@ NESTED_LOOP_OK = {
     "q_heavy_hitters_exact", # |event types|-row counts × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
     "q_bm25_search",         # corpus × broadcast 1-row BM25 stats
+    "q_lm_score",            # broadcast 1-row vocabulary-size scalar
+    "q_lm_score_against",    # same 1-row V broadcast
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
     "q_collocations",        # broadcast one-row totals (t_uni × t_pair)
     "q_sample_systematic",   # triangular offsets join over the ≤n_buckets-row
@@ -87,6 +89,8 @@ SINGLE_PARTITION_OK = {
     "q_heavy_hitters_exact",  # 1-row grand-total aggregate (partial-agg'd)
     "q_approx_distinct", # single-row HLL++ summary
     "q_tfidf_keywords",  # one-row corpus-count scalar (partial-agg'd)
+    "q_lm_score",        # one-row vocabulary-size countDistinct (partial-agg'd)
+    "q_lm_score_against",  # same 1-row V aggregate
     "q06_forecast_revenue",  # TPC-H Q6: one-row global revenue aggregate
     "q_collocations",    # two one-row corpus totals + top-20 rank over the
                          # min-support collocation table (vocabulary-bounded)

@@ -2840,3 +2840,93 @@ def q_dim_variance(spark, sf_dir):
         F.round(F.var_samp("v"), 8).alias("variance"),
         F.round(F.avg("v"), 8).alias("mean"),
     )
+
+
+# DuckDB twin of operators.lm._doc_bigrams + house tokenizer: adjacent
+# token pairs per document, 1-based list indexing over range(1, len-1+1).
+_SQL_LM_BI = (
+    "SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+    "FROM toks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2"
+)
+
+
+@register(
+    "q_lm_score",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+    ), bi AS ({_SQL_LM_BI}),
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ws) AS t FROM toks)
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           ROUND(avg(-log2((c12 + 0.5) / (c1 + 0.5 * v))), 6) AS xent_bits
+    FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "CCNet-style LM quality score (Wenzek 2019, public method): per-"
+        "document cross-entropy in bits/bigram under an add-0.5-smoothed "
+        "bigram LM trained on the corpus itself (operators/lm.py). LM "
+        "tables are vocabulary-bounded; the only corpus-sized shuffles "
+        "are the combinable bigram count and the fine-grained (w1,w2) "
+        "score join. Probabilities are exact integer-count arithmetic in "
+        "one pinned double tree; the order-sensitive per-doc average is "
+        "rounded 6dp on both engines."
+    ),
+)
+def q_lm_score(spark, sf_dir):
+    from ..operators.lm import bigram_lm_crossentropy
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_crossentropy(d, "text", "doc_id", k=0.5)
+
+
+@register(
+    "q_lm_score_against",
+    sql=f"""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws FROM train
+    ), bi AS ({_SQL_LM_BI}),
+    c2 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    vocab AS (
+      SELECT count(DISTINCT t) AS v FROM (SELECT unnest(ws) AS t FROM toks)
+    ),
+    stoks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents WHERE doc_id % 2 = 1
+    ), sbi AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM stoks, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           ROUND(avg(-log2(
+             (COALESCE(c12, 0) + 0.5) / (COALESCE(c1, 0) + 0.5 * v)
+           )), 6) AS xent_bits
+    FROM sbi b
+    LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """,
+    doc=(
+        "Leakage-free LM scoring: train the bigram LM on even doc_ids, "
+        "score odd doc_ids — the production split (score a new crawl "
+        "slice against last month's LM). Exercises the unseen-bigram / "
+        "unseen-history smoothing floor k/(c1 + k*V) via left-join "
+        "coalesce — never NULL, never -inf. Same rounding discipline as "
+        "q_lm_score."
+    ),
+)
+def q_lm_score_against(spark, sf_dir):
+    from ..operators.lm import bigram_lm_crossentropy
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_crossentropy(
+        d.filter(F.col("doc_id") % 2 == 1),
+        "text",
+        "doc_id",
+        k=0.5,
+        train_df=d.filter(F.col("doc_id") % 2 == 0),
+    )

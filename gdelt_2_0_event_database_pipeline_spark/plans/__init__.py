@@ -10,6 +10,7 @@ from . import temporal_plans  # noqa: E402,F401
 from . import scale_plans  # noqa: E402,F401
 from . import geo_plans  # noqa: E402,F401
 from . import graph_plans  # noqa: E402,F401
+from . import tpch_plans  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-facing ordering.
@@ -57,6 +58,18 @@ _DRIVER_PRIORITY = [
     # -- new in round 8 (no driver row yet) --
     "q_lm_score",
     "q_lm_score_against",
+    "q04_order_priority",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_profit_by_nation",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
     # -- plans touched in round 8 (rank-overflow fix family) --
     "q_spearman_bucketed",
     "q_spearman",

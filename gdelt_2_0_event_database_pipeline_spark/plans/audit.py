@@ -56,6 +56,9 @@ NESTED_LOOP_OK = {
     "q_semantic_dedup",      # corpus × broadcast k-row centroid frame (k=8 bounded)
     "q_hashed_semantic_dedup",  # same bounded centroid broadcast (k=6)
     "q_scalar_subquery",     # scalar agg joined broadcast (1 row)
+    "q22_dormant_customers", # 1-row avg-acctbal threshold broadcast
+                             # (non-equi > condition plans as BNLJ over
+                             # one row — TPC-H Q22's scalar subquery)
     "q_skew_report",         # top-k keys × broadcast 1-row total
     "q_heavy_hitters_exact", # |event types|-row counts × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
@@ -92,6 +95,11 @@ SINGLE_PARTITION_OK = {
     "q_lm_score",        # one-row vocabulary-size countDistinct (partial-agg'd)
     "q_lm_score_against",  # same 1-row V aggregate
     "q06_forecast_revenue",  # TPC-H Q6: one-row global revenue aggregate
+    "q14_promo_effect",      # TPC-H Q14: one-row promo-share ratio
+    "q15_top_supplier",      # TPC-H Q15: one-row max-revenue aggregate
+    "q17_small_qty_revenue", # TPC-H Q17: one-row avg_yearly aggregate
+    "q19_discounted_revenue",  # TPC-H Q19: one-row revenue aggregate
+    "q22_dormant_customers",   # TPC-H Q22: one-row avg-acctbal aggregate
     "q_collocations",    # two one-row corpus totals + top-20 rank over the
                          # min-support collocation table (vocabulary-bounded)
     "q_corpus_report",   # one-row corpus card unpivoted to 6 metric rows

@@ -70,6 +70,12 @@ _DRIVER_PRIORITY = [
     "q18_large_volume_customer",
     "q19_discounted_revenue",
     "q22_dormant_customers",
+    "q02_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q16_supplier_cnt",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
     # -- plans touched in round 8 (rank-overflow fix family) --
     "q_spearman_bucketed",
     "q_spearman",

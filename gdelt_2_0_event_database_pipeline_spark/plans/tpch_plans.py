@@ -2,13 +2,17 @@
 (round-8 widening of the relational surface begun by q01/q03/q05/q06).
 
 The driver's TPC-H-ish tables omit ``partsupp``, ``l_commitdate`` /
-``l_receiptdate``, ``c_phone``, and the comment columns, so queries that
-hinge on those (Q2, Q11, Q12, Q16, Q20, Q21) are out of scope; the twelve
-below keep each original query's OPERATOR SHAPE — the thing that matters
-for plan coverage — with predicates adapted to the synthetic data
-(documented per query). Cross-engine discipline as everywhere: identical
-aliases, double aggregates rounded on both engines, ties in every top-k
-broken by a total order.
+``l_receiptdate``, ``c_phone``, and the comment columns, so the six
+queries that hinge on those (Q2, Q11, Q16, Q20 on partsupp; Q12, Q21 on
+commit/receipt dates and shipmode) substitute derived stand-ins that keep
+the ORIGINAL OPERATOR SHAPE — the thing that matters for plan coverage:
+the per-(part, supplier) min-unit-price aggregate replaces partsupp, the
+q04 late-ship rule (l_shipdate > o_orderdate + 60 days) replaces the
+commit/receipt pair, and l_returnflag stands in for the missing shipmode
+as the low-cardinality lineitem attribute. With those, all 22 TPC-H
+query shapes are registered. Cross-engine discipline as everywhere:
+identical aliases, double aggregates rounded on both engines (or kept in
+exact integer-cent space), ties in every top-k broken by a total order.
 
 Scale notes (shared): nation/region always broadcast; part/supplier/
 customer broadcast under the driver-size threshold and stay AQE-eligible
@@ -581,4 +585,374 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q02_min_cost_supplier",
+    sql="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_name,
+           c.supply_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eur s  ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 15 AND p.p_type = 'SMALL'
+      AND c.supply_cost = (
+        SELECT min(c2.supply_cost)
+        FROM cost c2 JOIN eur s2 ON s2.s_suppkey = c2.l_suppkey
+        WHERE c2.l_partkey = p.p_partkey
+      )
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc=(
+        "TPC-H Q2 shape (minimum-cost supplier): partsupp is absent, so "
+        "its stand-in is the per-(part, supplier) min OBSERVED unit "
+        "price min(l_extendedprice / l_quantity) — a grouped aggregate "
+        "whose values are engine-exact (one IEEE division per row, min "
+        "takes no sums), so the correlated min-cost equality join is "
+        "bit-identical cross-engine with NO rounding. The correlated "
+        "subquery decorrelates to a per-part min over the EUROPE-"
+        "filtered cost frame joined back on (partkey, cost); supplier/"
+        "nation/region broadcast; top-100 under the (acctbal desc, "
+        "nation, supplier, part) total order runs as "
+        "TakeOrderedAndProject — no global sort."
+    ),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eur_cost = cost.join(
+        F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey")
+    )
+    min_cost = eur_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("__min_cost__")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    return (
+        eur_cost.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supply_cost") == F.col("__min_cost__")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    sql="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT v.l_partkey AS p_partkey, v.cents / 100.0 AS part_value
+    FROM val v, (SELECT CAST(sum(cents) AS BIGINT) AS total FROM val) t
+    WHERE v.cents * 1000 > t.total
+    """,
+    doc=(
+        "TPC-H Q11 shape (important stock identification): per-part "
+        "shipped value from one nation's suppliers, kept where the part "
+        "exceeds 0.001 of the nation total — partsupp's availqty*cost "
+        "replaced by shipped l_extendedprice. The HAVING-fraction "
+        "comparison runs ENTIRELY in exact integer-cent space "
+        "(cents*1000 > total — l_extendedprice is 2dp by construction), "
+        "so the boundary cut is engine-exact; the output value is one "
+        "terminal division. Grouped sum on partkey + a 1-row grand "
+        "total broadcast back — the scalar-subquery threshold plan."
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    val = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    total = val.agg(F.sum("cents").alias("__total__"))
+    return (
+        val.join(F.broadcast(total), F.col("cents") * 1000 > F.col("__total__"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("cents") / F.lit(100.0)).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q12_late_shipments",
+    sql="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "TPC-H Q12 shape (shipping modes and order priority): the "
+        "priority mix of LATE lineitems per low-cardinality lineitem "
+        "class — l_returnflag stands in for the absent l_shipmode, the "
+        "q04 late rule (shipdate > orderdate + 60 days) for the absent "
+        "commit/receipt pair. One fact-fact join on orderkey, then "
+        "conditional integer counts over |classes| keys — exact "
+        "BIGINTs, engine-exact."
+    ),
+)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    sql="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc=(
+        "TPC-H Q16 shape (parts/supplier relationship): distinct "
+        "supplier counts per (brand, type, size) slice, excluding a "
+        "supplier blocklist — partsupp replaced by the DISTINCT "
+        "(l_partkey, l_suppkey) pairs actually observed in lineitem; "
+        "the comment-LIKE complaints blocklist by the s_name LIKE '%7' "
+        "slice. NOT IN compiles to a broadcast LEFT ANTI join (suppkey "
+        "is non-null, so NOT IN and ANTI agree); part filters prune "
+        "through the broadcast join before the distinct-pair shuffle. "
+        "Exact integer counts."
+    ),
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    sql="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ), tot AS (
+      SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+      FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (
+        SELECT sh.l_suppkey
+        FROM shipped sh JOIN tot t ON t.l_partkey = sh.l_partkey
+        WHERE 2 * sh.supp_qty > t.part_qty
+      )
+    """,
+    doc=(
+        "TPC-H Q20 shape (potential part promotion): suppliers in one "
+        "region who DOMINATE the 1997 supply of some 'red' part (their "
+        "shipped quantity exceeds half the part's total — the availqty "
+        "> 0.5*shipped rule re-anchored on observed shipments, partsupp "
+        "being absent). The IN chain compiles to semi joins: the "
+        "part-name prefix prunes through a broadcast join, the per-"
+        "(part, supplier) and per-part aggregates share the partkey "
+        "shuffle, and the dominance cut is exact BIGINT arithmetic "
+        "(l_quantity is integer-valued). Supplier/nation/region "
+        "broadcast."
+    ),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    shipped = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("supp_qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        shipped.join(tot, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.lit(2) * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    sql="""
+    WITH w AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 25
+    """,
+    doc=(
+        "TPC-H Q21 shape (suppliers who kept orders waiting): per "
+        "supplier, finished multi-supplier orders where they were the "
+        "ONLY late participant (late = the q04 shipdate rule). The "
+        "oracle keeps the original EXISTS / NOT-EXISTS correlated form; "
+        "Spark runs the aggregate decorrelation — per-(order, supplier) "
+        "late flags, per-order supplier/late counts joined back, keep "
+        "late=1 AND n_supp>=2 AND n_late=1 — a true cross-engine "
+        "algorithm differential (the classic rewrite every optimizer "
+        "paper cites). Both per-order aggregates reuse the orderkey "
+        "shuffle; exact integer counts; top-25 under the (numwait "
+        "desc, name) total order as TakeOrderedAndProject."
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _li(spark, sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(F.max(late).alias("late"))
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        per_os.join(per_o, F.col("o_key") == F.col("l_orderkey"))
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
     )

@@ -59,6 +59,11 @@ NESTED_LOOP_OK = {
     "q22_dormant_customers", # 1-row avg-acctbal threshold broadcast
                              # (non-equi > condition plans as BNLJ over
                              # one row — TPC-H Q22's scalar subquery)
+    "q11_important_parts",   # 1-row global part-value total broadcast
+                             # (TPC-H Q11's scalar HAVING subquery: the
+                             # non-equi cents*1000 > total condition plans
+                             # as BNLJ over exactly one row — the
+                             # q22_dormant_customers precedent)
     "q_skew_report",         # top-k keys × broadcast 1-row total
     "q_heavy_hitters_exact", # |event types|-row counts × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
@@ -100,6 +105,9 @@ SINGLE_PARTITION_OK = {
     "q17_small_qty_revenue", # TPC-H Q17: one-row avg_yearly aggregate
     "q19_discounted_revenue",  # TPC-H Q19: one-row revenue aggregate
     "q22_dormant_customers",   # TPC-H Q22: one-row avg-acctbal aggregate
+    "q11_important_parts",     # TPC-H Q11: one-row global value-total
+                               # aggregate (partial-agg'd; one partial row
+                               # per upstream partition crosses the wire)
     "q_collocations",    # two one-row corpus totals + top-20 rank over the
                          # min-support collocation table (vocabulary-bounded)
     "q_corpus_report",   # one-row corpus card unpivoted to 6 metric rows

@@ -677,7 +677,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n   ON s.s_nationkey = n.n_nationkey
-      WHERE n.n_name = 'NATION_7'
+      WHERE n.n_name = 'NATION_19'
       GROUP BY l.l_partkey
     )
     SELECT v.l_partkey AS p_partkey, v.cents / 100.0 AS part_value
@@ -699,7 +699,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _li(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     val = (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))

@@ -12,17 +12,23 @@ from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.001"
 TPCH = [
+    "q02_min_cost_supplier",
     "q04_order_priority",
     "q07_volume_shipping",
     "q08_market_share",
     "q09_profit_by_nation",
     "q10_returned_items",
+    "q11_important_parts",
+    "q12_late_shipments",
     "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
+    "q16_supplier_cnt",
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_discounted_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
     "q22_dormant_customers",
 ]
 

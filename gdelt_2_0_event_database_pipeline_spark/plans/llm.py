@@ -999,7 +999,8 @@ def q_cosine_topk_lsh(spark, sf_dir):
     doc=(
         "IVF ANN top-k (X3 scale path): deterministic k-means codebook fit at "
         "plan-build (hash-seeded init), cell-equi-join probe + exact rescore; "
-        "recall ≥0.9 pinned in tests/test_ivf.py."
+        "nprobe auto-derived from the measured ANN_RECALL.json curve for "
+        "worst-case recall@5 >= 0.75 (tests/test_ivf.py re-measures it)."
     ),
 )
 def q_ivf_topk(spark, sf_dir):
@@ -1007,8 +1008,10 @@ def q_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     # 2 Lloyd iterations: each fit pass costs a full corpus assignment
-    # (k×dim interpreted folds per row); recall at nprobe=3 is already ≥0.9
-    # by iteration 2 on clustered data (tests pin 5-iter recall separately).
+    # (k×dim interpreted folds per row). nprobe is left at the auto
+    # default (nprobe_for_recall: measured worst-case recall@5 >= 0.75 —
+    # 4 of these 8 cells); the old fixed nprobe=3 measured 0.47 on the
+    # near-uniform synthetic embeddings (ANN_RECALL.json, r8 verdict #6).
     # The fit is deterministic per (sf_dir, k, iters) — hash-seeded init,
     # fixed iteration count, immutable test parquet — so memoize it: the
     # codebook is fitted once per session, not at every plan-build.
@@ -1017,9 +1020,7 @@ def q_ivf_topk(spark, sf_dir):
     if centroids is None:
         centroids = I.fit_ivf_centroids(emb, k=8, iters=2)
         _IVF_FIT_CACHE[key] = centroids
-    return I.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), centroids, k=5, nprobe=3
-    )
+    return I.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), centroids, k=5)
 
 
 @register(

@@ -1,0 +1,366 @@
+"""Product quantization (PQ) — compressed embeddings at rest + ADC top-k
+(SURVEY.md §2.10 X3 scale path; round-8 verdict item 9, the standard
+companion of the IVF index in ``ivf.py``).
+
+Public algorithm: Jégou/Douze/Schmid, "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011). A dim-d vector is split into ``m``
+contiguous subvectors; each subspace gets its own small k-means codebook
+(``ncodes`` sub-centroids); a vector is stored as ``m`` small code ids.
+At dim 64 / m=16 / ncodes=16 (the measured defaults) a vector is 16
+4-bit codes = 8 bytes vs 256 bytes of float32 — **32× compression** —
+and search never touches the original vectors until an (optional) exact
+re-rank of a bounded shortlist. The m/ncodes split was CHOSEN from a
+measured sweep on the near-uniform sf0.1 fixture (PQ's hard case,
+ANN_RECALL.json "pq" section): at the same 8 bytes at rest,
+m=8/ncodes=16 reaches only 0.80 recall@5 even at rerank=200 where
+m=16/ncodes=16 — finer subspaces — measures 0.94 at rerank=100 and
+0.96 at 200 (raw ADC order alone: 0.27 — always rerank).
+
+Spark-first shape, mirroring ``ivf.py``'s adjudicated patterns:
+
+- **fit** (``fit_pq_codebooks``): per-subspace Lloyd on a hash-ranked
+  bounded sample, driver-side numpy — model fitting on a ≤100k-row
+  sample, not a data-sized driver loop (same reasoning as
+  ``fit_ivf_centroids``; the corpus never leaves the executors).
+- **encode** (``pq_encode``): posexplode + broadcast weight-table join +
+  a codegen groupBy of ncodes conditional dot sums per (id, subspace),
+  argmin at expression level, then a groupBy(id) that packs the m
+  sub-codes — the ``assign_cells`` shape generalized to m subspaces,
+  grouped by (id, sub) so the expression tree stays ncodes-sized (see
+  ``pq_encode`` doc for the measured wide-vs-tall trade). Two bounded
+  shuffles, no per-row interpreted k×dim fold, so it survives a 10⁹-row
+  corpus. |v_sub|² is constant per row within a subspace, so
+  argmin |v_sub − c|² reduces to argmin(|c|² − 2·v_sub·c).
+- **search** (``pq_topk``): asymmetric distance computation (ADC). Each
+  query precomputes an m×ncodes lookup table of subvector dot products
+  driver-side (bounded — the query set is broadcast anyway); scoring a
+  corpus row is then m array lookups + a sum over the CODES column —
+  the full corpus pass reads 8-byte codes, never the 256-byte vectors.
+  Optional ``rerank``: ADC shortlist of r candidates per query, then an
+  exact cosine re-rank that joins ONLY the nq×r shortlist rows back to
+  the true vectors (broadcast hash equi-join — the corpus side stays
+  map-only). This is the standard PQ deployment: approximate scan over
+  compressed codes, exact math over a bounded shortlist.
+
+Accuracy is MEASURED, not assumed: ``tools/ann_recall.py`` sweeps
+ADC-only and reranked recall@5 against exact ``cosine_topk`` on the
+sf0.1 fixture (artifact ``ANN_RECALL.json``, table in SCALE.md);
+``tests/test_pq.py`` re-measures the headline configuration and pins
+its recall floor, and pins encode == numpy-reference equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ivf import well_formed_vectors
+from .similarity import _as_double, cosine
+
+Codebooks = "list[list[list[float]]]"  # m × ncodes × subdim
+
+
+def _check_codebooks(codebooks) -> tuple[int, int, int]:
+    """(m, ncodes, subdim) with rectangularity validated."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("need at least one subspace codebook")
+    ncodes = len(codebooks[0])
+    subdim = len(codebooks[0][0])
+    for cb in codebooks:
+        if len(cb) != ncodes or any(len(c) != subdim for c in cb):
+            raise ValueError("codebooks must be rectangular m×ncodes×subdim")
+    return m, ncodes, subdim
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    ncodes: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    fit_sample_n: int | None = 100_000,
+):
+    """Per-subspace k-means codebooks: m × ncodes × (dim/m) floats.
+
+    Deterministic on any partitioning: the fit set is the ``fit_sample_n``
+    hash-lowest rows by xxhash64(id, seed) (TakeOrderedAndProject — no
+    full shuffle), locally re-sorted so init and numpy summation order
+    are reproducible; init per subspace = that subspace's slices of the
+    ncodes hash-lowest rows; empty cells keep their previous centroid
+    (the ``fit_ivf_centroids`` rules applied per subspace).
+
+    Requires dim divisible by ``m`` (contiguous equal splits — the
+    classic PQ layout)."""
+    import numpy as np
+
+    df = well_formed_vectors(df, vec_col)
+    sel = df.select(
+        _as_double(vec_col).alias("__v__"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h__"),
+    )
+    if fit_sample_n is not None:
+        sel = sel.orderBy("__h__").limit(fit_sample_n)
+    rows = sel.collect()
+    if not rows:
+        raise ValueError("cannot fit PQ on an empty corpus")
+    rows.sort(key=lambda r: r["__h__"])
+    x = np.asarray([r["__v__"] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+
+    out = []
+    for s in range(m):
+        xs = x[:, s * subdim : (s + 1) * subdim]
+        xs_sq = (xs * xs).sum(axis=1)
+        cents = xs[:ncodes].copy()
+        k_eff = cents.shape[0]
+        for _ in range(iters):
+            d2 = (
+                xs_sq[:, None]
+                + (cents * cents).sum(axis=1)[None, :]
+                - 2.0 * (xs @ cents.T)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out.append([list(map(float, c)) for c in cents])
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, vhat_sq double): each row's per-subspace
+    nearest-code ids plus the squared norm of its PQ reconstruction
+    (Σ_s |c_{codes[s]}|² — stored at encode time so ADC cosine needs no
+    second pass; the cross-subspace dot terms are zero only in
+    expectation, so this is the standard PQ-cosine approximation).
+
+    The large-corpus path (see module doc): posexplode + broadcast
+    (pos → sub, code, weight) table + a codegen groupBy of ``ncodes``
+    conditional dot sums PER (id, subspace), argmin at expression level,
+    then one groupBy(id) packing the m sub-codes into the codes array.
+    Grouping by (id, sub) instead of a single m×ncodes-wide groupBy(id)
+    keeps the expression tree ncodes-sized — the wide form's m×ncodes
+    aggregate columns cost ~9 s of Catalyst analysis + codegen per plan
+    at m=16/ncodes=16 and blow past JIT method limits; the extra
+    pack shuffle carries only m small-int rows per id, which is noise
+    next to the posexplode stage at any scale. Rows with NULL/empty
+    vectors are dropped (``well_formed_vectors`` precondition, as in
+    ``assign_cells``). Ties break toward the lower code id."""
+    m, ncodes, subdim = _check_codebooks(codebooks)
+    spark = df.sparkSession
+    weight_rows = [
+        (s * subdim + j, s, c, float(w))
+        for s, cb in enumerate(codebooks)
+        for c, cent in enumerate(cb)
+        for j, w in enumerate(cent)
+    ]
+    wtab = spark.createDataFrame(
+        weight_rows, "__pos__ int, __sub__ int, __code__ int, __w__ double"
+    )
+    # per-sub |c|² lookup rides the same broadcast pattern as data, not a
+    # literal tree: (sub, array of ncodes squared norms)
+    csq_df = spark.createDataFrame(
+        [
+            (s, [float(sum(w * w for w in cent)) for cent in cb])
+            for s, cb in enumerate(codebooks)
+        ],
+        "__sub__ int, __sq__ array<double>",
+    )
+
+    persub = (
+        well_formed_vectors(df, vec_col)
+        .select(
+            F.col(id_col).alias("__eid__"),
+            F.posexplode(_as_double(vec_col)).alias("__pos__", "__val__"),
+        )
+        .join(F.broadcast(wtab), "__pos__")
+        .groupBy("__eid__", "__sub__")
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("__code__") == c, F.col("__val__") * F.col("__w__")
+                    )
+                ).alias(f"__d{c}__")
+                for c in range(ncodes)
+            ]
+        )
+        .join(F.broadcast(csq_df), "__sub__")
+    )
+    scores = F.array(
+        *[
+            F.struct(
+                (
+                    F.element_at("__sq__", c + 1) - 2 * F.col(f"__d{c}__")
+                ).alias("s"),
+                F.lit(c).alias("cid"),
+            )
+            for c in range(ncodes)
+        ]
+    )
+    best = F.array_sort(scores).getItem(0).getField("cid")
+    coded = persub.select(
+        "__eid__",
+        F.struct(
+            F.col("__sub__").alias("sub"),
+            best.alias("code"),
+            F.element_at("__sq__", best + F.lit(1)).alias("csq"),
+        ).alias("__sc__"),
+    )
+    packed = coded.groupBy("__eid__").agg(
+        F.array_sort(F.collect_list("__sc__")).alias("__packed__")
+    )
+    return packed.select(
+        F.col("__eid__").alias(id_col),
+        F.transform("__packed__", lambda s: s["code"]).alias("codes"),
+        F.aggregate(
+            F.transform("__packed__", lambda s: s["csq"]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("vhat_sq"),
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance
+    computation. Output schema matches ``similarity.cosine_topk``:
+    (query_id, neighbor_id, cos_sim, rank).
+
+    ``corpus_codes`` is ``pq_encode`` output — the scan reads ONLY
+    (id, m codes, vhat_sq); the original vectors are untouched unless
+    ``rerank`` is set. Each collected query row carries its m×ncodes
+    dot-product lookup table as a broadcast literal column, so scoring
+    one corpus row is an m-step fold of array lookups (JVM HOF, no UDF).
+
+    ``rerank=r``: take the top-``max(r, k)`` ADC candidates per query,
+    then join ONLY those nq×r rows back to ``corpus`` (required) by id —
+    a broadcast hash equi-join, corpus side map-only — and re-rank with
+    exact cosine. ``cos_sim`` is then exact; without rerank it is the
+    ADC approximation (reconstruction dot / (|q|·|v̂|)).
+
+    Scale shape: the ADC pass is corpus-codes × broadcast bounded query
+    set (the allowlisted ``cosine_topk`` shape, but over 8-byte codes
+    instead of full vectors); top-k is a per-query ranked window; the
+    rerank touches nq×r rows only."""
+    import numpy as np
+
+    m, ncodes, subdim = _check_codebooks(codebooks)
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank requires the original corpus DataFrame")
+
+    q_rows = (
+        well_formed_vectors(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
+        )
+        .collect()
+    )
+    spark = corpus_codes.sparkSession
+    from pyspark.sql import types as T
+
+    q_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField("__qv__", T.ArrayType(T.DoubleType())),
+            T.StructField("__qn__", T.DoubleType()),
+            T.StructField(
+                "__lut__", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
+    )
+    if not q_rows:
+        qdf = spark.createDataFrame([], q_schema)
+    else:
+        cb = np.asarray(codebooks, dtype=np.float64)  # m × ncodes × subdim
+        data = []
+        for r in q_rows:
+            qv = np.asarray(r["__qv__"], dtype=np.float64)
+            if qv.shape[0] != m * subdim:
+                raise ValueError(
+                    f"query dim {qv.shape[0]} != codebook dim {m * subdim}"
+                )
+            qsub = qv.reshape(m, subdim)
+            # lut[s][c] = q_sub_s · codebook[s][c]
+            lut = np.einsum("sd,scd->sc", qsub, cb)
+            data.append(
+                (
+                    r["query_id"],
+                    [float(x) for x in qv],
+                    float(np.sqrt((qv * qv).sum())),
+                    [[float(x) for x in row] for row in lut],
+                )
+            )
+        qdf = spark.createDataFrame(data, q_schema)
+
+    adc_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__lut__"),
+            lambda cd, tbl: F.element_at(tbl, cd + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
+        )
+        .join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.when(
+                (F.col("vhat_sq") > 0) & (F.col("__qn__") > 0),
+                adc_dot / (F.col("__qn__") * F.sqrt(F.col("vhat_sq"))),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", "cos_sim", "rank"
+        )
+
+    shortlist = ranked.filter(F.col("rank") <= max(rerank, k)).select(
+        "query_id", "neighbor_id", "__qv__"
+    )
+    exact = (
+        well_formed_vectors(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("__cv__"),
+        )
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .withColumn("cos_sim", cosine(F.col("__qv__"), F.col("__cv__")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

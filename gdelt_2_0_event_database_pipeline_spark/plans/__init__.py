@@ -23,67 +23,18 @@ from . import tpch_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-8 rotation (round-7 verdict item 1): the 24 registry queries
-    # that have never had a driver row in ANY checked-in CORRECTNESS_r*.json
-    # lead — landing these closes the final judge-local-only gap. After
-    # them: queries whose plans changed this round (need fresh evidence),
-    # then a MAINTENANCE rotation over the already-green set ordered
-    # oldest-driver-evidence-first, so every query's evidence is refreshed
-    # on a bounded cycle (~4 rounds at the observed ~50/round driver cap).
-    # -- never-driver-checked queries (24) --
-    "q_zorder_key",
-    "q_ohlc",
-    "q_cohort_retention",
-    "q_familiarity",
-    "q_corpus_report",
-    "q_winnow",
-    "q_expectations",
-    "q_mad_outliers",
-    "q_skew_report",
-    "q_dup_spans_keep_first",
-    "q_rolling_distinct",
-    "q_distribution_drift",
-    "q_sample_uniform",
-    "q_sample_stratified",
-    "q_sample_daily",
-    "q_sample_filtered",
-    "q_sample_weighted",
-    "q_dedup_minhash",
-    "q_dedup_simhash",
-    "q_simhash_signature",
-    "q_cosine_topk_lsh",
-    "q_embedding_near_dup",
-    "q_normalize_url",
-    "q_media_stats",
-    # -- new in round 8 (no driver row yet) --
-    "q_lm_score",
-    "q_lm_score_against",
-    "q04_order_priority",
-    "q07_volume_shipping",
-    "q08_market_share",
-    "q09_profit_by_nation",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q22_dormant_customers",
-    "q02_min_cost_supplier",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q16_supplier_cnt",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    # -- plans touched in round 8 (rank-overflow fix family) --
-    "q_spearman_bucketed",
-    "q_spearman",
-    "q_mannwhitney",
+    # Round-9 rotation (round-8 verdict item 8): new/changed plans lead —
+    # q_pq_topk is new (r8 verdict item 9), q_ivf_topk changed behavior
+    # (curve-derived nprobe default), q11_important_parts changed its
+    # nation filter (NATION_19, non-empty at sf0.001). Then the
+    # MAINTENANCE rotation continues oldest-driver-evidence-first; the 50
+    # queries the r8 driver covered rotate to the back. After r9 no
+    # query's newest driver row should be older than r5 except the
+    # r6-era block, which rounds r10-r11 will reach.
+    "q_pq_topk",  # NEW r9: PQ ANN (rows-only by construction)
+    "q_ivf_topk",  # plan changed r9: auto nprobe (was fixed 3)
+    "q11_important_parts",  # plan changed r9: NATION_19 filter
     # -- maintenance rotation: oldest driver evidence first --
-    "q_join_anti",  # last driver row: r3
-    "q_join_outer_agg",  # last driver row: r3
-    "q_set_union",  # last driver row: r3
     "q_topk_per_group",  # last driver row: r3
     "q_window_running",  # last driver row: r3
     "q_rollup",  # last driver row: r3
@@ -215,7 +166,6 @@ _DRIVER_PRIORITY = [
     "q_video_near_dup",  # last driver row: r7
     "q_bpe_train",  # last driver row: r7
     "q_pack_first_fit",  # last driver row: r7
-    "q_ivf_topk",  # last driver row: r7
     "q_approx_distinct",  # last driver row: r7
     "q_quantiles_approx",  # last driver row: r7
     "q_model_fit_score",  # last driver row: r7
@@ -256,6 +206,56 @@ _DRIVER_PRIORITY = [
     "q_transitions",  # last driver row: r7
     "q_burst_detection",  # last driver row: r7
     "q_ewma",  # last driver row: r7
+    # -- refreshed by the r8 driver window (CORRECTNESS_r08.json) --
+    "q_zorder_key",  # last driver row: r8
+    "q_ohlc",  # last driver row: r8
+    "q_cohort_retention",  # last driver row: r8
+    "q_familiarity",  # last driver row: r8
+    "q_corpus_report",  # last driver row: r8
+    "q_winnow",  # last driver row: r8
+    "q_expectations",  # last driver row: r8
+    "q_mad_outliers",  # last driver row: r8
+    "q_skew_report",  # last driver row: r8
+    "q_dup_spans_keep_first",  # last driver row: r8
+    "q_rolling_distinct",  # last driver row: r8
+    "q_distribution_drift",  # last driver row: r8
+    "q_sample_uniform",  # last driver row: r8
+    "q_sample_stratified",  # last driver row: r8
+    "q_sample_daily",  # last driver row: r8
+    "q_sample_filtered",  # last driver row: r8
+    "q_sample_weighted",  # last driver row: r8
+    "q_dedup_minhash",  # last driver row: r8
+    "q_dedup_simhash",  # last driver row: r8
+    "q_simhash_signature",  # last driver row: r8
+    "q_cosine_topk_lsh",  # last driver row: r8
+    "q_embedding_near_dup",  # last driver row: r8
+    "q_normalize_url",  # last driver row: r8
+    "q_media_stats",  # last driver row: r8
+    "q_lm_score",  # last driver row: r8
+    "q_lm_score_against",  # last driver row: r8
+    "q04_order_priority",  # last driver row: r8
+    "q07_volume_shipping",  # last driver row: r8
+    "q08_market_share",  # last driver row: r8
+    "q09_profit_by_nation",  # last driver row: r8
+    "q10_returned_items",  # last driver row: r8
+    "q13_customer_distribution",  # last driver row: r8
+    "q14_promo_effect",  # last driver row: r8
+    "q15_top_supplier",  # last driver row: r8
+    "q17_small_qty_revenue",  # last driver row: r8
+    "q18_large_volume_customer",  # last driver row: r8
+    "q19_discounted_revenue",  # last driver row: r8
+    "q22_dormant_customers",  # last driver row: r8
+    "q02_min_cost_supplier",  # last driver row: r8
+    "q12_late_shipments",  # last driver row: r8
+    "q16_supplier_cnt",  # last driver row: r8
+    "q20_dominant_suppliers",  # last driver row: r8
+    "q21_waiting_suppliers",  # last driver row: r8
+    "q_spearman_bucketed",  # last driver row: r8
+    "q_spearman",  # last driver row: r8
+    "q_mannwhitney",  # last driver row: r8
+    "q_join_anti",  # last driver row: r8
+    "q_join_outer_agg",  # last driver row: r8
+    "q_set_union",  # last driver row: r8
 ]
 
 

@@ -41,6 +41,9 @@ NESTED_LOOP_OK = {
     "q_dedup_canonical",     # exact-Jaccard edges, doc_id < 200 (oracle-able)
     "q_dedup_keep_longest",  # same capped edge kernel
     "q_cosine_topk",         # brute-force baseline: corpus × broadcast 5-row query set
+    "q_pq_topk",             # ADC scan: 8-byte corpus codes × broadcast 5-row
+                             # query LUT set (the q_cosine_topk shape over
+                             # compressed codes; rerank join is equi-hash)
     "q_hard_negatives",      # same broadcast-anchor shape (5-row anchor set)
     "q_class_balance",       # broadcast 1-row majority-count join
     "q_skyline",             # broadcast 1-row x-bounds join (bucket prune)

@@ -1024,6 +1024,37 @@ def q_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "q_pq_topk",
+    sql=None,  # approximate-by-design: ADC ordering depends on the fitted codebooks
+    doc=(
+        "Product-quantization ANN top-k (X3 scale path; r8 verdict item 9, "
+        "the standard IVF companion): per-subspace k-means codebooks fit on "
+        "a hash-ranked bounded sample, one-shuffle codegen encode to 8-byte "
+        "codes (32x compression at rest), ADC scan over codes + exact "
+        "cosine re-rank of a 100-candidate shortlist. Measured recall@5 "
+        "0.94 on the near-uniform sf0.1 fixture (ANN_RECALL.json 'pq' "
+        "section; tests/test_pq.py pins the 0.80 floor and encode==numpy)."
+    ),
+)
+def q_pq_topk(spark, sf_dir):
+    from ..operators import pq as Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # same memoization contract as q_ivf_topk: the codebook fit is
+    # deterministic per (sf_dir, m, ncodes, iters) on the immutable test
+    # parquet, so fit once per session instead of at every plan-build.
+    key = (sf_dir, "pq", 16, 16, 3)
+    books = _IVF_FIT_CACHE.get(key)
+    if books is None:
+        books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+        _IVF_FIT_CACHE[key] = books
+    enc = Q.pq_encode(emb, books)
+    return Q.pq_topk(
+        enc, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=100, corpus=emb
+    )
+
+
+@register(
     "q_embedding_near_dup",
     sql=f"""
     WITH base AS (

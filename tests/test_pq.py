@@ -1,0 +1,152 @@
+"""Product-quantization tests: deterministic fit, encode == numpy
+reference, ADC score == numpy reference, reranked recall floor at sf0.1
+(the ANN_RECALL.json setting)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+    fit_pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+from gdelt_2_0_event_database_pipeline_spark.operators.similarity import cosine_topk
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF001}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+
+
+def _np_corpus(emb):
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    x = np.asarray([[float(v) for v in r.embedding] for r in rows], np.float64)
+    return ids, x
+
+
+def _np_encode(x, books):
+    cb = np.asarray(books, np.float64)  # m × ncodes × subdim
+    m, ncodes, subdim = cb.shape
+    xs = x.reshape(x.shape[0], m, subdim)
+    # d2[n,s,c] = |x_sub - c|²; argmin over c, first-minimum tie rule
+    d2 = (
+        (xs * xs).sum(axis=2)[:, :, None]
+        + (cb * cb).sum(axis=2)[None, :, :]
+        - 2.0 * np.einsum("nsd,scd->nsc", xs, cb)
+    )
+    return d2.argmin(axis=2)  # n × m
+
+
+def test_fit_deterministic(emb):
+    a = fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+    b = fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+    assert a == b
+    assert len(a) == 16 and len(a[0]) == 16 and len(a[0][0]) == 4
+
+
+def test_encode_matches_numpy(emb, books):
+    ids, x = _np_corpus(emb)
+    want = _np_encode(x, books)
+    got = {r.vec_id: r for r in pq_encode(emb, books).collect()}
+    assert set(got) == set(ids)
+    cb = np.asarray(books, np.float64)
+    for i, vid in enumerate(ids):
+        assert list(got[vid].codes) == [int(c) for c in want[i]], vid
+        expect_sq = sum(
+            float((cb[s, c] * cb[s, c]).sum()) for s, c in enumerate(want[i])
+        )
+        assert got[vid].vhat_sq == pytest.approx(expect_sq, rel=1e-9)
+
+
+def test_adc_scores_match_numpy(emb, books):
+    ids, x = _np_corpus(emb)
+    codes = _np_encode(x, books)
+    cb = np.asarray(books, np.float64)
+    m, ncodes, subdim = cb.shape
+    # reconstruction of every corpus row from its codes
+    recon = np.stack(
+        [np.concatenate([cb[s, codes[i, s]] for s in range(m)]) for i in range(len(ids))]
+    )
+    enc = pq_encode(emb, books).cache()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = pq_topk(enc, queries, books, k=5).collect()
+    assert got, "expected ADC results"
+    qx = {ids[i]: x[i] for i in range(len(ids))}
+    rx = {ids[i]: recon[i] for i in range(len(ids))}
+    for r in got:
+        q, v = qx[r.query_id], rx[r.neighbor_id]
+        expect = float(
+            (q @ v) / (np.sqrt((q * q).sum()) * np.sqrt((v * v).sum()))
+        )
+        assert r.cos_sim == pytest.approx(expect, rel=1e-9), (
+            r.query_id,
+            r.neighbor_id,
+        )
+
+
+def test_topk_shape_and_rerank_exactness(emb, books):
+    enc = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_topk(enc, queries, books, k=5, rerank=50, corpus=emb)
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != q for r in rs)
+    # reranked cos_sim is EXACT cosine (matches brute force on the overlap)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    hits = 0
+    for r in rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.cos_sim == pytest.approx(exact[key], rel=1e-9)
+            hits += 1
+    assert hits > 0
+
+
+def test_reranked_recall_sf01(spark):
+    """Re-measure the headline PQ configuration on the sf0.1 fixture
+    (near-uniform embeddings — PQ's hard case, same setting as
+    ANN_RECALL.json) and pin the recall floor: ADC shortlist of 100 +
+    exact rerank at the m=16/ncodes=16 defaults must recover >= 0.80
+    of exact top-5 (ANN_RECALL.json measured 0.94 on its 25-query
+    sample)."""
+    emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb01.orderBy(F.xxhash64("vec_id", F.lit(7))).limit(15).cache()
+    books = fit_pq_codebooks(emb01, m=16, ncodes=16, iters=3)
+    enc = pq_encode(emb01, books).cache()
+    exact = {}
+    for r in cosine_topk(emb01, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in pq_topk(enc, queries, books, k=5, rerank=100, corpus=emb01).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    num = sum(len(v & approx.get(q, set())) for q, v in exact.items())
+    den = sum(len(v) for v in exact.values())
+    recall = num / den
+    assert recall >= 0.80, f"PQ rerank=100 recall@5 {recall}"
+
+
+def test_bad_inputs(emb, books):
+    with pytest.raises(ValueError):
+        fit_pq_codebooks(emb, m=7)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        pq_topk(pq_encode(emb, books), emb.limit(1), books, rerank=10)

@@ -12,6 +12,12 @@ a fixed query set. Then:
   buckets = less rescoring but lower recall at fixed radius; raising the
   probe radius buys recall back — the same bands-vs-rows trade as MinHash
   banding.
+- **PQ** (``operators/pq.py``): recall@k of the ADC-over-codes scan as the
+  exact-rerank shortlist sweeps 0 (ADC order taken as-is) → 200, at two
+  code layouts with the same 8 bytes/vector at rest (m=8×4bit on subdim 8
+  vs the m=16×4bit default on subdim 4). The fixture's near-uniform
+  embeddings are PQ's worst case — quantization noise dominates weak
+  similarities — so these floors are what the defaults must clear.
 
 Recall@k = |approx top-k ∩ exact top-k| / |exact top-k|, averaged over
 queries (per-query exact lists may be < k only on thin corpora).
@@ -41,6 +47,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (  # noqa: E402
     fit_ivf_centroids,
     ivf_topk,
+)
+from gdelt_2_0_event_database_pipeline_spark.operators.pq import (  # noqa: E402
+    fit_pq_codebooks,
+    pq_encode,
+    pq_topk,
 )
 from gdelt_2_0_event_database_pipeline_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -116,6 +127,24 @@ def main() -> int:
             print(f"| {planes} | {ham} | {2 ** planes} | {rec:.3f} | {dt:.1f} |")
             results["lsh"].append({"planes": planes, "probe_hamming": ham,
                                    "recall": round(rec, 4), "sec": round(dt, 2)})
+
+    results["pq"] = []
+    print(f"\n## PQ recall@{args.k} vs (m, rerank) — 8 bytes/vector both layouts\n")
+    print("| m | ncodes | rerank | recall@k | sec |")
+    print("|---|---|---|---|---|")
+    for m in (8, 16):
+        books = fit_pq_codebooks(emb, m=m, ncodes=16, iters=3)
+        enc = pq_encode(emb, books).localCheckpoint()
+        for rr in (0, 25, 50, 100, 200):
+            t0 = time.time()
+            approx = pq_topk(
+                enc, queries, books, k=args.k,
+                rerank=rr or None, corpus=None if rr == 0 else emb)
+            rec = _recall(_topk_sets(approx), exact)
+            dt = time.time() - t0
+            print(f"| {m} | 16 | {rr} | {rec:.3f} | {dt:.1f} |")
+            results["pq"].append({"m": m, "ncodes": 16, "rerank": rr,
+                                  "recall": round(rec, 4), "sec": round(dt, 2)})
 
     print()
     print(json.dumps(results))

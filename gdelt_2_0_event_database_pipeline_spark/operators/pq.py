@@ -233,42 +233,14 @@ def pq_encode(
     )
 
 
-def pq_topk(
-    corpus_codes: DataFrame,
-    queries: DataFrame,
-    codebooks,
-    k: int = 5,
-    rerank: int | None = None,
-    corpus: DataFrame | None = None,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate cosine top-k over PQ codes via asymmetric distance
-    computation. Output schema matches ``similarity.cosine_topk``:
-    (query_id, neighbor_id, cos_sim, rank).
-
-    ``corpus_codes`` is ``pq_encode`` output — the scan reads ONLY
-    (id, m codes, vhat_sq); the original vectors are untouched unless
-    ``rerank`` is set. Each collected query row carries its m×ncodes
-    dot-product lookup table as a broadcast literal column, so scoring
-    one corpus row is an m-step fold of array lookups (JVM HOF, no UDF).
-
-    ``rerank=r``: take the top-``max(r, k)`` ADC candidates per query,
-    then join ONLY those nq×r rows back to ``corpus`` (required) by id —
-    a broadcast hash equi-join, corpus side map-only — and re-rank with
-    exact cosine. ``cos_sim`` is then exact; without rerank it is the
-    ADC approximation (reconstruction dot / (|q|·|v̂|)).
-
-    Scale shape: the ADC pass is corpus-codes × broadcast bounded query
-    set (the allowlisted ``cosine_topk`` shape, but over 8-byte codes
-    instead of full vectors); top-k is a per-query ranked window; the
-    rerank touches nq×r rows only."""
+def _collect_query_luts(queries, codebooks, id_col, vec_col):
+    """Driver-side query prep shared by ``pq_topk``/``ivf_pq_topk``:
+    collect the (bounded, broadcast-anyway) query set and compute each
+    row's m×ncodes ADC lookup table + norm with numpy. Returns
+    (rows, id_dtype) where rows = [(query_id, qv, qn, lut), ...]."""
     import numpy as np
 
     m, ncodes, subdim = _check_codebooks(codebooks)
-    if rerank is not None and corpus is None:
-        raise ValueError("rerank requires the original corpus DataFrame")
-
     q_rows = (
         well_formed_vectors(queries, vec_col)
         .select(
@@ -276,43 +248,47 @@ def pq_topk(
         )
         .collect()
     )
-    spark = corpus_codes.sparkSession
+    cb = np.asarray(codebooks, dtype=np.float64)  # m × ncodes × subdim
+    data = []
+    for r in q_rows:
+        qv = np.asarray(r["__qv__"], dtype=np.float64)
+        if qv.shape[0] != m * subdim:
+            raise ValueError(
+                f"query dim {qv.shape[0]} != codebook dim {m * subdim}"
+            )
+        qsub = qv.reshape(m, subdim)
+        # lut[s][c] = q_sub_s · codebook[s][c]
+        lut = np.einsum("sd,scd->sc", qsub, cb)
+        data.append(
+            (
+                r["query_id"],
+                [float(x) for x in qv],
+                float(np.sqrt((qv * qv).sum())),
+                [[float(x) for x in row] for row in lut],
+            )
+        )
+    return data, queries.schema[id_col].dataType
+
+
+def _lut_schema(id_dtype, with_cell=False):
     from pyspark.sql import types as T
 
-    q_schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField("__qv__", T.ArrayType(T.DoubleType())),
-            T.StructField("__qn__", T.DoubleType()),
-            T.StructField(
-                "__lut__", T.ArrayType(T.ArrayType(T.DoubleType()))
-            ),
-        ]
-    )
-    if not q_rows:
-        qdf = spark.createDataFrame([], q_schema)
-    else:
-        cb = np.asarray(codebooks, dtype=np.float64)  # m × ncodes × subdim
-        data = []
-        for r in q_rows:
-            qv = np.asarray(r["__qv__"], dtype=np.float64)
-            if qv.shape[0] != m * subdim:
-                raise ValueError(
-                    f"query dim {qv.shape[0]} != codebook dim {m * subdim}"
-                )
-            qsub = qv.reshape(m, subdim)
-            # lut[s][c] = q_sub_s · codebook[s][c]
-            lut = np.einsum("sd,scd->sc", qsub, cb)
-            data.append(
-                (
-                    r["query_id"],
-                    [float(x) for x in qv],
-                    float(np.sqrt((qv * qv).sum())),
-                    [[float(x) for x in row] for row in lut],
-                )
-            )
-        qdf = spark.createDataFrame(data, q_schema)
+    fields = [
+        T.StructField("query_id", id_dtype),
+        T.StructField("__qv__", T.ArrayType(T.DoubleType())),
+        T.StructField("__qn__", T.DoubleType()),
+        T.StructField("__lut__", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ]
+    if with_cell:
+        fields.append(T.StructField("__cell__", T.IntegerType()))
+    return T.StructType(fields)
 
+
+def _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col):
+    """Shared search tail: ADC-score candidate (corpus-code × query-LUT)
+    rows, rank per query, optionally exact-rerank the top-``rerank``
+    shortlist against the true vectors (broadcast hash equi-join —
+    only nq×rerank rows ever touch a full vector)."""
     adc_dot = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -322,18 +298,12 @@ def pq_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = (
-        corpus_codes.select(
-            F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
-        )
-        .join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_sim",
-            F.when(
-                (F.col("vhat_sq") > 0) & (F.col("__qn__") > 0),
-                adc_dot / (F.col("__qn__") * F.sqrt(F.col("vhat_sq"))),
-            ),
-        )
+    scored = cand.withColumn(
+        "cos_sim",
+        F.when(
+            (F.col("vhat_sq") > 0) & (F.col("__qn__") > 0),
+            adc_dot / (F.col("__qn__") * F.sqrt(F.col("vhat_sq"))),
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc_nulls_last("cos_sim"), F.asc("neighbor_id")
@@ -364,3 +334,120 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via asymmetric distance
+    computation. Output schema matches ``similarity.cosine_topk``:
+    (query_id, neighbor_id, cos_sim, rank).
+
+    ``corpus_codes`` is ``pq_encode`` output — the scan reads ONLY
+    (id, m codes, vhat_sq); the original vectors are untouched unless
+    ``rerank`` is set. Each collected query row carries its m×ncodes
+    dot-product lookup table as a broadcast literal column, so scoring
+    one corpus row is an m-step fold of array lookups (JVM HOF, no UDF).
+
+    ``rerank=r``: take the top-``max(r, k)`` ADC candidates per query,
+    then join ONLY those nq×r rows back to ``corpus`` (required) by id —
+    a broadcast hash equi-join, corpus side map-only — and re-rank with
+    exact cosine. ``cos_sim`` is then exact; without rerank it is the
+    ADC approximation (reconstruction dot / (|q|·|v̂|)).
+
+    Scale shape: the ADC pass is corpus-codes × broadcast bounded query
+    set (the allowlisted ``cosine_topk`` shape, but over 8-byte codes
+    instead of full vectors); top-k is a per-query ranked window; the
+    rerank touches nq×r rows only."""
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank requires the original corpus DataFrame")
+    data, id_dtype = _collect_query_luts(queries, codebooks, id_col, vec_col)
+    spark = corpus_codes.sparkSession
+    qdf = spark.createDataFrame(data, _lut_schema(id_dtype))
+    cand = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
+    ).join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
+    return _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks,
+    k: int = 5,
+    nprobe: int | None = None,
+    rerank: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_target: float = 0.75,
+    corpus_codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ: the standard large-scale ANN composition (Jégou 2011) —
+    the IVF coarse quantizer prunes the scan to each query's ``nprobe``
+    nearest cells, ADC over 8-byte PQ codes orders the survivors, and an
+    exact cosine re-rank of the top-``rerank`` shortlist restores
+    accuracy. Per query the work is ~(nprobe/n_cells)·|corpus| code
+    lookups + ``rerank`` full-vector distances — neither term scans full
+    vectors over the corpus.
+
+    Candidate selection is an EQUI-join on cell id (no nested-loop scan,
+    unlike plain ``pq_topk``): corpus rows carry their nearest cell
+    (``assign_cells`` — the codegen path) alongside their PQ codes; the
+    broadcast query frame has one row per (query, probed cell), probe
+    cells assigned driver-side exactly as in ``ivf_topk``. ``nprobe``
+    defaults through ``nprobe_for_recall`` from the measured IVF curve;
+    ``corpus_codes`` (a ``pq_encode`` result) can be passed to reuse an
+    existing encoding — the deployment shape, where codes+cells are
+    computed once at ingest and every search is map-side pruning +
+    bounded rescoring."""
+    import numpy as np
+
+    from .ivf import assign_cells, nprobe_for_recall
+
+    if nprobe is None:
+        nprobe = nprobe_for_recall(len(centroids), recall_target)
+    corpus_wf = well_formed_vectors(corpus, vec_col)
+    if corpus_codes is None:
+        corpus_codes = pq_encode(corpus_wf, codebooks, id_col, vec_col)
+    cells = assign_cells(
+        corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(F.col(id_col).alias("__cid__"), F.col("cell").alias("__cell__"))
+    coded = (
+        corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
+        )
+        .join(cells, F.col("neighbor_id") == F.col("__cid__"))
+        .drop("__cid__")
+    )
+
+    data, id_dtype = _collect_query_luts(queries, codebooks, id_col, vec_col)
+    if data:
+        qm = np.asarray([d[1] for d in data], dtype=np.float64)
+        cm = np.asarray(centroids, dtype=np.float64)
+        d2 = (
+            (qm * qm).sum(axis=1)[:, None]
+            + (cm * cm).sum(axis=1)[None, :]
+            - 2.0 * (qm @ cm.T)
+        )
+        # stable argsort: ascending distance, lower cell id on ties —
+        # the same probe rule as ivf_topk
+        probes = d2.argsort(axis=1, kind="stable")[:, :nprobe]
+        data = [
+            d + (int(cell),) for d, row in zip(data, probes) for cell in row
+        ]
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(data, _lut_schema(id_dtype, with_cell=True))
+    cand = coded.join(
+        F.broadcast(qdf),
+        (coded["__cell__"] == qdf["__cell__"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).drop("__cell__")
+    return _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col)

@@ -1055,6 +1055,39 @@ def q_pq_topk(spark, sf_dir):
 
 
 @register(
+    "q_ivf_pq_topk",
+    sql=None,  # approximate-by-design: probed cells + ADC order depend on fitted models
+    doc=(
+        "IVF-PQ composed ANN (X3 production path): IVF cells prune the scan "
+        "to nprobe/cells of the corpus via a cell-id equi-join, ADC orders "
+        "the survivors over 8-byte PQ codes, exact cosine re-ranks the "
+        "100-candidate shortlist. Measured recall@5 0.76 at nprobe=8/16 "
+        "cells on the near-uniform sf0.1 fixture (ANN_RECALL.json 'ivfpq'; "
+        "tests/test_pq.py pins probe-all == pq_topk and the 0.70 floor)."
+    ),
+)
+def q_ivf_pq_topk(spark, sf_dir):
+    from ..operators import ivf as I
+    from ..operators import pq as Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, 8, 2)
+    centroids = _IVF_FIT_CACHE.get(ckey)
+    if centroids is None:
+        centroids = I.fit_ivf_centroids(emb, k=8, iters=2)
+        _IVF_FIT_CACHE[ckey] = centroids
+    bkey = (sf_dir, "pq", 16, 16, 3)
+    books = _IVF_FIT_CACHE.get(bkey)
+    if books is None:
+        books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+        _IVF_FIT_CACHE[bkey] = books
+    return Q.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), centroids, books, k=5,
+        nprobe=4, rerank=100,
+    )
+
+
+@register(
     "q_embedding_near_dup",
     sql=f"""
     WITH base AS (

@@ -150,3 +150,57 @@ def test_bad_inputs(emb, books):
         fit_pq_codebooks(emb, m=7)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         pq_topk(pq_encode(emb, books), emb.limit(1), books, rerank=10)
+
+
+def test_ivf_pq_probe_all_equals_pq_topk(spark, emb, books):
+    """With nprobe = n_cells the IVF stage prunes nothing, so the ADC
+    shortlist — and therefore the reranked result — must equal plain
+    pq_topk's at the same rerank (the composition's sanity bound)."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import ivf_pq_topk
+
+    cents = fit_ivf_centroids(emb, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3)
+    enc = pq_encode(emb, books).localCheckpoint()
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_topk(
+            emb, queries, cents, books, k=5, nprobe=8, rerank=50,
+            corpus_codes=enc,
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_topk(enc, queries, books, k=5, rerank=50, corpus=emb).collect()
+    )
+    assert a == b
+
+
+def test_ivf_pq_recall_sf01(spark):
+    """Composed IVF-PQ at the defaults (auto nprobe from the measured IVF
+    curve, rerank=100): the probed-cell ceiling times the PQ-shortlist
+    recall. ANN_RECALL.json's 'ivfpq' section measured 0.76 at nprobe=8;
+    pin 0.70 as the floor on the 15-query re-sample."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import ivf_pq_topk
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb01.orderBy(F.xxhash64("vec_id", F.lit(7))).limit(15).cache()
+    cents = fit_ivf_centroids(emb01, k=16, iters=2)
+    books = fit_pq_codebooks(emb01, m=16, ncodes=16, iters=3)
+    exact = {}
+    for r in cosine_topk(emb01, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_pq_topk(
+        emb01, queries, cents, books, k=5, rerank=100
+    ).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    num = sum(len(v & approx.get(q, set())) for q, v in exact.items())
+    den = sum(len(v) for v in exact.values())
+    recall = num / den
+    assert recall >= 0.70, f"IVF-PQ recall@5 {recall}"

@@ -50,6 +50,7 @@ from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (  # noqa: E40
 )
 from gdelt_2_0_event_database_pipeline_spark.operators.pq import (  # noqa: E402
     fit_pq_codebooks,
+    ivf_pq_topk,
     pq_encode,
     pq_topk,
 )
@@ -145,6 +146,23 @@ def main() -> int:
             print(f"| {m} | 16 | {rr} | {rec:.3f} | {dt:.1f} |")
             results["pq"].append({"m": m, "ncodes": 16, "rerank": rr,
                                   "recall": round(rec, 4), "sec": round(dt, 2)})
+
+    results["ivfpq"] = []
+    print(f"\n## IVF-PQ recall@{args.k} vs nprobe "
+          f"({args.cells} cells, m=16, rerank=100)\n")
+    print("| nprobe | recall@k | sec |")
+    print("|---|---|---|")
+    books16 = fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+    enc16 = pq_encode(emb, books16).localCheckpoint()
+    for nprobe in (2, 4, 8, 12, args.cells):
+        t0 = time.time()
+        rec = _recall(_topk_sets(ivf_pq_topk(
+            emb, queries, cents, books16, k=args.k, nprobe=nprobe,
+            rerank=100, corpus_codes=enc16)), exact)
+        dt = time.time() - t0
+        print(f"| {nprobe} | {rec:.3f} | {dt:.1f} |")
+        results["ivfpq"].append({"nprobe": nprobe, "m": 16, "rerank": 100,
+                                 "recall": round(rec, 4), "sec": round(dt, 2)})
 
     print()
     print(json.dumps(results))

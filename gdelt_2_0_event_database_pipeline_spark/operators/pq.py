@@ -42,6 +42,12 @@ Spark-first shape, mirroring ``ivf.py``'s adjudicated patterns:
   map-only). This is the standard PQ deployment: approximate scan over
   compressed codes, exact math over a bounded shortlist.
 
+At-rest persistence: ``write_pq_index``/``read_pq_index`` store the
+codes parquet + a codebook JSON sidecar through Spark writers (any
+session-writable filesystem), so the 32×-compressed form IS the stored
+form — encode once at ingest, search forever (``ivf_pq_topk`` accepts
+the loaded codes via ``corpus_codes=``).
+
 Accuracy is MEASURED, not assumed: ``tools/ann_recall.py`` sweeps
 ADC-only and reranked recall@5 against exact ``cosine_topk`` on the
 sf0.1 fixture (artifact ``ANN_RECALL.json``, table in SCALE.md);
@@ -451,3 +457,55 @@ def ivf_pq_topk(
         & (F.col("query_id") != F.col("neighbor_id")),
     ).drop("__cell__")
     return _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col)
+
+
+def write_pq_index(
+    codes_df: DataFrame,
+    codebooks,
+    path: str,
+    mode: str = "error",
+) -> None:
+    """Persist a PQ index: ``pq_encode`` output as parquet under
+    ``<path>/codes`` (8 bytes of codes + one double per row — the
+    32×-compressed at-rest form) and the codebooks as a one-row JSON
+    dataset under ``<path>/codebooks`` (m×ncodes×subdim floats — KBs).
+
+    Both sides go through Spark writers, so the index lands on whatever
+    filesystem the session can write (HDFS/object store/local) — no
+    driver-local file I/O. ``mode`` follows DataFrameWriter semantics
+    (``error``/``overwrite``)."""
+    m, ncodes, subdim = _check_codebooks(codebooks)
+    spark = codes_df.sparkSession
+    codes_df.write.mode(mode).parquet(f"{path}/codes")
+    meta = spark.createDataFrame(
+        [(m, ncodes, subdim, codebooks)],
+        "m int, ncodes int, subdim int, "
+        "codebooks array<array<array<double>>>",
+    )
+    meta.coalesce(1).write.mode(mode).json(f"{path}/codebooks")
+
+
+def read_pq_index(spark, path: str):
+    """(codes DataFrame, codebooks) from ``write_pq_index`` output. The
+    codebook JSON is read with an explicit schema (no inference pass) and
+    validated for rectangularity before any search uses it."""
+    codes = spark.read.parquet(f"{path}/codes")
+    meta = spark.read.schema(
+        "m int, ncodes int, subdim int, codebooks array<array<array<double>>>"
+    ).json(f"{path}/codebooks")
+    rows = meta.collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"expected exactly one codebook row at {path}/codebooks, "
+            f"got {len(rows)}"
+        )
+    r = rows[0]
+    codebooks = [[list(map(float, c)) for c in cb] for cb in r["codebooks"]]
+    m, ncodes, subdim = _check_codebooks(codebooks)
+    if (m, ncodes, subdim) != (r["m"], r["ncodes"], r["subdim"]):
+        raise ValueError(
+            f"codebook metadata mismatch at {path}: stored "
+            f"({r['m']},{r['ncodes']},{r['subdim']}) vs actual "
+            f"({m},{ncodes},{subdim})"
+        )
+    return codes, codebooks

@@ -204,3 +204,31 @@ def test_ivf_pq_recall_sf01(spark):
     den = sum(len(v) for v in exact.values())
     recall = num / den
     assert recall >= 0.70, f"IVF-PQ recall@5 {recall}"
+
+
+def test_pq_index_roundtrip(spark, emb, books, tmp_path):
+    """write_pq_index -> read_pq_index is lossless: codebooks compare
+    equal and searching the from-disk index reproduces the in-memory
+    result exactly."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        read_pq_index,
+        write_pq_index,
+    )
+
+    enc = pq_encode(emb, books)
+    path = str(tmp_path / "pq_index")
+    write_pq_index(enc, books, path)
+    codes2, books2 = read_pq_index(spark, path)
+    assert books2 == books
+    queries = emb.filter(F.col("vec_id") < 3)
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_topk(enc, queries, books, k=5, rerank=50, corpus=emb).collect()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in pq_topk(codes2, queries, books2, k=5, rerank=50, corpus=emb).collect()
+    )
+    assert got == want
+    with pytest.raises(Exception):
+        write_pq_index(enc, books, path)  # mode="error" refuses overwrite

@@ -33,6 +33,8 @@ _DRIVER_PRIORITY = [
     # r6-era block, which rounds r10-r11 will reach.
     "q_pq_topk",  # NEW r9: PQ ANN (rows-only by construction)
     "q_ivf_pq_topk",  # NEW r9: composed IVF-PQ (rows-only by construction)
+    "q_sq_encode",  # NEW r9: SQ8 encode (full DuckDB oracle)
+    "q_sq_topk",  # NEW r9: SQ8 approximate search (full DuckDB oracle)
     "q_ivf_topk",  # plan changed r9: auto nprobe (was fixed 3)
     "q11_important_parts",  # plan changed r9: NATION_19 filter
     # -- maintenance rotation: oldest driver evidence first --

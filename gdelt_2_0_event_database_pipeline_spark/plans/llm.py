@@ -1054,6 +1054,95 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+_SQ_CODE_SQL = """CASE WHEN b.mx = b.mn THEN 0
+             ELSE least(255, greatest(0, floor((u.val - b.mn) / (b.mx - b.mn) * 255.0)))
+             END"""
+
+_SQ_BOUNDS_CTE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, generate_subscripts(v, 1) AS ord,
+                 unnest(v) AS val FROM e),
+    b AS (SELECT ord, min(val) AS mn, max(val) AS mx FROM u GROUP BY ord)
+"""
+
+
+@register(
+    "q_sq_encode",
+    sql=_SQ_BOUNDS_CTE
+    + f"""
+    SELECT u.vec_id,
+           list(CAST({_SQ_CODE_SQL} AS INT) ORDER BY u.ord) AS codes
+    FROM u JOIN b USING (ord)
+    GROUP BY u.vec_id
+    """,
+    doc=(
+        "SQ8 scalar quantization encode (X3 compression ladder, ~4x at "
+        "rest): per-dim [min,max] bounds from one posexplode aggregation, "
+        "then a pure map-side transform to 8-bit codes. Fully "
+        "deterministic closed form, so unlike the codebook-dependent "
+        "PQ/IVF family it carries a complete DuckDB oracle "
+        "(floor-before-int-cast on both engines)."
+    ),
+)
+def q_sq_encode(spark, sf_dir):
+    from ..operators import sq as SQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "sq")
+    bounds = _IVF_FIT_CACHE.get(key)
+    if bounds is None:
+        bounds = SQ.fit_sq_bounds(emb)
+        _IVF_FIT_CACHE[key] = bounds
+    return SQ.sq_encode(emb, *bounds)
+
+
+@register(
+    "q_sq_topk",
+    sql=_SQ_BOUNDS_CTE
+    + f""",
+    dec AS (
+      SELECT u.vec_id,
+             list(b.mn + {_SQ_CODE_SQL} / 255.0 * (b.mx - b.mn)
+                  ORDER BY u.ord) AS dv
+      FROM u JOIN b USING (ord)
+      GROUP BY u.vec_id
+    ),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, dec.vec_id AS neighbor_id,
+             list_dot_product(q.v, dec.dv)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(dec.dv, dec.dv))) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, dec.dv)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(dec.dv, dec.dv))) DESC,
+                 dec.vec_id
+             ) AS rank
+      FROM q JOIN dec ON q.vec_id != dec.vec_id
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "Approximate cosine top-5 over SQ8 codes: decode-on-the-fly corpus "
+        "reconstruction vs true broadcast query vectors (the q_cosine_topk "
+        "shape over a ~4x-smaller corpus at rest). Deterministic closed "
+        "form -> full DuckDB oracle, the first oracle-checked member of "
+        "the compressed-search family (fold/list_dot_product bit-parity "
+        "proven by q_cosine_topk)."
+    ),
+)
+def q_sq_topk(spark, sf_dir):
+    from ..operators import sq as SQ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "sq")
+    bounds = _IVF_FIT_CACHE.get(key)
+    if bounds is None:
+        bounds = SQ.fit_sq_bounds(emb)
+        _IVF_FIT_CACHE[key] = bounds
+    enc = SQ.sq_encode(emb, *bounds)
+    return SQ.sq_topk(enc, emb.filter(F.col("vec_id") < 5), *bounds, k=5)
+
+
 @register(
     "q_ivf_pq_topk",
     sql=None,  # approximate-by-design: probed cells + ADC order depend on fitted models

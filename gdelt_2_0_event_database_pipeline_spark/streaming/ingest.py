@@ -95,6 +95,26 @@ def enrich_stream(
     return events.join(F.broadcast(dim), on=on, how=how)
 
 
+def dedup_stream_against(
+    events: DataFrame,
+    reference: DataFrame,
+    on: str | list[str],
+) -> DataFrame:
+    """Streaming cross-corpus dedup: drop stream rows whose key(s) already
+    exist in a STATIC reference snapshot (the incremental-crawl pattern —
+    the streaming twin of ``operators.dedup.dedup_against``). A
+    stream-static broadcast LEFT ANTI join: stateless (no watermark, no
+    state store — the reference is the state, re-planned per batch so a
+    refreshed snapshot is picked up on the next trigger), so the only
+    scaling term is the reference build itself — reduce it to DISTINCT
+    hashes before passing it here, exactly as the batch operator does.
+    Compose with ``streaming_dedup`` downstream for within-stream
+    duplicates (the reference can't know about rows it hasn't seen)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    ref = reference.select(*keys).dropDuplicates(keys)
+    return events.join(F.broadcast(ref), on=keys, how="left_anti")
+
+
 def convert_stream(
     spark: SparkSession,
     csv_dir: str,

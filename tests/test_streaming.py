@@ -222,3 +222,22 @@ def test_stream_static_scd2_pit_enrichment(spark, tmp_path):
         for r in spark.sql("SELECT * FROM scd2_pit_stream").collect()
     }
     assert got == {100: "bronze", 101: "gold", 102: None}
+
+
+def test_dedup_stream_against_reference(spark, stream_dir):
+    """Stream-static anti-join dedup: rows whose event_id is already in
+    the reference snapshot never enter the stream output; composed with
+    streaming_dedup it yields the full incremental-crawl pattern
+    (reference-known AND within-stream duplicates both dropped)."""
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import (
+        dedup_stream_against,
+    )
+
+    ref = spark.createDataFrame([(2,), (3,), (3,)], "event_id long")
+    stream = read_event_stream(spark, stream_dir, SCHEMA)
+    fresh = dedup_stream_against(stream, ref, on="event_id")
+    dd = streaming_dedup(fresh, ["event_id"], watermark="1 hour")
+    run_stream_to_memory(dd, "against_out")
+    rows = spark.sql("SELECT event_id FROM against_out").collect()
+    # 2 and 3 are reference-known; the duplicated 1 collapses to one row
+    assert sorted(r.event_id for r in rows) == [1]

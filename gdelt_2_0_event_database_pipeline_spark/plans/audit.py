@@ -73,6 +73,9 @@ NESTED_LOOP_OK = {
     "q_heavy_hitters_exact", # |event types|-row counts × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
     "q_bm25_search",         # corpus × broadcast 1-row BM25 stats
+    "q_hybrid_rrf",          # BM25 1-row stats cross + cosine broadcast 1-row
+                             # query — both bounded feeder shapes of the
+                             # systems being fused
     "q_lm_score",            # broadcast 1-row vocabulary-size scalar
     "q_lm_score_against",    # same 1-row V broadcast
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar
@@ -119,6 +122,9 @@ SINGLE_PARTITION_OK = {
     "q_expectations",    # one-row rule aggregate unpivoted to the report
     "q_skew_report",     # 1-row totals aggregate behind the top-k join
     "q_distribution_drift",  # TV-sum window over the <=buckets-row histogram
+    "q_hybrid_rrf",      # global rank windows over <=systems*k fused
+                         # candidate rows (inputs are top-k lists by
+                         # construction — bounded)
                              # join (bucket-level, bounded by construction)
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)

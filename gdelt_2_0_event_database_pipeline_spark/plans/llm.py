@@ -2586,6 +2586,96 @@ def q_bm25_search(spark, sf_dir):
 
 
 @register(
+    "q_hybrid_rrf",
+    sql=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS}) AS l,
+             len(list_filter({_SQL_TOKENS}, x -> x = 'spark')) AS tf0,
+             len(list_filter({_SQL_TOKENS}, x -> x = 'shuffle')) AS tf1,
+             len(list_filter({_SQL_TOKENS}, x -> x = 'window')) AS tf2
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS N,
+             CAST(sum(l) AS BIGINT) AS TL,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      FROM base
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM (
+        SELECT doc_id,
+          ((N - df0 + 0.5) / (df0 + 0.5))
+            * (CAST(tf0 AS DOUBLE) * 2.2)
+            / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))
+          + ((N - df1 + 0.5) / (df1 + 0.5))
+            * (CAST(tf1 AS DOUBLE) * 2.2)
+            / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))
+          + ((N - df2 + 0.5) / (df2 + 0.5))
+            * (CAST(tf2 AS DOUBLE) * 2.2)
+            / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))
+          AS score
+        FROM base CROSS JOIN stats
+      ) WHERE score > 0
+    ), q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), vec AS (
+      SELECT c.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id ASC
+             ) AS rnk
+      FROM q JOIN c ON q.vec_id != c.vec_id
+    ), contrib AS (
+      SELECT doc_id, 1.0 / (60 + CAST(rnk AS DOUBLE)) AS contrib
+      FROM lex WHERE rnk <= 10
+      UNION ALL
+      SELECT doc_id, 1.0 / (60 + CAST(rnk AS DOUBLE)) AS contrib
+      FROM vec WHERE rnk <= 10
+    ), fused AS (
+      SELECT doc_id, sum(contrib) AS rrf_score FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, rank FROM (
+      SELECT doc_id, rrf_score,
+             row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc=(
+        "Hybrid retrieval via reciprocal-rank fusion (Cormack 2009): BM25 "
+        "top-10 for ['spark','shuffle','window'] fused with cosine top-10 "
+        "for query vector 0 over the shared item-id space; fused score = "
+        "sum(1/(60+rank)) - rank-only, so the incomparable BM25/cosine "
+        "score scales never need calibration. Two-system sums are "
+        "commutative-exact in IEEE, so the oracle matches bit-for-bit."
+    ),
+)
+def q_hybrid_rrf(spark, sf_dir):
+    from ..operators.fusion import rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window as W
+
+    lex = X.bm25_topk(d, ["spark", "shuffle", "window"], k=10).withColumn(
+        "rank",
+        F.row_number().over(
+            W.orderBy(F.desc("score"), F.asc("doc_id"))
+        ),
+    )
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex.select("doc_id", "rank"), vec], k=10)
+
+
+@register(
     "q_hard_negatives",
     sql="""
     WITH a AS (

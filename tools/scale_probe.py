@@ -1,0 +1,163 @@
+"""Empirical scaling probe — measure headline operators at 1×/10×/100×
+the sf0.1 input and check the wall-clock curve against the SCALE.md
+shuffle-ledger claims (linear or better in input size once per-job fixed
+cost amortizes).
+
+The replicated inputs are built in /tmp by exploding each sf0.1 row into
+``mult`` copies with key columns offset per replica (joins stay valid:
+every key column of a join family gets the same offset). Two deliberate
+data regimes:
+
+- relational tables (lineitem/orders/customer): clean disjoint replicas —
+  the plain-scaling regime for scan/agg/join shapes.
+- documents: replicas keep their TEXT identical, so at 100× every doc has
+  100 near-identical copies — the ADVERSARIAL dedup regime where naive
+  LSH candidate pairs would grow ~mult² per original. The probe runs
+  MinHash with the ``max_bucket_size`` skew cap to demonstrate the guard
+  holding work near-linear (oversized buckets are skipped, exactly the
+  documented trade).
+- embeddings: replicas identical — encode cost is value-independent;
+  search probes 5 queries against a mult×-larger corpus.
+
+Usage:  python tools/scale_probe.py [--mults 1,10,100]
+Prints one JSON line (also written to SCALE_PROBE.json at the repo root).
+Runs each probe twice per scale and reports both (first includes
+plan-build/codegen; second is steady state).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gdelt_2_0_event_database_pipeline_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+WORK = "/tmp/spark_graft_scale_probe"
+KEY_OFFSET = 100_000_000
+
+#: key columns that must shift together so joins stay valid
+KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build(spark, mult: int) -> str:
+    out = f"{WORK}/x{mult}"
+    if os.path.isdir(out):
+        return out
+    for table, keys in KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        rep = df.withColumn(
+            "__rep__", F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+        )
+        for k in keys:
+            rep = rep.withColumn(
+                k, F.col(k) + F.col("__rep__").cast("long") * F.lit(KEY_OFFSET)
+            )
+        rep.drop("__rep__").write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
+    return out
+
+
+def probes():
+    """name -> callable(spark, sf_dir) returning a DataFrame to drain."""
+    from gdelt_2_0_event_database_pipeline_spark.operators import dedup as D
+    from gdelt_2_0_event_database_pipeline_spark.operators import pq as Q
+    from gdelt_2_0_event_database_pipeline_spark.operators import sq as SQ
+    from gdelt_2_0_event_database_pipeline_spark.operators import text as X
+    from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES
+
+    def scan_agg(spark, d):
+        return QUERIES["q01_pricing_summary"].fn(spark, d)
+
+    def join3(spark, d):
+        return QUERIES["q03_shipping_priority"].fn(spark, d)
+
+    def tfidf(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return X.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+    def minhash_capped(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return D.minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_bucket_size=32
+        )
+
+    def sq_encode(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        bounds = SQ.fit_sq_bounds(emb)
+        return SQ.sq_encode(emb, *bounds)
+
+    def pq_search(spark, d):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=2)
+        enc = Q.pq_encode(emb, books)
+        return Q.pq_topk(
+            enc, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=100,
+            corpus=emb,
+        )
+
+    return {
+        "q01_scan_agg": scan_agg,
+        "q03_join3": join3,
+        "tfidf_full_docs": tfidf,
+        "minhash_adversarial_capped": minhash_capped,
+        "sq8_encode": sq_encode,
+        "pq_encode_search": pq_search,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mults", default="1,10,100")
+    ap.add_argument("--keep", action="store_true", help="keep /tmp tables")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    spark = get_spark(
+        "scale-probe",
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {m: build(spark, m) for m in mults}
+    results: dict = {"mults": mults, "probes": {}}
+    for name, fn in probes().items():
+        row = {}
+        for m in mults:
+            times = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, dirs[m]).write.format("noop").mode("overwrite").save()
+                times.append(round(time.time() - t0, 2))
+            row[f"x{m}"] = times
+            print(f"{name} x{m}: {times}", flush=True)
+        results["probes"][name] = row
+
+    payload = json.dumps(results)
+    print(payload)
+    with open(os.path.join(REPO, "SCALE_PROBE.json"), "w") as f:
+        f.write(payload + "\n")
+    if not args.keep:
+        shutil.rmtree(WORK, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

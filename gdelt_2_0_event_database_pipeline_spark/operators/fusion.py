@@ -54,3 +54,92 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(id_col, "rrf_score", "rank")
     )
+
+
+def _cum_idcg(k: int) -> list[float]:
+    """cum_idcg[j] = ideal DCG with j relevant items in the top positions
+    (Σ_{i=1..j} 1/log2(i+1)), j = 0..k. Computed ONCE driver-side and
+    embedded as literals in both the Spark plan and the DuckDB oracle —
+    the LSH-plane-literal pattern — so libm log2 differences between
+    engines can never surface."""
+    import math
+
+    out = [0.0]
+    for i in range(1, k + 1):
+        out.append(out[-1] + 1.0 / math.log2(i + 1))
+    return out
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query IR metrics over a top-k ranking: hits, MRR, NDCG@k,
+    precision@k, recall@k. ``relevance`` is (query_col, item_col) pairs of
+    RELEVANT items (anything absent is irrelevant; the standard qrels
+    shape). Queries with zero relevant items report NULL recall/ndcg.
+
+    Shapes: one broadcast-able semi-structured join (rankings are nq×k by
+    construction) plus a grouped aggregate on the relevance table for
+    per-query totals — nothing scales with the corpus, only with the
+    ranked output. DCG positions use 1/log2(rank+1) with the cumulative
+    ideal table embedded as literals (``_cum_idcg``); float aggregates
+    are rounded to ``decimals`` on both engines per the cross-engine
+    compare convention (sub-ULP libm/summation-order drift)."""
+    rel = relevance.select(
+        F.col(query_col), F.col(item_col), F.lit(1).alias("__rel__")
+    ).dropDuplicates([query_col, item_col])
+    totals = rel.groupBy(query_col).agg(
+        F.count(F.lit(1)).alias("__total_rel__")
+    )
+    log2_inv = _cum_idcg(k)
+    # per-position DCG contribution as a literal lookup: 1/log2(rank+1)
+    pos_gain = F.array(
+        *[F.lit(log2_inv[i + 1] - log2_inv[i]) for i in range(k)]
+    )
+    cum = F.array(*[F.lit(v) for v in log2_inv])
+
+    j = (
+        ranked.filter(F.col(rank_col) <= k)
+        .join(rel, [query_col, item_col], "left")
+        .withColumn("__rel__", F.coalesce(F.col("__rel__"), F.lit(0)))
+    )
+    per_q = j.groupBy(query_col).agg(
+        F.sum("__rel__").alias("hits"),
+        F.max(
+            F.when(F.col("__rel__") == 1, 1.0 / F.col(rank_col))
+        ).alias("__mrr__"),
+        F.sum(
+            F.when(
+                F.col("__rel__") == 1,
+                F.element_at(pos_gain, F.col(rank_col)),
+            )
+        ).alias("__dcg__"),
+    )
+    out = per_q.join(totals, query_col, "left").withColumn(
+        "__total_rel__", F.coalesce(F.col("__total_rel__"), F.lit(0))
+    )
+    ideal = F.element_at(
+        cum, (F.least(F.col("__total_rel__"), F.lit(k)) + 1).cast("int")
+    )
+    return out.select(
+        F.col(query_col),
+        F.col("hits").cast("long").alias("hits"),
+        F.round(F.coalesce(F.col("__mrr__"), F.lit(0.0)), decimals).alias("mrr"),
+        F.when(
+            F.col("__total_rel__") > 0,
+            F.round(F.coalesce(F.col("__dcg__"), F.lit(0.0)) / ideal, decimals),
+        ).alias("ndcg_at_k"),
+        F.round(F.col("hits") / F.lit(float(k)), decimals).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.col("__total_rel__") > 0,
+            F.round(F.col("hits") / F.col("__total_rel__"), decimals),
+        ).alias("recall_at_k"),
+    )

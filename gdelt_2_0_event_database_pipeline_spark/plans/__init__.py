@@ -36,6 +36,7 @@ _DRIVER_PRIORITY = [
     "q_sq_encode",  # NEW r9: SQ8 encode (full DuckDB oracle)
     "q_sq_topk",  # NEW r9: SQ8 approximate search (full DuckDB oracle)
     "q_hybrid_rrf",  # NEW r9: BM25+vector RRF hybrid (full DuckDB oracle)
+    "q_retrieval_metrics",  # NEW r9: MRR/NDCG/P/R eval (full DuckDB oracle)
     "q_ivf_topk",  # plan changed r9: auto nprobe (was fixed 3)
     "q11_important_parts",  # plan changed r9: NATION_19 filter
     # -- maintenance rotation: oldest driver evidence first --

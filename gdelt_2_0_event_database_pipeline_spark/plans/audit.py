@@ -76,6 +76,9 @@ NESTED_LOOP_OK = {
     "q_hybrid_rrf",          # BM25 1-row stats cross + cosine broadcast 1-row
                              # query — both bounded feeder shapes of the
                              # systems being fused
+    "q_retrieval_metrics",   # cosine feeder: corpus × broadcast 5-row query
+                             # set (the q_cosine_topk shape); metrics join is
+                             # equi-hash over nq×k ranked rows
     "q_lm_score",            # broadcast 1-row vocabulary-size scalar
     "q_lm_score_against",    # same 1-row V broadcast
     "q_tfidf_keywords",      # broadcast one-row corpus-count scalar

@@ -2675,6 +2675,98 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([lex.select("doc_id", "rank"), vec], k=10)
 
 
+def _idcg_literals_sql(k: int = 10) -> tuple[str, str]:
+    """(gains_list, cum_list) SQL literals from fusion._cum_idcg — the
+    SAME Python floats the Spark plan embeds (repr round-trips exactly),
+    so libm log2 differences can never surface cross-engine."""
+    from ..operators.fusion import _cum_idcg
+
+    cum = _cum_idcg(k)
+    gains = [cum[i + 1] - cum[i] for i in range(k)]
+    return (
+        "[" + ", ".join(repr(g) for g in gains) + "]",
+        "[" + ", ".join(repr(c) for c in cum) + "]",
+    )
+
+
+_IR_GAINS_SQL, _IR_CUM_SQL = _idcg_literals_sql(10)
+
+
+@register(
+    "q_retrieval_metrics",
+    sql=f"""
+    WITH q AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), ranked AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id ASC
+               ) AS rnk
+        FROM q JOIN c ON q.vec_id != c.vec_id
+      ) WHERE rnk <= 10
+    ), rel AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS item_id
+      FROM q JOIN c ON q.label = c.label AND q.vec_id != c.vec_id
+    ), totals AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS total_rel
+      FROM rel GROUP BY query_id
+    ), per_q AS (
+      SELECT r.query_id,
+             CAST(sum(CASE WHEN rel.item_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             max(CASE WHEN rel.item_id IS NOT NULL THEN 1.0 / r.rnk END) AS mrr_raw,
+             sum(CASE WHEN rel.item_id IS NOT NULL
+                 THEN ({_IR_GAINS_SQL})[r.rnk] END) AS dcg
+      FROM ranked r
+      LEFT JOIN rel ON r.query_id = rel.query_id AND r.neighbor_id = rel.item_id
+      GROUP BY r.query_id
+    )
+    SELECT p.query_id, p.hits,
+           round(coalesce(p.mrr_raw, 0.0), 6) AS mrr,
+           CASE WHEN coalesce(t.total_rel, 0) > 0 THEN
+             round(coalesce(p.dcg, 0.0)
+                   / ({_IR_CUM_SQL})[least(t.total_rel, 10) + 1], 6)
+           END AS ndcg_at_k,
+           round(p.hits / 10.0, 6) AS precision_at_k,
+           CASE WHEN coalesce(t.total_rel, 0) > 0 THEN
+             round(CAST(p.hits AS DOUBLE) / t.total_rel, 6)
+           END AS recall_at_k
+    FROM per_q p LEFT JOIN totals t USING (query_id)
+    """,
+    doc=(
+        "Retrieval evaluation (X3/X4 surface): MRR, NDCG@10, precision@10, "
+        "recall@10 per query for cosine top-10 against same-label "
+        "relevance (the standard qrels contract). DCG position gains and "
+        "the cumulative-ideal table are ONE Python-computed literal list "
+        "embedded in both engines (the LSH-plane pattern), and float "
+        "metrics are rounded to 6dp both sides - full DuckDB oracle."
+    ),
+)
+def q_retrieval_metrics(spark, sf_dir):
+    from ..operators.fusion import retrieval_metrics
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ranked = cosine_topk(emb, queries, k=10)
+    rel = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__l2__")),
+            F.col("label") == F.col("__l2__"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return retrieval_metrics(ranked, rel, k=10)
+
+
 @register(
     "q_hard_negatives",
     sql="""

@@ -51,3 +51,47 @@ def test_k_truncates_and_c_damps(spark):
 def test_empty_input_rejected(spark):
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_retrieval_metrics_closed_form(spark):
+    """Hand-built qrels: query 1 has relevant items at ranks 1 and 3 of 5
+    (3 relevant total); query 2 has none relevant."""
+    import math
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.fusion import (
+        retrieval_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+         (2, 10, 1), (2, 11, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77)],
+        "query_id long, neighbor_id long",
+    )
+    got = {r.query_id: r for r in retrieval_metrics(ranked, rel, k=5).collect()}
+    r1 = got[1]
+    assert r1.hits == 2 and r1.mrr == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))  # 3 relevant, k=5
+    assert r1.ndcg_at_k == round(dcg / idcg, 6)
+    assert r1.precision_at_k == 0.4 and r1.recall_at_k == round(2 / 3, 6)
+    r2 = got[2]
+    assert r2.hits == 0 and r2.mrr == 0.0 and r2.precision_at_k == 0.0
+    assert r2.ndcg_at_k == round(0.0, 6) and r2.recall_at_k == round(0.0, 6)
+
+
+def test_retrieval_metrics_no_relevance_is_null(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.fusion import (
+        retrieval_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(9, 1, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    rel = spark.createDataFrame([], "query_id long, neighbor_id long")
+    r = retrieval_metrics(ranked, rel, k=5).first()
+    assert r.hits == 0 and r.mrr == 0.0
+    assert r.ndcg_at_k is None and r.recall_at_k is None

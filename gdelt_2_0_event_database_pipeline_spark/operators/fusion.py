@@ -83,6 +83,11 @@ def retrieval_metrics(
     precision@k, recall@k. ``relevance`` is (query_col, item_col) pairs of
     RELEVANT items (anything absent is irrelevant; the standard qrels
     shape). Queries with zero relevant items report NULL recall/ndcg.
+    Queries that have qrels but ZERO ranked rows (upstream search
+    returned nothing — malformed vector dropped, empty LSH buckets)
+    still get a row with zero hits/mrr/ndcg/precision/recall, matching
+    trec_eval: silently omitting them would bias averaged metrics
+    upward toward only-the-queries-the-system-answered.
 
     Shapes: one broadcast-able semi-structured join (rankings are nq×k by
     construction) plus a grouped aggregate on the relevance table for
@@ -121,8 +126,12 @@ def retrieval_metrics(
             )
         ).alias("__dcg__"),
     )
-    out = per_q.join(totals, query_col, "left").withColumn(
-        "__total_rel__", F.coalesce(F.col("__total_rel__"), F.lit(0))
+    # FULL outer: keep ranked-only queries (no qrels -> NULL recall/ndcg)
+    # AND qrels-only queries (system answered nothing -> all-zero row).
+    out = (
+        per_q.join(totals, query_col, "full")
+        .withColumn("__total_rel__", F.coalesce(F.col("__total_rel__"), F.lit(0)))
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0)))
     )
     ideal = F.element_at(
         cum, (F.least(F.col("__total_rel__"), F.lit(k)) + 1).cast("int")

@@ -190,6 +190,25 @@ def assign_cells(
     )
 
 
+def probe_assignments(vectors, centroids: list[list[float]], nprobe: int):
+    """Per query vector, its ``nprobe`` nearest centroid ids — ascending
+    |q-c|², stable ties toward the lower cell id (the same rule as
+    ``nearest_cells``' packed struct sort). Driver-side numpy over the
+    bounded query set; the ONE probe rule shared by ``ivf_topk`` and
+    ``pq.ivf_pq_topk`` so the two search paths can never desynchronize.
+    Returns an (n_queries × nprobe) integer matrix."""
+    import numpy as np
+
+    qm = np.asarray(vectors, dtype=np.float64)
+    cm = np.asarray(centroids, dtype=np.float64)
+    d2 = (
+        (qm * qm).sum(axis=1)[:, None]
+        + (cm * cm).sum(axis=1)[None, :]
+        - 2.0 * (qm @ cm.T)
+    )
+    return d2.argsort(axis=1, kind="stable")[:, :nprobe]
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -286,8 +305,6 @@ def ivf_topk(
     ``fit_ivf_centroids``). Both sides are pre-filtered to well-formed
     vectors so the paths see identical row sets (see ``assign_cells``
     precondition)."""
-    import numpy as np
-
     if nprobe is None:
         nprobe = nprobe_for_recall(len(centroids), recall_target)
     corpus_wf = well_formed_vectors(corpus, vec_col)
@@ -316,16 +333,9 @@ def ivf_topk(
     if not q_rows:
         q = spark.createDataFrame([], q_schema)
     else:
-        qm = np.asarray([r["__qv__"] for r in q_rows], dtype=np.float64)
-        cm = np.asarray(centroids, dtype=np.float64)
-        d2 = (
-            (qm * qm).sum(axis=1)[:, None]
-            + (cm * cm).sum(axis=1)[None, :]
-            - 2.0 * (qm @ cm.T)
+        probes = probe_assignments(
+            [r["__qv__"] for r in q_rows], centroids, nprobe
         )
-        # stable argsort: ascending distance, ties toward the lower cell id —
-        # the same rule as nearest_cells' packed struct sort
-        probes = d2.argsort(axis=1, kind="stable")[:, :nprobe]
         q = spark.createDataFrame(
             [
                 (r["query_id"], list(r["__qv__"]), int(cell))

@@ -63,16 +63,36 @@ from pyspark.sql import functions as F
 from .ivf import well_formed_vectors
 from .similarity import _as_double, cosine
 
-Codebooks = "list[list[list[float]]]"  # m × ncodes × subdim
+def _assert_size(df: DataFrame, col: str, expected: int, what: str) -> DataFrame:
+    """Fail LOUDLY (job error) if any row's array column has the wrong
+    length, instead of the silent NULL-scores/truncated-codes degradation
+    a mismatched corpus would otherwise produce. The assert lives inside
+    a filter condition so column pruning cannot drop it; cost is one
+    comparison per row."""
+    return df.filter(
+        F.coalesce(
+            F.assert_true(
+                F.size(F.col(col)) == expected,
+                F.concat(
+                    F.lit(f"{what}: expected {col} of length {expected}, got "),
+                    F.size(F.col(col)).cast("string"),
+                ),
+            ),
+            F.lit(True),
+        )
+    )
 
 
 def _check_codebooks(codebooks) -> tuple[int, int, int]:
     """(m, ncodes, subdim) with rectangularity validated."""
-    m = len(codebooks)
-    if m == 0:
-        raise ValueError("need at least one subspace codebook")
-    ncodes = len(codebooks[0])
-    subdim = len(codebooks[0][0])
+    try:
+        m = len(codebooks)
+        ncodes = len(codebooks[0]) if m else 0
+        subdim = len(codebooks[0][0]) if m and ncodes else 0
+    except TypeError as e:  # None / non-sequence from a corrupt sidecar
+        raise ValueError(f"malformed codebooks: {e}") from None
+    if m == 0 or ncodes == 0 or subdim == 0:
+        raise ValueError("codebooks must be non-empty m×ncodes×subdim")
     for cb in codebooks:
         if len(cb) != ncodes or any(len(c) != subdim for c in cb):
             raise ValueError("codebooks must be rectangular m×ncodes×subdim")
@@ -186,7 +206,7 @@ def pq_encode(
     )
 
     persub = (
-        well_formed_vectors(df, vec_col)
+        _assert_size(well_formed_vectors(df, vec_col), vec_col, m * subdim, "pq_encode")
         .select(
             F.col(id_col).alias("__eid__"),
             F.posexplode(_as_double(vec_col)).alias("__pos__", "__val__"),
@@ -374,9 +394,11 @@ def pq_topk(
     rerank touches nq×r rows only."""
     if rerank is not None and corpus is None:
         raise ValueError("rerank requires the original corpus DataFrame")
+    m, _, _ = _check_codebooks(codebooks)
     data, id_dtype = _collect_query_luts(queries, codebooks, id_col, vec_col)
     spark = corpus_codes.sparkSession
     qdf = spark.createDataFrame(data, _lut_schema(id_dtype))
+    corpus_codes = _assert_size(corpus_codes, "codes", m, "pq_topk")
     cand = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
     ).join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
@@ -414,15 +436,16 @@ def ivf_pq_topk(
     existing encoding — the deployment shape, where codes+cells are
     computed once at ingest and every search is map-side pruning +
     bounded rescoring."""
-    import numpy as np
-
-    from .ivf import assign_cells, nprobe_for_recall
+    from .ivf import assign_cells, nprobe_for_recall, probe_assignments
 
     if nprobe is None:
         nprobe = nprobe_for_recall(len(centroids), recall_target)
+    m, _, _ = _check_codebooks(codebooks)
     corpus_wf = well_formed_vectors(corpus, vec_col)
     if corpus_codes is None:
         corpus_codes = pq_encode(corpus_wf, codebooks, id_col, vec_col)
+    else:
+        corpus_codes = _assert_size(corpus_codes, "codes", m, "ivf_pq_topk")
     cells = assign_cells(
         corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
     ).select(F.col(id_col).alias("__cid__"), F.col("cell").alias("__cell__"))
@@ -436,16 +459,7 @@ def ivf_pq_topk(
 
     data, id_dtype = _collect_query_luts(queries, codebooks, id_col, vec_col)
     if data:
-        qm = np.asarray([d[1] for d in data], dtype=np.float64)
-        cm = np.asarray(centroids, dtype=np.float64)
-        d2 = (
-            (qm * qm).sum(axis=1)[:, None]
-            + (cm * cm).sum(axis=1)[None, :]
-            - 2.0 * (qm @ cm.T)
-        )
-        # stable argsort: ascending distance, lower cell id on ties —
-        # the same probe rule as ivf_topk
-        probes = d2.argsort(axis=1, kind="stable")[:, :nprobe]
+        probes = probe_assignments([d[1] for d in data], centroids, nprobe)
         data = [
             d + (int(cell),) for d, row in zip(data, probes) for cell in row
         ]

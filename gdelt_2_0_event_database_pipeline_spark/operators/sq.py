@@ -35,13 +35,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ivf import well_formed_vectors
+from .pq import _assert_size
 from .similarity import _as_double, cosine
 
 
 def fit_sq_bounds(
     df: DataFrame,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> tuple[list[float], list[float]]:
     """(mins, maxs): corpus-wide per-dimension bounds from one
     posexplode + groupBy(dim) aggregation. min/max aggregates are
@@ -112,7 +112,9 @@ def sq_encode(
     ``well_formed_vectors`` precondition)."""
     if len(mins) != len(maxs):
         raise ValueError("mins/maxs length mismatch")
-    return well_formed_vectors(df, vec_col).select(
+    return _assert_size(
+        well_formed_vectors(df, vec_col), vec_col, len(mins), "sq_encode"
+    ).select(
         F.col(id_col),
         sq_encode_expr(_as_double(vec_col), mins, maxs).alias("codes"),
     )
@@ -133,10 +135,14 @@ def sq_topk(
     schema matches it: (query_id, neighbor_id, cos_sim, rank); cos_sim
     is cosine(q, decode(codes)) — deterministic, so fully oracle-able,
     unlike the codebook-dependent PQ family."""
-    q = well_formed_vectors(queries, vec_col).select(
+    if len(mins) != len(maxs):
+        raise ValueError("mins/maxs length mismatch")
+    q = _assert_size(
+        well_formed_vectors(queries, vec_col), vec_col, len(mins), "sq_topk queries"
+    ).select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
     )
-    c = corpus_codes.select(
+    c = _assert_size(corpus_codes, "codes", len(mins), "sq_topk codes").select(
         F.col(id_col).alias("neighbor_id"),
         sq_decode_expr(F.col("codes"), mins, maxs).alias("__cv__"),
     )

@@ -125,10 +125,10 @@ SINGLE_PARTITION_OK = {
     "q_expectations",    # one-row rule aggregate unpivoted to the report
     "q_skew_report",     # 1-row totals aggregate behind the top-k join
     "q_distribution_drift",  # TV-sum window over the <=buckets-row histogram
+                             # join (bucket-level, bounded by construction)
     "q_hybrid_rrf",      # global rank windows over <=systems*k fused
                          # candidate rows (inputs are top-k lists by
                          # construction — bounded)
-                             # join (bucket-level, bounded by construction)
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_cramers_v",           # one-row chi2 + one-row dims aggregates

@@ -2727,17 +2727,17 @@ _IR_GAINS_SQL, _IR_CUM_SQL = _idcg_literals_sql(10)
       LEFT JOIN rel ON r.query_id = rel.query_id AND r.neighbor_id = rel.item_id
       GROUP BY r.query_id
     )
-    SELECT p.query_id, p.hits,
+    SELECT query_id, coalesce(p.hits, 0) AS hits,
            round(coalesce(p.mrr_raw, 0.0), 6) AS mrr,
            CASE WHEN coalesce(t.total_rel, 0) > 0 THEN
              round(coalesce(p.dcg, 0.0)
                    / ({_IR_CUM_SQL})[least(t.total_rel, 10) + 1], 6)
            END AS ndcg_at_k,
-           round(p.hits / 10.0, 6) AS precision_at_k,
+           round(coalesce(p.hits, 0) / 10.0, 6) AS precision_at_k,
            CASE WHEN coalesce(t.total_rel, 0) > 0 THEN
-             round(CAST(p.hits AS DOUBLE) / t.total_rel, 6)
+             round(CAST(coalesce(p.hits, 0) AS DOUBLE) / t.total_rel, 6)
            END AS recall_at_k
-    FROM per_q p LEFT JOIN totals t USING (query_id)
+    FROM per_q p FULL JOIN totals t USING (query_id)
     """,
     doc=(
         "Retrieval evaluation (X3/X4 surface): MRR, NDCG@10, precision@10, "

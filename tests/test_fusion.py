@@ -83,6 +83,28 @@ def test_retrieval_metrics_closed_form(spark):
     assert r2.ndcg_at_k == round(0.0, 6) and r2.recall_at_k == round(0.0, 6)
 
 
+def test_retrieval_metrics_unanswered_query_reports_zeros(spark):
+    """A query with qrels but ZERO ranked rows (upstream search returned
+    nothing) must still appear, with all-zero metrics — the trec_eval
+    convention; omitting it would bias averaged recall/MRR upward."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.fusion import (
+        retrieval_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, neighbor_id long, rank int"
+    )
+    rel = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 21)], "query_id long, neighbor_id long"
+    )
+    got = {r.query_id: r for r in retrieval_metrics(ranked, rel, k=5).collect()}
+    assert set(got) == {1, 2}
+    r2 = got[2]
+    assert r2.hits == 0 and r2.mrr == 0.0
+    assert r2.ndcg_at_k == 0.0 and r2.precision_at_k == 0.0
+    assert r2.recall_at_k == 0.0
+
+
 def test_retrieval_metrics_no_relevance_is_null(spark):
     from gdelt_2_0_event_database_pipeline_spark.operators.fusion import (
         retrieval_metrics,

@@ -232,3 +232,22 @@ def test_pq_index_roundtrip(spark, emb, books, tmp_path):
     assert got == want
     with pytest.raises(Exception):
         write_pq_index(enc, books, path)  # mode="error" refuses overwrite
+
+
+def test_dim_mismatch_fails_loudly(spark, emb, books):
+    """Corpus vectors whose length != m*subdim must raise (assert_true
+    guard), not silently produce truncated codes / NULL ADC scores."""
+    short = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(Exception) as ei:
+        pq_encode(short, books).collect()
+    assert "pq_encode" in str(ei.value)
+
+
+def test_malformed_codebooks_raise_valueerror():
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        _check_codebooks,
+    )
+
+    for bad in (None, [], [[]], [[[]]], [[[1.0]], [[1.0], [2.0]]]):
+        with pytest.raises(ValueError):
+            _check_codebooks(bad)

@@ -96,3 +96,13 @@ def test_bad_inputs(emb):
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError):
         fit_sq_bounds(empty)
+
+
+def test_dim_mismatch_fails_loudly(spark, emb, bounds):
+    """Vectors longer/shorter than the fitted bounds must raise, not
+    silently yield NULL codes that rank last (review r9 finding)."""
+    mins, maxs = bounds
+    short = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(Exception) as ei:
+        sq_encode(short, mins, maxs).collect()
+    assert "sq_encode" in str(ei.value)

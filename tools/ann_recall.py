@@ -133,9 +133,11 @@ def main() -> int:
     print(f"\n## PQ recall@{args.k} vs (m, rerank) — 8 bytes/vector both layouts\n")
     print("| m | ncodes | rerank | recall@k | sec |")
     print("|---|---|---|---|---|")
+    fitted = {}  # m -> (codebooks, encoded corpus); m=16 reused by IVF-PQ below
     for m in (8, 16):
         books = fit_pq_codebooks(emb, m=m, ncodes=16, iters=3)
         enc = pq_encode(emb, books).localCheckpoint()
+        fitted[m] = (books, enc)
         for rr in (0, 25, 50, 100, 200):
             t0 = time.time()
             approx = pq_topk(
@@ -152,8 +154,7 @@ def main() -> int:
           f"({args.cells} cells, m=16, rerank=100)\n")
     print("| nprobe | recall@k | sec |")
     print("|---|---|---|")
-    books16 = fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
-    enc16 = pq_encode(emb, books16).localCheckpoint()
+    books16, enc16 = fitted[16]  # deterministic fit — reuse the PQ sweep's
     for nprobe in (2, 4, 8, 12, args.cells):
         t0 = time.time()
         rec = _recall(_topk_sets(ivf_pq_topk(

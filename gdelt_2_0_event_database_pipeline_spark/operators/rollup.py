@@ -1,0 +1,120 @@
+"""Incremental aggregate rollup tables — generic additive partial state.
+
+The 100 TB warehouse pattern the reference's daily-convert pipeline
+implies but never builds (reference main.py re-derives every report from
+raw rows; SURVEY.md §2.10 maintenance gap): persist ONE small state row
+per (group, day) holding additive aggregate partials, then answer any
+coarser grain (month × group, year, grand total) by merging partials —
+kilobytes of state instead of re-scanning raw history. The HLL variant
+(`sketches.hll_sketch_table`) covers distinct counts; this module covers
+the algebraic family: count / sum / min / max / sum-of-squares, from
+which merged avg and variance derive exactly.
+
+Maintenance discipline: additive counters are NOT idempotent under
+re-ingest (`+=` of a replayed day double-counts — the failure HLL unions
+avoid by being exact over overlap). The safe refresh is therefore
+REPLACE-BY-PARTITION: recompute a day's partials from its raw partition
+and swap them in (`refresh_rollup` — anti-join out, union in; the batch
+twin of `streaming/upsert.py`'s partition-scoped merge). Replay of the
+same day converges to the same state, so backfills and late data are
+safe.
+
+Scale shape: ``build_rollup`` is one map-side-partial groupBy on
+(group, day) — the same shuffle the report would need anyway, paid ONCE
+at ingest; ``merge_rollup`` touches only state rows (|groups|×|days|,
+~10⁴-10⁶ at 100 TB — a table that fits in one executor); ``refresh``
+shuffles only the refreshed day. Sums kept in BIGINT stay exact and
+associative at any scale when the measure is integer-valued (cents,
+counts, quantities) — the q11 integer-cent discipline; for true doubles
+the merged sum is order-dependent and consumers should round. sumsq in
+BIGINT overflows past ~3·10⁹ rows of 4-digit measures — cast the state
+columns to decimal(38,0) at that scale (the q_spearman precedent).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: suffix → (builder from the value column, merger from the state column)
+_STATS = {
+    "n": (lambda v: F.count(v), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+    "sumsq": (lambda v: F.sum(F.col(v) * F.col(v)), F.sum),
+}
+
+
+def _state_cols(value_cols: Sequence[str]) -> list[str]:
+    return [f"{v}_{s}" for v in value_cols for s in _STATS]
+
+
+def build_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Partial-aggregate state at the (fine) ``group_cols`` grain: for each
+    value column v, columns ``v_n / v_sum / v_min / v_max / v_sumsq``
+    (NULL values excluded from all five, matching SQL aggregates). One
+    shuffle on the group keys with map-side partials — the ingest-time
+    pass whose output is the persisted rollup table."""
+    if not group_cols or not value_cols:
+        raise ValueError("need at least one group column and one value column")
+    aggs = [
+        _STATS[s][0](v).alias(f"{v}_{s}") for v in value_cols for s in _STATS
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def merge_rollup(
+    state: DataFrame,
+    merge_keys: Sequence[str],
+    value_cols: Sequence[str],
+    derived: bool = True,
+) -> DataFrame:
+    """Roll partial state up to the coarser ``merge_keys`` grain — sums of
+    n/sum/sumsq, min of mins, max of maxs; NEVER touches raw rows. With
+    ``derived=True`` adds ``v_avg`` (sum/n) and ``v_var`` (population
+    variance via (n·sumsq − sum²)/n², the numerator exact when the state
+    is integer-valued). ``merge_keys=[]`` yields the 1-row grand total."""
+    aggs = [
+        _STATS[s][1](f"{v}_{s}").alias(f"{v}_{s}")
+        for v in value_cols
+        for s in _STATS
+    ]
+    grouped = state.groupBy(*merge_keys) if merge_keys else state.groupBy()
+    out = grouped.agg(*aggs)
+    if derived:
+        for v in value_cols:
+            n = F.col(f"{v}_n")
+            s = F.col(f"{v}_sum")
+            ss = F.col(f"{v}_sumsq")
+            out = out.withColumn(
+                f"{v}_avg", F.when(n > 0, s / n)
+            ).withColumn(
+                f"{v}_var",
+                F.when(n > 0, (n * ss - s * s) / (n * n)),
+            )
+    return out
+
+
+def refresh_rollup(
+    state: DataFrame,
+    fresh: DataFrame,
+    partition_cols: Sequence[str],
+) -> DataFrame:
+    """Replace every state partition present in ``fresh`` (a
+    ``build_rollup`` result for the re-processed days) and keep the rest —
+    LEFT ANTI on the partition key + union. Idempotent: refreshing the
+    same day twice converges, unlike additive ``+=`` ingest (module doc).
+    The anti-join side carries partition keys only; broadcast when the
+    refresh set is small (the common one-day case)."""
+    if not partition_cols:
+        raise ValueError("need at least one partition column")
+    keys = fresh.select(*partition_cols).dropDuplicates()
+    kept = state.join(F.broadcast(keys), list(partition_cols), "left_anti")
+    return kept.unionByName(fresh)

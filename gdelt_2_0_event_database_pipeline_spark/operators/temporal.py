@@ -1010,3 +1010,70 @@ def interval_intersect(
         F.greatest("__as__", "__bs__").alias("intersect_start"),
         F.least("__ae__", "__be__").alias("intersect_end"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kaplan–Meier survival estimate per group (Kaplan & Meier 1958) —
+    time-to-event analytics with right-censoring over the lake's event
+    histories (ship-to-return lags, user churn, ticket resolution).
+    ``event_col`` is 1 when the event was observed at ``duration_col``,
+    0 when the subject was censored there (observation ended event-free).
+
+    Per group and distinct duration t (ascending): ``n_at_risk`` =
+    subjects with duration ≥ t, ``n_events`` = observed events at t, and
+    ``survival`` = Π_{u ≤ t} (1 − d_u / n_u) — the product taken over the
+    ordered duration sequence. A running product is a recurrence, not a
+    frame aggregate, so it uses the ``ewma`` pattern: ordered
+    ``collect_list`` + higher-order fold (JVM codegen, deterministic
+    order → every double bit-identical with an engine folding the same
+    list, e.g. DuckDB ``list_reduce``). Censoring-only durations carry
+    factor exactly 1.0 — an IEEE-exact identity, so emitting them does
+    not perturb the product.
+
+    Scale shape: one groupBy on (group, duration) collapses the corpus to
+    the curve's support — |durations| rows per group — before any window;
+    the windows and the O(support²) fold state run on that bounded frame,
+    never on raw rows. Distinct-duration supports are bounded by the
+    calendar in practice (days between business events); for unbounded
+    continuous durations, bucket first."""
+    gcols = list(group_cols)
+    counts = (
+        df.groupBy(*gcols, duration_col)
+        .agg(
+            F.count(F.lit(1)).alias("__at__"),
+            F.sum(F.col(event_col).cast("long")).alias("n_events"),
+        )
+        .withColumn("n_censored", F.col("__at__") - F.col("n_events"))
+    )
+    word = Window.partitionBy(*gcols).orderBy(duration_col)
+    prior = F.coalesce(
+        F.sum("__at__").over(word.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    total = F.sum("__at__").over(Window.partitionBy(*gcols))
+    staged = counts.withColumn("n_at_risk", total - prior).withColumn(
+        "__factor__",
+        F.lit(1.0)
+        - F.col("n_events").cast("double") / F.col("n_at_risk").cast("double"),
+    )
+    hist = F.collect_list("__factor__").over(
+        word.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    survival = F.aggregate(
+        F.slice(hist, 2, F.greatest(F.size(hist) - 1, F.lit(0))),
+        F.element_at(hist, 1),
+        lambda acc, x: acc * x,
+    )
+    return staged.withColumn("survival", survival).select(
+        *gcols,
+        F.col(duration_col).alias("duration"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        "survival",
+    )

@@ -31,6 +31,9 @@ _DRIVER_PRIORITY = [
     # queries the r8 driver covered rotate to the back. After r9 no
     # query's newest driver row should be older than r5 except the
     # r6-era block, which rounds r10-r11 will reach.
+    "q_rollup_merge",  # NEW r9: incremental rollup merged==direct (oracle)
+    "q_rollup_refresh",  # NEW r9: replace-by-partition maintenance (oracle)
+    "q_kaplan_meier",  # NEW r9: censored survival curves (oracle)
     "q_pq_topk",  # NEW r9: PQ ANN (rows-only by construction)
     "q_ivf_pq_topk",  # NEW r9: composed IVF-PQ (rows-only by construction)
     "q_sq_encode",  # NEW r9: SQ8 encode (full DuckDB oracle)

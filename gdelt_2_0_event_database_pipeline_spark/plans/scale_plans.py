@@ -359,3 +359,106 @@ def q_video_near_dup(spark, sf_dir):
 
     df = make_video_df(spark, n=24)
     return video_near_dup_pairs(df, max_hamming=4, min_matched_frames=2)
+
+
+@register(
+    "q_rollup_merge",
+    sql="""
+    SELECT l_returnflag,
+           strftime(l_shipdate, '%Y-%m')          AS ship_month,
+           count(l_quantity)                      AS qty_n,
+           sum(l_quantity)                        AS qty_sum,
+           min(l_quantity)                        AS qty_min,
+           max(l_quantity)                        AS qty_max,
+           sum(l_quantity) / count(l_quantity)    AS qty_avg,
+           (count(l_quantity) * sum(l_quantity * l_quantity)
+              - sum(l_quantity) * sum(l_quantity))
+             / (count(l_quantity) * count(l_quantity)) AS qty_var,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_sum
+    FROM lineitem
+    GROUP BY l_returnflag, strftime(l_shipdate, '%Y-%m')
+    """,
+    doc=(
+        "Incremental rollup read path (operators/rollup.py): partial "
+        "aggregate state built ONCE at (returnflag, ship-day) grain, then "
+        "month-grain answers come from merging state rows only — never "
+        "re-scanning raw lineitem. The oracle is the DIRECT month-grain "
+        "aggregate, so the hash compare proves merged-partials == "
+        "single-pass exactly: counts/min/max/cents are exact integers, "
+        "qty sums are integer-valued doubles (exact, associative below "
+        "2^53), and avg/var are fixed-shape divisions of those exact "
+        "terms — no rounding anywhere."
+    ),
+)
+def q_rollup_merge(spark, sf_dir):
+    from ..operators.rollup import build_rollup, merge_rollup
+
+    base = _li(spark, sf_dir).select(
+        "l_returnflag",
+        "l_shipdate",
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    state = build_rollup(base, ["l_returnflag", "l_shipdate"], ["qty", "cents"])
+    monthly = merge_rollup(
+        state.withColumn(
+            "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+        ),
+        ["l_returnflag", "ship_month"],
+        ["qty", "cents"],
+    )
+    return monthly.select(
+        "l_returnflag",
+        "ship_month",
+        "qty_n",
+        "qty_sum",
+        "qty_min",
+        "qty_max",
+        "qty_avg",
+        "qty_var",
+        "cents_sum",
+    )
+
+
+@register(
+    "q_rollup_refresh",
+    sql="""
+    SELECT l_returnflag,
+           count(l_quantity)  AS qty_n,
+           sum(l_quantity)    AS qty_sum,
+           min(l_quantity)    AS qty_min,
+           max(l_quantity)    AS qty_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Incremental rollup maintenance path: one ship-day's state "
+        "partitions are REPLACED by freshly recomputed partials "
+        "(refresh_rollup: broadcast anti-join out + union in — the "
+        "idempotent replace-by-partition discipline; additive += replay "
+        "would double-count), then the merged per-flag totals must equal "
+        "the direct aggregate exactly. Exercises the full "
+        "build→refresh→merge pipeline against a one-pass oracle."
+    ),
+)
+def q_rollup_refresh(spark, sf_dir):
+    from ..operators.rollup import build_rollup, merge_rollup, refresh_rollup
+
+    base = _li(spark, sf_dir).select(
+        "l_returnflag", "l_shipdate", F.col("l_quantity").alias("qty")
+    )
+    state = build_rollup(base, ["l_returnflag", "l_shipdate"], ["qty"])
+    # re-process the busiest day: recompute its partials from raw rows and
+    # swap them in — state is unchanged data-wise, proving replace==rebuild
+    day = F.to_timestamp(F.lit("1997-06-15"))
+    fresh = build_rollup(
+        base.filter(F.col("l_shipdate") == day),
+        ["l_returnflag", "l_shipdate"],
+        ["qty"],
+    )
+    refreshed = refresh_rollup(state, fresh, ["l_shipdate"])
+    return merge_rollup(refreshed, ["l_returnflag"], ["qty"], derived=False).select(
+        "l_returnflag", "qty_n", "qty_sum", "qty_min", "qty_max"
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.temporal import asof_join, asof_nearest, range_join, sessionize
 from .registry import register
-from .relational import _events
+from .relational import _events, _t
 
 
 @register(
@@ -1516,3 +1516,61 @@ def q_conversion_latency(spark, sf_dir):
         .groupBy("latency_10min_bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_kaplan_meier",
+    sql="""
+    WITH base AS (
+      SELECT o.o_orderpriority AS grp,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS duration,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS event
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), counts AS (
+      SELECT grp, duration,
+             CAST(count(*) AS BIGINT)   AS at_t,
+             CAST(sum(event) AS BIGINT) AS n_events
+      FROM base GROUP BY grp, duration
+    ), risk AS (
+      SELECT grp, duration, at_t, n_events,
+             at_t - n_events AS n_censored,
+             sum(at_t) OVER (PARTITION BY grp)
+               - coalesce(sum(at_t) OVER (
+                   PARTITION BY grp ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM counts
+    ), hist AS (
+      SELECT grp, duration, n_at_risk, n_events, n_censored,
+             list(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+               OVER (PARTITION BY grp ORDER BY duration
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+      FROM risk
+    )
+    SELECT grp, duration, n_at_risk, n_events, n_censored,
+           list_reduce(h, (acc, x) -> acc * x) AS survival
+    FROM hist
+    """,
+    doc=(
+        "Kaplan-Meier survival curve per order priority: duration = days "
+        "from order to line shipment, event = the line was eventually "
+        "returned (returnflag R), censored otherwise. The running product "
+        "PI(1 - d/n) is the ewma recurrence pattern — ordered collect_list "
+        "+ higher-order fold, both engines folding the identical list so "
+        "every survival double is bit-identical (DuckDB list_reduce seeds "
+        "with the first element, matching the Spark init). n_at_risk / "
+        "event counts are exact BIGINTs; the corpus collapses to the "
+        "curve support (<= ~125 durations x 5 groups) before any window."
+    ),
+)
+def q_kaplan_meier(spark, sf_dir):
+    from ..operators.temporal import kaplan_meier
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.datediff("l_shipdate", "o_orderdate").alias("duration"),
+        (F.col("l_returnflag") == "R").cast("int").alias("event"),
+    )
+    return kaplan_meier(base, "duration", "event", ["grp"])

@@ -1,0 +1,91 @@
+"""Incremental rollup state tests (the end-to-end merged-equals-direct
+differential is driver-oracled by q_rollup_merge / q_rollup_refresh;
+these pin the operator's maintenance semantics on hand data)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators.rollup import (
+    build_rollup,
+    merge_rollup,
+    refresh_rollup,
+)
+
+
+def _base(spark):
+    # (grp, day, v) with a NULL value and two days
+    return spark.createDataFrame(
+        [
+            ("a", "d1", 1.0),
+            ("a", "d1", 3.0),
+            ("a", "d2", 5.0),
+            ("a", "d2", None),
+            ("b", "d1", 10.0),
+        ],
+        "grp string, day string, v double",
+    )
+
+
+def test_merge_matches_direct_aggregate(spark):
+    df = _base(spark)
+    state = build_rollup(df, ["grp", "day"], ["v"])
+    merged = {r.grp: r for r in merge_rollup(state, ["grp"], ["v"]).collect()}
+    direct = {
+        r.grp: r
+        for r in df.groupBy("grp")
+        .agg(
+            F.count("v").alias("v_n"),
+            F.sum("v").alias("v_sum"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        )
+        .collect()
+    }
+    for g in ("a", "b"):
+        for c in ("v_n", "v_sum", "v_min", "v_max"):
+            assert merged[g][c] == direct[g][c], (g, c)
+    # NULLs excluded from every stat: group a has 4 rows but v_n == 3
+    assert merged["a"].v_n == 3
+    # derived: avg = sum/n, population var = sumsq/n - mean^2
+    assert merged["a"].v_avg == pytest.approx(3.0)
+    assert merged["a"].v_var == pytest.approx((1 + 9 + 25) / 3 - 9.0)
+
+
+def test_grand_total_merge(spark):
+    state = build_rollup(_base(spark), ["grp", "day"], ["v"])
+    r = merge_rollup(state, [], ["v"], derived=False).first()
+    assert r.v_n == 4 and r.v_sum == 19.0 and r.v_min == 1.0 and r.v_max == 10.0
+
+
+def test_refresh_replaces_changed_day_and_is_idempotent(spark):
+    df = _base(spark)
+    state = build_rollup(df, ["grp", "day"], ["v"])
+    # d1 is re-processed with a corrected source (one extra row for grp a)
+    fixed_d1 = spark.createDataFrame(
+        [("a", "d1", 1.0), ("a", "d1", 3.0), ("a", "d1", 100.0),
+         ("b", "d1", 10.0)],
+        "grp string, day string, v double",
+    )
+    fresh = build_rollup(fixed_d1, ["grp", "day"], ["v"])
+    once = refresh_rollup(state, fresh, ["day"])
+    twice = refresh_rollup(once, fresh, ["day"])
+    for refreshed in (once, twice):
+        m = {r.grp: r for r in merge_rollup(refreshed, ["grp"], ["v"]).collect()}
+        # a: d1 now (1,3,100) + d2 (5) -> n=4 sum=109 max=100
+        assert m["a"].v_n == 4 and m["a"].v_sum == 109.0 and m["a"].v_max == 100.0
+        assert m["b"].v_n == 1 and m["b"].v_sum == 10.0
+    # untouched partitions survive: d2 state rows unchanged
+    d2 = once.filter(F.col("day") == "d2").collect()
+    assert {(r.grp, r.v_sum) for r in d2} == {("a", 5.0)}
+
+
+def test_empty_inputs_rejected(spark):
+    df = _base(spark)
+    with pytest.raises(ValueError):
+        build_rollup(df, [], ["v"])
+    with pytest.raises(ValueError):
+        build_rollup(df, ["grp"], [])
+    with pytest.raises(ValueError):
+        refresh_rollup(df, df, [])

@@ -646,3 +646,49 @@ def test_interval_intersect_property(spark, xs, ys):
             if ka == kb and sa < eb and sb < ea:
                 want.add((ka, ai, bi, max(sa, sb), min(ea, eb)))
     assert got == want
+
+
+def test_kaplan_meier_matches_hand_computation(spark):
+    """Textbook KM on hand data with censoring: subjects with durations
+    (2 event, 2 event, 3 censored, 5 event, 7 censored) — curve steps
+    only at event durations; censored rows reduce n_at_risk but keep
+    survival flat (factor exactly 1.0)."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        kaplan_meier,
+    )
+
+    rows = [("g", 2, 1), ("g", 2, 1), ("g", 3, 0), ("g", 5, 1), ("g", 7, 0)]
+    df = spark.createDataFrame(rows, "grp string, t int, ev int")
+    got = {
+        r.duration: r
+        for r in kaplan_meier(df, "t", "ev", ["grp"]).collect()
+    }
+    assert set(got) == {2, 3, 5, 7}
+    # t=2: n=5, d=2 -> S = 1 - 2/5 = 0.6
+    assert got[2].n_at_risk == 5 and got[2].n_events == 2
+    assert got[2].survival == pytest.approx(0.6)
+    # t=3: censored only -> survival unchanged (exact 1.0 factor)
+    assert got[3].n_at_risk == 3 and got[3].n_censored == 1
+    assert got[3].survival == got[2].survival
+    # t=5: n=2, d=1 -> S = 0.6 * 0.5 = 0.3
+    assert got[5].n_at_risk == 2 and got[5].survival == pytest.approx(0.3)
+    # t=7: censored at the end -> flat
+    assert got[7].n_at_risk == 1 and got[7].survival == pytest.approx(0.3)
+
+
+def test_kaplan_meier_groups_independent_and_monotone(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
+        kaplan_meier,
+    )
+
+    rows = [("a", t, 1) for t in (1, 2, 3)] + [("b", 9, 1)]
+    df = spark.createDataFrame(rows, "grp string, t int, ev int")
+    out = kaplan_meier(df, "t", "ev", ["grp"]).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert {r.duration for r in by_grp["b"]} == {9}
+    a = sorted(by_grp["a"], key=lambda r: r.duration)
+    surv = [r.survival for r in a]
+    assert surv == sorted(surv, reverse=True)  # non-increasing
+    assert surv[-1] == pytest.approx(0.0)

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: suffix → (builder from the value column, merger from the state column)
@@ -118,3 +118,87 @@ def refresh_rollup(
     keys = fresh.select(*partition_cols).dropDuplicates()
     kept = state.join(F.broadcast(keys), list(partition_cols), "left_anti")
     return kept.unionByName(fresh)
+
+
+def build_hist_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_buckets: int,
+) -> DataFrame:
+    """Mergeable histogram state — the rollup-table answer for QUANTILES,
+    which have no algebraic partial like sum/min/max: per group, one
+    ``(bucket, bucket_lo, n)`` row per OBSERVED fixed-width bucket of
+    ``value_col`` over [lo, hi) (same clamp-to-edge floor arithmetic as
+    ``profile.numeric_histogram``, so any engine reproduces the bucket
+    ids). Tall rows are additive — merging grains is a grouped sum, so
+    the state slots into ``refresh_rollup``'s replace-by-partition
+    maintenance unchanged. State size ≤ |groups|·num_buckets rows.
+
+    Accuracy is the histogram trade: estimates interpolate inside a
+    bucket, so error ≤ one bucket width — choose num_buckets for the
+    reporting tolerance (256–1024 for percentile dashboards)."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got ({lo}, {hi})")
+    width = (hi - lo) / num_buckets
+    v = F.col(value_col)
+    bucket = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(num_buckets - 1),
+    ).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", F.lit(lo) + F.col("bucket") * F.lit(width))
+        .select(*group_cols, "bucket", "bucket_lo", "n")
+    )
+
+
+def hist_quantile(
+    state: DataFrame,
+    merge_keys: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    num_buckets: int,
+) -> DataFrame:
+    """Quantile estimates from merged histogram state: roll the tall bins
+    up to ``merge_keys``, take the running count over ascending buckets,
+    and linearly interpolate inside the bucket containing rank q·total —
+    the textbook histogram-percentile read. Never touches raw rows; the
+    windows run over ≤ num_buckets rows per group. Every arithmetic step
+    is integers plus a fixed shape of IEEE ops, so an engine replaying
+    the same expressions reproduces each estimate bit-identically.
+
+    Output: (merge_keys..., q, quantile_est). ``q`` values must be in
+    (0, 1]."""
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty, each in (0, 1]")
+    width = (hi - lo) / num_buckets
+    merged = state.groupBy(*merge_keys, "bucket", "bucket_lo").agg(
+        F.sum("n").alias("n")
+    )
+    word = Window.partitionBy(*merge_keys).orderBy("bucket")
+    wall = Window.partitionBy(*merge_keys)
+    staged = (
+        merged.withColumn("__cum__", F.sum("n").over(word))
+        .withColumn("__prev__", F.col("__cum__") - F.col("n"))
+        .withColumn("__total__", F.sum("n").over(wall))
+        .withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+        .withColumn("__target__", F.col("q") * F.col("__total__"))
+    )
+    picked = staged.filter(
+        (F.col("__prev__") < F.col("__target__"))
+        & (F.col("__target__") <= F.col("__cum__"))
+    )
+    est = F.col("bucket_lo") + F.lit(width) * (
+        (F.col("__target__") - F.col("__prev__")) / F.col("n")
+    )
+    return picked.select(
+        *merge_keys, "q", est.alias("quantile_est")
+    )

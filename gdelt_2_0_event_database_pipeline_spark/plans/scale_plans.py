@@ -462,3 +462,71 @@ def q_rollup_refresh(spark, sf_dir):
     return merge_rollup(refreshed, ["l_returnflag"], ["qty"], derived=False).select(
         "l_returnflag", "qty_n", "qty_sum", "qty_min", "qty_max"
     )
+
+
+_HQ_LO, _HQ_HI, _HQ_NB = 900.0, 105000.0, 64
+_HQ_W = (_HQ_HI - _HQ_LO) / _HQ_NB
+
+
+@register(
+    "q_hist_quantile_rollup",
+    sql=f"""
+    WITH state AS (
+      SELECT l_returnflag,
+             l_shipdate AS day,
+             least(greatest(CAST(floor((l_extendedprice - CAST({_HQ_LO!r} AS DOUBLE))
+                                       / CAST({_HQ_W!r} AS DOUBLE))
+                                 AS BIGINT), 0), {_HQ_NB - 1}) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT l_returnflag, bucket,
+             CAST({_HQ_LO!r} AS DOUBLE) + bucket * CAST({_HQ_W!r} AS DOUBLE)
+               AS bucket_lo,
+             sum(n) AS n
+      FROM state GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, bucket, bucket_lo, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS total
+      FROM merged
+    ), picked AS (
+      SELECT l_returnflag, q, bucket_lo, n,
+             cum - n AS prev, q * total AS target
+      FROM cum, (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS q)
+      WHERE (cum - n) < q * total AND q * total <= cum
+    )
+    SELECT l_returnflag, q,
+           bucket_lo + CAST({_HQ_W!r} AS DOUBLE) * ((target - prev) / n)
+             AS quantile_est
+    FROM picked
+    """,
+    doc=(
+        "Quantile read path of the incremental rollup family: mergeable "
+        "fixed-width histogram state built at (returnflag, ship-day) "
+        "grain, merged to per-flag bins (grouped sum of tall rows), then "
+        "p50/p95 by linear interpolation inside the bucket holding rank "
+        "q*total. The oracle replays the identical bucket/merge/"
+        "interpolation arithmetic (exact BIGINT counts + a fixed IEEE "
+        "shape with the Python-computed width literal embedded both "
+        "sides), so estimates hash bit-identically. The state answer for "
+        "percentile dashboards: reports read <= |groups|*buckets rows, "
+        "never raw history."
+    ),
+)
+def q_hist_quantile_rollup(spark, sf_dir):
+    from ..operators.rollup import build_hist_rollup, hist_quantile
+
+    base = _li(spark, sf_dir).select(
+        "l_returnflag", F.col("l_shipdate").alias("day"), "l_extendedprice"
+    )
+    state = build_hist_rollup(
+        base, ["l_returnflag", "day"], "l_extendedprice",
+        _HQ_LO, _HQ_HI, _HQ_NB,
+    )
+    return hist_quantile(
+        state, ["l_returnflag"], [0.5, 0.95], _HQ_LO, _HQ_HI, _HQ_NB
+    )

@@ -89,3 +89,72 @@ def test_empty_inputs_rejected(spark):
         build_rollup(df, ["grp"], [])
     with pytest.raises(ValueError):
         refresh_rollup(df, df, [])
+
+
+def test_hist_quantile_within_bucket_width_of_exact(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.rollup import (
+        build_hist_rollup,
+        hist_quantile,
+    )
+
+    vals = [float(i) for i in range(1, 1001)]  # 1..1000 uniform
+    df = spark.createDataFrame(
+        [("g", "d1" if i % 2 else "d2", v) for i, v in enumerate(vals)],
+        "grp string, day string, v double",
+    )
+    lo, hi, nb = 0.0, 1000.0, 50
+    state = build_hist_rollup(df, ["grp", "day"], "v", lo, hi, nb)
+    # state is bounded: at most groups*days*buckets rows
+    assert state.count() <= 2 * nb
+    got = {
+        r.q: r.quantile_est
+        for r in hist_quantile(state, ["grp"], [0.25, 0.5, 0.95], lo, hi, nb).collect()
+    }
+    width = (hi - lo) / nb
+    for q in (0.25, 0.5, 0.95):
+        assert abs(got[q] - q * 1000.0) <= width, (q, got[q])
+
+
+def test_hist_rollup_clamps_out_of_range_and_refreshes(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.rollup import (
+        build_hist_rollup,
+        hist_quantile,
+        refresh_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "d1", -5.0), ("g", "d1", 0.5), ("g", "d2", 99.0)],
+        "grp string, day string, v double",
+    )
+    state = build_hist_rollup(df, ["grp", "day"], "v", 0.0, 10.0, 10)
+    rows = {(r.day, r.bucket): r.n for r in state.collect()}
+    # -5 clamps into bucket 0 alongside 0.5; 99 clamps into the last bucket
+    assert rows == {("d1", 0): 2, ("d2", 9): 1}
+    # histogram state slots into replace-by-partition maintenance
+    fixed = build_hist_rollup(
+        spark.createDataFrame([("g", "d2", 3.0)], "grp string, day string, v double"),
+        ["grp", "day"], "v", 0.0, 10.0, 10,
+    )
+    refreshed = refresh_rollup(state, fixed, ["day"])
+    rows2 = {(r.day, r.bucket): r.n for r in refreshed.collect()}
+    assert rows2 == {("d1", 0): 2, ("d2", 3): 1}
+    # q=1.0 lands in the last occupied bucket
+    r = hist_quantile(refreshed, ["grp"], [1.0], 0.0, 10.0, 10).first()
+    assert 3.0 <= r.quantile_est <= 4.0
+
+
+def test_hist_bad_inputs(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.rollup import (
+        build_hist_rollup,
+        hist_quantile,
+    )
+
+    df = _base(spark)
+    with pytest.raises(ValueError):
+        build_hist_rollup(df, ["grp"], "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        build_hist_rollup(df, ["grp"], "v", 0.0, 10.0, 0)
+    with pytest.raises(ValueError):
+        hist_quantile(df, ["grp"], [], 0.0, 10.0, 10)
+    with pytest.raises(ValueError):
+        hist_quantile(df, ["grp"], [1.5], 0.0, 10.0, 10)

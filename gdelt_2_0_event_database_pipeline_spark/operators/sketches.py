@@ -65,3 +65,101 @@ def hll_rollup_estimate(
     return grouped.agg(
         F.hll_sketch_estimate(F.hll_union_agg("hll_sketch")).alias("distinct_est")
     )
+
+
+def _cms_hashes(key, depth: int, width: int) -> "Column":
+    """array<struct<d,w>> of a key's count-min buckets: h1/h2 are two
+    40-bit hex windows of one md5 (the engine-portable Kirsch-Mitzenmacher
+    family shared with MinHash — any engine replays it), bucket_i =
+    (h1 + i*h2) mod width."""
+    m = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(m, 1, 10), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 11, 10), 16, 10).cast("long")
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                ((h1 + F.lit(i) * h2) % width).alias("w"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Mergeable count-min sketch state (Cormode & Muthukrishnan 2005) as
+    TALL ADDITIVE rows — the rollup-table answer for per-key frequencies
+    over unbounded key domains, where exact per-key counts would make the
+    state table as large as the problem: per group, one
+    ``(d, w, n)`` row per occupied cell of a depth×width counter matrix,
+    ≤ depth·width rows per group regardless of how many distinct keys
+    passed through. Merging grains is a grouped sum and the state slots
+    into ``operators.rollup.refresh_rollup`` maintenance unchanged —
+    exactly the `hll_sketch_table` discipline, but answering point
+    frequency queries instead of distinct counts.
+
+    One map-side-partial shuffle: each input row explodes to ``depth``
+    (cell, 1) contributions that collapse into ≤ groups·depth·width
+    partials before travelling. Estimate error: ≤ 2·N/width with
+    probability 1 − (1/2)^depth (one-sided — never underestimates)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got ({depth}, {width})")
+    cell = F.explode(_cms_hashes(F.col(key_col), depth, width)).alias("__cell__")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, cell)
+        .groupBy(*group_cols, F.col("__cell__.d").alias("d"), F.col("__cell__.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    state: DataFrame,
+    merge_keys: list[str],
+    probes: DataFrame,
+    probe_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates from merged CMS state: roll the cells up
+    to ``merge_keys`` (grouped sum — never raw rows), hash each probe key
+    to its ``depth`` buckets, and take min over the matched counters (the
+    count-min read; an absent bucket means frequency 0, expressed as
+    matched-buckets < depth rather than densifying the matrix). The
+    probe frame is bounded by construction and broadcasts into one
+    equi-join on (d, w) — no cross join, no per-key scan of raw data.
+
+    ``depth``/``width`` MUST match the values the state was built with —
+    buckets are incomparable otherwise (the MinHash parameter contract).
+    Output: (merge_keys..., probe_col, freq_est). Every probe appears in
+    the output — a key none of whose buckets exist estimates 0 (the
+    probe-side outer join; silently dropping unseen keys would make
+    "how often did X occur" unanswerable for the answer 0)."""
+    merged = state.groupBy(*merge_keys, "d", "w").agg(F.sum("n").alias("n"))
+    pb = probes.select(
+        F.col(probe_col),
+        F.explode(_cms_hashes(F.col(probe_col), depth, width)).alias("__cell__"),
+    ).select(
+        probe_col,
+        F.col("__cell__.d").alias("d"),
+        F.col("__cell__.w").alias("w"),
+    )
+    if merge_keys:
+        # bounded product: |groups in state| × |probes|·depth, both small
+        # by construction (state grains and probe lists are bounded)
+        domain = merged.select(*merge_keys).dropDuplicates().crossJoin(pb)
+        joined = domain.join(merged, [*merge_keys, "d", "w"], "left")
+    else:
+        joined = pb.join(F.broadcast(merged), ["d", "w"], "left")
+    return joined.groupBy(*merge_keys, probe_col).agg(
+        F.when(F.count("n") == depth, F.min("n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("freq_est")
+    )

@@ -31,6 +31,7 @@ _DRIVER_PRIORITY = [
     # queries the r8 driver covered rotate to the back. After r9 no
     # query's newest driver row should be older than r5 except the
     # r6-era block, which rounds r10-r11 will reach.
+    "q_cms_frequency",  # NEW r9: mergeable count-min state (oracle)
     "q_hist_quantile_rollup",  # NEW r9: mergeable-histogram quantiles (oracle)
     "q_rollup_merge",  # NEW r9: incremental rollup merged==direct (oracle)
     "q_rollup_refresh",  # NEW r9: replace-by-partition maintenance (oracle)

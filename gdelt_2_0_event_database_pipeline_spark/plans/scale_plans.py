@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..operators.multimodal import media_stats
 from ..operators.skew import explain_shuffles, salted_group_agg, write_bucketed
 from .registry import register
-from .relational import _li, _t
+from .relational import _events, _li, _t
 
 
 @register(
@@ -530,3 +530,55 @@ def q_hist_quantile_rollup(spark, sf_dir):
     return hist_quantile(
         state, ["l_returnflag"], [0.5, 0.95], _HQ_LO, _HQ_HI, _HQ_NB
     )
+
+
+@register(
+    "q_cms_frequency",
+    sql="""
+    WITH ev AS (
+      SELECT ('0x' || substr(md5(event_type), 1, 10))::BIGINT AS h1,
+             ('0x' || substr(md5(event_type), 11, 10))::BIGINT AS h2
+      FROM events WHERE event_type IS NOT NULL
+    ), st AS (
+      SELECT i AS d, (h1 + i * h2) % 1024 AS w, CAST(count(*) AS BIGINT) AS n
+      FROM ev, (SELECT unnest(range(4)) AS i) GROUP BY 1, 2
+    ), keys AS (
+      SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+    ), pb AS (
+      SELECT event_type, i AS d,
+             (('0x' || substr(md5(event_type), 1, 10))::BIGINT
+                + i * ('0x' || substr(md5(event_type), 11, 10))::BIGINT)
+               % 1024 AS w
+      FROM keys, (SELECT unnest(range(4)) AS i)
+    )
+    SELECT pb.event_type,
+           CAST(CASE WHEN count(st.n) = 4 THEN min(st.n) ELSE 0 END AS BIGINT)
+             AS freq_est
+    FROM pb LEFT JOIN st USING (d, w)
+    GROUP BY pb.event_type
+    """,
+    doc=(
+        "Mergeable count-min sketch state (X5 family): per-(day, cell) "
+        "counter rows built once at ingest grain, merged globally by "
+        "grouped sum (merge-of-partials == direct, exact BIGINTs), then "
+        "point-frequency reads = min over each probe key's depth md5-"
+        "derived buckets — state stays <= groups*depth*width rows no "
+        "matter how many distinct keys pass through (the unbounded-domain "
+        "companion of exact rollup counters and HLL distinct tables). "
+        "The oracle replays the identical Kirsch-Mitzenmacher bucket "
+        "arithmetic, so estimates hash exactly; the CMS one-sided error "
+        "contract (est >= true, <= true + 2N/width w.h.p.) is pinned in "
+        "test_plans.py."
+    ),
+)
+def q_cms_frequency(spark, sf_dir):
+    from ..operators.sketches import cms_estimate, cms_sketch_table
+
+    ev = _events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    state = cms_sketch_table(ev, ["day"], "event_type", depth=4, width=1024)
+    probes = ev.select("event_type").filter(
+        F.col("event_type").isNotNull()
+    ).distinct()
+    return cms_estimate(state, [], probes, "event_type", depth=4, width=1024)

@@ -158,3 +158,70 @@ def test_hist_bad_inputs(spark):
         hist_quantile(df, ["grp"], [], 0.0, 10.0, 10)
     with pytest.raises(ValueError):
         hist_quantile(df, ["grp"], [1.5], 0.0, 10.0, 10)
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """CMS one-sided guarantee on planted keys: est >= true count, and with
+    depth=4/width=256 over a few hundred rows the overestimate stays well
+    under the 2N/width bound; unseen keys estimate 0 or tiny collisions."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    rows = [("d1" if i % 2 else "d2", f"k{i % 17}") for i in range(340)]
+    df = spark.createDataFrame(rows, "day string, k string")
+    true = {}
+    for _, k in rows:
+        true[k] = true.get(k, 0) + 1
+    state = cms_sketch_table(df, ["day"], "k", depth=4, width=256)
+    assert state.count() <= 2 * 4 * 256
+    probes = spark.createDataFrame(
+        [(k,) for k in list(true) + ["never-seen"]], "k string"
+    )
+    got = {
+        r.k: r.freq_est
+        for r in cms_estimate(state, [], probes, "k", depth=4, width=256).collect()
+    }
+    n_total = len(rows)
+    for k, t in true.items():
+        assert got[k] >= t, (k, got[k], t)
+        assert got[k] <= t + 2 * n_total / 256, (k, got[k], t)
+    assert got["never-seen"] <= 2 * n_total / 256
+
+
+def test_cms_merge_equals_direct_and_refreshes(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.rollup import (
+        refresh_rollup,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch_table,
+    )
+
+    rows = [("d1", "a"), ("d1", "a"), ("d2", "a"), ("d2", "b")]
+    df = spark.createDataFrame(rows, "day string, k string")
+    state = cms_sketch_table(df, ["day"], "k", depth=4, width=64)
+    direct = cms_sketch_table(df.select(F.lit("x").alias("g"), "k"), ["g"], "k",
+                              depth=4, width=64)
+    probes = spark.createDataFrame([("a",), ("b",)], "k string")
+    merged_est = {
+        r.k: r.freq_est
+        for r in cms_estimate(state, [], probes, "k", depth=4, width=64).collect()
+    }
+    direct_est = {
+        r.k: r.freq_est
+        for r in cms_estimate(direct, ["g"], probes, "k", depth=4, width=64).collect()
+    }
+    assert merged_est == direct_est == {"a": 3, "b": 1}
+    # CMS state is day-partitioned tall rows -> refresh_rollup applies as-is
+    fixed = cms_sketch_table(
+        spark.createDataFrame([("d2", "b"), ("d2", "b")], "day string, k string"),
+        ["day"], "k", depth=4, width=64,
+    )
+    refreshed = refresh_rollup(state, fixed, ["day"])
+    est2 = {
+        r.k: r.freq_est
+        for r in cms_estimate(refreshed, [], probes, "k", depth=4, width=64).collect()
+    }
+    assert est2 == {"a": 2, "b": 2}

@@ -1061,19 +1061,52 @@ def kaplan_meier(
         F.lit(1.0)
         - F.col("n_events").cast("double") / F.col("n_at_risk").cast("double"),
     )
-    hist = F.collect_list("__factor__").over(
-        word.rowsBetween(Window.unboundedPreceding, 0)
+    # ONE sorted array per group instead of a running collect_list window:
+    # the per-row window materializes O(support²) list elements through
+    # the window operator (the 8 s term at sf0.1); a single grouped array
+    # with per-position prefix folds does the same multiplies in the same
+    # left-to-right order (1.0·f₁ is IEEE-exact, so seeding with 1.0
+    # equals seeding with the first factor) on O(support) state.
+    packed = staged.groupBy(*gcols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(duration_col).alias("duration"),
+                    F.col("n_at_risk"),
+                    F.col("n_events"),
+                    F.col("n_censored"),
+                    F.col("__factor__"),
+                )
+            )
+        ).alias("__rows__")
     )
-    survival = F.aggregate(
-        F.slice(hist, 2, F.greatest(F.size(hist) - 1, F.lit(0))),
-        F.element_at(hist, 1),
-        lambda acc, x: acc * x,
+    factors = F.transform(F.col("__rows__"), lambda r: r["__factor__"])
+    # one LINEAR fold emits every prefix product (prefix[i+2] = Π f₁..fᵢ₊₁,
+    # seeded [1.0]) — n multiplies per group, not n nested slice-folds.
+    # MATERIALIZED via withColumn before the transform below references
+    # it: an inlined expression would re-evaluate the whole fold once per
+    # position (O(n²) folds — measured as a >5 min stall at sf0.1).
+    prefix = F.aggregate(
+        factors,
+        F.array(F.lit(1.0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) * x)),
     )
-    return staged.withColumn("survival", survival).select(
+    packed = packed.withColumn("__prefix__", prefix)
+    enriched = F.transform(
+        F.col("__rows__"),
+        lambda r, i: F.struct(
+            r["duration"].alias("duration"),
+            r["n_at_risk"].alias("n_at_risk"),
+            r["n_events"].alias("n_events"),
+            r["n_censored"].alias("n_censored"),
+            F.element_at(F.col("__prefix__"), i + 2).alias("survival"),
+        ),
+    )
+    return packed.select(*gcols, F.explode(enriched).alias("__r__")).select(
         *gcols,
-        F.col(duration_col).alias("duration"),
-        "n_at_risk",
-        "n_events",
-        "n_censored",
-        "survival",
+        F.col("__r__.duration").alias("duration"),
+        F.col("__r__.n_at_risk").alias("n_at_risk"),
+        F.col("__r__.n_events").alias("n_events"),
+        F.col("__r__.n_censored").alias("n_censored"),
+        F.col("__r__.survival").alias("survival"),
     )

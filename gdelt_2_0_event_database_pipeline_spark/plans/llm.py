@@ -1071,9 +1071,9 @@ _SQ_BOUNDS_CTE = """
     sql=_SQ_BOUNDS_CTE
     + f"""
     SELECT u.vec_id,
-           list(CAST({_SQ_CODE_SQL} AS INT) ORDER BY u.ord) AS codes
+           CAST(u.ord AS INT)              AS ord,
+           CAST({_SQ_CODE_SQL} AS INT)     AS code
     FROM u JOIN b USING (ord)
-    GROUP BY u.vec_id
     """,
     doc=(
         "SQ8 scalar quantization encode (X3 compression ladder, ~4x at "
@@ -1081,7 +1081,11 @@ _SQ_BOUNDS_CTE = """
         "then a pure map-side transform to 8-bit codes. Fully "
         "deterministic closed form, so unlike the codebook-dependent "
         "PQ/IVF family it carries a complete DuckDB oracle "
-        "(floor-before-int-cast on both engines)."
+        "(floor-before-int-cast on both engines). The API returns the "
+        "packed array<int> codes column (test_sq.py); the driver row "
+        "posexplodes it to (vec_id, ord, code) long format because the "
+        "harness canonicalizer cannot sort/hash array cells (the "
+        "q_explode_embeddings precedent)."
     ),
 )
 def q_sq_encode(spark, sf_dir):
@@ -1093,7 +1097,14 @@ def q_sq_encode(spark, sf_dir):
     if bounds is None:
         bounds = SQ.fit_sq_bounds(emb)
         _IVF_FIT_CACHE[key] = bounds
-    return SQ.sq_encode(emb, *bounds)
+    enc = SQ.sq_encode(emb, *bounds)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("pos", "code")
+    ).select(
+        "vec_id",
+        (F.col("pos") + F.lit(1)).cast("int").alias("ord"),
+        F.col("code").cast("int").alias("code"),
+    )
 
 
 @register(

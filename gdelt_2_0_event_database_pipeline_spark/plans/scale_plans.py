@@ -374,7 +374,7 @@ def q_video_near_dup(spark, sf_dir):
            (count(l_quantity) * sum(l_quantity * l_quantity)
               - sum(l_quantity) * sum(l_quantity))
              / (count(l_quantity) * count(l_quantity)) AS qty_var,
-           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents_sum
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
     FROM lineitem
     GROUP BY l_returnflag, strftime(l_shipdate, '%Y-%m')
     """,

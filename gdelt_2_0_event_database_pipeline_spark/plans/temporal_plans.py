@@ -1534,11 +1534,11 @@ def q_conversion_latency(spark, sf_dir):
     ), risk AS (
       SELECT grp, duration, at_t, n_events,
              at_t - n_events AS n_censored,
-             sum(at_t) OVER (PARTITION BY grp)
+             CAST(sum(at_t) OVER (PARTITION BY grp)
                - coalesce(sum(at_t) OVER (
                    PARTITION BY grp ORDER BY duration
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS n_at_risk
+               AS BIGINT) AS n_at_risk
       FROM counts
     ), hist AS (
       SELECT grp, duration, n_at_risk, n_events, n_censored,

@@ -27,23 +27,40 @@ from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES  # noqa: E402
 from gdelt_2_0_event_database_pipeline_spark.plans.registry import TABLES  # noqa: E402
 from gdelt_2_0_event_database_pipeline_spark.session import get_spark  # noqa: E402
 
-INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT", "UBIGINT"}
+INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UBIGINT"}
 FLOAT_FAMILY = {"FLOAT", "DOUBLE", "REAL"}
 
 
-def family(type_name: str) -> str:
+def oracle_family(type_name: str) -> str:
+    """Family of the PANDAS MATERIALIZATION of a DuckDB type — what the
+    driver actually hashes. HUGEINT and DECIMAL both come out of
+    duckdb's .df() as float64 (no int128/decimal dtype), so they are
+    float-family here even though they are exact types in-engine. This
+    is the r9 blind spot: classifying HUGEINT as int let two window/sum
+    oracles (q_kaplan_meier, q_rollup_merge) pass the audit and then
+    hash-fail in the driver against Spark int64."""
     t = type_name.upper()
+    if t in {"HUGEINT"} or t.startswith("DECIMAL"):
+        return "float"
     if t in INT_FAMILY or t.startswith(("INT", "LONG", "SHORT", "BYTE")):
         return "int"
     if t in FLOAT_FAMILY or t.startswith(("FLOAT", "DOUBLE")):
         return "float"
-    if t.startswith("DECIMAL"):
-        return "decimal"
     return "other"
 
 
 def spark_family(dt) -> str:
-    return family(dt.simpleString().upper())
+    """Family of the pandas materialization of a Spark type: decimals
+    come through toPandas() as decimal.Decimal objects, which can never
+    hash-match duckdb's float64 — flagged as their own family."""
+    t = dt.simpleString().upper()
+    if t.startswith("DECIMAL"):
+        return "decimal-object"
+    if t.startswith(("INT", "LONG", "SHORT", "BYTE", "TINYINT", "SMALLINT", "BIGINT")):
+        return "int"
+    if t.startswith(("FLOAT", "DOUBLE")):
+        return "float"
+    return "other"
 
 
 def audit(sf_dir: str) -> int:
@@ -61,27 +78,26 @@ def audit(sf_dir: str) -> int:
         try:
             sschema = {f.name: spark_family(f.dataType) for f in qd.fn(spark, sf_dir).schema}
             rel = con.sql(f"SELECT * FROM ({qd.sql}) LIMIT 0")
-            oschema = {c: family(str(t)) for c, t in zip(rel.columns, rel.types)}
+            oschema = {c: oracle_family(str(t)) for c, t in zip(rel.columns, rel.types)}
             oschema_raw = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {type(e).__name__}: {e}")
             bad += 1
             continue
+        # Any cross-family numeric pair hash-fails in the driver even when
+        # every value is equal: int64 102 vs float64 102.0, or
+        # decimal.Decimal('1.50') vs float64 1.5. DuckDB returns HUGEINT
+        # from sum()/window-sum over BIGINT and DECIMAL from sum(DECIMAL);
+        # both materialize float64 — CAST(... AS BIGINT/DOUBLE) in the SQL
+        # (q_scalar_math r1, q_pack_linear r3, q_kaplan_meier/
+        # q_rollup_merge r9 all died in this class).
         issues = [
             f"{c}: spark={sschema[c]} oracle={oschema[c]}"
+            f" (duckdb {oschema_raw[c]})"
             for c in sschema
             if c in oschema
-            and {sschema[c], oschema[c]} == {"int", "float"}  # the hash-killing class
-        ]
-        # HUGEINT is int-family at the LIMIT-0 schema level but materializes
-        # as float64 through Arrow/pandas (no int128 dtype) — so it hash-fails
-        # against a Spark BIGINT even though every value is equal. DuckDB
-        # returns HUGEINT from sum() over BIGINT, including WINDOW sums
-        # (exactly how q_pack_linear failed round 3). CAST the SQL to BIGINT.
-        issues += [
-            f"{c}: oracle HUGEINT materializes as float64 — CAST(... AS BIGINT) in the SQL"
-            for c in sschema
-            if sschema[c] == "int" and oschema_raw.get(c) == "HUGEINT"
+            and sschema[c] != oschema[c]
+            and {"int", "float", "decimal-object"} & {sschema[c], oschema[c]}
         ]
         if issues:
             print(f"FLAG  {name}: {'; '.join(issues)}")

@@ -28,31 +28,42 @@ def rrf_fuse(
     rank_col: str = "rank",
     c: int = 60,
     k: int = 10,
+    query_col: str | None = None,
 ) -> DataFrame:
     """(id, rrf_score, rank): reciprocal-rank fusion of the given ranked
     frames. Items missing from a system simply contribute nothing (the
     standard RRF convention); ties in the fused score break toward the
     lower id. ``c`` damps the head of each list (60 is the published
-    default)."""
+    default).
+
+    With ``query_col``, each input carries per-query ranked lists
+    (query_col, id_col, rank_col) and fusion runs independently per
+    query IN ONE JOB — the batch-pipeline shape: the grouped sum keys on
+    (query, id) and the ranked window partitions by query, so at
+    n_queries × n_systems × k input rows there is never a global sort
+    and the per-partition window state is ≤ n_systems × k rows. Output
+    gains the leading query_col."""
     if not rankings:
         raise ValueError("need at least one ranking to fuse")
+    keys = ([query_col] if query_col else []) + [id_col]
     contribs = None
     for r in rankings:
         part = r.select(
-            F.col(id_col),
+            *[F.col(c_) for c_ in keys],
             (F.lit(1.0) / (F.lit(c) + F.col(rank_col).cast("double"))).alias(
                 "__contrib__"
             ),
         )
         contribs = part if contribs is None else contribs.unionByName(part)
-    fused = contribs.groupBy(id_col).agg(
+    fused = contribs.groupBy(*keys).agg(
         F.sum("__contrib__").alias("rrf_score")
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    base = Window.partitionBy(query_col) if query_col else Window
+    w = base.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return (
         fused.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "rrf_score", "rank")
+        .select(*keys, "rrf_score", "rank")
     )
 
 

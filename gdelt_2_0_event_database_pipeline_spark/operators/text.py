@@ -879,3 +879,105 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: Mapping[Any, Sequence[str]],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval for N queries IN ONE JOB — the batch-pipeline shape
+    of ``bm25_topk``. The corpus is tokenized ONCE, per-doc tf columns are
+    computed for the UNION of all queries' distinct terms in one map pass,
+    corpus stats (N, TL, per-term df) come from ONE 1-row aggregate
+    broadcast back, and each query's score is a map-side expression over
+    its own terms (added in that query's literal term order, mirroring the
+    single-query float-op sequence exactly). Scores then unpivot to
+    (query_id, id, score) — n_docs × n_queries rows, immediately filtered
+    to matches — and rank via a window PARTITIONED by query_id: never a
+    global sort, per-partition state ≤ one query's match set.
+
+    At 100 TB the costs that matter scale with the corpus exactly once
+    (tokenize + tf), not once per query — the point of batching.
+
+    Returns (query_id, id_col, score, rank), rank ≤ k per query; queries
+    with zero matching documents contribute no rows (same convention as
+    ``bm25_topk``'s score > 0 filter)."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    per_q = {qid: [t.lower() for t in ts] for qid, ts in queries.items()}
+    if any(not ts for ts in per_q.values()):
+        raise ValueError("every query needs at least one term")
+    union_terms: list[str] = []
+    for ts in per_q.values():
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    idx = {t: i for i, t in enumerate(union_terms)}
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks__")
+    ).select(
+        id_col,
+        F.size("__toks__").alias("__len__"),
+        *[
+            F.size(
+                F.filter("__toks__", (lambda term: lambda x: x == F.lit(term))(t))
+            ).alias(f"__tf_{i}__")
+            for i, t in enumerate(union_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N__"),
+        F.sum("__len__").alias("__TL__"),
+        *[
+            F.sum((F.col(f"__tf_{i}__") > 0).cast("long")).alias(f"__df_{i}__")
+            for i in range(len(union_terms))
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+
+    def contrib(i: int):
+        tf = F.col(f"__tf_{i}__").cast("double")
+        dfreq = F.col(f"__df_{i}__")
+        idf = (F.col("__N__") - dfreq + F.lit(0.5)) / (dfreq + F.lit(0.5))
+        rel_len = (F.col("__len__") * F.col("__N__")).cast("double") / F.col(
+            "__TL__"
+        )
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * rel_len)
+        return idf * (tf * F.lit(k1 + 1.0)) / denom
+
+    def q_score(ts: Sequence[str]):
+        s = None
+        for t in ts:
+            c = contrib(idx[t])
+            s = c if s is None else s + c
+        return s
+
+    scored = joined.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        q_score(ts).alias("score"),
+                    )
+                    for qid, ts in per_q.items()
+                ]
+            )
+        ).alias("__qs__"),
+    ).select(F.col("__qs__.query_id"), id_col, F.col("__qs__.score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

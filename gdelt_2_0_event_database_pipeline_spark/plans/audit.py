@@ -76,6 +76,9 @@ NESTED_LOOP_OK = {
     "q_hybrid_rrf",          # BM25 1-row stats cross + cosine broadcast 1-row
                              # query — both bounded feeder shapes of the
                              # systems being fused
+    "q_hybrid_rrf_batch",    # bm25_topk_batch: corpus × broadcast 1-row
+                             # union-term stats; cosine feeder: corpus ×
+                             # broadcast 3-row query set
     "q_retrieval_metrics",   # cosine feeder: corpus × broadcast 5-row query
                              # set (the q_cosine_topk shape); metrics join is
                              # equi-hash over nq×k ranked rows
@@ -130,6 +133,10 @@ SINGLE_PARTITION_OK = {
                          # candidate rows (inputs are top-k lists by
                          # construction — bounded)
     "q_bm25_search",         # one-row corpus-stats aggregate (N/TL/df_i)
+    "q_hybrid_rrf_batch",    # same one-row union-term stats aggregate
+                             # (partial-agg'd); unlike q_hybrid_rrf the
+                             # rank/fusion windows here are PARTITIONED by
+                             # query_id, so no global window remains
     "q_chi2",                # one-row grand-total aggregate (partial-agg'd)
     "q_cramers_v",           # one-row chi2 + one-row dims aggregates
     "q_odds_ratio",          # one-row grand-total aggregate

@@ -2686,6 +2686,136 @@ def q_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([lex.select("doc_id", "rank"), vec], k=10)
 
 
+# Batch hybrid retrieval: N queries fused per-query in ONE job (the shape
+# q_hybrid_rrf would take in a real batch pipeline). Shared term universe
+# across the three queries; each query also has a vector twin (vec_id = its
+# query id). Keys are ints so lex and vector ranks share an id space.
+_RRF_BATCH_QUERIES: dict[int, list[str]] = {
+    0: ["spark", "shuffle", "window"],
+    1: ["join", "hash"],
+    2: ["stream", "batch", "sort"],
+}
+
+
+def _bm25_batch_sql(queries: dict[int, list[str]]) -> str:
+    """lex CTE body for the batch oracle, generated from the SAME dict the
+    Spark plan uses so union-term indexing and per-query term-addition
+    order can never drift. Mirrors q_bm25_search's per-term contribution
+    exactly (rational idf, left-assoc additions)."""
+    union_terms: list[str] = []
+    for ts in queries.values():
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    idx = {t: i for i, t in enumerate(union_terms)}
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({_SQL_TOKENS}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(union_terms)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(union_terms))
+    )
+
+    def contrib(i: int) -> str:
+        return (
+            f"((N - df{i} + 0.5) / (df{i} + 0.5))"
+            f" * (CAST(tf{i} AS DOUBLE) * 2.2)"
+            f" / (CAST(tf{i} AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(l * N AS DOUBLE) / TL)))"
+        )
+
+    score_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT {qid} AS query_id, doc_id,
+             {' + '.join(contrib(idx[t]) for t in ts)} AS score
+      FROM base CROSS JOIN stats"""
+        for qid, ts in queries.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS}) AS l,
+             {tf_cols}
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS N,
+             CAST(sum(l) AS BIGINT) AS TL,
+             {df_cols}
+      FROM base
+    ), scored AS (
+{score_selects}
+    ), lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rnk
+      FROM scored WHERE score > 0
+    )"""
+
+
+@register(
+    "q_hybrid_rrf_batch",
+    sql=_bm25_batch_sql(_RRF_BATCH_QUERIES)
+    + """, q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 3
+    ), c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), vec AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 c.vec_id ASC
+             ) AS rnk
+      FROM q JOIN c ON q.vec_id != c.vec_id
+    ), contrib AS (
+      SELECT query_id, doc_id, 1.0 / (60 + CAST(rnk AS DOUBLE)) AS contrib
+      FROM lex WHERE rnk <= 10
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + CAST(rnk AS DOUBLE)) AS contrib
+      FROM vec WHERE rnk <= 10
+    ), fused AS (
+      SELECT query_id, doc_id, sum(contrib) AS rrf_score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, rank FROM (
+      SELECT query_id, doc_id, rrf_score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+             ) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+    doc=(
+        "Batch hybrid retrieval (r9 verdict item 6): THREE queries' "
+        "BM25 and cosine rankings fused per-query in ONE job. Lexical "
+        "side is bm25_topk_batch — corpus tokenized once, tf for the "
+        "union of all 8 distinct terms in one map pass, ONE broadcast "
+        "1-row stats aggregate, per-query map-side scores unpivoted and "
+        "ranked by a query-partitioned window. Vector side is the "
+        "standard multi-query cosine_topk (vec_id < 3). rrf_fuse with "
+        "query_col partitions its grouped sum on (query, doc) and its "
+        "rank window by query — never a global sort; two-system sums "
+        "stay commutative-exact in IEEE so the oracle is bit-for-bit."
+    ),
+)
+def q_hybrid_rrf_batch(spark, sf_dir):
+    from ..operators.fusion import rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = X.bm25_topk_batch(d, _RRF_BATCH_QUERIES, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    vec = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([lex, vec], k=10, query_col="query_id")
+
+
 def _idcg_literals_sql(k: int = 10) -> tuple[str, str]:
     """(gains_list, cum_list) SQL literals from fusion._cum_idcg — the
     SAME Python floats the Spark plan embeds (repr round-trips exactly),

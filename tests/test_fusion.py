@@ -53,6 +53,84 @@ def test_empty_input_rejected(spark):
         rrf_fuse([])
 
 
+def _ranked_q(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rrf_batch_equals_per_query_single_fusion(spark):
+    """query_col fusion in one job must equal running the single-query
+    fusion once per query — the correctness contract of the batch path."""
+    a = _ranked_q(spark, [(0, 1, 1), (0, 2, 2), (1, 5, 1), (1, 1, 2)])
+    b = _ranked_q(spark, [(0, 2, 1), (0, 3, 2), (1, 1, 1)])
+    batch = {
+        (r.query_id, r.doc_id): (r.rrf_score, r.rank)
+        for r in rrf_fuse([a, b], k=10, query_col="query_id").collect()
+    }
+    single = {}
+    for q in (0, 1):
+        fa = a.filter(a.query_id == q).select("doc_id", "rank")
+        fb = b.filter(b.query_id == q).select("doc_id", "rank")
+        for r in rrf_fuse([fa, fb], k=10).collect():
+            single[(q, r.doc_id)] = (r.rrf_score, r.rank)
+    assert batch == single
+
+
+def test_rrf_batch_ranks_are_per_query(spark):
+    a = _ranked_q(spark, [(0, 1, 1), (1, 9, 1)])
+    rows = rrf_fuse([a], k=10, query_col="query_id").collect()
+    assert sorted((r.query_id, r.rank) for r in rows) == [(0, 1), (1, 1)]
+
+
+def test_bm25_batch_equals_per_query_single(spark):
+    """bm25_topk_batch's one-scan union-term path must reproduce
+    bm25_topk run separately per query, scores bit-for-bit (same
+    contribution expressions, same literal term-addition order)."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle window spark"),
+            (2, "join hash join"),
+            (3, "window join spark"),
+            (4, "nothing relevant here"),
+            (5, "hash hash hash window"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = {0: ["spark", "window"], 1: ["join", "hash"]}
+    batch = {
+        (r.query_id, r.doc_id): (r.score, r.rank)
+        for r in bm25_topk_batch(docs, queries, k=3).collect()
+    }
+    single = {}
+    for qid, terms in queries.items():
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        ranked = bm25_topk(docs, terms, k=3).withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        for r in ranked.collect():
+            single[(qid, r.doc_id)] = (r.score, r.rank)
+    assert batch == single
+
+
+def test_bm25_batch_rejects_empty(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        bm25_topk_batch,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, {})
+    with pytest.raises(ValueError):
+        bm25_topk_batch(docs, {0: []})
+
+
 def test_retrieval_metrics_closed_form(spark):
     """Hand-built qrels: query 1 has relevant items at ranks 1 and 3 of 5
     (3 relevant total); query 2 has none relevant."""

@@ -26,9 +26,12 @@ at ingest; ``merge_rollup`` touches only state rows (|groups|×|days|,
 shuffles only the refreshed day. Sums kept in BIGINT stay exact and
 associative at any scale when the measure is integer-valued (cents,
 counts, quantities) — the q11 integer-cent discipline; for true doubles
-the merged sum is order-dependent and consumers should round. sumsq in
-BIGINT overflows past ~3·10⁹ rows of 4-digit measures — cast the state
-columns to decimal(38,0) at that scale (the q_spearman precedent).
+the merged sum is order-dependent and consumers should round. Derived
+avg/var over BIGINT states route their cross products (n·sumsq, sum²)
+through decimal(38,0) — exact to 10³⁸, no silent int64 wrap (the
+q_spearman precedent). The sumsq ACCUMULATION itself stays in the
+measure's type: BIGINT holds to ~3·10⁹ rows of 4-digit measures — past
+that, cast the measure to decimal(38,0) before ``build_rollup``.
 """
 
 from __future__ import annotations
@@ -89,16 +92,33 @@ def merge_rollup(
     grouped = state.groupBy(*merge_keys) if merge_keys else state.groupBy()
     out = grouped.agg(*aggs)
     if derived:
+        integral = {
+            name
+            for name, dtype in out.dtypes
+            if dtype in ("tinyint", "smallint", "int", "bigint")
+        }
         for v in value_cols:
             n = F.col(f"{v}_n")
             s = F.col(f"{v}_sum")
             ss = F.col(f"{v}_sumsq")
+            if f"{v}_sum" in integral:
+                # BIGINT states: n·sumsq and sum² overflow int64 at modest
+                # group sizes (~1e7-cent values wrap past ~100-row groups)
+                # and WRAP SILENTLY in non-ANSI mode. Compute the exact
+                # integer numerator/denominator in decimal(38,0) — the
+                # state frame is tiny, the cost is nil — then divide as
+                # doubles (the best any double-typed result can carry).
+                n_d = n.cast("decimal(38,0)")
+                s_d = s.cast("decimal(38,0)")
+                ss_d = ss.cast("decimal(38,0)")
+                var = (n_d * ss_d - s_d * s_d).cast("double") / (
+                    n_d * n_d
+                ).cast("double")
+            else:
+                var = (n * ss - s * s) / (n * n)
             out = out.withColumn(
                 f"{v}_avg", F.when(n > 0, s / n)
-            ).withColumn(
-                f"{v}_var",
-                F.when(n > 0, (n * ss - s * s) / (n * n)),
-            )
+            ).withColumn(f"{v}_var", F.when(n > 0, var))
     return out
 
 

@@ -225,3 +225,24 @@ def test_cms_merge_equals_direct_and_refreshes(spark):
         for r in cms_estimate(refreshed, [], probes, "k", depth=4, width=64).collect()
     }
     assert est2 == {"a": 2, "b": 2}
+
+
+def test_bigint_variance_survives_int64_overflow(spark):
+    """Derived var over BIGINT state routes its cross products through
+    decimal(38,0): 500 integer-cent values around 1e7 push n*sumsq and
+    sum^2 past int64 (~2.5e19 > 9.2e18), where the old expressions
+    wrapped silently in non-ANSI mode (r9 advice item 3). True
+    population variance of 250x(1e7-1) + 250x(1e7+1) is exactly 1.0."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.rollup import (
+        build_rollup,
+        merge_rollup,
+    )
+
+    base = 10_000_000
+    rows = [("g", "d1", base - 1)] * 250 + [("g", "d2", base + 1)] * 250
+    df = spark.createDataFrame(rows, "grp string, day string, cents long")
+    state = build_rollup(df, ["grp", "day"], ["cents"])
+    assert dict(state.dtypes)["cents_sum"] == "bigint"
+    out = merge_rollup(state, ["grp"], ["cents"]).first()
+    assert out.cents_avg == float(base)
+    assert out.cents_var == 1.0

@@ -67,6 +67,58 @@ def test_batch_merge_accumulates_and_ledger_blocks_replay(spark, tmp_path):
     assert before == after
 
 
+def test_merge_under_static_overwrite_mode_preserves_state(spark, tmp_path):
+    """The dynamic partition-overwrite mode is pinned AT THE WRITE SITE:
+    a caller session left at Spark's default static mode must NOT lose
+    untouched day partitions on each micro-batch (r9 advice item 1)."""
+    sp = str(tmp_path / "state")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        b1 = spark.createDataFrame([("a", "d1", 1.0), ("b", "d2", 10.0)], SCHEMA)
+        assert merge_rollup_batch(spark, b1, 0, sp, ["grp"], "day", ["v"])
+        # second batch touches ONLY d1; under static mode an un-pinned
+        # overwrite would delete the d2 partition here
+        b2 = spark.createDataFrame([("a", "d1", 3.0)], SCHEMA)
+        assert merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+        assert _totals(spark, sp) == {
+            "a": (2, 4.0, 1.0, 3.0),
+            "b": (1, 10.0, 10.0, 10.0),
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_ledger_append_is_atomic_and_cleans_tmp(spark, tmp_path):
+    """The ledger is written via temp + rename: after a merge the ledger
+    directory holds only whole parquet files and the temp dir is gone (a
+    truncated in-place append could poison every later ledger read)."""
+    import os
+
+    sp = str(tmp_path / "state")
+    b1 = spark.createDataFrame([("a", "d1", 1.0)], SCHEMA)
+    assert merge_rollup_batch(spark, b1, 7, sp, ["grp"], "day", ["v"])
+    assert not os.path.exists(f"{sp}/_applied_batches_tmp")
+    files = [
+        f for f in os.listdir(f"{sp}/_applied_batches") if not f.startswith(".")
+    ]  # dot-prefixed .crc sidecars (local checksum FS) are reader-invisible
+    assert files and all(f.endswith(".parquet") for f in files)
+    ledger = spark.read.parquet(f"{sp}/_applied_batches")
+    assert [r.batch_id for r in ledger.collect()] == [7]
+
+
+def test_missing_paths_read_as_none_not_errors(spark, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.streaming.rollup import (
+        _try_read_parquet,
+    )
+
+    assert _try_read_parquet(spark, str(tmp_path / "nope")) is None
+
+
 def test_stream_end_to_end_matches_direct_aggregate(spark, tmp_path):
     src = str(tmp_path / "src")
     sp = str(tmp_path / "state")

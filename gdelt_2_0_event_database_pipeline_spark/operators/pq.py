@@ -478,6 +478,7 @@ def write_pq_index(
     codebooks,
     path: str,
     mode: str = "error",
+    partition_col: str | None = None,
 ) -> None:
     """Persist a PQ index: ``pq_encode`` output as parquet under
     ``<path>/codes`` (8 bytes of codes + one double per row — the
@@ -487,10 +488,16 @@ def write_pq_index(
     Both sides go through Spark writers, so the index lands on whatever
     filesystem the session can write (HDFS/object store/local) — no
     driver-local file I/O. ``mode`` follows DataFrameWriter semantics
-    (``error``/``overwrite``)."""
+    (``error``/``overwrite``). With ``partition_col`` (e.g. ingest day)
+    the codes table is Hive-partitioned by it, which is what lets
+    :func:`append_pq_index` maintain the index incrementally at
+    O(touched partitions) per batch."""
     m, ncodes, subdim = _check_codebooks(codebooks)
     spark = codes_df.sparkSession
-    codes_df.write.mode(mode).parquet(f"{path}/codes")
+    w = codes_df.write.mode(mode)
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.parquet(f"{path}/codes")
     meta = spark.createDataFrame(
         [(m, ncodes, subdim, codebooks)],
         "m int, ncodes int, subdim int, "
@@ -499,11 +506,10 @@ def write_pq_index(
     meta.coalesce(1).write.mode(mode).json(f"{path}/codebooks")
 
 
-def read_pq_index(spark, path: str):
-    """(codes DataFrame, codebooks) from ``write_pq_index`` output. The
-    codebook JSON is read with an explicit schema (no inference pass) and
-    validated for rectangularity before any search uses it."""
-    codes = spark.read.parquet(f"{path}/codes")
+def read_pq_codebooks(spark, path: str):
+    """Codebooks alone from ``write_pq_index`` output — the append path
+    needs them without scanning the codes table. Explicit schema (no
+    inference pass), validated for rectangularity before any use."""
     meta = spark.read.schema(
         "m int, ncodes int, subdim int, codebooks array<array<array<double>>>"
     ).json(f"{path}/codebooks")
@@ -522,4 +528,51 @@ def read_pq_index(spark, path: str):
             f"({r['m']},{r['ncodes']},{r['subdim']}) vs actual "
             f"({m},{ncodes},{subdim})"
         )
-    return codes, codebooks
+    return codebooks
+
+
+def read_pq_index(spark, path: str):
+    """(codes DataFrame, codebooks) from ``write_pq_index`` output."""
+    return spark.read.parquet(f"{path}/codes"), read_pq_codebooks(spark, path)
+
+
+def append_pq_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str = "ingest_day",
+) -> None:
+    """Incremental ANN index maintenance — the link between streaming
+    ingest and the PQ family: a new document batch is encoded against
+    the PERSISTED codebooks (``read_pq_codebooks`` — map-side, no refit;
+    codebook drift is handled by scheduled re-trains, the standard
+    FAISS-style discipline) and merged into ``<path>/codes`` with the
+    partition-scoped upsert (``streaming/upsert.py``): re-ingested ids
+    replace their old codes within their partition, new ids append, and
+    only the batch's ``partition_col`` partitions are rewritten —
+    O(touched partitions) per batch regardless of index size.
+
+    Because ``pq_encode`` is a deterministic map-side expression of the
+    codebooks, append-then-search equals encode-everything-then-search
+    exactly (pinned in tests/test_pq.py), so searches over a maintained
+    index never drift from a fresh rebuild under the same codebooks.
+
+    ``new_docs`` must carry ``partition_col`` (stable per id within its
+    partition value — the upsert caveat). The index must have been
+    written with the same ``partition_col`` (``write_pq_index``)."""
+    from ..streaming.upsert import merge_upsert_batch
+
+    if partition_col not in new_docs.columns:
+        raise ValueError(
+            f"new_docs must carry partition column {partition_col!r}"
+        )
+    codebooks = read_pq_codebooks(spark, path)
+    enc = pq_encode(new_docs, codebooks, id_col=id_col, vec_col=vec_col)
+    batch = enc.join(
+        new_docs.select(id_col, partition_col), id_col
+    )  # re-attach the partition value (pq_encode keeps only the id)
+    merge_upsert_batch(
+        spark, batch, f"{path}/codes", [id_col], partition_col
+    )

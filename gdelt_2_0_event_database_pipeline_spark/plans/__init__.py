@@ -23,65 +23,20 @@ from . import tpch_plans  # noqa: E402,F401
 # (d) everything else (rows-only checks are weaker, so they sort last).
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-9 rotation (round-8 verdict item 8): new/changed plans lead —
-    # q_pq_topk is new (r8 verdict item 9), q_ivf_topk changed behavior
-    # (curve-derived nprobe default), q11_important_parts changed its
-    # nation filter (NATION_19, non-empty at sf0.001). Then the
-    # MAINTENANCE rotation continues oldest-driver-evidence-first; the 50
-    # queries the r8 driver covered rotate to the back. After r9 no
-    # query's newest driver row should be older than r5 except the
-    # r6-era block, which rounds r10-r11 will reach.
-    "q_cms_frequency",  # NEW r9: mergeable count-min state (oracle)
-    "q_hist_quantile_rollup",  # NEW r9: mergeable-histogram quantiles (oracle)
-    "q_rollup_merge",  # NEW r9: incremental rollup merged==direct (oracle)
-    "q_rollup_refresh",  # NEW r9: replace-by-partition maintenance (oracle)
-    "q_kaplan_meier",  # NEW r9: censored survival curves (oracle)
-    "q_pq_topk",  # NEW r9: PQ ANN (rows-only by construction)
-    "q_ivf_pq_topk",  # NEW r9: composed IVF-PQ (rows-only by construction)
-    "q_sq_encode",  # NEW r9: SQ8 encode (full DuckDB oracle)
-    "q_sq_topk",  # NEW r9: SQ8 approximate search (full DuckDB oracle)
-    "q_hybrid_rrf",  # NEW r9: BM25+vector RRF hybrid (full DuckDB oracle)
-    "q_retrieval_metrics",  # NEW r9: MRR/NDCG/P/R eval (full DuckDB oracle)
-    "q_ivf_topk",  # plan changed r9: auto nprobe (was fixed 3)
-    "q11_important_parts",  # plan changed r9: NATION_19 filter
-    # -- maintenance rotation: oldest driver evidence first --
-    "q_topk_per_group",  # last driver row: r3
-    "q_window_running",  # last driver row: r3
-    "q_rollup",  # last driver row: r3
-    "q_conditional_agg",  # last driver row: r3
-    "q_dsl_nested",  # last driver row: r3
-    "q_null_drop",  # last driver row: r3
-    "q_scalar_date",  # last driver row: r3
-    "q_scalar_math",  # last driver row: r3
-    "q_json_extract",  # last driver row: r3
-    "q_events_hourly",  # last driver row: r3
-    "q_pivot",  # last driver row: r3
-    "q_explode_embeddings",  # last driver row: r3
-    "q_scalar_subquery",  # last driver row: r3
-    "q_window_range_frame",  # last driver row: r3
-    "q_rank_functions",  # last driver row: r3
-    "q_regression",  # last driver row: r3
-    "q_profile",  # last driver row: r3
-    "q_grouping_sets",  # last driver row: r3
-    "q_text_stats",  # last driver row: r3
-    "q_top_tokens_per_lang",  # last driver row: r3
-    "q_asof_join",  # last driver row: r3
-    "q_asof_forward",  # last driver row: r3
-    "q_range_join",  # last driver row: r3
-    "q_event_paths",  # last driver row: r3
-    "q_salted_agg",  # last driver row: r3
-    "q_bucketed_join",  # last driver row: r3
-    "q01_pricing_summary",  # last driver row: r4
-    "q03_shipping_priority",  # last driver row: r4
-    "q05_local_supplier_volume",  # last driver row: r4
-    "q_join_semi",  # last driver row: r4
-    "q_set_intersect",  # last driver row: r4
-    "q_set_except",  # last driver row: r4
-    "q_sort_limit",  # last driver row: r4
-    "q_having",  # last driver row: r4
-    "q_distinct",  # last driver row: r4
-    "q_agg_stats",  # last driver row: r4
-    "q_dsl_equality",  # last driver row: r4
+    # Round-10 rotation (round-9 verdict items 1/4): the driver window is
+    # the FIRST 50 entries. Head = the 2 queries new this round, then the
+    # 3 r9 red rows re-checked after their representation fixes, then the
+    # ENTIRE remaining r4-stale bucket (39 — the oldest driver evidence
+    # left), then the 6 oldest r6 entries. After the r10 driver run no
+    # query's newest driver row is older than r6, closing the freshness
+    # sweep the r9 verdict required. Tail keeps oldest-evidence-first so
+    # r11 continues mechanically: remaining r6, r7, r8, then everything
+    # the r9 window just refreshed.
+    "q_hybrid_rrf_batch",  # NEW r10: per-query batch RRF fusion (oracle)
+    "q_pq_append",  # NEW r10: incremental PQ index maintenance (rows-only)
+    "q_kaplan_meier",  # r9 red re-check: oracle HUGEINT cast fixed
+    "q_rollup_merge",  # r9 red re-check: oracle HUGEINT cast fixed
+    "q_sq_encode",  # r9 red re-check: hashable long-format projection
     "q_dsl_in_list",  # last driver row: r4
     "q_dsl_ops",  # last driver row: r4
     "q_scalar_string",  # last driver row: r4
@@ -216,7 +171,6 @@ _DRIVER_PRIORITY = [
     "q_transitions",  # last driver row: r7
     "q_burst_detection",  # last driver row: r7
     "q_ewma",  # last driver row: r7
-    # -- refreshed by the r8 driver window (CORRECTNESS_r08.json) --
     "q_zorder_key",  # last driver row: r8
     "q_ohlc",  # last driver row: r8
     "q_cohort_retention",  # last driver row: r8
@@ -266,6 +220,53 @@ _DRIVER_PRIORITY = [
     "q_join_anti",  # last driver row: r8
     "q_join_outer_agg",  # last driver row: r8
     "q_set_union",  # last driver row: r8
+    "q_cms_frequency",  # refreshed r9 (new that round)
+    "q_hist_quantile_rollup",  # refreshed r9 (new that round)
+    "q_rollup_refresh",  # refreshed r9 (new that round)
+    "q_pq_topk",  # refreshed r9 (new that round)
+    "q_ivf_pq_topk",  # refreshed r9 (new that round)
+    "q_sq_topk",  # refreshed r9 (new that round)
+    "q_hybrid_rrf",  # refreshed r9 (new that round)
+    "q_retrieval_metrics",  # refreshed r9 (new that round)
+    "q_ivf_topk",  # refreshed r9 (new that round)
+    "q11_important_parts",  # refreshed r9 (new that round)
+    "q_topk_per_group",  # refreshed r9
+    "q_window_running",  # refreshed r9
+    "q_rollup",  # refreshed r9
+    "q_conditional_agg",  # refreshed r9
+    "q_dsl_nested",  # refreshed r9
+    "q_null_drop",  # refreshed r9
+    "q_scalar_date",  # refreshed r9
+    "q_scalar_math",  # refreshed r9
+    "q_json_extract",  # refreshed r9
+    "q_events_hourly",  # refreshed r9
+    "q_pivot",  # refreshed r9
+    "q_explode_embeddings",  # refreshed r9
+    "q_scalar_subquery",  # refreshed r9
+    "q_window_range_frame",  # refreshed r9
+    "q_rank_functions",  # refreshed r9
+    "q_regression",  # refreshed r9
+    "q_profile",  # refreshed r9
+    "q_grouping_sets",  # refreshed r9
+    "q_text_stats",  # refreshed r9
+    "q_top_tokens_per_lang",  # refreshed r9
+    "q_asof_join",  # refreshed r9
+    "q_asof_forward",  # refreshed r9
+    "q_range_join",  # refreshed r9
+    "q_event_paths",  # refreshed r9
+    "q_salted_agg",  # refreshed r9
+    "q_bucketed_join",  # refreshed r9
+    "q01_pricing_summary",  # refreshed r9
+    "q03_shipping_priority",  # refreshed r9
+    "q05_local_supplier_volume",  # refreshed r9
+    "q_join_semi",  # refreshed r9
+    "q_set_intersect",  # refreshed r9
+    "q_set_except",  # refreshed r9
+    "q_sort_limit",  # refreshed r9
+    "q_having",  # refreshed r9
+    "q_distinct",  # refreshed r9
+    "q_agg_stats",  # refreshed r9
+    "q_dsl_equality",  # refreshed r9
 ]
 
 

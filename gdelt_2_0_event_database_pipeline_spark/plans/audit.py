@@ -44,6 +44,9 @@ NESTED_LOOP_OK = {
     "q_pq_topk",             # ADC scan: 8-byte corpus codes × broadcast 5-row
                              # query LUT set (the q_cosine_topk shape over
                              # compressed codes; rerank join is equi-hash)
+    "q_pq_append",           # the same ADC-scan shape reading the
+                             # incrementally-maintained codes parquet
+                             # (append path itself is equi-only)
     "q_sq_topk",             # SQ8 decode-on-the-fly scan × broadcast 5-row
                              # query set (same bounded-broadcast shape)
     "q_hard_negatives",      # same broadcast-anchor shape (5-row anchor set)

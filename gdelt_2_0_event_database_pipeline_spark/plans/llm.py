@@ -1054,6 +1054,56 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+@register(
+    "q_pq_append",
+    sql=None,  # approximate-by-design: results depend on the fitted codebooks
+    doc=(
+        "Incremental ANN index maintenance (r9 verdict stretch item 8, "
+        "the streaming-ingest <-> ANN link): persist a PQ index over half "
+        "the corpus partitioned by ingest day, append the other half as a "
+        "NEW batch encoded map-side against the PERSISTED codebooks "
+        "(operators/pq.py append_pq_index -> streaming/upsert.py "
+        "partition-scoped merge: only the batch's day partitions "
+        "rewritten, O(touched partitions) per batch regardless of index "
+        "size), then ADC-search the maintained codes. pq_encode is a "
+        "deterministic expression of the codebooks, so append+search == "
+        "rebuild+search exactly — pinned in tests/test_pq.py."
+    ),
+)
+def q_pq_append(spark, sf_dir):
+    import os
+    import re as _re
+
+    from ..operators import pq as Q
+
+    emb = _t(spark, sf_dir, "embeddings")
+    key = (sf_dir, "pq", 16, 16, 3)
+    books = _IVF_FIT_CACHE.get(key)
+    if books is None:
+        books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
+        _IVF_FIT_CACHE[key] = books
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"pq_index_{tag}",
+    )
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    base = Q.pq_encode(half, books).withColumn("ingest_day", F.lit("d0"))
+    Q.write_pq_index(base, books, root, mode="overwrite", partition_col="ingest_day")
+    Q.append_pq_index(spark, root, rest.withColumn("ingest_day", F.lit("d1")))
+    codes, books2 = Q.read_pq_index(spark, root)
+    return Q.pq_topk(
+        codes.select("vec_id", "codes", "vhat_sq"),
+        emb.filter(F.col("vec_id") < 5),
+        books2,
+        k=5,
+        rerank=100,
+        corpus=emb,
+    )
+
+
 _SQ_CODE_SQL = """CASE WHEN b.mx = b.mn THEN 0
              ELSE least(255, greatest(0, floor((u.val - b.mn) / (b.mx - b.mn) * 255.0)))
              END"""

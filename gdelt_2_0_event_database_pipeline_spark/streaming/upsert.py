@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
@@ -50,17 +51,24 @@ def merge_upsert_batch(
         return
     batch = batch.localCheckpoint(eager=True)  # sever from the streaming source
     try:
-        existing = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(parts)
-        )
-        keep = existing.join(
+        existing = spark.read.parquet(path)
+    except AnalysisException:  # first batch: lake doesn't exist yet.
+        # Anything else (transient IO, permissions, corrupt footer)
+        # propagates — treating it as first-batch would replace the
+        # touched partitions with only the fresh batch's rows.
+        merged = batch
+    else:
+        keep = existing.filter(F.col(partition_col).isin(parts)).join(
             batch.select(*key_cols).distinct(), list(key_cols), "left_anti"
         )
         merged = keep.unionByName(batch.select(*existing.columns))
-    except Exception:  # first batch: lake doesn't exist yet
-        merged = batch
+    # dynamic mode pinned AT THE WRITE SITE: this write holds only the
+    # touched partitions' rows — under a caller session left at Spark's
+    # default static mode, mode('overwrite') would delete every
+    # untouched partition (the streaming/rollup.py fix, same class).
     (
         merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )

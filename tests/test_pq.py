@@ -251,3 +251,86 @@ def test_malformed_codebooks_raise_valueerror():
     for bad in (None, [], [[]], [[[]]], [[[1.0]], [[1.0], [2.0]]]):
         with pytest.raises(ValueError):
             _check_codebooks(bad)
+
+
+def test_append_then_search_equals_rebuild(spark, emb, books, tmp_path):
+    """Incremental maintenance contract: build the index on half the
+    corpus, append the rest batch-by-batch against the PERSISTED
+    codebooks, and the maintained codes + searches must equal a fresh
+    whole-corpus encode under the same codebooks, exactly."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    base = pq_encode(half, books).withColumn("ingest_day", F.lit("d0"))
+    write_pq_index(base, books, path, partition_col="ingest_day")
+    append_pq_index(
+        spark, path, rest.withColumn("ingest_day", F.lit("d1"))
+    )
+
+    codes, books2 = read_pq_index(spark, path)
+    assert books2 == books
+    maintained = {
+        r.vec_id: (list(r.codes), r.vhat_sq)
+        for r in codes.select("vec_id", "codes", "vhat_sq").collect()
+    }
+    rebuilt = {
+        r.vec_id: (list(r.codes), r.vhat_sq)
+        for r in pq_encode(emb, books).collect()
+    }
+    assert maintained == rebuilt
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = pq_topk(
+        codes.select("vec_id", "codes", "vhat_sq"),
+        queries, books, k=5, rerank=20, corpus=emb,
+    )
+    want = pq_topk(
+        pq_encode(emb, books), queries, books, k=5, rerank=20, corpus=emb
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_append_replaces_reingested_ids(spark, emb, books, tmp_path):
+    """Re-ingesting an id with a NEW vector replaces its codes in place
+    (upsert semantics), without touching other partitions."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    base = pq_encode(emb, books).withColumn("ingest_day", F.lit("d0"))
+    write_pq_index(base, books, path, partition_col="ingest_day")
+
+    victim = emb.filter(F.col("vec_id") == 1).select(
+        "vec_id",
+        F.reverse("embedding").alias("embedding"),
+        F.lit("d0").alias("ingest_day"),
+    )
+    append_pq_index(spark, path, victim)
+    codes, _ = read_pq_index(spark, path)
+    assert codes.filter(F.col("vec_id") == 1).count() == 1
+    got = codes.filter(F.col("vec_id") == 1).first()
+    want = pq_encode(victim, books).first()
+    assert list(got.codes) == list(want.codes) and got.vhat_sq == want.vhat_sq
+    assert codes.count() == emb.count()
+
+
+def test_append_requires_partition_column(spark, emb, books, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    base = pq_encode(emb, books).withColumn("ingest_day", F.lit("d0"))
+    write_pq_index(base, books, path, partition_col="ingest_day")
+    with pytest.raises(ValueError):
+        append_pq_index(spark, path, emb)  # no ingest_day column

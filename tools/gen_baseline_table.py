@@ -1,0 +1,113 @@
+"""Maintain BASELINE.md's per-query yardstick table mechanically.
+
+The >2x-per-query regression discipline only works if EVERY registry
+query has a table row (r9 verdict item 5: queries added r7-r9 lived only
+in prose notes). This tool syncs the table with the live registry and a
+bench JSON:
+
+  # add rows for any registry query missing from the table, filling the
+  # newest existing column from a bench run where available:
+  python tools/gen_baseline_table.py --fill bench_out.json
+
+  # append a new round column from a closing bench run:
+  python tools/gen_baseline_table.py --add-column r10 --from bench_out.json
+
+Rows are never reordered or re-measured; history cells are preserved
+verbatim. Unknown-in-bench cells stay em-dash.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASELINE = os.path.join(REPO, "BASELINE.md")
+
+
+def load_registry() -> list[str]:
+    from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES
+
+    return list(QUERIES)
+
+
+def parse_table(src: str):
+    """(pre, header_cols, rows as {query: [cells]}, row_order, post)."""
+    m = re.search(
+        r"^(\| query \|[^\n]*\|)\n(\|[-| ]+\|)\n((?:\| q\w+ \|[^\n]*\n)+)",
+        src,
+        re.M,
+    )
+    if not m:
+        raise SystemExit("per-query table not found in BASELINE.md")
+    header = [c.strip() for c in m.group(1).strip("|").split("|")]
+    rows, order = {}, []
+    for line in m.group(3).strip("\n").split("\n"):
+        cells = [c.strip() for c in line.strip("|").split("|")]
+        rows[cells[0]] = cells[1:]
+        order.append(cells[0])
+    return src[: m.start()], header, rows, order, src[m.end(3) :]
+
+
+def render(pre, header, rows, order, post) -> str:
+    out = [
+        "| " + " | ".join(header) + " |",
+        "|" + "---|" * len(header),
+    ]
+    for q in order:
+        out.append("| " + q + " | " + " | ".join(rows[q]) + " |")
+    return pre + "\n".join(out) + "\n" + post
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fill", metavar="BENCH_JSON",
+                    help="add missing registry rows; fill the newest column "
+                         "from this bench run where it has the query")
+    ap.add_argument("--add-column", metavar="NAME")
+    ap.add_argument("--from", dest="src_json", metavar="BENCH_JSON")
+    args = ap.parse_args()
+
+    src = open(BASELINE).read()
+    pre, header, rows, order, post = parse_table(src)
+    ncols = len(header) - 1
+
+    if args.fill:
+        bench = json.load(open(args.fill))["queries"]
+        added = 0
+        for q in load_registry():
+            if q not in rows:
+                cells = ["—"] * ncols
+                if q in bench:
+                    cells[-1] = f"{bench[q]:.3f}"
+                rows[q] = cells
+                order.append(q)
+                added += 1
+        print(f"added {added} rows ({len(order)} total)")
+
+    if args.add_column:
+        if not args.src_json:
+            raise SystemExit("--add-column needs --from BENCH_JSON")
+        bench = json.load(open(args.src_json))["queries"]
+        header.append(f"{args.add_column} sec")
+        for q in order:
+            rows[q].append(f"{bench[q]:.3f}" if q in bench else "—")
+        for q in load_registry():
+            if q not in rows:
+                rows[q] = ["—"] * (len(header) - 2) + (
+                    [f"{bench[q]:.3f}"] if q in bench else ["—"]
+                )
+                order.append(q)
+        print(f"column {args.add_column}: {sum(1 for q in order if rows[q][-1] != '—')} filled")
+
+    open(BASELINE, "w").write(render(pre, header, rows, order, post))
+    print(f"BASELINE.md table: {len(order)} rows x {len(header) - 1} columns")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ _DRIVER_PRIORITY = [
     # the r9 window just refreshed.
     "q_hybrid_rrf_batch",  # NEW r10: per-query batch RRF fusion (oracle)
     "q_pq_append",  # NEW r10: incremental PQ index maintenance (rows-only)
+    "q_compact_lake",  # NEW r10: small-file compaction report (rows-only)
     "q_kaplan_meier",  # r9 red re-check: oracle HUGEINT cast fixed
     "q_rollup_merge",  # r9 red re-check: oracle HUGEINT cast fixed
     "q_sq_encode",  # r9 red re-check: hashable long-format projection

@@ -582,3 +582,43 @@ def q_cms_frequency(spark, sf_dir):
         F.col("event_type").isNotNull()
     ).distinct()
     return cms_estimate(state, [], probes, "event_type", depth=4, width=1024)
+
+
+@register(
+    "q_compact_lake",
+    sql=None,  # filesystem-layout operation: no relational oracle exists
+    doc=(
+        "Tree-level small-file compaction (operators/layout.py over the "
+        "sources/lake.compact_parquet kernel) — the lake maintenance "
+        "command the 15-minute ingest cadence makes mandatory at 100 TB "
+        "(millions of KB-files turn scans into file-open overhead; Delta "
+        "OPTIMIZE / Iceberg rewrite_data_files shape). Builds a "
+        "deliberately oversplit two-day orders lake (8 files/partition), "
+        "compacts each leaf to ceil(bytes/target) by snapshot-read + "
+        "coalesce (concatenation, never a shuffle; concurrent appenders "
+        "safe), and returns the per-partition report. Only oversplit "
+        "leaves are ever read; row-multiset preservation pinned in "
+        "tests/test_layout.py."
+    ),
+)
+def q_compact_lake(spark, sf_dir):
+    import os
+
+    from ..operators.layout import compact_partitions, compaction_report
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"compact_lake_{tag}",
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 2 == 0, "d1").otherwise("d2").alias("day"),
+    )
+    o.repartition(8).write.mode("overwrite").partitionBy("day").parquet(root)
+    results = compact_partitions(spark, root, target_file_mb=1024)
+    return compaction_report(spark, results).select(
+        "partition", "files_before", "files_after"
+    )

@@ -192,7 +192,7 @@ def unprocessed(
 def compact_parquet(
     spark: SparkSession,
     path: str,
-    target_file_mb: int = 128,
+    target_file_mb: float = 128,
     min_files: int = 2,
 ) -> dict[str, int]:
     """Compact a flat parquet directory's small files into ~``target_file_mb``

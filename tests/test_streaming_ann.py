@@ -1,0 +1,108 @@
+"""Streaming PQ index maintenance: files land -> codes appear; the
+maintained index equals a whole-corpus rebuild under the same codebooks;
+replays converge (idempotent upsert — no ledger needed, unlike the
+additive rollup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+    fit_pq_codebooks,
+    pq_encode,
+    read_pq_index,
+    write_pq_index,
+)
+from gdelt_2_0_event_database_pipeline_spark.streaming.ann import (
+    maintain_pq_index_stream,
+)
+from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import (
+    read_event_stream,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("ingest_day", T.StringType()),
+    ]
+)
+
+
+def _vecs(spark, ids, day):
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)], day)
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return _vecs(spark, range(40), "d0")
+
+
+def test_stream_maintains_index_to_rebuild_parity(spark, tmp_path, corpus):
+    index = str(tmp_path / "pq_index")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    books = fit_pq_codebooks(corpus, m=4, ncodes=4, iters=3)
+    base = corpus.filter("vec_id < 20")
+    write_pq_index(
+        pq_encode(base, books).withColumn("ingest_day", F.lit("d0")),
+        books,
+        index,
+        partition_col="ingest_day",
+    )
+
+    # two file drops = two micro-batches on different ingest days
+    _vecs(spark, range(20, 30), "d1").coalesce(1).write.mode("append").parquet(src)
+    _vecs(spark, range(30, 40), "d2").coalesce(1).write.mode("append").parquet(src)
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = maintain_pq_index_stream(stream, index, ckpt)
+    q.awaitTermination(120)
+
+    codes, books2 = read_pq_index(spark, index)
+    assert books2 == books
+    maintained = {
+        r.vec_id: (list(r.codes), r.vhat_sq)
+        for r in codes.select("vec_id", "codes", "vhat_sq").collect()
+    }
+    rebuilt = {
+        r.vec_id: (list(r.codes), r.vhat_sq)
+        for r in pq_encode(corpus, books).collect()
+    }
+    assert maintained == rebuilt
+
+
+def test_replayed_batches_converge_without_a_ledger(spark, tmp_path, corpus):
+    """A fresh checkpoint reprocesses every file (worst-case replay);
+    the idempotent upsert converges to the same state — byte-wise on
+    codes, count-wise on rows."""
+    index = str(tmp_path / "pq_index")
+    src = str(tmp_path / "src")
+
+    books = fit_pq_codebooks(corpus, m=4, ncodes=4, iters=3)
+    write_pq_index(
+        pq_encode(corpus.filter("vec_id < 20"), books).withColumn(
+            "ingest_day", F.lit("d0")
+        ),
+        books,
+        index,
+        partition_col="ingest_day",
+    )
+    _vecs(spark, range(20, 40), "d1").coalesce(1).write.parquet(src)
+
+    for run in ("ckpt_a", "ckpt_b"):  # second run replays the same file
+        stream = read_event_stream(spark, src, SCHEMA)
+        q = maintain_pq_index_stream(
+            stream, index, str(tmp_path / run)
+        )
+        q.awaitTermination(120)
+
+    codes, _ = read_pq_index(spark, index)
+    assert codes.count() == 40
+    assert codes.select("vec_id").distinct().count() == 40

@@ -87,9 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     df_.add_argument("--key", nargs="+", required=True, help="key columns")
     df_.add_argument("--out", default=None, help="optional parquet sink for the diff rows")
 
-    cp = sub.add_parser("compact", help="merge a parquet dir's small files")
-    cp.add_argument("--in", dest="in_dir", required=True, help="flat parquet dir (Hive trees: run per leaf)")
-    cp.add_argument("--target-mb", type=int, default=128)
+    cp = sub.add_parser("compact", help="merge small parquet files (flat dir or whole Hive tree)")
+    cp.add_argument("--in", dest="in_dir", required=True, help="parquet dir; Hive trees compact leaf-by-leaf")
+    cp.add_argument("--target-mb", type=float, default=128)
 
     tb = sub.add_parser("select", help="token-budget corpus selection (best docs by quality until budget)")
     tb.add_argument("--in", dest="in_dir", required=True)
@@ -325,8 +325,12 @@ def main(argv: list[str] | None = None) -> int:
             ).first()
             print(json.dumps({"rows": st.n, "frac_positive": st.frac_pos}))
         elif args.command == "compact":
-            report = lake.compact_parquet(spark, args.in_dir, target_file_mb=args.target_mb)
-            print(json.dumps(report))
+            from .operators.layout import compact_partitions
+
+            results = compact_partitions(
+                spark, args.in_dir, target_file_mb=args.target_mb
+            )
+            print(json.dumps([r._asdict() for r in results]))
         elif args.command == "export":
             df = lake.read_lake(spark, args.in_dir)
             manifest_df = lake.export_jsonl_shards(

@@ -413,7 +413,9 @@ def test_cli_compact_and_select(spark, tmp_path, capsys):
     rc = cli_main(["compact", "--in", lakep, "--target-mb", "128"])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rep["files_before"] == 10 and rep["files_after"] == 1
+    # tree-level report: one entry per rewritten leaf ('' = flat dir)
+    assert len(rep) == 1 and rep[0]["partition"] == ""
+    assert rep[0]["files_before"] == 10 and rep[0]["files_after"] == 1
 
     # select: token-budget curation caps cumulative tokens
     out = str(tmp_path / "selected")

@@ -112,6 +112,53 @@ def probes():
             corpus=emb,
         )
 
+    # --- batching win: 3 BM25 queries in ONE corpus pass vs three passes.
+    # The claim (SCALE.md r10 ledger): batch cost tracks ~1 corpus scan at
+    # every scale, sequential tracks ~3 — the gap IS the batching win.
+    _Q3 = {
+        0: ["spark", "shuffle", "window"],
+        1: ["join", "hash"],
+        2: ["stream", "batch", "sort"],
+    }
+
+    def bm25_batch3(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return X.bm25_topk_batch(docs, _Q3, k=10)
+
+    def bm25_sequential3(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        out = None
+        for qid, terms in _Q3.items():
+            part = X.bm25_topk(docs, terms, k=10).select(
+                F.lit(qid).alias("query_id"), "doc_id", "score"
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # --- incremental ANN maintenance: appending a FIXED 200-vector batch
+    # to an index that is 1×/10×/100× larger. The claim: append cost is
+    # ∝ batch + touched partitions, NEVER ∝ index size — the second
+    # (steady) time per mult must stay ~flat while the first repeat pays
+    # the one-time index build that DOES scale with the corpus.
+    def ann_append_fixed_batch(spark, d):
+        idx = f"{WORK}/pq_idx_{os.path.basename(d)}"
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        if not os.path.isdir(f"{idx}/codes"):
+            books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=2)
+            Q.write_pq_index(
+                Q.pq_encode(emb, books).withColumn("ingest_day", F.lit("d0")),
+                books,
+                idx,
+                partition_col="ingest_day",
+            )
+        batch = (
+            emb.filter(F.col("vec_id") < 200)  # fixed size at every mult
+            .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000_000))
+            .withColumn("ingest_day", F.lit("d1"))
+        )
+        Q.append_pq_index(spark, idx, batch)
+        return spark.range(1)  # the append IS the measured work
+
     return {
         "q01_scan_agg": scan_agg,
         "q03_join3": join3,
@@ -119,6 +166,9 @@ def probes():
         "minhash_adversarial_capped": minhash_capped,
         "sq8_encode": sq_encode,
         "pq_encode_search": pq_search,
+        "bm25_batch3": bm25_batch3,
+        "bm25_sequential3": bm25_sequential3,
+        "ann_append_fixed_batch": ann_append_fixed_batch,
     }
 
 

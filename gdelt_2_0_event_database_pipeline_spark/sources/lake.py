@@ -166,10 +166,19 @@ def run_filter_stage(
 # ---------------------------------------------------------------- idempotency
 def processed_files(spark: SparkSession, manifest_path: str) -> set[str]:
     """Set of already-processed source files from the manifest parquet
-    (replaces per-file ``.done`` sidecars, converter.py:118-125)."""
+    (replaces per-file ``.done`` sidecars, converter.py:118-125).
+
+    Only a MISSING manifest (first run — AnalysisException) reads as
+    empty; any other failure (transient IO, permissions, corrupt footer)
+    propagates. Swallowing it would return an empty set and re-convert
+    every source file, double-appending into the historical partitioned
+    trees — the same silent-corruption class as the r9 streaming-rollup
+    advice."""
+    from pyspark.errors import AnalysisException
+
     try:
         return {r.file for r in spark.read.parquet(manifest_path).collect()}
-    except Exception:
+    except AnalysisException:
         return set()
 
 

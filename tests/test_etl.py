@@ -157,6 +157,24 @@ def test_manifest_idempotency(spark, tmp_path):
     assert lake.unprocessed(spark, files, mpath) == ["c.zip"]
 
 
+def test_manifest_corrupt_fails_loudly_missing_reads_empty(spark, tmp_path):
+    """Only a MISSING manifest reads as 'nothing processed yet'; a corrupt
+    one must propagate — swallowing it would silently re-convert (and
+    double-append) every source file (r10 hardening, the r9
+    streaming-rollup advice class)."""
+    import os
+
+    import pytest
+
+    assert lake.processed_files(spark, str(tmp_path / "missing")) == set()
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-000.parquet").write_bytes(b"PAR1garbage")
+    with pytest.raises(Exception) as ei:
+        lake.processed_files(spark, str(bad))
+    assert "AnalysisException" not in type(ei.value).__name__
+
+
 # ---------------------------------------------------------------- manifest
 def test_parse_file_date():
     assert manifest.parse_file_date("20150131.export.CSV.zip") == (

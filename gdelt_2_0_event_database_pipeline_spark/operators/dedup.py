@@ -130,10 +130,39 @@ def _minhash_banded(
     MUST share (num_hashes, bands, shingle_n, hash_family) or buckets are
     incomparable — calling this from one place enforces that.
     """
+    banded = _bands_from_sig(
+        _minhash_sig_frame(
+            df, id_col, text_col, num_hashes, shingle_n, hash_family
+        ),
+        num_hashes,
+        bands,
+        hash_family,
+    )
+    shingles = df.select(
+        F.col(id_col).alias("__id__"),
+        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh__"),
+    )
+    return banded, shingles
+
+
+def _minhash_sig_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    hash_family: str,
+) -> DataFrame:
+    """Wide signature frame (``__id__``, ``__h0__`` … ``__h{k-1}__``).
+
+    Signature via explode + k min-aggregates: flat, codegen-eligible, with
+    map-side partial aggregation — the shuffle carries k longs per doc, not
+    shingle text. (The pure-expression minhash_signature() Column is kept
+    for composition, but nested interpreted HOFs are ~100× slower here.)
+    Shared verbatim by the join paths AND the persisted signature index so
+    their hash arithmetic can never drift."""
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
-    rows_per_band = num_hashes // bands
-
     if hash_family == "md5":
         # one md5 per shingle; h1/h2 = two 40-bit hex windows of the digest
         _m = F.md5(F.col("__s__"))
@@ -142,6 +171,26 @@ def _minhash_banded(
     else:
         base_h1 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(0)), 24)
         base_h2 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(1)), 24)
+    exploded = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
+    ).select("__id__", base_h1.alias("__b1__"), base_h2.alias("__b2__"))
+    return exploded.groupBy("__id__").agg(
+        *[
+            F.min(F.col("__b1__") + F.lit(i) * F.col("__b2__")).alias(f"__h{i}__")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def _bands_from_sig(
+    sig: DataFrame, num_hashes: int, bands: int, hash_family: str
+) -> DataFrame:
+    """(``__id__``, band, bucket) from a wide signature frame. Bands travel
+    WITHOUT the shingle arrays — duplicating document-sized payloads
+    through the band explode (and the bucket shuffle) is the classic
+    LSH-join mistake. Shingles rejoin by id for survivors only."""
+    rows_per_band = num_hashes // bands
 
     def band_bucket(b: int) -> Column:
         joined = F.concat_ws(
@@ -155,36 +204,13 @@ def _minhash_banded(
             return F.md5(F.concat_ws(",", joined, F.lit(str(b))))
         return F.xxhash64(joined, F.lit(b))
 
-    # Signature via explode + 64 min-aggregates: flat, codegen-eligible, with
-    # map-side partial aggregation — the shuffle carries 64 longs per doc, not
-    # shingle text. (The pure-expression minhash_signature() Column is kept
-    # for composition, but nested interpreted HOFs are ~100× slower here.)
-    exploded = df.select(
-        F.col(id_col).alias("__id__"),
-        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
-    ).select("__id__", base_h1.alias("__b1__"), base_h2.alias("__b2__"))
-    sig = exploded.groupBy("__id__").agg(
-        *[
-            F.min(F.col("__b1__") + F.lit(i) * F.col("__b2__")).alias(f"__h{i}__")
-            for i in range(num_hashes)
-        ]
-    )
-    # bands travel WITHOUT the shingle arrays — duplicating document-sized
-    # payloads through the band explode (and the bucket shuffle) is the
-    # classic LSH-join mistake. Shingles rejoin by id for survivors only.
     band_structs = [
         F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "__id__", F.explode(F.array(*band_structs)).alias("__b__")
     ).select("__id__", F.col("__b__.band").alias("band"), F.col("__b__.bucket").alias("bucket"))
-
-    shingles = df.select(
-        F.col(id_col).alias("__id__"),
-        F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh__"),
-    )
-    return banded, shingles
 
 
 def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
@@ -1183,3 +1209,200 @@ def fuzzy_join_blocked(
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+# ---------------------------------------------------- persisted LSH index
+def write_minhash_index(
+    ref: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    partition_col: str | None = None,
+    mode: str = "error",
+) -> None:
+    """Persist a MinHash signature index over the reference corpus — the
+    durable form of the asymmetric-LSH reference side that
+    :func:`minhash_near_dup_against`'s docstring promises ("the reference
+    side's banded frame is computed once and persisted"). Layout:
+
+    - ``<path>/bands``: (ref_id, band, bucket) — what candidate joins
+      shuffle on; ~(8·bands) bytes/doc.
+    - ``<path>/sigs``: (ref_id, sig array<long>) — the k minhashes, for
+      signature-estimated Jaccard at match time (~8k bytes/doc). The
+      reference TEXT is never stored: a 100 TB snapshot indexes into
+      ~(8·(k+bands))/doc, and matching never reads it again.
+    - ``<path>/meta``: one-row JSON of (num_hashes, bands, shingle_n,
+      hash_family) — the share-or-incomparable parameter set made
+      durable; every reader validates against it.
+
+    With ``partition_col`` (e.g. ingest day, carried on ``ref`` rows)
+    both tables are Hive-partitioned by it, which is what lets
+    :func:`append_minhash_index` maintain the index at O(touched
+    partitions) per batch."""
+    if num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    spark = ref.sparkSession
+    sig_wide = _minhash_sig_frame(
+        ref, id_col, text_col, num_hashes, shingle_n, hash_family
+    )
+    sigs = sig_wide.select(
+        F.col("__id__").alias("ref_id"),
+        F.array(*[F.col(f"__h{i}__") for i in range(num_hashes)]).alias("sig"),
+    )
+    bands_df = _bands_from_sig(sig_wide, num_hashes, bands, hash_family).select(
+        F.col("__id__").alias("ref_id"), "band", "bucket"
+    )
+    if partition_col is not None:
+        part = ref.select(F.col(id_col).alias("ref_id"), partition_col)
+        sigs = sigs.join(part, "ref_id")
+        bands_df = bands_df.join(part, "ref_id")
+    for name, frame in (("sigs", sigs), ("bands", bands_df)):
+        w = frame.write.mode(mode)
+        if partition_col is not None:
+            w = w.partitionBy(partition_col)
+        w.parquet(f"{path}/{name}")
+    meta = spark.createDataFrame(
+        [(num_hashes, bands, shingle_n, hash_family)],
+        "num_hashes int, bands int, shingle_n int, hash_family string",
+    )
+    meta.coalesce(1).write.mode(mode).json(f"{path}/meta")
+
+
+def read_minhash_index_meta(spark, path: str) -> dict:
+    """The index's LSH parameter set (explicit schema, validated): every
+    batch MUST hash with exactly these or its buckets are incomparable."""
+    rows = spark.read.schema(
+        "num_hashes int, bands int, shingle_n int, hash_family string"
+    ).json(f"{path}/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(f"expected exactly one meta row at {path}/meta, got {len(rows)}")
+    m = rows[0].asDict()
+    if m["num_hashes"] % m["bands"]:
+        raise ValueError(f"corrupt meta at {path}: {m}")
+    return m
+
+
+def append_minhash_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = "ingest_day",
+) -> None:
+    """Incremental index maintenance: signature the new batch with the
+    PERSISTED parameters and merge into ``<path>/sigs`` + ``<path>/bands``
+    via the partition-scoped upsert — re-ingested ids replace their rows
+    within their partition, new ids append, untouched partitions are
+    never read or written. Signatures are deterministic expressions of
+    (text, params), so replays converge without a ledger — the same
+    idempotence argument as ``streaming/ann.py``."""
+    from ..streaming.upsert import merge_upsert_batch
+
+    if partition_col not in new_docs.columns:
+        raise ValueError(f"new_docs must carry partition column {partition_col!r}")
+    m = read_minhash_index_meta(spark, path)
+    sig_wide = _minhash_sig_frame(
+        new_docs, id_col, text_col, m["num_hashes"], m["shingle_n"], m["hash_family"]
+    )
+    part = new_docs.select(F.col(id_col).alias("ref_id"), partition_col)
+    sigs = sig_wide.select(
+        F.col("__id__").alias("ref_id"),
+        F.array(*[F.col(f"__h{i}__") for i in range(m["num_hashes"])]).alias("sig"),
+    ).join(part, "ref_id")
+    bands_df = (
+        _bands_from_sig(sig_wide, m["num_hashes"], m["bands"], m["hash_family"])
+        .select(F.col("__id__").alias("ref_id"), "band", "bucket")
+        .join(part, "ref_id")
+    )
+    merge_upsert_batch(spark, sigs, f"{path}/sigs", ["ref_id"], partition_col)
+    merge_upsert_batch(
+        spark, bands_df, f"{path}/bands", ["ref_id", "band"], partition_col
+    )
+
+
+def minhash_match_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Match a new batch against the persisted index WITHOUT touching the
+    reference corpus: batch bands equi-join index bands on (band, bucket)
+    for candidates, then similarity is the SIGNATURE-ESTIMATED Jaccard —
+    the fraction of agreeing minhash positions, the standard unbiased
+    k-sample estimator (std ≈ sqrt(J(1−J)/k): ±0.06 at k=64 around the
+    usual 0.7-0.8 thresholds). That is the deliberate trade vs
+    :func:`minhash_near_dup_against`'s exact-Jaccard verify: the index
+    holds ~8k bytes/doc of signatures instead of documents, so a crawl
+    batch dedups against a 100 TB snapshot while reading none of it.
+
+    Returns (id, ref_id, est_jaccard) pairs with est_jaccard ≥ threshold.
+    ``max_bucket_size`` caps candidate cells on BOTH sides (boilerplate
+    buckets, the usual skew guard)."""
+    m = read_minhash_index_meta(spark, path)
+    k = m["num_hashes"]
+    sig_wide = _minhash_sig_frame(
+        df, id_col, text_col, k, m["shingle_n"], m["hash_family"]
+    )
+    batch_bands = _bands_from_sig(sig_wide, k, m["bands"], m["hash_family"])
+    batch_bands = _cap_buckets(batch_bands, max_bucket_size)
+    idx_bands = spark.read.parquet(f"{path}/bands").select("ref_id", "band", "bucket")
+    idx_bands = _cap_buckets(
+        idx_bands.withColumnRenamed("ref_id", "__id__"), max_bucket_size
+    ).withColumnRenamed("__id__", "ref_id")
+    cand = (
+        batch_bands.join(idx_bands, ["band", "bucket"])
+        .select(F.col("__id__").alias("id"), "ref_id")
+        .dropDuplicates(["id", "ref_id"])
+    )
+    batch_sigs = sig_wide.select(
+        F.col("__id__").alias("id"),
+        F.array(*[F.col(f"__h{i}__") for i in range(k)]).alias("sig_a"),
+    )
+    idx_sigs = spark.read.parquet(f"{path}/sigs").select(
+        "ref_id", F.col("sig").alias("sig_b")
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda v: v
+        )
+    ) / F.lit(float(k))
+    return (
+        cand.join(batch_sigs, "id")
+        .join(idx_sigs, "ref_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id", "ref_id", "est_jaccard")
+    )
+
+
+def dedup_against_minhash_index(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Keep only ``df`` rows with NO index match at ``threshold`` — the
+    crawl-ingest decision over the persisted snapshot index (recall
+    bounded by the shared band parameters, precision by the estimator
+    variance; both documented on :func:`minhash_match_index`)."""
+    hits = (
+        minhash_match_index(
+            spark, path, df, id_col, text_col, threshold, max_bucket_size
+        )
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

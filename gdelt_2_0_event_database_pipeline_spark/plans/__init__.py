@@ -24,10 +24,10 @@ from . import tpch_plans  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
     # Round-10 rotation (round-9 verdict items 1/4): the driver window is
-    # the FIRST 50 entries. Head = the 3 queries new this round, then the
+    # the FIRST 50 entries. Head = the 4 queries new this round, then the
     # 3 r9 red rows re-checked after their representation fixes, then the
     # ENTIRE remaining r4-stale bucket (39 — the oldest driver evidence
-    # left), then the 5 oldest r6 entries. After the r10 driver run no
+    # left), then the 4 oldest r6 entries. After the r10 driver run no
     # query's newest driver row is older than r6, closing the freshness
     # sweep the r9 verdict required. Tail keeps oldest-evidence-first so
     # r11 continues mechanically: remaining r6, r7, r8, then everything
@@ -35,6 +35,7 @@ _DRIVER_PRIORITY = [
     "q_hybrid_rrf_batch",  # NEW r10: per-query batch RRF fusion (oracle)
     "q_pq_append",  # NEW r10: incremental PQ index maintenance (rows-only)
     "q_compact_lake",  # NEW r10: small-file compaction report (rows-only)
+    "q_minhash_index",  # NEW r10: persisted LSH signature index (oracle)
     "q_kaplan_meier",  # r9 red re-check: oracle HUGEINT cast fixed
     "q_rollup_merge",  # r9 red re-check: oracle HUGEINT cast fixed
     "q_sq_encode",  # r9 red re-check: hashable long-format projection

@@ -1840,6 +1840,62 @@ def q_dedup_near_against(spark, sf_dir):
     )
 
 
+@register(
+    "q_minhash_index",
+    sql=f"""
+    WITH {_sql_minhash_side("new", "doc_id < 150")},
+    {_sql_minhash_side("ref", "doc_id >= 150 AND doc_id < 300")},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id, c.doc_id AS ref_id
+      FROM banded_new a JOIN banded_ref c
+        ON a.b = c.b AND a.bucket = c.bucket
+    )
+    SELECT id, ref_id, est_jaccard FROM (
+      SELECT id, ref_id,
+             len(list_filter(range(1, 65), i -> sa.hs[i] = sb.hs[i])) / 64.0
+               AS est_jaccard
+      FROM cand JOIN sig_new sa ON sa.doc_id = id
+                JOIN sig_ref sb ON sb.doc_id = ref_id
+    ) WHERE est_jaccard >= 0.6
+    """,
+    doc=(
+        "PERSISTED MinHash signature index (r10): the reference snapshot "
+        "(doc_id 150-299) is signatures-at-rest — <path>/bands for "
+        "candidate joins, <path>/sigs for match-time similarity, meta "
+        "JSON pinning the LSH parameter set — and the new batch "
+        "(doc_id < 150) matches against it WITHOUT the reference text "
+        "ever being stored or re-read (~8(k+bands) bytes/doc instead of "
+        "documents). Similarity is the signature-estimated Jaccard "
+        "(agreeing-minhash fraction, the standard k-sample estimator); "
+        "the oracle replays signatures on both sides, the bucket join, "
+        "and the agreement count — the full pipeline, hash-checked. "
+        "Index bootstrap is session-memoized (q_pq_append precedent); "
+        "incremental append==one-shot-build parity is pinned in "
+        "tests/test_minhash_index.py."
+    ),
+)
+def q_minhash_index(spark, sf_dir):
+    import os
+    import re
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") < 150)
+    ref = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"minhash_index_{tag}",
+    )
+    boot_key = (sf_dir, "minhash_index_built")
+    if boot_key not in _IVF_FIT_CACHE:
+        D.write_minhash_index(
+            ref, root, "doc_id", "text", hash_family="md5", mode="overwrite"
+        )
+        _IVF_FIT_CACHE[boot_key] = True
+    return D.minhash_match_index(spark, root, new, "doc_id", "text", threshold=0.6)
+
+
 # ---------------------------------------------------------------- winsorize
 @register(
     "q_winsorize",

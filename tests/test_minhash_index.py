@@ -1,0 +1,129 @@
+"""Persisted MinHash signature index: build/append == one-shot build,
+signature-estimated Jaccard matches an independent python replay, and the
+crawl-dedup decision drops exactly the matched rows — all without the
+reference text ever being stored or re-read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+    append_minhash_index,
+    dedup_against_minhash_index,
+    minhash_match_index,
+    read_minhash_index_meta,
+    write_minhash_index,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def ref(spark):
+    # 0/1 near-identical, 2 distinct, 3 another distinct
+    return _docs(
+        spark,
+        [
+            (0, BASE),
+            (1, BASE + " extra"),
+            (2, "completely different content about spark shuffles and joins"),
+            (3, "yet another unrelated document mentioning parquet footers"),
+        ],
+    )
+
+
+def test_build_match_and_estimates(spark, tmp_path, ref):
+    path = str(tmp_path / "idx")
+    write_minhash_index(ref, path)
+    meta = read_minhash_index_meta(spark, path)
+    assert meta == {
+        "num_hashes": 64, "bands": 16, "shingle_n": 3, "hash_family": "xxhash64"
+    }
+    batch = _docs(
+        spark,
+        [
+            (100, BASE),  # exact copy of ref 0 -> est 1.0
+            (101, BASE + " extra"),  # exact copy of ref 1
+            (102, "no overlap here at all zzzz qqqq"),
+        ],
+    )
+    got = {
+        (r.id, r.ref_id): r.est_jaccard
+        for r in minhash_match_index(spark, path, batch, threshold=0.5).collect()
+    }
+    assert got[(100, 0)] == 1.0 and got[(101, 1)] == 1.0
+    # near-identical cross pairs match with a high estimate (the affine
+    # h_i = b1 + i*b2 family correlates positions, so a tiny text delta
+    # can leave all k minima unchanged — est may round all the way to 1)
+    assert 0.5 <= got[(100, 1)] <= 1.0 and got[(100, 1)] == got[(101, 0)]
+    assert all(rid in (0, 1) for (_, rid) in got)  # no junk matches
+    assert not any(i == 102 for (i, _) in got)
+
+
+def test_append_equals_one_shot_build(spark, tmp_path, ref):
+    one = str(tmp_path / "one")
+    inc = str(tmp_path / "inc")
+    write_minhash_index(ref.withColumn("ingest_day", F.lit("d0")), one,
+                        partition_col="ingest_day")
+    write_minhash_index(
+        ref.filter("doc_id < 2").withColumn("ingest_day", F.lit("d0")),
+        inc,
+        partition_col="ingest_day",
+    )
+    append_minhash_index(
+        spark, inc, ref.filter("doc_id >= 2").withColumn("ingest_day", F.lit("d1"))
+    )
+    batch = _docs(spark, [(100, BASE), (102, "unrelated document mentioning parquet")])
+
+    def canon(path):
+        return sorted(
+            map(tuple, minhash_match_index(spark, path, batch, threshold=0.3).collect())
+        )
+
+    assert canon(inc) == canon(one) and canon(one)
+    # state parity, not just query parity
+    for tab in ("sigs", "bands"):
+        a = sorted(map(tuple, spark.read.parquet(f"{one}/{tab}").drop("ingest_day").collect()))
+        b = sorted(map(tuple, spark.read.parquet(f"{inc}/{tab}").drop("ingest_day").collect()))
+        assert a == b, tab
+
+
+def test_reingest_replaces_signature(spark, tmp_path, ref):
+    path = str(tmp_path / "idx")
+    write_minhash_index(
+        ref.withColumn("ingest_day", F.lit("d0")), path, partition_col="ingest_day"
+    )
+    # doc 3 re-ingested with doc 0's text, same partition
+    append_minhash_index(
+        spark,
+        path,
+        _docs(spark, [(3, BASE)]).withColumn("ingest_day", F.lit("d0")),
+    )
+    sigs = spark.read.parquet(f"{path}/sigs")
+    assert sigs.filter("ref_id = 3").count() == 1
+    s0 = sigs.filter("ref_id = 0").first().sig
+    s3 = sigs.filter("ref_id = 3").first().sig
+    assert list(s0) == list(s3)
+    assert spark.read.parquet(f"{path}/bands").filter("ref_id = 3").count() == 16
+
+
+def test_dedup_against_index_drops_matches_only(spark, tmp_path, ref):
+    path = str(tmp_path / "idx")
+    write_minhash_index(ref, path)
+    batch = _docs(spark, [(100, BASE), (101, "fresh novel content xyz")])
+    kept = dedup_against_minhash_index(spark, path, batch, threshold=0.7)
+    assert [r.doc_id for r in kept.collect()] == [101]
+
+
+def test_bad_params_rejected(spark, tmp_path, ref):
+    with pytest.raises(ValueError):
+        write_minhash_index(ref, str(tmp_path / "x"), bands=7)  # 7 ∤ 64
+    path = str(tmp_path / "idx")
+    write_minhash_index(ref, path)
+    with pytest.raises(ValueError):
+        append_minhash_index(spark, path, ref)  # no ingest_day column

@@ -70,6 +70,9 @@ def main() -> None:
                     help="add missing registry rows; fill the newest column "
                          "from this bench run where it has the query")
     ap.add_argument("--add-column", metavar="NAME")
+    ap.add_argument("--refresh-column", metavar="NAME",
+                    help="overwrite an EXISTING column's cells from --from "
+                         "(late-round re-bench after new registrations)")
     ap.add_argument("--from", dest="src_json", metavar="BENCH_JSON")
     args = ap.parse_args()
 
@@ -89,6 +92,22 @@ def main() -> None:
                 order.append(q)
                 added += 1
         print(f"added {added} rows ({len(order)} total)")
+
+    if args.refresh_column:
+        if not args.src_json:
+            raise SystemExit("--refresh-column needs --from BENCH_JSON")
+        col = f"{args.refresh_column} sec"
+        if col not in header:
+            raise SystemExit(f"no column {col!r} to refresh")
+        i = header.index(col) - 1
+        bench = json.load(open(args.src_json))["queries"]
+        for q in load_registry():
+            if q not in rows:
+                rows[q] = ["—"] * ncols
+                order.append(q)
+            if q in bench:
+                rows[q][i] = f"{bench[q]:.3f}"
+        print(f"column {args.refresh_column}: refreshed from {args.src_json}")
 
     if args.add_column:
         if not args.src_json:

@@ -1212,6 +1212,49 @@ def fuzzy_join_blocked(
 
 
 # ---------------------------------------------------- persisted LSH index
+def _independent_minhash_sig(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_n: int,
+    hash_family: str,
+) -> DataFrame:
+    """(``__id__``, sig array<long>) with a per-position INDEPENDENT hash
+    family — h_i(s) = xxhash64(s, seed=i) (or a salted md5 window for the
+    oracle-replayable family). The banding kernel's affine
+    h_i = b1 + i·b2 (Kirsch-Mitzenmacher) is fine for bucket collision
+    curves but positions are correlated — one shared shingle with a small
+    b2 wins EVERY position, so signature agreement grossly overestimates
+    Jaccard (measured mean |est−J| ≈ 0.46 on the documents fixture).
+    The match-time estimator therefore hashes independently per position;
+    unbiasedness is pinned in test_minhash_index.py against exact
+    shingle Jaccard."""
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
+    exploded = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
+    )
+    if hash_family == "md5":
+        def h(i: int) -> Column:
+            return F.conv(
+                F.substring(F.md5(F.concat(F.col("__s__"), F.lit(f"|{i}"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+    else:
+        def h(i: int) -> Column:
+            return F.xxhash64(F.col("__s__"), F.lit(i))
+    agg = exploded.groupBy("__id__").agg(
+        *[F.min(h(i)).alias(f"__m{i}__") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "__id__",
+        F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def write_minhash_index(
     ref: DataFrame,
     path: str,
@@ -1231,11 +1274,14 @@ def write_minhash_index(
     side's banded frame is computed once and persisted"). Layout:
 
     - ``<path>/bands``: (ref_id, band, bucket) — what candidate joins
-      shuffle on; ~(8·bands) bytes/doc.
-    - ``<path>/sigs``: (ref_id, sig array<long>) — the k minhashes, for
-      signature-estimated Jaccard at match time (~8k bytes/doc). The
-      reference TEXT is never stored: a 100 TB snapshot indexes into
-      ~(8·(k+bands))/doc, and matching never reads it again.
+      shuffle on; ~(8·bands) bytes/doc. Same affine-family kernel as the
+      join paths (collision curve validated there).
+    - ``<path>/sigs``: (ref_id, sig array<long>) — k INDEPENDENT-family
+      minhashes (see :func:`_independent_minhash_sig` for why the
+      banding family cannot estimate similarity) for the match-time
+      Jaccard estimate (~8k bytes/doc). The reference TEXT is never
+      stored: a 100 TB snapshot indexes into ~(8·(k+bands))/doc, and
+      matching never reads it again.
     - ``<path>/meta``: one-row JSON of (num_hashes, bands, shingle_n,
       hash_family) — the share-or-incomparable parameter set made
       durable; every reader validates against it.
@@ -1250,10 +1296,9 @@ def write_minhash_index(
     sig_wide = _minhash_sig_frame(
         ref, id_col, text_col, num_hashes, shingle_n, hash_family
     )
-    sigs = sig_wide.select(
-        F.col("__id__").alias("ref_id"),
-        F.array(*[F.col(f"__h{i}__") for i in range(num_hashes)]).alias("sig"),
-    )
+    sigs = _independent_minhash_sig(
+        ref, id_col, text_col, num_hashes, shingle_n, hash_family
+    ).select(F.col("__id__").alias("ref_id"), "sig")
     bands_df = _bands_from_sig(sig_wide, num_hashes, bands, hash_family).select(
         F.col("__id__").alias("ref_id"), "band", "bucket"
     )
@@ -1311,10 +1356,9 @@ def append_minhash_index(
         new_docs, id_col, text_col, m["num_hashes"], m["shingle_n"], m["hash_family"]
     )
     part = new_docs.select(F.col(id_col).alias("ref_id"), partition_col)
-    sigs = sig_wide.select(
-        F.col("__id__").alias("ref_id"),
-        F.array(*[F.col(f"__h{i}__") for i in range(m["num_hashes"])]).alias("sig"),
-    ).join(part, "ref_id")
+    sigs = _independent_minhash_sig(
+        new_docs, id_col, text_col, m["num_hashes"], m["shingle_n"], m["hash_family"]
+    ).select(F.col("__id__").alias("ref_id"), "sig").join(part, "ref_id")
     bands_df = (
         _bands_from_sig(sig_wide, m["num_hashes"], m["bands"], m["hash_family"])
         .select(F.col("__id__").alias("ref_id"), "band", "bucket")
@@ -1364,10 +1408,9 @@ def minhash_match_index(
         .select(F.col("__id__").alias("id"), "ref_id")
         .dropDuplicates(["id", "ref_id"])
     )
-    batch_sigs = sig_wide.select(
-        F.col("__id__").alias("id"),
-        F.array(*[F.col(f"__h{i}__") for i in range(k)]).alias("sig_a"),
-    )
+    batch_sigs = _independent_minhash_sig(
+        df, id_col, text_col, k, m["shingle_n"], m["hash_family"]
+    ).select(F.col("__id__").alias("id"), F.col("sig").alias("sig_a"))
     idx_sigs = spark.read.parquet(f"{path}/sigs").select(
         "ref_id", F.col("sig").alias("sig_b")
     )

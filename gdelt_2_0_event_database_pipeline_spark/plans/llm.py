@@ -1840,11 +1840,23 @@ def q_dedup_near_against(spark, sf_dir):
     )
 
 
+_SQL_INDEP_SIG = ", ".join(
+    "list_min(list_transform(sh, s -> "
+    f"('0x' || substr(md5(s || '|{i}'), 1, 15))::BIGINT))"
+    for i in range(64)
+)
+
+
 @register(
     "q_minhash_index",
     sql=f"""
     WITH {_sql_minhash_side("new", "doc_id < 150")},
     {_sql_minhash_side("ref", "doc_id >= 150 AND doc_id < 300")},
+    isig_new AS (
+      SELECT doc_id, [{_SQL_INDEP_SIG}] AS hs FROM sh_new
+    ), isig_ref AS (
+      SELECT doc_id, [{_SQL_INDEP_SIG}] AS hs FROM sh_ref
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id, c.doc_id AS ref_id
       FROM banded_new a JOIN banded_ref c
@@ -1854,8 +1866,8 @@ def q_dedup_near_against(spark, sf_dir):
       SELECT id, ref_id,
              len(list_filter(range(1, 65), i -> sa.hs[i] = sb.hs[i])) / 64.0
                AS est_jaccard
-      FROM cand JOIN sig_new sa ON sa.doc_id = id
-                JOIN sig_ref sb ON sb.doc_id = ref_id
+      FROM cand JOIN isig_new sa ON sa.doc_id = id
+                JOIN isig_ref sb ON sb.doc_id = ref_id
     ) WHERE est_jaccard >= 0.6
     """,
     doc=(

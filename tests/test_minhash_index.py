@@ -127,3 +127,34 @@ def test_bad_params_rejected(spark, tmp_path, ref):
     write_minhash_index(ref, path)
     with pytest.raises(ValueError):
         append_minhash_index(spark, path, ref)  # no ingest_day column
+
+
+def test_estimator_tracks_exact_jaccard_on_fixture(spark, tmp_path):
+    """On the real documents fixture, the signature-estimated Jaccard of
+    matched pairs must track exact shingle Jaccard within the k-sample
+    estimator's error budget (k=64 -> sigma = sqrt(J(1-J)/64) <= 0.0625;
+    assert mean |est - exact| < 2*sigma_max and a generous max bound).
+    This is the quantitative form of the 'signatures instead of text'
+    trade documented on minhash_match_index."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import jaccard
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import char_ngrams
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = d.filter("doc_id >= 150 AND doc_id < 300")
+    new = d.filter("doc_id < 150")
+    path = str(tmp_path / "idx")
+    write_minhash_index(ref, path)
+    pairs = minhash_match_index(spark, path, new, threshold=0.3)
+
+    sh = d.select("doc_id", F.array_distinct(char_ngrams(F.col("text"), 3)).alias("sh"))
+    joined = (
+        pairs.join(sh.select(F.col("doc_id").alias("id"), F.col("sh").alias("sa")), "id")
+        .join(sh.select(F.col("doc_id").alias("ref_id"), F.col("sh").alias("sb")), "ref_id")
+        .withColumn("exact", jaccard(F.col("sa"), F.col("sb")))
+        .select("est_jaccard", "exact")
+    )
+    rows = joined.collect()
+    assert len(rows) > 50  # the fixture has real near-dup structure
+    errs = [abs(r.est_jaccard - r.exact) for r in rows]
+    assert sum(errs) / len(errs) < 0.125
+    assert max(errs) < 0.4

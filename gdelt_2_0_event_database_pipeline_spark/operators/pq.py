@@ -417,6 +417,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     recall_target: float = 0.75,
     corpus_codes: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard large-scale ANN composition (Jégou 2011) —
     the IVF coarse quantizer prunes the scan to each query's ``nprobe``
@@ -446,9 +447,15 @@ def ivf_pq_topk(
         corpus_codes = pq_encode(corpus_wf, codebooks, id_col, vec_col)
     else:
         corpus_codes = _assert_size(corpus_codes, "codes", m, "ivf_pq_topk")
-    cells = assign_cells(
-        corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
-    ).select(F.col(id_col).alias("__cid__"), F.col("cell").alias("__cell__"))
+    if corpus_cells is None:
+        # assign at query time; the maintained-index path passes cells
+        # computed once at ingest (write/append_pq_index with centroids)
+        corpus_cells = assign_cells(
+            corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        )
+    cells = corpus_cells.select(
+        F.col(id_col).alias("__cid__"), F.col("cell").alias("__cell__")
+    )
     coded = (
         corpus_codes.select(
             F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
@@ -479,6 +486,7 @@ def write_pq_index(
     path: str,
     mode: str = "error",
     partition_col: str | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Persist a PQ index: ``pq_encode`` output as parquet under
     ``<path>/codes`` (8 bytes of codes + one double per row — the
@@ -491,27 +499,44 @@ def write_pq_index(
     (``error``/``overwrite``). With ``partition_col`` (e.g. ingest day)
     the codes table is Hive-partitioned by it, which is what lets
     :func:`append_pq_index` maintain the index incrementally at
-    O(touched partitions) per batch."""
+    O(touched partitions) per batch.
+
+    With ``centroids`` (an IVF coarse quantizer, ``fit_ivf_centroids``)
+    the index becomes a maintained IVF-PQ index: centroids persist in
+    the metadata row, ``codes_df`` is expected to carry the ``cell``
+    column (``assign_cells`` at ingest), appends assign cells for new
+    batches automatically, and :func:`ivf_pq_search_index` searches the
+    at-rest index with NO query-time corpus assignment pass."""
     m, ncodes, subdim = _check_codebooks(codebooks)
+    if centroids is not None and "cell" not in codes_df.columns:
+        raise ValueError(
+            "an IVF-PQ index (centroids given) needs a 'cell' column on "
+            "codes_df — join assign_cells output before writing"
+        )
     spark = codes_df.sparkSession
     w = codes_df.write.mode(mode)
     if partition_col is not None:
         w = w.partitionBy(partition_col)
     w.parquet(f"{path}/codes")
     meta = spark.createDataFrame(
-        [(m, ncodes, subdim, codebooks)],
+        [(m, ncodes, subdim, codebooks, centroids)],
         "m int, ncodes int, subdim int, "
-        "codebooks array<array<array<double>>>",
+        "codebooks array<array<array<double>>>, "
+        "centroids array<array<double>>",
     )
     meta.coalesce(1).write.mode(mode).json(f"{path}/codebooks")
 
 
-def read_pq_codebooks(spark, path: str):
-    """Codebooks alone from ``write_pq_index`` output — the append path
-    needs them without scanning the codes table. Explicit schema (no
-    inference pass), validated for rectangularity before any use."""
+def read_pq_meta(spark, path: str) -> tuple[list, list | None]:
+    """(codebooks, centroids-or-None) from ``write_pq_index`` output —
+    the append/search paths need them without scanning the codes table.
+    Explicit schema (no inference pass; the centroids field reads as
+    NULL on plain-PQ indexes written before it existed), validated for
+    rectangularity before any use."""
     meta = spark.read.schema(
-        "m int, ncodes int, subdim int, codebooks array<array<array<double>>>"
+        "m int, ncodes int, subdim int, "
+        "codebooks array<array<array<double>>>, "
+        "centroids array<array<double>>"
     ).json(f"{path}/codebooks")
     rows = meta.collect()
     if len(rows) != 1:
@@ -528,7 +553,17 @@ def read_pq_codebooks(spark, path: str):
             f"({r['m']},{r['ncodes']},{r['subdim']}) vs actual "
             f"({m},{ncodes},{subdim})"
         )
-    return codebooks
+    centroids = (
+        [list(map(float, c)) for c in r["centroids"]]
+        if r["centroids"] is not None
+        else None
+    )
+    return codebooks, centroids
+
+
+def read_pq_codebooks(spark, path: str):
+    """Codebooks alone (see :func:`read_pq_meta`)."""
+    return read_pq_meta(spark, path)[0]
 
 
 def read_pq_index(spark, path: str):
@@ -561,18 +596,77 @@ def append_pq_index(
 
     ``new_docs`` must carry ``partition_col`` (stable per id within its
     partition value — the upsert caveat). The index must have been
-    written with the same ``partition_col`` (``write_pq_index``)."""
+    written with the same ``partition_col`` (``write_pq_index``). On an
+    IVF-PQ index (persisted centroids) the batch's coarse cells are
+    assigned here too — same determinism argument, so maintained cells
+    equal rebuild cells exactly."""
     from ..streaming.upsert import merge_upsert_batch
 
     if partition_col not in new_docs.columns:
         raise ValueError(
             f"new_docs must carry partition column {partition_col!r}"
         )
-    codebooks = read_pq_codebooks(spark, path)
+    codebooks, centroids = read_pq_meta(spark, path)
     enc = pq_encode(new_docs, codebooks, id_col=id_col, vec_col=vec_col)
+    if centroids is not None:
+        from .ivf import assign_cells
+
+        cells = assign_cells(
+            new_docs, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        ).select(id_col, "cell")
+        enc = enc.join(cells, id_col)
     batch = enc.join(
         new_docs.select(id_col, partition_col), id_col
     )  # re-attach the partition value (pq_encode keeps only the id)
     merge_upsert_batch(
         spark, batch, f"{path}/codes", [id_col], partition_col
+    )
+
+
+def ivf_pq_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame | None = None,
+    k: int = 5,
+    nprobe: int | None = None,
+    rerank: int | None = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    recall_target: float = 0.75,
+) -> DataFrame:
+    """Search a maintained IVF-PQ index AT REST: codes, cells, codebooks
+    and centroids all come from ``path`` — the query-time work is the
+    broadcast query-LUT build, the cell equi-join over stored (cell,
+    codes) rows, ADC ordering, and (with ``rerank``) an exact re-rank
+    that reads full vectors for the shortlist only, from ``corpus``.
+    With ``rerank=None`` no raw vector is touched at all — pure
+    ADC-over-index, the cheapest serving path. Unlike ``ivf_pq_topk``
+    there is NO corpus assignment pass: cells were computed once at
+    ingest (``write_pq_index``/``append_pq_index``)."""
+    codes, codebooks = read_pq_index(spark, path)
+    _, centroids = read_pq_meta(spark, path)
+    if centroids is None:
+        raise ValueError(
+            f"{path} is a plain PQ index (no centroids) — use pq_topk, or "
+            "rebuild with write_pq_index(..., centroids=...)"
+        )
+    if rerank and corpus is None:
+        raise ValueError("rerank needs the raw-vector corpus (or pass rerank=None)")
+    if corpus is None:
+        # rerank disabled: only the sparkSession is needed downstream
+        corpus = queries.limit(0)
+    return ivf_pq_topk(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        k=k,
+        nprobe=nprobe,
+        rerank=rerank,
+        id_col=id_col,
+        vec_col=vec_col,
+        recall_target=recall_target,
+        corpus_codes=codes.select(id_col, "codes", "vhat_sq"),
+        corpus_cells=codes.select(id_col, "cell"),
     )

@@ -42,7 +42,9 @@ def maintain_pq_index_stream(
     handle. ``stream`` must carry (id_col, vec_col, partition_col); the
     index at ``index_path`` must exist (``write_pq_index`` with the
     same ``partition_col``). Search the maintained index any time with
-    ``read_pq_index`` + ``pq_topk`` / ``ivf_pq_topk``."""
+    ``read_pq_index`` + ``pq_topk``, or — for an IVF-PQ index (persisted
+    centroids; appends assign cells automatically) —
+    ``ivf_pq_search_index``, which never re-assigns the corpus."""
 
     def _append(batch: DataFrame, _batch_id: int) -> None:
         append_pq_index(

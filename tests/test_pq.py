@@ -334,3 +334,99 @@ def test_append_requires_partition_column(spark, emb, books, tmp_path):
     write_pq_index(base, books, path, partition_col="ingest_day")
     with pytest.raises(ValueError):
         append_pq_index(spark, path, emb)  # no ingest_day column
+
+
+@pytest.fixture(scope="module")
+def cents(emb):
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+
+    return fit_ivf_centroids(emb, k=8, iters=3)
+
+
+def test_ivf_pq_index_search_equals_direct(spark, emb, books, cents, tmp_path):
+    """Searching the maintained IVF-PQ index (codes+cells+centroids at
+    rest) must equal ivf_pq_topk computing everything from the corpus —
+    assignment and encode are deterministic expressions of the fitted
+    models."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import assign_cells
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        ivf_pq_search_index,
+        ivf_pq_topk,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    codes = pq_encode(emb, books).join(
+        assign_cells(emb, cents).select("vec_id", "cell"), "vec_id"
+    )
+    write_pq_index(codes, books, path, centroids=cents)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivf_pq_search_index(
+        spark, path, queries, corpus=emb, k=5, nprobe=3, rerank=20
+    )
+    want = ivf_pq_topk(emb, queries, cents, books, k=5, nprobe=3, rerank=20)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # pure ADC serving path: no raw vector needed at all
+    adc = ivf_pq_search_index(spark, path, queries, k=5, nprobe=3, rerank=None)
+    adc_direct = ivf_pq_topk(emb, queries, cents, books, k=5, nprobe=3, rerank=None)
+    assert sorted(map(tuple, adc.collect())) == sorted(map(tuple, adc_direct.collect()))
+
+
+def test_ivf_pq_append_assigns_cells(spark, emb, books, cents, tmp_path):
+    """Appending to an IVF-PQ index assigns the batch's coarse cells
+    against the PERSISTED centroids; maintained state == rebuild."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import assign_cells
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "ivfpq")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    base = (
+        pq_encode(half, books)
+        .join(assign_cells(half, cents).select("vec_id", "cell"), "vec_id")
+        .withColumn("ingest_day", F.lit("d0"))
+    )
+    write_pq_index(base, books, path, partition_col="ingest_day", centroids=cents)
+    append_pq_index(spark, path, rest.withColumn("ingest_day", F.lit("d1")))
+
+    maintained = {
+        r.vec_id: (list(r.codes), r.vhat_sq, r.cell)
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("vec_id", "codes", "vhat_sq", "cell").collect()
+    }
+    full = {
+        r.vec_id: (list(r.codes), r.vhat_sq, r.cell)
+        for r in pq_encode(emb, books)
+        .join(assign_cells(emb, cents).select("vec_id", "cell"), "vec_id")
+        .collect()
+    }
+    assert maintained == full
+
+
+def test_ivf_pq_index_guards(spark, emb, books, cents, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        ivf_pq_search_index,
+        write_pq_index,
+    )
+
+    plain = str(tmp_path / "plain")
+    write_pq_index(pq_encode(emb, books), books, plain)
+    with pytest.raises(ValueError):  # plain index has no centroids
+        ivf_pq_search_index(spark, plain, emb.limit(1), rerank=None)
+    with pytest.raises(ValueError):  # centroids given but no cell column
+        write_pq_index(pq_encode(emb, books), books, str(tmp_path / "x"),
+                       centroids=cents)
+    ivfpq = str(tmp_path / "ivfpq")
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import assign_cells
+
+    codes = pq_encode(emb, books).join(
+        assign_cells(emb, cents).select("vec_id", "cell"), "vec_id"
+    )
+    write_pq_index(codes, books, ivfpq, centroids=cents)
+    with pytest.raises(ValueError):  # rerank needs the raw corpus
+        ivf_pq_search_index(spark, ivfpq, emb.limit(1), rerank=50)

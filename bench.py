@@ -129,7 +129,8 @@ def main() -> None:
     # the number that matters for a long-lived session / real deployment
     steady: dict[str, float] = {}
     for name in ("q_ivf_topk", "q_pq_topk", "q_bucketed_join", "q_semantic_dedup",
-                 "q_dedup_minhash", "q_khop_reach", "q_bpe_train", "q_video_near_dup"):
+                 "q_dedup_minhash", "q_khop_reach", "q_bpe_train", "q_video_near_dup",
+                 "q_pq_append", "q_minhash_index"):
         if name in QUERIES:
             t0 = time.time()
             try:

@@ -1327,6 +1327,17 @@ def read_minhash_index_meta(spark, path: str) -> dict:
     if len(rows) != 1:
         raise ValueError(f"expected exactly one meta row at {path}/meta, got {len(rows)}")
     m = rows[0].asDict()
+    # NULL-check every field BEFORE arithmetic: a partially-written or
+    # hand-edited meta row must raise the intended ValueError (with the
+    # path), not a bare TypeError from '%' on NoneType.
+    missing = [k for k in ("num_hashes", "bands", "shingle_n", "hash_family") if m[k] is None]
+    if missing:
+        raise ValueError(f"corrupt meta at {path}: null/missing fields {missing} in {m}")
+    if m["hash_family"] not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"corrupt meta at {path}: unknown hash_family {m['hash_family']!r} "
+            "(expected 'xxhash64' or 'md5')"
+        )
     if m["num_hashes"] % m["bands"]:
         raise ValueError(f"corrupt meta at {path}: {m}")
     return m

@@ -44,9 +44,22 @@ class CompactionResult(NamedTuple):
 def _leaf_dirs(path: str) -> list[str]:
     """Relative paths of every directory under ``path`` that directly
     holds parquet data files (Hive leaves; '' for a flat directory).
-    Listing only — no data read."""
+    Listing only — no data read.
+
+    Hidden/system subtrees are pruned, not just their files: a concurrent
+    Spark writer's ``_temporary`` staging tree contains real
+    ``part-*.parquet`` files that must never be treated as a compactable
+    leaf (compacting one would read and DELETE in-flight data), and a
+    ``*.__compact_tmp__`` dir left by a crashed compaction is stale
+    output, not a partition. Spark's own readers skip these trees for
+    the same reason."""
     out = []
-    for dirpath, _dirnames, filenames in os.walk(path):
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if not d.startswith((".", "_")) and not d.endswith(".__compact_tmp__")
+        ]
         if any(
             f.endswith(".parquet") and not f.startswith((".", "_"))
             for f in filenames

@@ -644,14 +644,16 @@ def ivf_pq_search_index(
     ADC-over-index, the cheapest serving path. Unlike ``ivf_pq_topk``
     there is NO corpus assignment pass: cells were computed once at
     ingest (``write_pq_index``/``append_pq_index``)."""
-    codes, codebooks = read_pq_index(spark, path)
-    _, centroids = read_pq_meta(spark, path)
+    codebooks, centroids = read_pq_meta(spark, path)  # one meta read
+    codes = spark.read.parquet(f"{path}/codes")
     if centroids is None:
         raise ValueError(
             f"{path} is a plain PQ index (no centroids) — use pq_topk, or "
             "rebuild with write_pq_index(..., centroids=...)"
         )
-    if rerank and corpus is None:
+    if rerank is not None and corpus is None:
+        # `is not None`, not truthiness: rerank=0 must hit the same guard
+        # as ivf_pq_topk's, not slip an empty placeholder into the join.
         raise ValueError("rerank needs the raw-vector corpus (or pass rerank=None)")
     if corpus is None:
         # rerank disabled: only the sparkSession is needed downstream

@@ -126,6 +126,7 @@ def cms_estimate(
     probe_col: str,
     depth: int = 4,
     width: int = 1024,
+    max_domain_rows: int = 2_000_000,
 ) -> DataFrame:
     """Point-frequency estimates from merged CMS state: roll the cells up
     to ``merge_keys`` (grouped sum — never raw rows), hash each probe key
@@ -140,8 +141,26 @@ def cms_estimate(
     Output: (merge_keys..., probe_col, freq_est). Every probe appears in
     the output — a key none of whose buckets exist estimates 0 (the
     probe-side outer join; silently dropping unseen keys would make
-    "how often did X occur" unanswerable for the answer 0)."""
+    "how often did X occur" unanswerable for the answer 0).
+
+    With ``merge_keys`` the probe domain is grains × probes; both sides
+    are bounded by construction (state grains, hand-written probe lists)
+    but nothing upstream ENFORCES that, so the product is counted (both
+    counts are sketch-cheap: an agg over state cells, a count over the
+    probe list) and a product above ``max_domain_rows`` raises instead
+    of silently going quadratic — the ``pq._assert_size`` discipline."""
     merged = state.groupBy(*merge_keys, "d", "w").agg(F.sum("n").alias("n"))
+    if merge_keys:
+        n_grains = merged.select(*merge_keys).dropDuplicates().count()
+        n_probes = probes.select(probe_col).count()
+        if n_grains * n_probes > max_domain_rows:
+            raise ValueError(
+                f"cms_estimate probe domain is {n_grains} grains × "
+                f"{n_probes} probes = {n_grains * n_probes} rows, above "
+                f"max_domain_rows={max_domain_rows}; estimate fewer grains "
+                "per call (filter state), shorten the probe list, or raise "
+                "the cap explicitly if the product is genuinely intended"
+            )
     pb = probes.select(
         F.col(probe_col),
         F.explode(_cms_hashes(F.col(probe_col), depth, width)).alias("__cell__"),

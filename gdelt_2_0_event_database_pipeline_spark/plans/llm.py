@@ -1908,6 +1908,72 @@ def q_minhash_index(spark, sf_dir):
     return D.minhash_match_index(spark, root, new, "doc_id", "text", threshold=0.6)
 
 
+@register(
+    "q_dedup_minhash_index",
+    sql=f"""
+    WITH {_sql_minhash_side("new", "doc_id < 150")},
+    {_sql_minhash_side("ref", "doc_id >= 150 AND doc_id < 300")},
+    isig_new AS (
+      SELECT doc_id, [{_SQL_INDEP_SIG}] AS hs FROM sh_new
+    ), isig_ref AS (
+      SELECT doc_id, [{_SQL_INDEP_SIG}] AS hs FROM sh_ref
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id, c.doc_id AS ref_id
+      FROM banded_new a JOIN banded_ref c
+        ON a.b = c.b AND a.bucket = c.bucket
+    ),
+    matched AS (
+      SELECT DISTINCT id FROM (
+        SELECT id,
+               len(list_filter(range(1, 65), i -> sa.hs[i] = sb.hs[i])) / 64.0
+                 AS est_jaccard
+        FROM cand JOIN isig_new sa ON sa.doc_id = id
+                  JOIN isig_ref sb ON sb.doc_id = ref_id
+      ) WHERE est_jaccard >= 0.6
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id < 150 AND doc_id NOT IN (SELECT id FROM matched)
+    """,
+    doc=(
+        "Crawl-ingest KEEP/DROP decision over the persisted MinHash "
+        "signature index (r11, closing the q_minhash_index story): the "
+        "new batch (doc_id < 150) keeps only rows with NO index match at "
+        "threshold 0.6 — a distinct-ids anti-join over the match frame, "
+        "so the decision inherits the match path's scale shape (bands "
+        "candidate join + signature-estimate verify; reference text never "
+        "stored or re-read). md5 family, so the oracle replays the ENTIRE "
+        "decision — both signature sides, the bucket join, the agreement "
+        "estimate, and the NOT IN — making the keep-set hash-checked, not "
+        "just row-counted. Shares q_minhash_index's session-memoized "
+        "index bootstrap (same root, same memo key)."
+    ),
+)
+def q_dedup_minhash_index(spark, sf_dir):
+    import os
+    import re
+
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") < 150)
+    ref = d.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"minhash_index_{tag}",
+    )
+    boot_key = (sf_dir, "minhash_index_built")
+    if boot_key not in _IVF_FIT_CACHE:
+        D.write_minhash_index(
+            ref, root, "doc_id", "text", hash_family="md5", mode="overwrite"
+        )
+        _IVF_FIT_CACHE[boot_key] = True
+    kept = D.dedup_against_minhash_index(
+        spark, root, new, "doc_id", "text", threshold=0.6
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------- winsorize
 @register(
     "q_winsorize",

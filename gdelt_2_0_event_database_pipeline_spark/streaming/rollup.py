@@ -5,20 +5,39 @@ the per-(group, day) partial-state table current so every report keeps
 reading kilobytes of state instead of raw history. Per micro-batch:
 partial-aggregate the batch (map-side, tiny), combine with the existing
 state rows of the TOUCHED days only, and rewrite just those day
-partitions (dynamic partition overwrite — the ``upsert.py`` cost model:
-O(touched partitions) per batch, not O(state)).
+partitions (the ``upsert.py`` cost model: O(touched partitions) per
+batch, not O(state)).
 
 Exactly-once: additive state is the one shape where foreachBatch's
 at-least-once delivery actually corrupts results (a replayed batch
-double-counts — the module-doc failure ``refresh_rollup`` exists to
-avoid). The standard fix from the Structured Streaming programming guide
-is to make the sink transactional with the ``batchId``: a tiny
-``_applied_batches`` parquet ledger under the state path records every
-batch already merged, and a replay whose id is present becomes a no-op.
-The ledger append is not atomic with the partition rewrite, so a crash
-BETWEEN them still replays the merge — the remaining window is one
-batch wide and closes by re-running the day's ``refresh_rollup`` from
-the raw lake (the batch repair path this module's state shares).
+double-counts). The sink is made transactional with the ``batchId`` via
+a single-commit protocol:
+
+1. **Stage** — the merged state for the touched days is written to a
+   private ``_pending/<batchId>`` directory. State is untouched; a crash
+   here is invisible (the replay re-stages with ``overwrite``).
+2. **Commit** — one filesystem ``rename`` moves the batch's ledger entry
+   into the ``_applied_batches`` directory. Rename of a single file is
+   atomic on HDFS and local filesystems, so the batch is either applied
+   or not — never half.
+3. **Publish** — each staged day directory replaces its state directory
+   (delete + rename, per day). The staged content is frozen at commit
+   time, so publishing is idempotent: any crash mid-publish is repaired
+   by re-running publish, which every later batch (and
+   :func:`recover_rollup_state`) does first.
+
+A replayed batch therefore either finds no ledger entry (stage 1/2 crash
+— it re-merges against UNCHANGED state) or finds one (stage 3 crash — it
+finishes the publish and skips the merge). The at-least-once
+double-count window the ledger-append-then-rewrite ordering left open is
+closed; there is no repair-from-raw-lake step anymore. Readers see state
+at day-partition granularity during a publish (same visibility contract
+as dynamic partition overwrite); ``recover_rollup_state`` brings state
+current after a crash without waiting for the next batch.
+
+One maintainer per state path (foreachBatch is serial per query);
+concurrent maintainers of the SAME path race on publish, like every
+plain-parquet writer in this repo (``lake.compact_parquet`` caveats).
 """
 
 from __future__ import annotations
@@ -34,6 +53,20 @@ from ..operators.rollup import build_rollup, merge_rollup
 
 def _ledger_path(state_path: str) -> str:
     return f"{state_path}/_applied_batches"
+
+
+def _pending_path(state_path: str, batch_id: int | None = None) -> str:
+    root = f"{state_path}/_pending"
+    return root if batch_id is None else f"{root}/{int(batch_id)}"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(jvm, Hadoop FileSystem, Path) for ``path`` — the FS-level half of
+    the commit protocol (Spark has no atomic-rename API of its own)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
 
 
 def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
@@ -60,31 +93,110 @@ def _append_ledger_atomic(
     spark: SparkSession, state_path: str, batch_id: int
 ) -> None:
     """Record ``batch_id`` as applied via write-to-temp + filesystem
-    rename: a crash mid-write can never leave a truncated parquet file
-    inside the ledger directory (which would poison every later ledger
-    read and wedge the stream). Rename is atomic on HDFS and local; on
-    object stores it degrades to copy+delete, still leaving only
-    whole files visible."""
+    rename — THE commit point of the protocol. A crash mid-write can
+    never leave a truncated parquet file inside the ledger directory
+    (which would poison every later ledger read and wedge the stream).
+    Rename is atomic on HDFS and local; on object stores it degrades to
+    copy+delete, still leaving only whole files visible.
+
+    Hadoop ``FileSystem.rename`` reports most failures by returning
+    ``false`` rather than throwing; a silently failed rename here would
+    record nothing and let the replay double-merge — the exact window
+    this function exists to close — so the return value is checked and
+    exactly one part file must move."""
     tmp = f"{state_path}/_applied_batches_tmp/{int(batch_id)}"
     spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(
         1
     ).write.mode("overwrite").parquet(tmp)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = hpath.getFileSystem(hconf)
-    ledger_dir = jvm.org.apache.hadoop.fs.Path(_ledger_path(state_path))
-    fs.mkdirs(ledger_dir)
+    jvm, fs, hpath = _fs(spark, tmp)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_ledger_path(state_path)))
+    moved = 0
     for status in fs.listStatus(hpath):
         name = status.getPath().getName()
         if name.endswith(".parquet"):
-            fs.rename(
-                status.getPath(),
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{_ledger_path(state_path)}/batch-{int(batch_id)}.parquet"
-                ),
+            dest = jvm.org.apache.hadoop.fs.Path(
+                f"{_ledger_path(state_path)}/batch-{int(batch_id)}.parquet"
             )
+            if not fs.rename(status.getPath(), dest):
+                raise IOError(
+                    f"ledger commit failed: rename {status.getPath()} -> "
+                    f"{dest} returned false"
+                )
+            moved += 1
+    if moved != 1:
+        raise IOError(
+            f"ledger commit for batch {batch_id} moved {moved} part files "
+            "(expected exactly 1 from the coalesce(1) write)"
+        )
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_path}/_applied_batches_tmp"), True)
+
+
+def _publish_pending(spark: SparkSession, state_path: str, batch_id: int) -> None:
+    """Move a committed batch's staged day partitions into the state
+    table. Idempotent by construction: the staged content is frozen, a
+    day already moved is no longer in the pending directory, and
+    re-replacing a day with identical content is a no-op in effect — so
+    this can be re-run after any crash until the pending dir is gone."""
+    pending = _pending_path(state_path, batch_id)
+    jvm, fs, ppath = _fs(spark, pending)
+    if not fs.exists(ppath):
+        return  # nothing staged (empty batch) or already fully published
+    data = f"{state_path}/state"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(data))
+    for status in fs.listStatus(ppath):
+        name = status.getPath().getName()
+        if "=" not in name:  # _SUCCESS marker etc., never a partition dir
+            continue
+        dest = jvm.org.apache.hadoop.fs.Path(f"{data}/{name}")
+        if fs.exists(dest) and not fs.delete(dest, True):
+            raise IOError(f"publish failed: could not delete {dest}")
+        if not fs.rename(status.getPath(), dest):
+            raise IOError(
+                f"publish failed: rename {status.getPath()} -> {dest} "
+                "returned false"
+            )
+    fs.delete(ppath, True)
+    root = jvm.org.apache.hadoop.fs.Path(_pending_path(state_path))
+    if fs.exists(root) and len(fs.listStatus(root)) == 0:
+        fs.delete(root, True)  # keep the state dir tidy between batches
+
+
+def _recover_pending(spark: SparkSession, state_path: str) -> None:
+    """Repair any crash window before proceeding: finish the publish of
+    every COMMITTED pending batch (ledger entry present), drop every
+    UNCOMMITTED staging (no entry — the replay will re-stage it against
+    the unchanged state), and clear a stale ledger temp dir. Runs at the
+    head of every batch and via :func:`recover_rollup_state`; cost is
+    one listing when there is nothing to repair."""
+    jvm, fs, root = _fs(spark, _pending_path(state_path))
+    if fs.exists(root):
+        ledger = _try_read_parquet(spark, _ledger_path(state_path))
+        applied = (
+            {r.batch_id for r in ledger.select("batch_id").collect()}
+            if ledger is not None
+            else set()
+        )
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            try:
+                bid = int(name)
+            except ValueError:
+                continue
+            if bid in applied:
+                _publish_pending(spark, state_path, bid)
+            else:
+                fs.delete(status.getPath(), True)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{state_path}/_applied_batches_tmp")
+    if fs.exists(tmp):  # crash between ledger rename and temp cleanup
+        fs.delete(tmp, True)
+
+
+def recover_rollup_state(spark: SparkSession, state_path: str) -> None:
+    """Bring the state table current after a crash without waiting for
+    the next micro-batch: publishes committed-but-unpublished batches
+    and discards aborted stagings. Safe to call any time the maintainer
+    is not running."""
+    _recover_pending(spark, state_path)
 
 
 def merge_rollup_batch(
@@ -96,18 +208,20 @@ def merge_rollup_batch(
     day_col: str,
     value_cols: Sequence[str],
 ) -> bool:
-    """Merge one micro-batch into the state table at ``state_path``;
-    returns False when ``batch_id`` was already applied (replay no-op).
-    State lives under ``state_path/state`` partitioned by ``day_col``."""
+    """Merge one micro-batch into the state table at ``state_path`` via
+    the stage → commit → publish protocol (module doc); returns False
+    when ``batch_id`` was already applied (replay: finishes any pending
+    publish, never re-merges). State lives under ``state_path/state``
+    partitioned by ``day_col``."""
+    _recover_pending(spark, state_path)
     if _already_applied(spark, state_path, batch_id):
         return False
     batch = batch.localCheckpoint(eager=True)  # sever from the stream source
     fresh = build_rollup(batch, [*group_cols, day_col], value_cols)
     days = [r[0] for r in fresh.select(day_col).distinct().collect()]
     if days:
-        data_path = f"{state_path}/state"
-        state = _try_read_parquet(spark, data_path)  # None only pre-first-write
-        if state is None:
+        state = _try_read_parquet(spark, f"{state_path}/state")
+        if state is None:  # None only pre-first-publish
             combined = fresh
         else:
             existing = state.filter(F.col(day_col).isin(days))
@@ -117,18 +231,16 @@ def merge_rollup_batch(
                 value_cols,
                 derived=False,
             )
-        # partitionOverwriteMode pinned AT THE WRITE SITE: this write
-        # holds only the TOUCHED days' rows, so under Spark's default
-        # static mode (any caller session without the session.py conf)
-        # mode('overwrite') would delete every untouched day partition —
-        # silently losing the whole rollup state on each micro-batch.
+        # Stage only: state stays untouched until after the ledger
+        # commit, so a crash anywhere before the commit leaves the
+        # replay free to re-merge against unchanged state.
         (
             combined.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(day_col)
-            .parquet(data_path)
+            .parquet(_pending_path(state_path, batch_id))
         )
-    _append_ledger_atomic(spark, state_path, batch_id)
+    _append_ledger_atomic(spark, state_path, batch_id)  # THE commit point
+    _publish_pending(spark, state_path, batch_id)
     return True
 
 
@@ -145,17 +257,12 @@ def maintain_rollup_stream(
     the maintained state with :func:`read_rollup_state` and roll it up
     with ``operators.rollup.merge_rollup``.
 
-    Crash repair: the ledger append is atomic (temp + rename) but not
-    transactional WITH the partition rewrite — a crash between the state
-    write and the ledger append replays the batch and double-counts its
-    touched days. The window is one batch wide; close it by recomputing
-    the affected days from the raw lake::
-
-        fresh = build_rollup(raw.filter(day_col isin touched_days),
-                             [*group_cols, day_col], value_cols)
-        refresh_rollup(read_rollup_state(spark, state_path), fresh,
-                       [day_col])  # replace-by-partition, idempotent
-    """
+    Crash story: the stage → atomic-ledger-commit → idempotent-publish
+    protocol (module doc) makes every batch exactly-once — a replay
+    either re-merges against unchanged state (crash before commit) or
+    only finishes the publish (crash after). After a crash, state reads
+    taken BEFORE the next batch runs may lag by one committed batch;
+    call :func:`recover_rollup_state` first to publish it."""
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         merge_rollup_batch(

@@ -90,3 +90,31 @@ def test_bad_target_rejected(spark, lake):
     path, _ = lake
     with pytest.raises(ValueError):
         compact_partitions(spark, path, target_file_mb=0)
+
+
+def test_staging_and_tmp_subtrees_are_never_leaves(spark, lake):
+    """A concurrent writer's _temporary staging tree and a crashed
+    compaction's *.__compact_tmp__ dir hold real part-*.parquet files but
+    must never be treated as compactable leaves — compacting one would
+    read and DELETE in-flight or stale data (r10 advice, medium)."""
+    path, df = lake
+    staging = os.path.join(path, "_temporary", "0", "task-1")
+    os.makedirs(staging)
+    df.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "inner")
+    )
+    # tmp sibling of a partition that no longer exists (day=d9): nothing
+    # will reclaim it, so it must be invisible to the walk AND untouched
+    # (day=d1's own kernel legitimately reclaims day=d1.__compact_tmp__)
+    crashed = os.path.join(path, "day=d9.__compact_tmp__")
+    df.limit(5).coalesce(1).write.mode("overwrite").parquet(crashed)
+    hidden = os.path.join(path, ".hidden")
+    df.limit(5).coalesce(1).write.mode("overwrite").parquet(hidden)
+
+    stats = {s.partition for s in partition_file_stats(spark, path)}
+    assert stats == {"day=d1", "day=d2"}
+    results = compact_partitions(spark, path, target_file_mb=128)
+    assert {r.partition for r in results} == {"day=d1"}
+    # the staged/stale files themselves were never touched
+    assert any(f.endswith(".parquet") for f in os.listdir(os.path.join(staging, "inner")))
+    assert any(f.endswith(".parquet") for f in os.listdir(crashed))

@@ -158,3 +158,37 @@ def test_estimator_tracks_exact_jaccard_on_fixture(spark, tmp_path):
     errs = [abs(r.est_jaccard - r.exact) for r in rows]
     assert sum(errs) / len(errs) < 0.125
     assert max(errs) < 0.4
+
+
+def test_meta_null_fields_raise_value_error(spark, tmp_path, ref):
+    """A partially-written meta row (null fields) must raise the intended
+    ValueError naming the path, not a TypeError from '%' on NoneType; an
+    unknown hash_family is rejected too (r10 advice, low)."""
+    import json
+    import os
+
+    path = str(tmp_path / "idx")
+    write_minhash_index(ref, path)
+    meta_dir = f"{path}/meta"
+    part = [f for f in os.listdir(meta_dir) if f.endswith(".json")][0]
+    with open(os.path.join(meta_dir, part)) as fh:
+        row = json.loads(fh.read())
+
+    def _rewrite(d):
+        with open(os.path.join(meta_dir, part), "w") as fh:
+            fh.write(json.dumps(d))
+        crc = os.path.join(meta_dir, f".{part}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)  # stale checksum would mask the edit
+
+    broken = dict(row)
+    del broken["bands"]
+    _rewrite(broken)
+    with pytest.raises(ValueError, match="null/missing"):
+        read_minhash_index_meta(spark, path)
+
+    bad_family = dict(row)
+    bad_family["hash_family"] = "sha1"
+    _rewrite(bad_family)
+    with pytest.raises(ValueError, match="hash_family"):
+        read_minhash_index_meta(spark, path)

@@ -430,3 +430,5 @@ def test_ivf_pq_index_guards(spark, emb, books, cents, tmp_path):
     write_pq_index(codes, books, ivfpq, centroids=cents)
     with pytest.raises(ValueError):  # rerank needs the raw corpus
         ivf_pq_search_index(spark, ivfpq, emb.limit(1), rerank=50)
+    with pytest.raises(ValueError):  # rerank=0 is not rerank=None: same guard
+        ivf_pq_search_index(spark, ivfpq, emb.limit(1), rerank=0)

@@ -111,6 +111,105 @@ def test_ledger_append_is_atomic_and_cleans_tmp(spark, tmp_path):
     assert [r.batch_id for r in ledger.collect()] == [7]
 
 
+def test_crash_before_commit_replays_cleanly(spark, tmp_path, monkeypatch):
+    """Injected crash BETWEEN the state staging and the ledger commit:
+    state must be untouched (stage-only), and the replay must apply the
+    batch exactly once against the unchanged state."""
+    from gdelt_2_0_event_database_pipeline_spark.streaming import rollup as R
+
+    sp = str(tmp_path / "state")
+    b1 = spark.createDataFrame([("a", "d1", 1.0), ("b", "d2", 10.0)], SCHEMA)
+    assert merge_rollup_batch(spark, b1, 0, sp, ["grp"], "day", ["v"])
+
+    b2 = spark.createDataFrame([("a", "d1", 3.0)], SCHEMA)
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash at the commit point")
+
+    monkeypatch.setattr(R, "_append_ledger_atomic", _boom)
+    try:
+        merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    # stage-only: state unchanged, staging left behind for recovery
+    assert _totals(spark, sp) == {"a": (1, 1.0, 1.0, 1.0), "b": (1, 10.0, 10.0, 10.0)}
+    monkeypatch.undo()
+
+    # replay: recovery drops the uncommitted staging, batch merges once
+    assert merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+    assert _totals(spark, sp) == {"a": (2, 4.0, 1.0, 3.0), "b": (1, 10.0, 10.0, 10.0)}
+    import os
+
+    assert not os.path.exists(f"{sp}/_pending")
+
+
+def test_crash_after_commit_never_double_counts(spark, tmp_path, monkeypatch):
+    """Injected crash BETWEEN the ledger commit and the publish — the
+    exact window the old ledger-last ordering left open to double
+    counting. The replay must see the batch as applied, finish the
+    publish from the frozen staging, and the totals must equal a single
+    application."""
+    from gdelt_2_0_event_database_pipeline_spark.streaming import rollup as R
+
+    sp = str(tmp_path / "state")
+    b1 = spark.createDataFrame([("a", "d1", 1.0), ("b", "d2", 10.0)], SCHEMA)
+    assert merge_rollup_batch(spark, b1, 0, sp, ["grp"], "day", ["v"])
+
+    b2 = spark.createDataFrame([("a", "d1", 3.0), ("c", "d3", 7.0)], SCHEMA)
+    real_publish = R._publish_pending
+
+    def _boom(*a, **k):
+        raise RuntimeError("injected crash after the commit point")
+
+    monkeypatch.setattr(R, "_publish_pending", _boom)
+    try:
+        merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    # committed but unpublished: state lags by exactly this batch
+    assert _totals(spark, sp) == {"a": (1, 1.0, 1.0, 1.0), "b": (1, 10.0, 10.0, 10.0)}
+    monkeypatch.setattr(R, "_publish_pending", real_publish)
+
+    # replay: ledger says applied -> recovery publishes, merge skipped
+    assert not merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+    assert _totals(spark, sp) == {
+        "a": (2, 4.0, 1.0, 3.0),
+        "b": (1, 10.0, 10.0, 10.0),
+        "c": (1, 7.0, 7.0, 7.0),
+    }
+    import os
+
+    assert not os.path.exists(f"{sp}/_pending")
+
+    # and a SECOND replay (at-least-once can deliver thrice) is a pure no-op
+    assert not merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+    assert _totals(spark, sp)["a"] == (2, 4.0, 1.0, 3.0)
+
+
+def test_recover_rollup_state_publishes_without_a_batch(spark, tmp_path, monkeypatch):
+    """After a post-commit crash, recover_rollup_state brings reads
+    current without waiting for the next micro-batch."""
+    from gdelt_2_0_event_database_pipeline_spark.streaming import rollup as R
+    from gdelt_2_0_event_database_pipeline_spark.streaming.rollup import (
+        recover_rollup_state,
+    )
+
+    sp = str(tmp_path / "state")
+    b1 = spark.createDataFrame([("a", "d1", 1.0)], SCHEMA)
+    assert merge_rollup_batch(spark, b1, 0, sp, ["grp"], "day", ["v"])
+    b2 = spark.createDataFrame([("a", "d1", 3.0)], SCHEMA)
+    monkeypatch.setattr(R, "_publish_pending", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("x")))
+    try:
+        merge_rollup_batch(spark, b2, 1, sp, ["grp"], "day", ["v"])
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    recover_rollup_state(spark, sp)
+    assert _totals(spark, sp) == {"a": (2, 4.0, 1.0, 3.0)}
+
+
 def test_missing_paths_read_as_none_not_errors(spark, tmp_path):
     from gdelt_2_0_event_database_pipeline_spark.streaming.rollup import (
         _try_read_parquet,

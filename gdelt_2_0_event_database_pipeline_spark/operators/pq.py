@@ -525,6 +525,21 @@ def write_pq_index(
         "centroids array<array<double>>",
     )
     meta.coalesce(1).write.mode(mode).json(f"{path}/codebooks")
+    if centroids is not None:
+        # Build-time cell-occupancy snapshot — the frozen baseline
+        # :func:`index_drift_report` compares live occupancy against.
+        # Read back the at-rest codes (cheap: 8-byte rows) rather than
+        # recompute codes_df's lineage a second time. Appends do NOT
+        # update this: it is the distribution the coarse quantizer was
+        # fit for, by design.
+        (
+            spark.read.parquet(f"{path}/codes")
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_build"))
+            .coalesce(1)
+            .write.mode("overwrite" if mode == "overwrite" else mode)
+            .parquet(f"{path}/cell_stats")
+        )
 
 
 def read_pq_meta(spark, path: str) -> tuple[list, list | None]:
@@ -671,4 +686,139 @@ def ivf_pq_search_index(
         recall_target=recall_target,
         corpus_codes=codes.select(id_col, "codes", "vhat_sq"),
         corpus_cells=codes.select(id_col, "cell"),
+    )
+
+
+def index_drift_report(
+    spark,
+    path: str,
+    sample: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 20_000,
+    refit_iters: int = 5,
+    seed: int = 42,
+    tvd_threshold: float = 0.25,
+    err_ratio_threshold: float = 1.30,
+) -> DataFrame:
+    """Drift monitor for a maintained IVF-PQ index — the missing half of
+    the append story: :func:`append_pq_index` assigns cells against the
+    FROZEN coarse quantizer, so under distribution drift recall decays
+    silently (queries probe cells whose contents no longer match the
+    geometry the centroids were fit for). This report measures that decay
+    from two independent angles and turns it into a refit decision:
+
+    1. **Occupancy drift** — total-variation distance between the
+       build-time cell distribution (``<path>/cell_stats``, snapshotted by
+       :func:`write_pq_index`) and the CURRENT distribution of the codes
+       at rest. Pure metadata math: one groupBy over 8-byte code rows and
+       a driver-side fold over ≤ n_cells pairs. NULL when the index
+       predates cell_stats.
+    2. **Quantization-error ratio** — over a bounded, hash-rank-capped
+       sample of RECENT vectors (the caller supplies what "recent" means:
+       the latest ingest partitions, a stream tap, …): mean squared
+       distance to the nearest FROZEN centroid vs the same under a fresh
+       ``fit_ivf_centroids`` refit on that sample. A ratio near 1 means
+       the frozen quantizer still partitions new data as well as a refit
+       would; the ratio rises monotonically with drift and is scale-free
+       (distance units cancel).
+
+    **Refit policy** (the documented thresholds, defaults chosen from the
+    planted-drift probe ``tools/drift_probe.py`` → DRIFT_PROBE.json, sf0.1:
+    an in-distribution append measures tvd 0.00 / ratio 1.003, a hard
+    16-of-64-dim shift measures tvd 0.44 / ratio 69 — and costs the
+    shifted queries recall@5 0.68→0.32 through the frozen quantizer,
+    restored to 0.87 by the refit rebuild the report recommends):
+    ``refit_recommended`` = occupancy_tvd > ``tvd_threshold`` OR
+    err_ratio > ``err_ratio_threshold``. On a recommendation, refit =
+    ``fit_ivf_centroids`` + ``fit_pq_codebooks`` on a fresh sample of the
+    current mix, then a ``write_pq_index`` rebuild — the probe shows a
+    hard shift breaks BOTH quantizers (the codebooks' subspace cells stop
+    covering the shifted subvectors), so a full refit is the measured
+    recovery path; the rebuild's re-encode is one deterministic map pass
+    over the corpus.
+
+    Returns a one-row DataFrame:
+    (n_cells, n_build, n_current, occupancy_tvd, frozen_err, refit_err,
+    err_ratio, refit_recommended). Cost: one scan of the codes table's
+    cell column + two bounded passes over ≤ ``sample_cap`` sample rows —
+    safe to run on every append cycle at any index size."""
+    from .ivf import _sq_dist_to, fit_ivf_centroids, well_formed_vectors
+
+    _, centroids = read_pq_meta(spark, path)
+    if centroids is None:
+        raise ValueError(
+            f"{path} is a plain PQ index (no centroids) — drift of the "
+            "coarse quantizer is an IVF-PQ concern"
+        )
+    n_cells = len(centroids)
+
+    current = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    try:
+        build = spark.read.parquet(f"{path}/cell_stats")
+    except Exception:  # index written before cell_stats existed
+        build = None
+    cur_rows = {r["cell"]: r["n_cur"] for r in current.collect()}  # ≤ n_cells
+    n_current = int(sum(cur_rows.values()))
+    if build is not None:
+        b_rows = {r["cell"]: r["n_build"] for r in build.collect()}
+        n_build = int(sum(b_rows.values()))
+        tvd = 0.5 * sum(
+            abs(b_rows.get(c, 0) / max(n_build, 1) - cur_rows.get(c, 0) / max(n_current, 1))
+            for c in range(n_cells)
+        )
+    else:
+        n_build, tvd = None, None
+
+    # bounded recent-data sample: deterministic hash-rank cap, executes as
+    # TakeOrderedAndProject (no full shuffle) — fit_ivf_centroids' sampler
+    s = well_formed_vectors(sample, vec_col).select(
+        F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
+    )
+    s = (
+        s.orderBy(F.xxhash64(F.col("__id__"), F.lit(seed)))
+        .limit(sample_cap)
+        .localCheckpoint(eager=True)  # fit and both error passes share it
+    )
+    refit = fit_ivf_centroids(
+        s, "__v__", "__id__", k=n_cells, iters=refit_iters, seed=seed,
+        fit_sample_n=sample_cap,
+    )
+
+    def _mean_nearest_sq(cents) -> float:
+        d = F.array_min(
+            F.array(*[_sq_dist_to(F.col("__v__"), c) for c in cents])
+        )
+        row = s.agg(F.avg(d).alias("e")).collect()[0]
+        if row["e"] is None:
+            raise ValueError("drift sample is empty after well_formed_vectors")
+        return float(row["e"])
+
+    frozen_err = _mean_nearest_sq(centroids)
+    refit_err = _mean_nearest_sq(refit)
+    err_ratio = frozen_err / refit_err if refit_err > 0 else 1.0
+    recommended = bool(
+        (tvd is not None and tvd > tvd_threshold)
+        or err_ratio > err_ratio_threshold
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_cells,
+                n_build,
+                n_current,
+                tvd,
+                frozen_err,
+                refit_err,
+                err_ratio,
+                recommended,
+            )
+        ],
+        "n_cells int, n_build long, n_current long, occupancy_tvd double, "
+        "frozen_err double, refit_err double, err_ratio double, "
+        "refit_recommended boolean",
     )

@@ -432,3 +432,93 @@ def test_ivf_pq_index_guards(spark, emb, books, cents, tmp_path):
         ivf_pq_search_index(spark, ivfpq, emb.limit(1), rerank=50)
     with pytest.raises(ValueError):  # rerank=0 is not rerank=None: same guard
         ivf_pq_search_index(spark, ivfpq, emb.limit(1), rerank=0)
+
+
+def _vec_df(spark, ids, mat):
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in zip(ids, mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_drift_report_flags_distribution_shift(spark, tmp_path):
+    """index_drift_report is the refit trigger for the frozen coarse
+    quantizer: an in-distribution sample reports err_ratio ~ 1 and no
+    refit; a deliberately shifted append degrades BOTH metrics and flips
+    refit_recommended — while append==rebuild parity still holds (drift
+    hurts recall, never correctness of the maintained codes)."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+        index_drift_report,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    base_np = rng.randn(400, dim)
+    base_np[:200] += 3.0  # two clusters so the quantizer has structure
+    base = _vec_df(spark, range(400), base_np)
+
+    books = fit_pq_codebooks(base, m=4, ncodes=8, iters=3)
+    cents = fit_ivf_centroids(base, k=4, iters=4)
+    codes = (
+        pq_encode(base, books)
+        .join(assign_cells(base, cents).select("vec_id", "cell"), "vec_id")
+        .withColumn("ingest_day", F.lit("d0"))
+    )
+    path = str(tmp_path / "idx")
+    write_pq_index(codes, books, path, partition_col="ingest_day", centroids=cents)
+
+    # in-distribution recent sample: no refit, ratio ~ 1, zero occupancy move
+    indist_np = rng.randn(200, dim)
+    indist_np[:100] += 3.0
+    indist = _vec_df(spark, range(400, 600), indist_np)
+    r_ok = index_drift_report(spark, path, indist).first()
+    assert r_ok.occupancy_tvd == 0.0  # nothing appended yet
+    assert r_ok.err_ratio < 1.3, r_ok
+    assert not r_ok.refit_recommended
+
+    # hard distribution shift, appended against the frozen centroids
+    drift_np = rng.randn(300, dim) + 12.0
+    drifted = _vec_df(spark, range(1000, 1300), drift_np)
+    append_pq_index(
+        spark, path, drifted.withColumn("ingest_day", F.lit("d1"))
+    )
+    r_bad = index_drift_report(spark, path, drifted).first()
+    assert r_bad.refit_recommended, r_bad
+    assert r_bad.err_ratio > 2.0, r_bad
+    assert r_bad.occupancy_tvd > r_ok.occupancy_tvd
+    assert r_bad.n_current == 700 and r_bad.n_build == 400
+
+    # parity: the maintained index still equals a rebuild under the same
+    # frozen codebooks/centroids — drift degrades recall, not determinism
+    codes2, _ = read_pq_index(spark, path)
+    alldocs = base.unionByName(drifted)
+    rebuilt = {
+        r.vec_id: (list(r.codes), r.vhat_sq, r.cell)
+        for r in pq_encode(alldocs, books)
+        .join(assign_cells(alldocs, cents).select("vec_id", "cell"), "vec_id")
+        .collect()
+    }
+    maintained = {
+        r.vec_id: (list(r.codes), r.vhat_sq, r.cell)
+        for r in codes2.select("vec_id", "codes", "vhat_sq", "cell").collect()
+    }
+    assert maintained == rebuilt
+
+
+def test_drift_report_guards(spark, emb, books, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        index_drift_report,
+        write_pq_index,
+    )
+
+    plain = str(tmp_path / "plain")
+    write_pq_index(pq_encode(emb, books), books, plain)
+    with pytest.raises(ValueError):  # plain PQ index has no coarse quantizer
+        index_drift_report(spark, plain, emb)

@@ -14,6 +14,14 @@ bench JSON:
 
 Rows are never reordered or re-measured; history cells are preserved
 verbatim. Unknown-in-bench cells stay em-dash.
+
+Steady-vs-cold (r10 verdict item 3): for queries in the bench run's
+``steady`` map (session-memoized index/codebook bootstraps), the CELL
+records the steady second-run time — the comparable, deployment-shaped
+number — so the mechanical >2x round-over-round check compares
+like-with-like. The cold first-touch number remains in the round's
+BENCH_r{N}.json / bench_out.json ``queries`` map (see the footnote under
+the table in BASELINE.md).
 """
 
 from __future__ import annotations
@@ -39,7 +47,7 @@ def load_registry() -> list[str]:
 def parse_table(src: str):
     """(pre, header_cols, rows as {query: [cells]}, row_order, post)."""
     m = re.search(
-        r"^(\| query \|[^\n]*\|)\n(\|[-| ]+\|)\n((?:\| q\w+ \|[^\n]*\n)+)",
+        r"^(\| query \|[^\n]*\|)\n(\|[-| ]+\|)\n((?:\| (?:q|etl_)\w+ \|[^\n]*\n)+)",
         src,
         re.M,
     )
@@ -64,6 +72,19 @@ def render(pre, header, rows, order, post) -> str:
     return pre + "\n".join(out) + "\n" + post
 
 
+def load_bench(path: str) -> dict:
+    """Per-query seconds with steady-state values substituted for the
+    session-memoized queries (the bench `steady` map): the table cell must
+    be the comparable number, not bootstrap-inclusive cold time."""
+    d = json.load(open(path))
+    eff = dict(d["queries"])
+    for q, t in d.get("steady", {}).items():
+        if t is not None and t >= 0:
+            eff[q] = t
+    eff.update(d.get("etl_stages", {}))  # stage rows share the table
+    return eff
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fill", metavar="BENCH_JSON",
@@ -81,7 +102,7 @@ def main() -> None:
     ncols = len(header) - 1
 
     if args.fill:
-        bench = json.load(open(args.fill))["queries"]
+        bench = load_bench(args.fill)
         added = 0
         for q in load_registry():
             if q not in rows:
@@ -100,7 +121,7 @@ def main() -> None:
         if col not in header:
             raise SystemExit(f"no column {col!r} to refresh")
         i = header.index(col) - 1
-        bench = json.load(open(args.src_json))["queries"]
+        bench = load_bench(args.src_json)
         for q in load_registry():
             if q not in rows:
                 rows[q] = ["—"] * ncols
@@ -112,7 +133,7 @@ def main() -> None:
     if args.add_column:
         if not args.src_json:
             raise SystemExit("--add-column needs --from BENCH_JSON")
-        bench = json.load(open(args.src_json))["queries"]
+        bench = load_bench(args.src_json)
         header.append(f"{args.add_column} sec")
         for q in order:
             rows[q].append(f"{bench[q]:.3f}" if q in bench else "—")

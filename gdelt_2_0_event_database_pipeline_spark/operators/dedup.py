@@ -1223,10 +1223,14 @@ def _independent_minhash_sig(
     """(``__id__``, sig array<long>) with a per-position INDEPENDENT hash
     family — h_i(s) = xxhash64(s, seed=i) (or a salted md5 window for the
     oracle-replayable family). The banding kernel's affine
-    h_i = b1 + i·b2 (Kirsch-Mitzenmacher) is fine for bucket collision
-    curves but positions are correlated — one shared shingle with a small
-    b2 wins EVERY position, so signature agreement grossly overestimates
-    Jaccard (measured mean |est−J| ≈ 0.46 on the documents fixture).
+    h_i = b1 + i·b2 (Kirsch-Mitzenmacher) gives usable bucket collision
+    behavior at the measured default operating point (MINHASH_ERROR.json:
+    recall 0.82/0.91 in the J 0.5–0.6/0.6–0.7 buckets at (64,16), vs
+    independent-family theory 0.79/0.96 — but with a MUTED bands knob;
+    see write_minhash_index), yet positions are correlated — one shared
+    shingle with a small b2 wins EVERY position, so signature agreement
+    grossly overestimates Jaccard (measured mean |est−J| ≈ 0.46 on the
+    documents fixture).
     The match-time estimator therefore hashes independently per position;
     unbiasedness is pinned in test_minhash_index.py against exact
     shingle Jaccard."""
@@ -1289,7 +1293,25 @@ def write_minhash_index(
     With ``partition_col`` (e.g. ingest day, carried on ``ref`` rows)
     both tables are Hive-partitioned by it, which is what lets
     :func:`append_minhash_index` maintain the index at O(touched
-    partitions) per batch."""
+    partitions) per batch.
+
+    Parameter choice is MEASURED (``tools/minhash_error_probe.py`` →
+    MINHASH_ERROR.json, sf0.01 documents fixture):
+
+    - ``num_hashes`` sets the estimator error: mean |est − J| tracks the
+      √(J(1−J)/k) law — 0.097 at k=16, 0.055 at k=64, 0.037 at k=128 —
+      while at-rest size is 8k B/doc. k=64 (512 B/doc) is the knee:
+      halving the error again doubles the index.
+    - ``bands`` at the default (64, 16) measures candidate recall 0.82 /
+      0.91 in the J 0.5–0.6 / 0.6–0.7 buckets, bracketing the
+      independent-family theory curve (0.79 / 0.96) at the operating
+      thresholds. CAVEAT: under the Kirsch-Mitzenmacher banding family
+      the ``bands`` knob is MUTED — consecutive positions correlate, so
+      sweeping bands 8→32 moves aggregate recall barely (0.838→0.841
+      where independent-family theory spans 0.03→1.0). Tune dedup
+      precision with the ``threshold`` on the (independent-family)
+      estimated Jaccard, not by re-banding; tune recall with
+      ``shingle_n``/``threshold``."""
     if num_hashes % bands:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     spark = ref.sparkSession

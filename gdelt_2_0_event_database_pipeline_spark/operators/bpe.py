@@ -112,7 +112,17 @@ def train_bpe(
     the corpus to a ``(word, count)`` vocabulary so each merge round
     counts weighted pairs over |vocab| rows; ``False`` keeps one row per
     word occurrence — identical output (differential twin), cost linear
-    in corpus size per round."""
+    in corpus size per round.
+
+    Cost ceiling: each merge round is one Spark job paced by a 1-row
+    driver collect (the argmax), ~0.2 s/round of fixed driver latency at
+    any corpus size (BASELINE.md adjudication) — so wall-clock is
+    ~0.2·num_merges seconds PLUS the data-sized pair-count aggs. Fine
+    for tokenizer-scale vocabularies (hundreds to a few thousand
+    merges ≈ minutes of driver pacing); a 50k-merge GPT-2-style run is
+    driver-bound at ~3 h and should amortize rounds differently (batch
+    several merges per job) before reaching for bigger clusters — more
+    executors cannot buy back per-round latency."""
     if collapse_words:
         words = F.split(F.lower(F.col(text_col)), r"\s+")
         vocab = (

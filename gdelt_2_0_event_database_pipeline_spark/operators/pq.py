@@ -48,6 +48,18 @@ session-writable filesystem), so the 32×-compressed form IS the stored
 form — encode once at ingest, search forever (``ivf_pq_topk`` accepts
 the loaded codes via ``corpus_codes=``).
 
+Residual encoding (``fit_residual_codebooks`` + ``ivf_pq_encode_residual``
++ ``ivf_pq_topk(residual=True)``) is the full IVFPQ construction: codes
+describe v − centroid[cell], so the same 8 bytes stop re-encoding the
+placement the IVF stage already knows. Measured (ANN_RECALL.json
+'ivfpq_residual'): identical recall on the near-uniform fixture (as
+theory predicts — all centroids sit near the distribution center), and
+on a 16-cluster synthetic — the regime real embedding corpora live in —
+ADC-only recall@5 0.024 → 0.152 and reranked 0.392 → 0.656 at identical
+bytes. The search adds ONE array lookup per candidate (the per-(query,
+cell) dot term); the index meta records the flag so readers can never
+score residual codes with raw math.
+
 Accuracy is MEASURED, not assumed: ``tools/ann_recall.py`` sweeps
 ADC-only and reranked recall@5 against exact ``cosine_topk`` on the
 sf0.1 fixture (artifact ``ANN_RECALL.json``, table in SCALE.md);
@@ -99,6 +111,56 @@ def _check_codebooks(codebooks) -> tuple[int, int, int]:
     return m, ncodes, subdim
 
 
+def _collect_fit_sample(df, vec_col, id_col, seed, fit_sample_n):
+    """Hash-ranked bounded fit sample as an (n × dim) float64 matrix,
+    locally re-sorted by hash so init and numpy summation order are
+    partitioning-independent (shared by the raw and residual fits)."""
+    import numpy as np
+
+    df = well_formed_vectors(df, vec_col)
+    sel = df.select(
+        _as_double(vec_col).alias("__v__"),
+        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h__"),
+    )
+    if fit_sample_n is not None:
+        sel = sel.orderBy("__h__").limit(fit_sample_n)
+    rows = sel.collect()
+    if not rows:
+        raise ValueError("cannot fit PQ on an empty corpus")
+    rows.sort(key=lambda r: r["__h__"])
+    return np.asarray([r["__v__"] for r in rows], dtype=np.float64)
+
+
+def _fit_pq_on_matrix(x, m: int, ncodes: int, iters: int):
+    """Per-subspace Lloyd over a local sample matrix — the deterministic
+    k-means-lite kernel of ``fit_pq_codebooks`` (init = the ncodes
+    hash-lowest rows' slices; empty cells keep their previous centroid;
+    first-minimum tie rule)."""
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    out = []
+    for s in range(m):
+        xs = x[:, s * subdim : (s + 1) * subdim]
+        xs_sq = (xs * xs).sum(axis=1)
+        cents = xs[:ncodes].copy()
+        k_eff = cents.shape[0]
+        for _ in range(iters):
+            d2 = (
+                xs_sq[:, None]
+                + (cents * cents).sum(axis=1)[None, :]
+                - 2.0 * (xs @ cents.T)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out.append([list(map(float, c)) for c in cents])
+    return out
+
+
 def fit_pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -120,44 +182,45 @@ def fit_pq_codebooks(
 
     Requires dim divisible by ``m`` (contiguous equal splits — the
     classic PQ layout)."""
+    x = _collect_fit_sample(df, vec_col, id_col, seed, fit_sample_n)
+    return _fit_pq_on_matrix(x, m, ncodes, iters)
+
+
+def fit_residual_codebooks(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    ncodes: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    fit_sample_n: int | None = 100_000,
+):
+    """Codebooks over coarse-quantizer RESIDUALS — the standard IVFPQ
+    construction (Jégou 2011 §III): each sample vector is replaced by
+    v − centroid[nearest cell] before the per-subspace Lloyd, so the
+    codebooks spend their 2^b codes on the within-cell geometry instead
+    of re-describing the global placement the IVF stage already encodes.
+    Same determinism contract as :func:`fit_pq_codebooks`; assignment
+    uses the first-minimum rule shared with ``assign_cells``. Pair with
+    :func:`ivf_pq_encode_residual` / ``ivf_pq_topk(..., residual=True)``
+    — residual codes are meaningless without the matching centroids."""
     import numpy as np
 
-    df = well_formed_vectors(df, vec_col)
-    sel = df.select(
-        _as_double(vec_col).alias("__v__"),
-        F.xxhash64(F.col(id_col), F.lit(seed)).alias("__h__"),
+    x = _collect_fit_sample(df, vec_col, id_col, seed, fit_sample_n)
+    cm = np.asarray(centroids, dtype=np.float64)
+    if cm.shape[1] != x.shape[1]:
+        raise ValueError(
+            f"centroid dim {cm.shape[1]} != vector dim {x.shape[1]}"
+        )
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        + (cm * cm).sum(axis=1)[None, :]
+        - 2.0 * (x @ cm.T)
     )
-    if fit_sample_n is not None:
-        sel = sel.orderBy("__h__").limit(fit_sample_n)
-    rows = sel.collect()
-    if not rows:
-        raise ValueError("cannot fit PQ on an empty corpus")
-    rows.sort(key=lambda r: r["__h__"])
-    x = np.asarray([r["__v__"] for r in rows], dtype=np.float64)
-    dim = x.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    subdim = dim // m
-
-    out = []
-    for s in range(m):
-        xs = x[:, s * subdim : (s + 1) * subdim]
-        xs_sq = (xs * xs).sum(axis=1)
-        cents = xs[:ncodes].copy()
-        k_eff = cents.shape[0]
-        for _ in range(iters):
-            d2 = (
-                xs_sq[:, None]
-                + (cents * cents).sum(axis=1)[None, :]
-                - 2.0 * (xs @ cents.T)
-            )
-            assign = d2.argmin(axis=1)
-            for c in range(k_eff):
-                members = xs[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
-        out.append([list(map(float, c)) for c in cents])
-    return out
+    resid = x - cm[d2.argmin(axis=1)]
+    return _fit_pq_on_matrix(resid, m, ncodes, iters)
 
 
 def pq_encode(
@@ -259,6 +322,97 @@ def pq_encode(
     )
 
 
+def _residual_cross_table(spark, centroids, codebooks):
+    """Broadcast (cell, csq, xtab) table for the residual-reconstruction
+    norm and score: xtab[s][c] = centroid_cell[sub s] · codebook[s][c],
+    csq = |centroid_cell|². n_cells × m × ncodes doubles — 4k entries at
+    the (16,16,16) defaults, ~4M (32 MB, still broadcastable) at a
+    1024-cell/256-code deployment; document before growing past that."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)  # m × ncodes × subdim
+    m, ncodes, subdim = cb.shape
+    csub = cm.reshape(cm.shape[0], m, subdim)
+    # xtab[cell, s, c] = csub[cell, s] · cb[s, c]
+    xtab = np.einsum("ksd,scd->ksc", csub, cb)
+    rows = [
+        (
+            int(cell),
+            float((cm[cell] * cm[cell]).sum()),
+            [[float(x) for x in xtab[cell, s]] for s in range(m)],
+        )
+        for cell in range(cm.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows, "cell int, __csq__ double, __xtab__ array<array<double>>"
+    )
+
+
+def ivf_pq_encode_residual(
+    df: DataFrame,
+    codebooks,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes, vhat_sq): the residual-IVFPQ at-rest row — cell
+    from the coarse quantizer, codes from PQ over v − centroid[cell]
+    (``fit_residual_codebooks`` codebooks), and vhat_sq = |centroid +
+    recon(codes)|² so ADC cosine needs no second pass. Same 8-byte codes
+    + one cell int as the raw encoding, but the codes describe
+    within-cell geometry — measured recall@5 gain on clustered data at
+    identical bytes (ANN_RECALL.json 'ivfpq_residual').
+
+    Plan shape: ``assign_cells`` (codegen equi-join path) → broadcast
+    centroid join + one zip_with subtraction (map-side) → the standard
+    ``pq_encode`` two-shuffle pipeline on the residual column → one
+    broadcast join on cell + an m-step fold for the |v̂|² cross term
+    (the same fold pattern as ADC scoring). Nothing here scales with
+    anything but the input rows."""
+    from .ivf import assign_cells
+
+    spark = df.sparkSession
+    cells = assign_cells(df, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    cent_df = spark.createDataFrame(
+        [(i, [float(w) for w in c]) for i, c in enumerate(centroids)],
+        "cell int, __cent__ array<double>",
+    )
+    resid = (
+        well_formed_vectors(df, vec_col)
+        .select(id_col, _as_double(vec_col).alias("__v__"))
+        .join(cells, id_col)
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            id_col,
+            "cell",
+            F.zip_with("__v__", "__cent__", lambda x, c: x - c).alias("__rv__"),
+        )
+    )
+    enc = pq_encode(resid, codebooks, id_col=id_col, vec_col="__rv__")
+    xdf = _residual_cross_table(spark, centroids, codebooks)
+    out = (
+        enc.withColumnRenamed("vhat_sq", "__rsq__")
+        .join(resid.select(id_col, "cell"), id_col)
+        .join(F.broadcast(xdf), "cell")
+    )
+    cross = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("__xtab__"),
+            lambda cd, tbl: F.element_at(tbl, cd + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.select(
+        id_col,
+        "cell",
+        "codes",
+        (F.col("__csq__") + 2 * cross + F.col("__rsq__")).alias("vhat_sq"),
+    )
+
+
 def _collect_query_luts(queries, codebooks, id_col, vec_col):
     """Driver-side query prep shared by ``pq_topk``/``ivf_pq_topk``:
     collect the (bounded, broadcast-anyway) query set and compute each
@@ -296,7 +450,7 @@ def _collect_query_luts(queries, codebooks, id_col, vec_col):
     return data, queries.schema[id_col].dataType
 
 
-def _lut_schema(id_dtype, with_cell=False):
+def _lut_schema(id_dtype, with_cell=False, with_qc=False):
     from pyspark.sql import types as T
 
     fields = [
@@ -305,16 +459,21 @@ def _lut_schema(id_dtype, with_cell=False):
         T.StructField("__qn__", T.DoubleType()),
         T.StructField("__lut__", T.ArrayType(T.ArrayType(T.DoubleType()))),
     ]
+    if with_qc:  # residual path: per-query dot(q, centroid[cell]) array
+        fields.append(T.StructField("__qc__", T.ArrayType(T.DoubleType())))
     if with_cell:
         fields.append(T.StructField("__cell__", T.IntegerType()))
     return T.StructType(fields)
 
 
-def _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col):
+def _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col,
+                         extra_dot=None):
     """Shared search tail: ADC-score candidate (corpus-code × query-LUT)
     rows, rank per query, optionally exact-rerank the top-``rerank``
     shortlist against the true vectors (broadcast hash equi-join —
-    only nq×rerank rows ever touch a full vector)."""
+    only nq×rerank rows ever touch a full vector). ``extra_dot`` adds a
+    per-candidate Column to the reconstruction dot — the residual path's
+    dot(q, centroid[cell]) term."""
     adc_dot = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -324,6 +483,8 @@ def _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if extra_dot is not None:
+        adc_dot = adc_dot + extra_dot
     scored = cand.withColumn(
         "cos_sim",
         F.when(
@@ -418,6 +579,7 @@ def ivf_pq_topk(
     recall_target: float = 0.75,
     corpus_codes: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the standard large-scale ANN composition (Jégou 2011) —
     the IVF coarse quantizer prunes the scan to each query's ``nprobe``
@@ -436,48 +598,84 @@ def ivf_pq_topk(
     ``corpus_codes`` (a ``pq_encode`` result) can be passed to reuse an
     existing encoding — the deployment shape, where codes+cells are
     computed once at ingest and every search is map-side pruning +
-    bounded rescoring."""
+    bounded rescoring.
+
+    ``residual=True`` switches to the residual-IVFPQ construction:
+    ``codebooks`` must come from ``fit_residual_codebooks`` and
+    ``corpus_codes`` from ``ivf_pq_encode_residual`` (which carries the
+    cell — ``corpus_cells`` is ignored). The ADC score adds the
+    per-(query, cell) dot(q, centroid) term from a per-query array in
+    the broadcast frame; everything else (LUT fold, window, rerank) is
+    the shared tail, so the residual path costs one extra array lookup
+    per candidate."""
     from .ivf import assign_cells, nprobe_for_recall, probe_assignments
 
     if nprobe is None:
         nprobe = nprobe_for_recall(len(centroids), recall_target)
     m, _, _ = _check_codebooks(codebooks)
     corpus_wf = well_formed_vectors(corpus, vec_col)
-    if corpus_codes is None:
-        corpus_codes = pq_encode(corpus_wf, codebooks, id_col, vec_col)
+    if residual:
+        if corpus_codes is None:
+            corpus_codes = ivf_pq_encode_residual(
+                corpus_wf, codebooks, centroids, id_col, vec_col
+            )
+        else:
+            corpus_codes = _assert_size(corpus_codes, "codes", m, "ivf_pq_topk")
+        coded = corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            "vhat_sq",
+            F.col("cell").alias("__ccell__"),
+        )
     else:
-        corpus_codes = _assert_size(corpus_codes, "codes", m, "ivf_pq_topk")
-    if corpus_cells is None:
-        # assign at query time; the maintained-index path passes cells
-        # computed once at ingest (write/append_pq_index with centroids)
-        corpus_cells = assign_cells(
-            corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        if corpus_codes is None:
+            corpus_codes = pq_encode(corpus_wf, codebooks, id_col, vec_col)
+        else:
+            corpus_codes = _assert_size(corpus_codes, "codes", m, "ivf_pq_topk")
+        if corpus_cells is None:
+            # assign at query time; the maintained-index path passes cells
+            # computed once at ingest (write/append_pq_index with centroids)
+            corpus_cells = assign_cells(
+                corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+            )
+        cells = corpus_cells.select(
+            F.col(id_col).alias("__cid__"), F.col("cell").alias("__ccell__")
         )
-    cells = corpus_cells.select(
-        F.col(id_col).alias("__cid__"), F.col("cell").alias("__cell__")
-    )
-    coded = (
-        corpus_codes.select(
-            F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
+        coded = (
+            corpus_codes.select(
+                F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
+            )
+            .join(cells, F.col("neighbor_id") == F.col("__cid__"))
+            .drop("__cid__")
         )
-        .join(cells, F.col("neighbor_id") == F.col("__cid__"))
-        .drop("__cid__")
-    )
 
     data, id_dtype = _collect_query_luts(queries, codebooks, id_col, vec_col)
+    if residual and data:
+        import numpy as np
+
+        cm = np.asarray(centroids, dtype=np.float64)
+        qcs = np.asarray([d[1] for d in data], dtype=np.float64) @ cm.T
+        data = [d + ([float(x) for x in qc],) for d, qc in zip(data, qcs)]
     if data:
         probes = probe_assignments([d[1] for d in data], centroids, nprobe)
         data = [
             d + (int(cell),) for d, row in zip(data, probes) for cell in row
         ]
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(data, _lut_schema(id_dtype, with_cell=True))
+    qdf = spark.createDataFrame(
+        data, _lut_schema(id_dtype, with_cell=True, with_qc=residual)
+    )
     cand = coded.join(
         F.broadcast(qdf),
-        (coded["__cell__"] == qdf["__cell__"])
+        (coded["__ccell__"] == qdf["__cell__"])
         & (F.col("query_id") != F.col("neighbor_id")),
     ).drop("__cell__")
-    return _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col)
+    extra = (
+        F.element_at("__qc__", F.col("__ccell__") + F.lit(1)) if residual else None
+    )
+    return _adc_rank_and_rerank(
+        cand, k, rerank, corpus, id_col, vec_col, extra_dot=extra
+    )
 
 
 def write_pq_index(
@@ -487,6 +685,7 @@ def write_pq_index(
     mode: str = "error",
     partition_col: str | None = None,
     centroids: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> None:
     """Persist a PQ index: ``pq_encode`` output as parquet under
     ``<path>/codes`` (8 bytes of codes + one double per row — the
@@ -506,8 +705,15 @@ def write_pq_index(
     the metadata row, ``codes_df`` is expected to carry the ``cell``
     column (``assign_cells`` at ingest), appends assign cells for new
     batches automatically, and :func:`ivf_pq_search_index` searches the
-    at-rest index with NO query-time corpus assignment pass."""
+    at-rest index with NO query-time corpus assignment pass.
+
+    ``residual=True`` records that the codes are RESIDUAL-encoded
+    (``fit_residual_codebooks`` + ``ivf_pq_encode_residual``); readers
+    (search, append, drift report) dispatch on the flag so a residual
+    index can never be silently scored with raw-encoding math."""
     m, ncodes, subdim = _check_codebooks(codebooks)
+    if residual and centroids is None:
+        raise ValueError("a residual index needs its coarse centroids")
     if centroids is not None and "cell" not in codes_df.columns:
         raise ValueError(
             "an IVF-PQ index (centroids given) needs a 'cell' column on "
@@ -519,10 +725,10 @@ def write_pq_index(
         w = w.partitionBy(partition_col)
     w.parquet(f"{path}/codes")
     meta = spark.createDataFrame(
-        [(m, ncodes, subdim, codebooks, centroids)],
+        [(m, ncodes, subdim, codebooks, centroids, bool(residual))],
         "m int, ncodes int, subdim int, "
         "codebooks array<array<array<double>>>, "
-        "centroids array<array<double>>",
+        "centroids array<array<double>>, residual boolean",
     )
     meta.coalesce(1).write.mode(mode).json(f"{path}/codebooks")
     if centroids is not None:
@@ -542,16 +748,17 @@ def write_pq_index(
         )
 
 
-def read_pq_meta(spark, path: str) -> tuple[list, list | None]:
-    """(codebooks, centroids-or-None) from ``write_pq_index`` output —
-    the append/search paths need them without scanning the codes table.
-    Explicit schema (no inference pass; the centroids field reads as
-    NULL on plain-PQ indexes written before it existed), validated for
+def read_pq_meta(spark, path: str) -> tuple[list, list | None, bool]:
+    """(codebooks, centroids-or-None, residual) from ``write_pq_index``
+    output — the append/search paths need them without scanning the
+    codes table. Explicit schema (no inference pass; the centroids and
+    residual fields read as NULL on indexes written before they
+    existed — NULL residual means raw encoding), validated for
     rectangularity before any use."""
     meta = spark.read.schema(
         "m int, ncodes int, subdim int, "
         "codebooks array<array<array<double>>>, "
-        "centroids array<array<double>>"
+        "centroids array<array<double>>, residual boolean"
     ).json(f"{path}/codebooks")
     rows = meta.collect()
     if len(rows) != 1:
@@ -573,12 +780,17 @@ def read_pq_meta(spark, path: str) -> tuple[list, list | None]:
         if r["centroids"] is not None
         else None
     )
-    return codebooks, centroids
+    return codebooks, centroids, bool(r["residual"])
 
 
 def read_pq_codebooks(spark, path: str):
     """Codebooks alone (see :func:`read_pq_meta`)."""
     return read_pq_meta(spark, path)[0]
+
+
+def read_pq_residual_flag(spark, path: str) -> bool:
+    """Whether the index at ``path`` stores residual-encoded codes."""
+    return read_pq_meta(spark, path)[2]
 
 
 def read_pq_index(spark, path: str):
@@ -621,15 +833,23 @@ def append_pq_index(
         raise ValueError(
             f"new_docs must carry partition column {partition_col!r}"
         )
-    codebooks, centroids = read_pq_meta(spark, path)
-    enc = pq_encode(new_docs, codebooks, id_col=id_col, vec_col=vec_col)
-    if centroids is not None:
-        from .ivf import assign_cells
+    codebooks, centroids, residual = read_pq_meta(spark, path)
+    if residual:
+        # residual indexes carry their encoding rule in the meta: the
+        # batch is encoded against the SAME frozen (centroids, residual
+        # codebooks), so maintained==rebuild parity holds identically
+        enc = ivf_pq_encode_residual(
+            new_docs, codebooks, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        enc = pq_encode(new_docs, codebooks, id_col=id_col, vec_col=vec_col)
+        if centroids is not None:
+            from .ivf import assign_cells
 
-        cells = assign_cells(
-            new_docs, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
-        ).select(id_col, "cell")
-        enc = enc.join(cells, id_col)
+            cells = assign_cells(
+                new_docs, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+            ).select(id_col, "cell")
+            enc = enc.join(cells, id_col)
     batch = enc.join(
         new_docs.select(id_col, partition_col), id_col
     )  # re-attach the partition value (pq_encode keeps only the id)
@@ -659,7 +879,7 @@ def ivf_pq_search_index(
     ADC-over-index, the cheapest serving path. Unlike ``ivf_pq_topk``
     there is NO corpus assignment pass: cells were computed once at
     ingest (``write_pq_index``/``append_pq_index``)."""
-    codebooks, centroids = read_pq_meta(spark, path)  # one meta read
+    codebooks, centroids, residual = read_pq_meta(spark, path)  # one meta read
     codes = spark.read.parquet(f"{path}/codes")
     if centroids is None:
         raise ValueError(
@@ -673,6 +893,11 @@ def ivf_pq_search_index(
     if corpus is None:
         # rerank disabled: only the sparkSession is needed downstream
         corpus = queries.limit(0)
+    code_cols = (
+        codes.select(id_col, "codes", "vhat_sq", "cell")
+        if residual
+        else codes.select(id_col, "codes", "vhat_sq")
+    )
     return ivf_pq_topk(
         corpus,
         queries,
@@ -684,8 +909,9 @@ def ivf_pq_search_index(
         id_col=id_col,
         vec_col=vec_col,
         recall_target=recall_target,
-        corpus_codes=codes.select(id_col, "codes", "vhat_sq"),
-        corpus_cells=codes.select(id_col, "cell"),
+        corpus_codes=code_cols,
+        corpus_cells=None if residual else codes.select(id_col, "cell"),
+        residual=residual,
     )
 
 
@@ -745,7 +971,7 @@ def index_drift_report(
     safe to run on every append cycle at any index size."""
     from .ivf import _sq_dist_to, fit_ivf_centroids, well_formed_vectors
 
-    _, centroids = read_pq_meta(spark, path)
+    _, centroids, _residual = read_pq_meta(spark, path)
     if centroids is None:
         raise ValueError(
             f"{path} is a plain PQ index (no centroids) — drift of the "

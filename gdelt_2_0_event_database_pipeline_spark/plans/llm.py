@@ -1194,6 +1194,54 @@ def q_ivf_pq_drift(spark, sf_dir):
     return Q.index_drift_report(spark, root, drifted, sample_cap=5000)
 
 
+@register(
+    "q_ivf_pq_residual",
+    sql=None,  # approximate-by-design: ADC order depends on fitted
+    # codebooks; encode==numpy parity and the clustered-data recall win
+    # are pinned in tests/test_pq.py; measured curves in ANN_RECALL.json
+    doc=(
+        "Residual IVF-PQ search (r11, the standard FAISS IVFPQ "
+        "construction, Jégou 2011 §III): PQ codes over v − centroid[cell] "
+        "instead of raw v, so the 8 bytes/vector describe within-cell "
+        "geometry instead of re-encoding the placement the IVF stage "
+        "already knows. Same scan shape as q_ivf_pq_topk (cell equi-join "
+        "+ LUT fold) plus ONE extra array lookup per candidate for the "
+        "per-(query, cell) dot term. ADC-only recall@5 on clustered data "
+        "(the real-embedding regime) beats raw encoding at identical "
+        "bytes (test-pinned margin >0.1; ANN_RECALL.json "
+        "'ivfpq_residual'); on the near-uniform fixture the two tie, as "
+        "theory predicts. Codebook fits are session-memoized "
+        "(q_pq_topk precedent)."
+    ),
+)
+def q_ivf_pq_residual(spark, sf_dir):
+    from ..operators import pq as Q
+    from ..operators.ivf import fit_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ckey = (sf_dir, "ivfpq_drift_cents", 8, 2)  # share the drift query's fit
+    cents = _IVF_FIT_CACHE.get(ckey)
+    if cents is None:
+        cents = fit_ivf_centroids(emb.filter(F.col("vec_id") % 10 != 9), k=8, iters=2)
+        _IVF_FIT_CACHE[ckey] = cents
+    rkey = (sf_dir, "res_books", 16, 16, 3)
+    res_books = _IVF_FIT_CACHE.get(rkey)
+    if res_books is None:
+        res_books = Q.fit_residual_codebooks(emb, cents, m=16, ncodes=16, iters=3)
+        _IVF_FIT_CACHE[rkey] = res_books
+    enc = Q.ivf_pq_encode_residual(emb, res_books, cents)
+    return Q.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        cents,
+        res_books,
+        k=5,
+        rerank=100,
+        corpus_codes=enc,
+        residual=True,
+    )
+
+
 _SQ_CODE_SQL = """CASE WHEN b.mx = b.mn THEN 0
              ELSE least(255, greatest(0, floor((u.val - b.mn) / (b.mx - b.mn) * 255.0)))
              END"""

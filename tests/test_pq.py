@@ -522,3 +522,205 @@ def test_drift_report_guards(spark, emb, books, tmp_path):
     write_pq_index(pq_encode(emb, books), books, plain)
     with pytest.raises(ValueError):  # plain PQ index has no coarse quantizer
         index_drift_report(spark, plain, emb)
+
+
+# ------------------------------------------------------------ residual IVFPQ
+def _np_residual_encode(x, cents, books):
+    """Numpy reference for ivf_pq_encode_residual: first-minimum cell
+    assignment, residual subtraction, per-subspace code argmin, and
+    vhat_sq = |centroid + reconstruction|^2."""
+    cm = np.asarray(cents, np.float64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        + (cm * cm).sum(axis=1)[None, :]
+        - 2.0 * (x @ cm.T)
+    )
+    cells = d2.argmin(axis=1)
+    resid = x - cm[cells]
+    codes = _np_encode(resid, books)
+    cb = np.asarray(books, np.float64)
+    m, _, subdim = cb.shape
+    recon = np.stack(
+        [
+            np.concatenate([cb[s, codes[i, s]] for s in range(m)])
+            for i in range(x.shape[0])
+        ]
+    )
+    vhat = cm[cells] + recon
+    return cells, codes, (vhat * vhat).sum(axis=1)
+
+
+def test_residual_encode_matches_numpy(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_residual_codebooks,
+        ivf_pq_encode_residual,
+    )
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    x = rng.randn(300, dim)
+    x[:150] += 4.0  # clustered, so residuals differ from raw vectors
+    df = _vec_df(spark, range(300), x)
+    cents = fit_ivf_centroids(df, k=4, iters=3)
+    books = fit_residual_codebooks(df, cents, m=4, ncodes=8, iters=3)
+
+    want_cells, want_codes, want_sq = _np_residual_encode(x, cents, books)
+    got = {r.vec_id: r for r in ivf_pq_encode_residual(df, books, cents).collect()}
+    assert set(got) == set(range(300))
+    for i in range(300):
+        assert got[i].cell == want_cells[i], i
+        assert list(got[i].codes) == [int(c) for c in want_codes[i]], i
+        assert got[i].vhat_sq == pytest.approx(want_sq[i], rel=1e-9), i
+
+
+def test_residual_beats_raw_adc_on_clustered(spark):
+    """The reason residual encoding exists: on clustered data the raw
+    codebooks spend codes re-describing cluster placement, residual
+    codebooks spend them on within-cluster geometry — ADC-only recall@5
+    (no rerank, where encoding quality is naked) must be strictly better
+    at identical bytes per vector."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_residual_codebooks,
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    dim, n_clu, per = 32, 8, 80
+    centers = rng.randn(n_clu, dim) * 6.0
+    x = np.concatenate(
+        [centers[c] + rng.randn(per, dim) for c in range(n_clu)]
+    )
+    df = _vec_df(spark, range(n_clu * per), x).cache()
+    queries = df.filter(F.col("vec_id") % 97 == 0).cache()  # 7 queries
+
+    cents = fit_ivf_centroids(df, k=n_clu, iters=4)
+    raw_books = fit_pq_codebooks(df, m=8, ncodes=16, iters=3)
+    res_books = fit_residual_codebooks(df, cents, m=8, ncodes=16, iters=3)
+
+    exact = {}
+    for r in cosine_topk(df, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(got_rows):
+        approx = {}
+        for r in got_rows:
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        num = sum(len(v & approx.get(q, set())) for q, v in exact.items())
+        return num / sum(len(v) for v in exact.values())
+
+    raw = recall(
+        ivf_pq_topk(
+            df, queries, cents, raw_books, k=5, nprobe=n_clu, rerank=None
+        ).collect()
+    )
+    res = recall(
+        ivf_pq_topk(
+            df, queries, cents, res_books, k=5, nprobe=n_clu, rerank=None,
+            residual=True,
+        ).collect()
+    )
+    # the pinned claim is the RELATIVE win at identical bytes; absolute
+    # ADC-only recall is low for both (within-cluster cosines are
+    # near-ties — the regime rerank exists for)
+    assert res > raw + 0.1, f"residual {res} vs raw {raw}"
+    # and the residual shortlist + a modest exact rerank recovers accuracy
+    res_rr = recall(
+        ivf_pq_topk(
+            df, queries, cents, res_books, k=5, nprobe=n_clu, rerank=100,
+            residual=True,
+        ).collect()
+    )
+    assert res_rr >= 0.9, res_rr
+
+
+def test_residual_index_roundtrip_append_and_search(spark, tmp_path):
+    """Residual index at rest: the meta flag dispatches append and search
+    to residual math; append==rebuild parity holds (deterministic encode
+    of frozen centroids+codebooks); ivf_pq_search_index == direct
+    ivf_pq_topk(residual=True) over the same corpus."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+        fit_residual_codebooks,
+        ivf_pq_encode_residual,
+        ivf_pq_search_index,
+        ivf_pq_topk,
+        read_pq_meta,
+        write_pq_index,
+    )
+
+    rng = np.random.RandomState(9)
+    dim = 16
+    x = rng.randn(240, dim)
+    x[:120] += 3.0
+    df = _vec_df(spark, range(240), x).cache()
+    cents = fit_ivf_centroids(df, k=4, iters=3)
+    books = fit_residual_codebooks(df, cents, m=4, ncodes=8, iters=3)
+
+    half = df.filter(F.col("vec_id") % 2 == 0)
+    rest = df.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ridx")
+    base = ivf_pq_encode_residual(half, books, cents).withColumn(
+        "ingest_day", F.lit("d0")
+    )
+    write_pq_index(
+        base, books, path, partition_col="ingest_day",
+        centroids=cents, residual=True,
+    )
+    assert read_pq_meta(spark, path)[2] is True
+    append_pq_index(spark, path, rest.withColumn("ingest_day", F.lit("d1")))
+
+    maintained = {
+        r.vec_id: (r.cell, list(r.codes), r.vhat_sq)
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("vec_id", "cell", "codes", "vhat_sq")
+        .collect()
+    }
+    rebuilt = {
+        r.vec_id: (r.cell, list(r.codes), r.vhat_sq)
+        for r in ivf_pq_encode_residual(df, books, cents).collect()
+    }
+    assert maintained == rebuilt
+
+    queries = df.filter(F.col("vec_id") < 3)
+    got = sorted(
+        map(
+            tuple,
+            ivf_pq_search_index(
+                spark, path, queries, corpus=df, k=5, nprobe=4, rerank=20
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_pq_topk(
+                df, queries, cents, books, k=5, nprobe=4, rerank=20,
+                corpus_codes=ivf_pq_encode_residual(df, books, cents),
+                residual=True,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_residual_guards(spark, emb, books, tmp_path):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_residual_codebooks,
+        write_pq_index,
+    )
+
+    with pytest.raises(ValueError):  # residual needs centroids
+        write_pq_index(
+            pq_encode(emb, books), books, str(tmp_path / "x"), residual=True
+        )
+    with pytest.raises(ValueError):  # centroid dim mismatch
+        fit_residual_codebooks(emb, [[0.0, 1.0]], m=16, ncodes=4, iters=1)

@@ -137,6 +137,17 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("--stratify", default=None)
     sm.add_argument("--n-per-group", type=int, default=None)
     sm.add_argument("--seed", type=int, default=42)
+
+    ad = sub.add_parser(
+        "ann-drift",
+        help="drift report for a maintained IVF-PQ index (refit decision)",
+    )
+    ad.add_argument("--index", required=True, help="write_pq_index root")
+    ad.add_argument("--sample", required=True,
+                    help="parquet of RECENT vectors (id + embedding columns)")
+    ad.add_argument("--id-col", default="vec_id")
+    ad.add_argument("--vec-col", default="embedding")
+    ad.add_argument("--sample-cap", type=int, default=20000)
     return p
 
 
@@ -244,6 +255,17 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 pairs.write.mode("overwrite").parquet(args.out)
                 print(json.dumps({"pairs": spark.read.parquet(args.out).count()}))
+        elif args.command == "ann-drift":
+            from .operators.pq import index_drift_report
+
+            sample = spark.read.parquet(args.sample)
+            row = index_drift_report(
+                spark, args.index, sample,
+                id_col=args.id_col, vec_col=args.vec_col,
+                sample_cap=args.sample_cap,
+            ).first()
+            print(json.dumps({k: row[k] for k in row.asDict()}))
+            return 0 if not row["refit_recommended"] else 3  # 3 = refit due
         elif args.command == "diff":
             from .operators.cdc import snapshot_diff
 

@@ -15,11 +15,17 @@ replayed batch re-encodes to the SAME codes and replaces the same keys
 with the same rows. At-least-once delivery therefore converges to the
 exactly-once state by construction; pinned in tests/test_streaming_ann.py.
 
-Codebook drift: the codebooks are frozen at index creation (the
-standard FAISS-style discipline — retrain on a schedule, not per
-batch). Recall on drifting corpora degrades gracefully and is
-measurable with ``operators/fusion.retrieval_metrics`` against an
-exact-search sample; re-fit + full re-encode is the repair path.
+Codebook drift: the quantizers are frozen at index creation (the
+standard FAISS-style discipline — retrain on evidence, not per batch).
+``operators/pq.index_drift_report`` is the evidence: run it on the
+recent batches any time (occupancy TVD vs the build snapshot + a
+frozen-vs-refit error ratio, both bounded-cost) and refit + rebuild
+when it recommends — thresholds measured in DRIFT_PROBE.json.
+
+Residual indexes maintain identically: ``append_pq_index`` reads the
+``residual`` flag from the index meta and encodes the batch with the
+matching math, so the idempotence argument is unchanged (pinned in
+tests/test_streaming_ann.py).
 """
 
 from __future__ import annotations

@@ -724,3 +724,45 @@ def test_residual_guards(spark, emb, books, tmp_path):
         )
     with pytest.raises(ValueError):  # centroid dim mismatch
         fit_residual_codebooks(emb, [[0.0, 1.0]], m=16, ncodes=4, iters=1)
+
+
+def test_cli_ann_drift(spark, tmp_path, capsys):
+    """`ann-drift` CLI: exit 0 + report JSON when healthy, exit 3 when a
+    refit is due (the scriptable form of index_drift_report for cron
+    monitoring)."""
+    import json as _json
+
+    from gdelt_2_0_event_database_pipeline_spark.cli import main as cli_main
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        write_pq_index,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import assign_cells
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(200, 8)
+    df = _vec_df(spark, range(200), x)
+    cents = fit_ivf_centroids(df, k=4, iters=2)
+    books = fit_pq_codebooks(df, m=4, ncodes=4, iters=2)
+    codes = (
+        pq_encode(df, books)
+        .join(assign_cells(df, cents).select("vec_id", "cell"), "vec_id")
+    )
+    idx = str(tmp_path / "idx")
+    write_pq_index(codes, books, idx, centroids=cents)
+
+    ok_sample = str(tmp_path / "ok")
+    _vec_df(spark, range(300, 400), rng.randn(100, 8)).write.parquet(ok_sample)
+    rc = cli_main(["ann-drift", "--index", idx, "--sample", ok_sample,
+                   "--sample-cap", "100"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["refit_recommended"] is False
+
+    bad_sample = str(tmp_path / "bad")
+    _vec_df(spark, range(500, 600), rng.randn(100, 8) + 9.0).write.parquet(bad_sample)
+    rc = cli_main(["ann-drift", "--index", idx, "--sample", bad_sample,
+                   "--sample-cap", "100"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3 and out["refit_recommended"] is True and out["err_ratio"] > 2

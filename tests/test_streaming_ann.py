@@ -106,3 +106,51 @@ def test_replayed_batches_converge_without_a_ledger(spark, tmp_path, corpus):
     codes, _ = read_pq_index(spark, index)
     assert codes.count() == 40
     assert codes.select("vec_id").distinct().count() == 40
+
+
+def test_stream_maintains_residual_index(spark, tmp_path, corpus):
+    """A RESIDUAL index maintains through the same stream path: the meta
+    flag dispatches each micro-batch's encode to residual math, and the
+    maintained codes equal a whole-corpus residual rebuild."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_residual_codebooks,
+        ivf_pq_encode_residual,
+    )
+
+    index = str(tmp_path / "ridx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    cents = fit_ivf_centroids(corpus, k=4, iters=3)
+    books = fit_residual_codebooks(corpus, cents, m=4, ncodes=4, iters=3)
+    base = corpus.filter("vec_id < 20")
+    write_pq_index(
+        ivf_pq_encode_residual(base, books, cents).withColumn(
+            "ingest_day", F.lit("d0")
+        ),
+        books,
+        index,
+        partition_col="ingest_day",
+        centroids=cents,
+        residual=True,
+    )
+
+    rest = corpus.filter("vec_id >= 20").withColumn("ingest_day", F.lit("d1"))
+    rest.coalesce(1).write.mode("append").parquet(src)
+    stream = read_event_stream(spark, src, SCHEMA)
+    q = maintain_pq_index_stream(stream, index, ckpt)
+    q.awaitTermination(120)
+
+    codes, _ = read_pq_index(spark, index)
+    maintained = {
+        r.vec_id: (r.cell, list(r.codes), r.vhat_sq)
+        for r in codes.select("vec_id", "cell", "codes", "vhat_sq").collect()
+    }
+    rebuilt = {
+        r.vec_id: (r.cell, list(r.codes), r.vhat_sq)
+        for r in ivf_pq_encode_residual(corpus, books, cents).collect()
+    }
+    assert maintained == rebuilt

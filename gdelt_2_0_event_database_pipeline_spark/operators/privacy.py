@@ -45,3 +45,109 @@ def suppress_small_groups(
         raise ValueError("k must be >= 1")
     w = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(c) for c in quasi_cols]))
     return df.withColumn("__cs__", w).filter(F.col("__cs__") >= k).drop("__cs__")
+
+
+def _laplace_noise(key, scale: float, seed: int, family: str):
+    """Deterministic Laplace(scale) noise derived from a hash of ``key``:
+    u ~ Uniform(-1/2, 1/2) from the hash's mantissa bits, then the
+    inverse CDF -scale*sign(u)*ln(1-2|u|). ``family='md5'`` makes the
+    draw replayable in any engine with md5 (the sampling rank-twin
+    discipline); 'xxhash64' is the cheaper JVM path.
+
+    This is SEEDED noise — reproducible by anyone who knows (seed, key),
+    which real DP release must not allow. See :func:`dp_noisy_counts`
+    for where the trust boundary sits."""
+    if family == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", key, F.lit(str(seed)))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        u = h / F.lit(float(16**13)) - F.lit(0.5)
+    else:
+        h = F.shiftrightunsigned(F.xxhash64(key, F.lit(seed)), 11).cast("double")
+        u = h / F.lit(float(1 << 53)) - F.lit(0.5)
+    # clamp |u| away from 1/2 so ln(1-2|u|) can't hit -inf on the one
+    # hash value that lands exactly on the boundary
+    au = F.least(F.abs(u), F.lit(0.499999999))
+    return -F.lit(scale) * F.signum(u) * F.log(F.lit(1.0) - 2.0 * au)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    value_col: str | None = None,
+    clip: float = 1.0,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Epsilon-differentially-private histogram release via the Laplace
+    mechanism (Dwork et al. 2006, "Calibrating Noise to Sensitivity"):
+    per group, count + Laplace(1/eps) noise — and, with ``value_col``, a
+    sum of values CLIPPED to [0, clip] plus Laplace(clip/eps) noise
+    (clipping bounds each row's sensitivity, the standard
+    contribution-bounding step). Epsilon splits evenly across the
+    released statistics (sequential composition: eps/2 each when both
+    are released). Output: (group_cols..., noisy_count double
+    [, noisy_sum double]), rounded 4dp so cross-engine ``ln`` ULP noise
+    cannot leak into comparisons.
+
+    Plan shape: ONE grouped aggregation (map-side partials — the clip is
+    a row-local least/greatest before the sum), then expression-only
+    noise at the GROUP grain — no second pass, no per-row noise rows.
+
+    Noise is SEEDED (hash of the group key + seed): deterministic,
+    testable, and oracle-replayable — which also means anyone holding
+    the seed can subtract the noise exactly. That is the correct shape
+    for the utility/accounting half of a DP pipeline (clip -> aggregate
+    -> noise calibrated to the right sensitivity), but a real release
+    must draw the noise from a CSPRNG inside the trust boundary at
+    publish time — swap the seed for publish-time entropy held by the
+    curator; the plan is unchanged. Groups absent from ``df`` are not
+    released (the known-domain histogram caveat: a private histogram
+    over a PUBLIC domain should densify the domain first so absence
+    itself leaks nothing)."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if clip <= 0:
+        raise ValueError(f"clip must be > 0, got {clip}")
+    if hash_family not in ("xxhash64", "md5"):
+        raise ValueError(
+            f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}"
+        )
+    n_stats = 2 if value_col is not None else 1
+    eps_each = epsilon / n_stats
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n__")]
+    if value_col is not None:
+        clipped = F.least(
+            F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+            F.lit(float(clip)),
+        )
+        aggs.append(F.sum(clipped).alias("__s__"))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    key = F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
+    cols = [
+        *group_cols,
+        F.round(
+            F.col("__n__")
+            + _laplace_noise(
+                F.concat(key, F.lit("|count")), 1.0 / eps_each, seed, hash_family
+            ),
+            4,
+        ).alias("noisy_count"),
+    ]
+    if value_col is not None:
+        cols.append(
+            F.round(
+                F.col("__s__")
+                + _laplace_noise(
+                    F.concat(key, F.lit("|sum")),
+                    float(clip) / eps_each,
+                    seed,
+                    hash_family,
+                ),
+                4,
+            ).alias("noisy_sum")
+        )
+    return g.select(*cols)

@@ -28,6 +28,7 @@ _DRIVER_PRIORITY = [
     # After the r11 driver run no query's newest driver row is older than
     # r7, completing the freshness sweep; the tail keeps
     # oldest-evidence-first so r12 continues mechanically.
+    "q_dp_release",  # NEW r11 — first driver window (oracle)
     "q_ivf_pq_residual",  # NEW r11 — first driver window
     "q_ivf_pq_drift",  # NEW r11 — first driver window
     "q_dedup_minhash_index",  # NEW r11 — first driver window

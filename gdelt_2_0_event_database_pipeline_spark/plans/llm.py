@@ -2642,6 +2642,57 @@ def q_k_anonymity_report(spark, sf_dir):
 
 
 @register(
+    "q_dp_release",
+    sql="""
+    WITH g AS (
+      SELECT l_returnflag,
+             count(*)::DOUBLE AS n,
+             sum(least(greatest(l_quantity::DOUBLE, 0.0), 50.0)) AS s
+      FROM lineitem GROUP BY l_returnflag
+    ), u AS (
+      SELECT l_returnflag, n, s,
+        (('0x' || substr(md5(l_returnflag || '|count|42'), 1, 13))::BIGINT::DOUBLE
+          / 4503599627370496.0 - 0.5) AS uc,
+        (('0x' || substr(md5(l_returnflag || '|sum|42'), 1, 13))::BIGINT::DOUBLE
+          / 4503599627370496.0 - 0.5) AS us
+    FROM g
+    )
+    SELECT l_returnflag,
+      round(n - 2.0  * sign(uc) * ln(1 - 2*least(abs(uc), 0.499999999)), 4)
+        AS noisy_count,
+      round(s - 100.0 * sign(us) * ln(1 - 2*least(abs(us), 0.499999999)), 4)
+        AS noisy_sum
+    FROM u
+    """,
+    doc=(
+        "Epsilon-DP histogram release (Laplace mechanism, eps=1 split "
+        "across two statistics): per-flag count + Laplace(1/0.5) noise and "
+        "a quantity sum CLIPPED to [0, 50] + Laplace(50/0.5) noise — the "
+        "clip bounds per-row sensitivity, the standard contribution-"
+        "bounding step. One grouped aggregation with map-side partials, "
+        "noise as an expression at the GROUP grain (no per-row noise "
+        "pass). Noise is seeded (md5 inverse-CDF draw) so the ENTIRE "
+        "mechanism — clip, sensitivity scales, composition split, noise "
+        "values — replays in DuckDB and is hash-checked; the operator doc "
+        "records why a production release swaps the seed for curator-held "
+        "entropy at publish time (the plan is unchanged)."
+    ),
+)
+def q_dp_release(spark, sf_dir):
+    from ..operators.privacy import dp_noisy_counts
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return dp_noisy_counts(
+        li,
+        ["l_returnflag"],
+        epsilon=1.0,
+        value_col="l_quantity",
+        clip=50.0,
+        hash_family="md5",
+    )
+
+
+@register(
     "q_familiarity",
     sql=f"""
     WITH base AS (

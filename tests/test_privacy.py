@@ -42,3 +42,66 @@ def test_k_validation(spark):
         suppress_small_groups(df, ["country"], k=0)
     with pytest.raises(ValueError):
         k_anonymity_report(df, ["country"], k=0)
+
+
+def test_dp_noisy_counts_calibration_and_determinism(spark):
+    """Laplace-mechanism release: noise is centered and calibrated (mean
+    |noise| over many groups tracks the scale b = 1/eps_each; Laplace
+    mean absolute deviation IS b), deterministic per (seed, key), and
+    clipping bounds the sum contribution."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    rows = [(f"g{i}", float(i % 7) * 20.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    out = dp_noisy_counts(df, ["g"], epsilon=1.0, value_col="v", clip=50.0)
+    got = {r.g: (r.noisy_count, r.noisy_sum) for r in out.collect()}
+    assert len(got) == 2000
+
+    # exact (unnoised) per-group stats: count=1, sum=min(v, 50)
+    errs_n = []
+    for (g, v) in rows:
+        nc, ns = got[g]
+        errs_n.append(abs(nc - 1.0))
+        # clip: contribution is min(v, 50), so noisy_sum - clipped = noise
+        assert abs(ns - min(v, 50.0)) < 1200.0  # sanity tail bound (b=100)
+    # eps splits across 2 stats -> count scale b = 1/(eps/2) = 2.0;
+    # E|Laplace(b)| = b. 2000 draws: mean within 20%.
+    mean_abs = sum(errs_n) / len(errs_n)
+    assert 1.6 < mean_abs < 2.4, mean_abs
+
+    # determinism: identical call -> identical release
+    again = {
+        r.g: (r.noisy_count, r.noisy_sum)
+        for r in dp_noisy_counts(
+            df, ["g"], epsilon=1.0, value_col="v", clip=50.0
+        ).collect()
+    }
+    assert again == got
+    # different seed -> different noise
+    other = {
+        r.g: (r.noisy_count, r.noisy_sum)
+        for r in dp_noisy_counts(
+            df, ["g"], epsilon=1.0, value_col="v", clip=50.0, seed=7
+        ).collect()
+    }
+    assert other != got
+
+    # count-only release uses the FULL budget (scale 1 < 2): tighter
+    tight = dp_noisy_counts(df, ["g"], epsilon=1.0)
+    errs_t = [abs(r.noisy_count - 1.0) for r in tight.collect()]
+    assert sum(errs_t) / len(errs_t) < mean_abs
+
+    # md5 family (the oracle-replayable twin) produces calibrated noise too
+    md5_out = dp_noisy_counts(df, ["g"], epsilon=1.0, hash_family="md5")
+    errs_m = [abs(r.noisy_count - 1.0) for r in md5_out.collect()]
+    assert 0.8 < sum(errs_m) / len(errs_m) < 1.2
+
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], clip=-1.0, value_col="v")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], hash_family="sha1")

@@ -766,3 +766,58 @@ def test_cli_ann_drift(spark, tmp_path, capsys):
                    "--sample-cap", "100"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 3 and out["refit_recommended"] is True and out["err_ratio"] > 2
+
+
+def test_residual_encode_fuzz_matches_numpy(spark):
+    """Hypothesis sweep of (dim, m, ncodes, n_cells) shapes: the
+    distributed residual encode must equal the numpy reference on every
+    shape, including degenerate ones (1 cell — residual vs a single
+    centroid; ncodes > n distinct residuals). Spark jobs are slow per
+    example, so shapes are few and adversarial rather than many."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_residual_codebooks,
+        ivf_pq_encode_residual,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        shape=st.sampled_from(
+            [
+                (8, 2, 4, 1, 40),   # single cell: residual vs one centroid
+                (8, 4, 8, 3, 60),
+                (12, 3, 4, 4, 50),
+                (16, 4, 16, 2, 30), # ncodes near n: some codes unused
+                (6, 6, 2, 5, 45),   # subdim 1
+            ]
+        ),
+        seed=st.integers(0, 3),
+    )
+    def check(shape, seed):
+        dim, m, ncodes, n_cells, n = shape
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n, dim)
+        x[: n // 2] += 2.5
+        df = _vec_df(spark, range(n), x)
+        cents = fit_ivf_centroids(df, k=n_cells, iters=2)
+        books = fit_residual_codebooks(df, cents, m=m, ncodes=ncodes, iters=2)
+        want_cells, want_codes, want_sq = _np_residual_encode(x, cents, books)
+        got = {
+            r.vec_id: r for r in ivf_pq_encode_residual(df, books, cents).collect()
+        }
+        assert set(got) == set(range(n))
+        for i in range(n):
+            assert got[i].cell == want_cells[i], (shape, seed, i)
+            assert list(got[i].codes) == [int(c) for c in want_codes[i]], (shape, seed, i)
+            assert got[i].vhat_sq == pytest.approx(want_sq[i], rel=1e-9), (shape, seed, i)
+
+    check()

@@ -81,6 +81,7 @@ def dp_noisy_counts(
     clip: float = 1.0,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    domain: DataFrame | None = None,
 ) -> DataFrame:
     """Epsilon-differentially-private histogram release via the Laplace
     mechanism (Dwork et al. 2006, "Calibrating Noise to Sensitivity"):
@@ -104,10 +105,14 @@ def dp_noisy_counts(
     -> noise calibrated to the right sensitivity), but a real release
     must draw the noise from a CSPRNG inside the trust boundary at
     publish time — swap the seed for publish-time entropy held by the
-    curator; the plan is unchanged. Groups absent from ``df`` are not
-    released (the known-domain histogram caveat: a private histogram
-    over a PUBLIC domain should densify the domain first so absence
-    itself leaks nothing)."""
+    curator; the plan is unchanged. With ``domain`` (a DataFrame of
+    PUBLIC group keys, same columns as ``group_cols``) the histogram is
+    densified before noising — every public key gets a released noisy
+    row even at true count 0, so absence itself leaks nothing; keys in
+    ``df`` but NOT in the public domain are DROPPED from the release (an
+    unexpected private key appearing in the output would itself leak).
+    Without ``domain``, groups absent from ``df`` are not released (the
+    known-domain histogram caveat)."""
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0, got {epsilon}")
     if clip <= 0:
@@ -126,6 +131,21 @@ def dp_noisy_counts(
         )
         aggs.append(F.sum(clipped).alias("__s__"))
     g = df.groupBy(*[F.col(c) for c in group_cols]).agg(*aggs)
+    if domain is not None:
+        if sorted(domain.columns) != sorted(group_cols):
+            raise ValueError(
+                f"domain columns {sorted(domain.columns)} must equal "
+                f"group_cols {sorted(group_cols)}"
+            )
+        # densify over the PUBLIC domain: inner-drop private-only keys,
+        # zero-fill public keys absent from df. The domain is the small
+        # side by definition (a released histogram's key space) — the
+        # join broadcasts; the aggregated side is already group-grain.
+        g = (
+            domain.dropDuplicates(list(group_cols))
+            .join(g, list(group_cols), "left")
+            .fillna(0.0, subset=[c for c in ("__n__", "__s__") if c in g.columns])
+        )
     key = F.concat_ws("", *[F.col(c).cast("string") for c in group_cols])
     cols = [
         *group_cols,
@@ -151,3 +171,26 @@ def dp_noisy_counts(
             ).alias("noisy_sum")
         )
     return g.select(*cols)
+
+
+def dp_error_bound(
+    epsilon: float,
+    n_stats: int = 1,
+    sensitivity: float = 1.0,
+    confidence: float = 0.95,
+) -> float:
+    """Additive error bound of one released statistic under
+    :func:`dp_noisy_counts`'s budget split: with scale
+    b = sensitivity/(epsilon/n_stats), Laplace tail gives
+    P(|noise| > b*ln(1/delta)) = delta, so the bound at the given
+    confidence is b*ln(1/(1-confidence)). Pure accounting — use it to
+    size epsilon for a target accuracy BEFORE spending budget (e.g.
+    counts accurate to +/-10 at 95%: epsilon >= n_stats*ln(20)/10)."""
+    import math
+
+    if not (0 < confidence < 1):
+        raise ValueError(f"confidence must be in (0,1), got {confidence}")
+    if epsilon <= 0 or sensitivity <= 0 or n_stats < 1:
+        raise ValueError("epsilon and sensitivity must be > 0, n_stats >= 1")
+    b = sensitivity / (epsilon / n_stats)
+    return b * math.log(1.0 / (1.0 - confidence))

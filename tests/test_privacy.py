@@ -105,3 +105,38 @@ def test_dp_noisy_counts_calibration_and_determinism(spark):
         dp_noisy_counts(df, ["g"], clip=-1.0, value_col="v")
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], hash_family="sha1")
+
+
+def test_dp_domain_densify_and_error_bound(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.privacy import (
+        dp_error_bound,
+        dp_noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("secret",)], "g string"
+    )
+    # public domain: a, b, c (never observed), NOT 'secret'
+    domain = spark.createDataFrame([("a",), ("b",), ("c",)], "g string")
+    out = {r.g: r.noisy_count for r in dp_noisy_counts(
+        df, ["g"], epsilon=1.0, domain=domain
+    ).collect()}
+    assert set(out) == {"a", "b", "c"}  # secret dropped, c zero-filled
+    # c's release is pure noise around 0 (bounded by the b*ln tail at
+    # very high confidence: b=1, ln(1/1e-6) ~ 13.8)
+    assert abs(out["c"]) < dp_error_bound(1.0, 1, confidence=1 - 1e-6)
+
+    with pytest.raises(ValueError):  # wrong domain columns
+        dp_noisy_counts(df, ["g"], domain=spark.createDataFrame([(1,)], "x int"))
+
+    # error-bound accounting: coverage over many groups
+    many = spark.createDataFrame([(f"g{i}",) for i in range(2000)], "g string")
+    rel = dp_noisy_counts(many, ["g"], epsilon=1.0)
+    errs = [abs(r.noisy_count - 1.0) for r in rel.collect()]
+    bound95 = dp_error_bound(1.0, 1, confidence=0.95)
+    cover = sum(1 for e in errs if e <= bound95) / len(errs)
+    assert 0.93 <= cover <= 0.97, (cover, bound95)
+    # monotone in epsilon and n_stats
+    assert dp_error_bound(2.0, 1) < dp_error_bound(1.0, 1) < dp_error_bound(1.0, 2)
+    with pytest.raises(ValueError):
+        dp_error_bound(1.0, confidence=1.0)

@@ -29,6 +29,7 @@ _DRIVER_PRIORITY = [
     # r7, completing the freshness sweep; the tail keeps
     # oldest-evidence-first so r12 continues mechanically.
     "q_dp_release",  # NEW r11 — first driver window (oracle)
+    "q_pagerank",  # oracle NEW r11 (unrolled 8-iteration DuckDB replay)
     "q_ivf_pq_residual",  # NEW r11 — first driver window
     "q_ivf_pq_drift",  # NEW r11 — first driver window
     "q_dedup_minhash_index",  # NEW r11 — first driver window
@@ -109,7 +110,6 @@ _DRIVER_PRIORITY = [
     "q_model_fit_score",  # last driver row: r7
     "q_model_score",  # last driver row: r7
     "q_pack_first_fit",  # last driver row: r7
-    "q_pagerank",  # last driver row: r7
     "q_quantiles_approx",  # last driver row: r7
     "q_repeat_rate",  # last driver row: r7
     "q_resample_ffill",  # last driver row: r7

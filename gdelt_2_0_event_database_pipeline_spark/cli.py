@@ -148,6 +148,21 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--id-col", default="vec_id")
     ad.add_argument("--vec-col", default="embedding")
     ad.add_argument("--sample-cap", type=int, default=20000)
+
+    pc = sub.add_parser(
+        "pca",
+        help="fit PCA on a vector column and write the reduced corpus",
+    )
+    pc.add_argument("--in", dest="in_dir", required=True, help="parquet lake")
+    pc.add_argument("--out", required=True, help="output parquet (input cols + --out-col)")
+    pc.add_argument("--vec-col", default="embedding")
+    pc.add_argument("--out-col", default="pc")
+    pc.add_argument("-k", type=int, default=8, help="components to keep")
+    pc.add_argument("--whiten", action="store_true", help="unit-variance scores")
+    pc.add_argument("--model-out", default=None,
+                    help="also persist the fitted model (one-row JSON dataset)")
+    pc.add_argument("--model-in", default=None,
+                    help="project with an existing model instead of fitting")
     return p
 
 
@@ -266,6 +281,39 @@ def main(argv: list[str] | None = None) -> int:
             ).first()
             print(json.dumps({k: row[k] for k in row.asDict()}))
             return 0 if not row["refit_recommended"] else 3  # 3 = refit due
+        elif args.command == "pca":
+            from .operators.pca import (
+                fit_pca,
+                project_pca,
+                read_pca_model,
+                write_pca_model,
+            )
+
+            df = lake.read_lake(spark, args.in_dir)
+            if args.vec_col not in df.columns:
+                raise SystemExit(f"column {args.vec_col!r} not in input schema")
+            if args.model_in:
+                model = read_pca_model(spark, args.model_in)
+            else:
+                model = fit_pca(df, args.vec_col, k=args.k)
+            if args.model_out:
+                write_pca_model(spark, model, args.model_out, mode="overwrite")
+            project_pca(
+                df, model, vec_col=args.vec_col, out_col=args.out_col,
+                whiten=args.whiten,
+            ).write.mode("overwrite").parquet(args.out)
+            print(
+                json.dumps(
+                    {
+                        "rows": spark.read.parquet(args.out).count(),
+                        "k": len(model.components),
+                        "n_fit_rows": model.n_rows,
+                        "explained_variance_ratio": [
+                            round(v, 6) for v in model.explained_variance_ratio
+                        ],
+                    }
+                )
+            )
         elif args.command == "diff":
             from .operators.cdc import snapshot_diff
 

@@ -28,6 +28,9 @@ _DRIVER_PRIORITY = [
     # After the r11 driver run no query's newest driver row is older than
     # r7, completing the freshness sweep; the tail keeps
     # oldest-evidence-first so r12 continues mechanically.
+    "q_pca_cov",  # NEW r11 — first driver window (oracle); takes the one
+    # free slot (displaces q06_forecast_revenue, whose last row is r7 —
+    # the nothing-older-than-r7 contract still holds)
     "q_dp_release",  # NEW r11 — first driver window (oracle)
     "q_pagerank",  # oracle NEW r11 (unrolled 8-iteration DuckDB replay)
     "q_ivf_pq_residual",  # NEW r11 — first driver window

@@ -741,3 +741,40 @@ def q_compact_lake(spark, sf_dir):
     return compaction_report(spark, results).select(
         "partition", "files_before", "files_after"
     )
+
+
+@register(
+    "q_pca_cov",
+    sql="""
+    WITH x AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[])           AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )
+    SELECT a.dim AS dim_i, b.dim AS dim_j, count(*) AS n,
+           round(covar_samp(a.v, b.v), 8) AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY a.dim, b.dim
+    """,
+    doc=(
+        "Distributed PCA, the oracled distributed half (operators/pca.py): "
+        "the upper-triangle sample covariance of the embedding corpus from "
+        "ONE mapInPandas pass whose per-batch output is O(d^2) rows (a "
+        "single BLAS X.T@X per Arrow batch) regardless of row count — the "
+        "shuffle carries 2,080 partial rows per batch, never vectors, so "
+        "the pass survives 100 TB by construction. DuckDB replays it as "
+        "covar_samp over the exploded self-join; float sums rounded 8dp "
+        "both sides. The d x d eigen step and the map-only declarative "
+        "projection are bounded driver math / pure Column expressions, "
+        "pinned against numpy in tests/test_pca.py."
+    ),
+)
+def q_pca_cov(spark, sf_dir):
+    from ..operators.pca import covariance_matrix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding").select(
+        "dim_i", "dim_j", "n", F.round("cov", 8).alias("cov")
+    )

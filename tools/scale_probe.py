@@ -159,6 +159,16 @@ def probes():
         Q.append_pq_index(spark, idx, batch)
         return spark.range(1)  # the append IS the measured work
 
+    # --- distributed PCA: the one-pass covariance. The claim (SCALE.md
+    # r11): the mapInPandas moments stage emits O(d²) rows per batch, so
+    # the exchange is ∝ batches, never ∝ rows×d² — cost tracks the scan
+    # (~linear), output is a constant 2,080-row triangle at every mult.
+    def pca_cov(spark, d):
+        from gdelt_2_0_event_database_pipeline_spark.operators import pca as P
+
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        return P.covariance_matrix(emb)
+
     return {
         "q01_scan_agg": scan_agg,
         "q03_join3": join3,
@@ -169,6 +179,7 @@ def probes():
         "bm25_batch3": bm25_batch3,
         "bm25_sequential3": bm25_sequential3,
         "ann_append_fixed_batch": ann_append_fixed_batch,
+        "pca_cov_one_pass": pca_cov,
     }
 
 
@@ -176,6 +187,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mults", default="1,10,100")
     ap.add_argument("--keep", action="store_true", help="keep /tmp tables")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe names: run just these and MERGE the "
+        "rows into the existing SCALE_PROBE.json (other rows kept as-is)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -187,7 +204,19 @@ def main() -> int:
 
     dirs = {m: build(spark, m) for m in mults}
     results: dict = {"mults": mults, "probes": {}}
-    for name, fn in probes().items():
+    selected = probes()
+    if args.only:
+        keep = {n.strip() for n in args.only.split(",")}
+        unknown = keep - set(selected)
+        if unknown:
+            raise SystemExit(f"unknown probes: {sorted(unknown)}")
+        selected = {n: f for n, f in selected.items() if n in keep}
+        out_path = os.path.join(REPO, "SCALE_PROBE.json")
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                results = json.load(f)
+            results["mults"] = sorted(set(results.get("mults", [])) | set(mults))
+    for name, fn in selected.items():
         row = {}
         for m in mults:
             times = []

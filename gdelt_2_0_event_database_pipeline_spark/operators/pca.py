@@ -280,6 +280,139 @@ def _lit_arr(vals: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
+def correlation_matrix(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim_i, dim_j, n, corr) upper triangle of the Pearson correlation
+    matrix — ``cov_ij / √(cov_ii · cov_jj)`` derived from ONE
+    :func:`covariance_matrix` pass (the diagonal joins back broadcast; no
+    second data scan). Zero-variance dimensions yield NULL correlation
+    (0/0), which is the honest answer for a dead dimension."""
+    cov = covariance_matrix(df, vec_col)
+    diag = cov.filter(F.col("dim_i") == F.col("dim_j")).select(
+        F.col("dim_i").alias("dim"), F.col("cov").alias("var")
+    )
+    di = diag.select(F.col("dim").alias("dim_i"), F.col("var").alias("var_i"))
+    dj = diag.select(F.col("dim").alias("dim_j"), F.col("var").alias("var_j"))
+    return (
+        cov.join(F.broadcast(di), "dim_i")
+        .join(F.broadcast(dj), "dim_j")
+        .select(
+            "dim_i",
+            "dim_j",
+            "n",
+            # try_divide: 0-variance dims give NULL under ANSI, not an error
+            F.try_divide(
+                F.col("cov"), F.sqrt(F.col("var_i") * F.col("var_j"))
+            ).alias("corr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seeded sparse random projection (Johnson–Lindenstrauss; Achlioptas 2003's
+# database-friendly {+1, 0, −1} construction, public method). The cheap
+# alternative to PCA when no fit pass is affordable: no training, no model
+# state — the matrix IS a hash formula, so any engine (and any future
+# session) regenerates it bit-identically from (seed, d, k).
+# ---------------------------------------------------------------------------
+
+#: codegen ceiling for the literal-expression path: k aggregate folds over
+#: d-length literal arrays is d·k constants in one plan. Past this the
+#: Arrow path (one BLAS matmul per batch) is the right physical plan.
+MAX_EXPR_CELLS = 65_536
+
+
+def jl_matrix(d: int, k: int, seed: int = 7) -> list[list[float]]:
+    """The k×d sparse sign matrix, entry (j, i) drawn from
+    ``md5("{seed}:{i}:{j}")``: first 40 hex bits mod 6 → +1 (0), −1 (1),
+    0 (2..5) — P(±1) = 1/6 each, E[r²]=1/3 — scaled by √(3/k) so
+    E[‖Rx‖²] = ‖x‖². Deterministic and engine-portable: Spark, DuckDB
+    (``('0x' || substr(md5(s),1,10))::BIGINT % 6``) and Python hashlib
+    produce the same matrix, which is what lets ``q_random_projection``
+    carry a full value-hash oracle."""
+    import hashlib
+    import math
+
+    # math.sqrt is the exactly-rounded IEEE sqrt — matches SQL sqrt() in
+    # any engine, which is what keeps the oracle bit-compatible pre-round
+    scale = math.sqrt(3.0 / k)
+    out = []
+    for j in range(k):
+        row = []
+        for i in range(d):
+            u = int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:10], 16) % 6
+            row.append(scale if u == 0 else -scale if u == 1 else 0.0)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    k: int,
+    d: int,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+    seed: int = 7,
+    method: str = "auto",
+) -> DataFrame:
+    """Append ``out_col: array<double>`` = the seeded JL projection of
+    ``vec_col`` (width-``d`` rows; others get NULL, mirroring
+    :func:`project_pca`). Two physical plans, same numbers:
+
+    - ``expr`` (d·k ≤ ``MAX_EXPR_CELLS``): k ``aggregate`` folds over
+      literal sign rows — whole-stage codegen, zero Python. The default
+      at embedding widths.
+    - ``arrow``: one float64 BLAS ``X @ R.T`` per ``mapInPandas`` batch —
+      the wide-matrix path where a d·k-literal plan would blow codegen.
+
+    Both are map-only (zero shuffles). ``auto`` picks by d·k. The arrow
+    path's matmul reorders the per-element additions, so cross-path
+    parity is to float tolerance (pinned in tests), not bit-exact."""
+    rows = jl_matrix(d, k, seed)
+    if method == "auto":
+        method = "expr" if d * k <= MAX_EXPR_CELLS else "arrow"
+    if method == "expr":
+        vec = F.col(vec_col).cast("array<double>")
+        dots = [
+            F.aggregate(
+                F.zip_with(vec, _lit_arr(w), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for w in rows
+        ]
+        return df.withColumn(
+            out_col,
+            F.when(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) == d),
+                F.array(*dots),
+            ),
+        )
+    if method != "arrow":
+        raise ValueError(f"method must be auto|expr|arrow, got {method!r}")
+
+    cols = list(df.columns)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        r = np.array(rows, dtype=np.float64)  # (k, d)
+        for pdf in batches:
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == d)
+            out = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            if ok.any():
+                x = np.array(pdf.loc[ok, vec_col].tolist(), dtype=np.float64)
+                y = x @ r.T
+                out.loc[ok] = list(y)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
+    return df.mapInPandas(gen, f"{schema}, `{out_col}` array<double>")
+
+
 def project_pca(
     df: DataFrame,
     model: PCAModel,

@@ -80,6 +80,10 @@ _DRIVER_PRIORITY = [
     "q_ttr",  # last driver row: r6
     "q_weighted_median",  # last driver row: r6
     "q_zipf",  # last driver row: r6
+    "q_random_projection",  # NEW r11 — slot 51: r11-window overflow if the
+    # driver's budget reaches it, else first in the r12 window (placed
+    # BELOW the whole r6-stale bucket so the freshness sweep can't lose
+    # a slot to it; q06 below is r7 either way)
     "q06_forecast_revenue",  # last driver row: r7
     "q_approx_distinct",  # last driver row: r7
     "q_asof_tolerance",  # last driver row: r7

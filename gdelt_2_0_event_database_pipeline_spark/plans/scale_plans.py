@@ -778,3 +778,50 @@ def q_pca_cov(spark, sf_dir):
     return covariance_matrix(emb, "embedding").select(
         "dim_i", "dim_j", "n", F.round("cov", 8).alias("cov")
     )
+
+
+@register(
+    "q_random_projection",
+    sql="""
+    WITH m AS (
+      SELECT j, i,
+             CASE (('0x' || substr(md5('7:' || i || ':' || j), 1, 10))::BIGINT % 6)
+               WHEN 0 THEN  sqrt(3.0 / 16)
+               WHEN 1 THEN -sqrt(3.0 / 16)
+               ELSE 0.0
+             END AS w
+      FROM (SELECT unnest(range(0, 64)) AS i),
+           (SELECT unnest(range(0, 16)) AS j)
+    ), x AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding::DOUBLE[])           AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )
+    SELECT x.vec_id, m.j AS comp, round(sum(x.v * m.w), 8) AS y
+    FROM x JOIN m USING (i)
+    GROUP BY x.vec_id, m.j
+    """,
+    doc=(
+        "Seeded sparse random projection (Johnson-Lindenstrauss, "
+        "Achlioptas 2003's {+1,0,-1} construction — operators/pca.py "
+        "random_projection): 64-dim embeddings to 16 components with NO "
+        "fit pass — the matrix IS a hash formula (md5(seed:i:j) mod 6, "
+        "scaled sqrt(3/k)), regenerated bit-identically by Spark, Python "
+        "and DuckDB, which is what makes this fully value-hash oracled "
+        "where PCA's eigen step cannot be. Map-only codegen expression at "
+        "embedding widths (zero shuffles, zero Python — plan-pinned); the "
+        "Arrow BLAS twin takes over past the d*k codegen ceiling "
+        "(MAX_EXPR_CELLS), parity-pinned in tests/test_pca.py. Float sums "
+        "rounded 8dp both sides."
+    ),
+)
+def q_random_projection(spark, sf_dir):
+    from ..operators.pca import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, k=16, d=64, seed=7, method="expr")
+    return out.filter(F.col("rp").isNotNull()).select(
+        "vec_id", F.posexplode("rp").alias("comp", "y")
+    ).select("vec_id", "comp", F.round("y", 8).alias("y"))

@@ -234,3 +234,132 @@ def test_read_model_rejects_corrupt(spark, vec_df, tmp_path):
     spark.createDataFrame([("x",)], "junk string").coalesce(1).write.json(p)
     with pytest.raises(ValueError, match="corrupt|null"):
         read_pca_model(spark, p)
+
+
+# --- seeded sparse random projection (JL) + correlation matrix ------------
+
+
+def test_jl_matrix_deterministic_and_sparse():
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import jl_matrix
+
+    a = jl_matrix(64, 16, seed=7)
+    b = jl_matrix(64, 16, seed=7)
+    assert a == b
+    s = (3.0 / 16) ** 0.5
+    flat = [v for row in a for v in row]
+    assert set(flat) <= {s, -s, 0.0}
+    nz = sum(1 for v in flat if v != 0.0)
+    assert 0.2 < nz / len(flat) < 0.5  # E[nonzero] = 1/3
+
+
+def test_random_projection_expr_matches_arrow_and_numpy(spark, vec_df, xmat):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        jl_matrix,
+        random_projection,
+    )
+
+    k = 5
+    e = {r["vec_id"]: r["rp"] for r in
+         random_projection(vec_df, k, D, method="expr").collect()}
+    a = {r["vec_id"]: r["rp"] for r in
+         random_projection(vec_df, k, D, method="arrow").collect()}
+    want = xmat @ np.array(jl_matrix(D, k)).T
+    assert len(e) == N == len(a)
+    for i in range(N):
+        assert np.allclose(e[i], want[i], atol=1e-9)
+        assert np.allclose(a[i], e[i], atol=1e-9)
+
+
+def test_random_projection_preserves_norms_on_average(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(200, 64))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: np.array(r["rp"]) for r in
+           random_projection(df, 32, 64).collect()}
+    dist = [abs(np.dot(got[i], got[i]) / np.dot(x[i], x[i]) - 1.0)
+            for i in range(200)]
+    # E[|Rx|^2] = |x|^2; at k=32 the relative distortion concentrates
+    assert float(np.median(dist)) < 0.3
+    assert float(np.mean(dist)) < 0.4
+
+
+def test_random_projection_null_handling_both_paths(spark, xmat):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        random_projection,
+    )
+
+    rows = [(i, [float(v) for v in xmat[i]]) for i in range(20)]
+    df = spark.createDataFrame(
+        rows + [(999, None), (998, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for method in ("expr", "arrow"):
+        out = {r["vec_id"]: r["rp"]
+               for r in random_projection(df, 4, D, method=method).collect()}
+        assert out[999] is None and out[998] is None
+        assert out[0] is not None and len(out) == 22
+
+
+def test_random_projection_expr_plan_is_jvm_map_only(spark, xmat):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        random_projection,
+    )
+
+    rows = [(i, [float(v) for v in xmat[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    plan = random_projection(df, 4, D, method="expr")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_auto_switches_on_cells(spark, xmat):
+    from gdelt_2_0_event_database_pipeline_spark.operators import pca as P
+
+    rows = [(i, [float(v) for v in xmat[i]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # force the threshold low: auto must route to arrow (MapInPandas in plan)
+    old = P.MAX_EXPR_CELLS
+    try:
+        P.MAX_EXPR_CELLS = 1
+        plan = P.random_projection(df, 4, D)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "MapInPandas" in plan
+    finally:
+        P.MAX_EXPR_CELLS = old
+    with pytest.raises(ValueError, match="method"):
+        P.random_projection(df, 4, D, method="nope")
+
+
+def test_correlation_matrix_matches_numpy(spark, vec_df, xmat):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        correlation_matrix,
+    )
+
+    got = {(r["dim_i"], r["dim_j"]): r["corr"]
+           for r in correlation_matrix(vec_df).collect()}
+    want = np.corrcoef(xmat, rowvar=False)
+    assert len(got) == D * (D + 1) // 2
+    for (i, j), c in got.items():
+        assert c == pytest.approx(want[i, j], abs=1e-10)
+    assert all(got[(i, i)] == pytest.approx(1.0, abs=1e-12) for i in range(D))
+
+
+def test_correlation_matrix_nulls_dead_dimensions(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        correlation_matrix,
+    )
+
+    rows = [(i, [float(i), 5.0]) for i in range(30)]  # dim 1 is constant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["dim_i"], r["dim_j"]): r["corr"]
+           for r in correlation_matrix(df).collect()}
+    assert got[(0, 0)] == pytest.approx(1.0)
+    assert got[(0, 1)] is None and got[(1, 1)] is None

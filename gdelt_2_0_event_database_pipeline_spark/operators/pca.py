@@ -369,6 +369,10 @@ def random_projection(
     Both are map-only (zero shuffles). ``auto`` picks by d·k. The arrow
     path's matmul reorders the per-element additions, so cross-path
     parity is to float tolerance (pinned in tests), not bit-exact."""
+    if out_col in df.columns:
+        # the expr path would silently replace it and the arrow path would
+        # emit a duplicate column — refuse both, loudly
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
     rows = jl_matrix(d, k, seed)
     if method == "auto":
         method = "expr" if d * k <= MAX_EXPR_CELLS else "arrow"

@@ -363,3 +363,16 @@ def test_correlation_matrix_nulls_dead_dimensions(spark):
            for r in correlation_matrix(df).collect()}
     assert got[(0, 0)] == pytest.approx(1.0)
     assert got[(0, 1)] is None and got[(1, 1)] is None
+
+
+def test_random_projection_refuses_existing_out_col(spark, xmat):
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [float(v) for v in xmat[0]], "x")],
+        "vec_id long, embedding array<double>, rp string",
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        random_projection(df, 4, D)

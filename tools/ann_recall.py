@@ -226,6 +226,72 @@ def main() -> int:
     _sweep("clustered", clu, clu_q, clu_exact, clu_cents, clu_raw_b,
            clu_raw_e, clu_res_b, clu_res_e)
 
+    # --- dimensionality-reduced PQ at IDENTICAL at-rest bytes (8 B/vec):
+    # FAISS's PCAR pre-transform rationale — decorrelate + concentrate
+    # variance so the m sub-quantizers each see signal, vs slicing raw
+    # correlated dims. RP is the no-fit-pass alternative. Search (ADC and
+    # rerank) runs in the REDUCED space; recall is judged against the
+    # ORIGINAL-space exact top-k, so transform loss is charged honestly.
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+        random_projection,
+    )
+
+    results["pq_reduced"] = []
+    rd = 32  # reduced width; m=16 → subdim 2
+    print(f"\n## reduced-space PQ recall@{args.k} at 8 B/vec "
+          f"(64d raw vs PCA-{rd} vs RP-{rd}, m=16)\n")
+    print("| corpus | transform | rerank | recall@k | sec |")
+    print("|---|---|---|---|---|")
+
+    def _reduced_sweep(corpus_name, corpus_df, q_df, exact_sets, with_raw=False):
+        pca_model = fit_pca(corpus_df, k=rd)
+        variants = {
+            "pca32": lambda df: project_pca(df, pca_model, out_col="embedding2")
+            .select("vec_id", F.col("embedding2").alias("embedding")),
+            "rp32": lambda df: random_projection(df, k=rd, d=64, out_col="embedding2")
+            .select("vec_id", F.col("embedding2").alias("embedding")),
+        }
+        if with_raw:  # corpora with no raw-64 row elsewhere in this file
+            variants = {"raw64": lambda df: df.select("vec_id", "embedding"),
+                        **variants}
+        for tname, tf in variants.items():
+            red = tf(corpus_df).localCheckpoint()
+            red_q = tf(q_df)
+            books = fit_pq_codebooks(red, m=16, ncodes=16, iters=3)
+            enc = pq_encode(red, books).localCheckpoint()
+            for rr in (0, 100):
+                t0 = time.time()
+                approx = pq_topk(
+                    enc, red_q, books, k=args.k,
+                    rerank=rr or None, corpus=None if rr == 0 else red)
+                rec = _recall(_topk_sets(approx), exact_sets)
+                dt = time.time() - t0
+                print(f"| {corpus_name} | {tname} | {rr} | {rec:.3f} | {dt:.1f} |")
+                results["pq_reduced"].append(
+                    {"corpus": corpus_name, "transform": tname, "rerank": rr,
+                     "recall": round(rec, 4), "sec": round(dt, 2)})
+
+    _reduced_sweep("fixture", emb, queries, exact)
+    _reduced_sweep("clustered", clu, clu_q, clu_exact)
+
+    # low-rank corpus — the regime the PCAR pre-transform exists for
+    # (concentrated spectrum: ~16 signal directions + small isotropic
+    # noise). PCA-32 keeps ~all the variance, so the m sub-quantizers
+    # spend their 8 bytes on signal; raw-64 PQ wastes sub-quantizers on
+    # noise dims. The near-isotropic corpora above show the flip side.
+    rng2 = np.random.RandomState(11)
+    sig = rng2.randn(4000, 16) @ (rng2.randn(16, dim) * 3.0)
+    low = sig + rng2.randn(4000, dim) * 0.05
+    lowdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(low)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint()
+    low_q = lowdf.orderBy(F.xxhash64("vec_id", F.lit(7))).limit(args.queries)
+    low_exact = _topk_sets(cosine_topk(lowdf, low_q, k=args.k))
+    _reduced_sweep("lowrank", lowdf, low_q, low_exact, with_raw=True)
+
     print()
     payload = json.dumps(results)
     print(payload)

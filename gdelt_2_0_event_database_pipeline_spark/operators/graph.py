@@ -15,7 +15,7 @@ truncates lineage each round so 10+ iterations don't stack a 10-deep plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -225,3 +225,72 @@ def k_hop(
     for layer in layers[1:]:
         out = out.union(layer)
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iter: int = 4,
+    weight_col: str | None = None,
+    checkpoint_interval: int = 2,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan 2007,
+    public method; the GraphFrames ``labelPropagation`` shape — fixed
+    ``max_iter`` rounds, no convergence detection) with a DETERMINISTIC
+    total tie-break: every round, each node adopts the label carrying the
+    greatest incident weight, ties to the smallest label. Undirected via
+    symmetrization; labels start as node ids; ``weight_col`` weights the
+    votes (default: each edge votes 1 each direction). Returns
+    (node, label).
+
+    Synchronous LPA can oscillate on bipartite structures — the bounded
+    ``max_iter`` IS the semantics here (a labels-after-T-rounds snapshot),
+    which with exact integer vote weights and the total (weight desc,
+    label asc) order makes every round engine-exact: ``q_label_propagation``
+    replays all rounds in DuckDB with NO rounding. A python-reference
+    differential on adversarial graphs lives in tests/test_graph.py.
+
+    Scale shape: per round, ONE equi-join of the symmetrized edge list
+    against the (node, label) frame + one grouped sum + one per-node
+    window over that node's candidate labels (bounded by its degree's
+    distinct labels). Labels are ids, never payloads; ``localCheckpoint``
+    every ``checkpoint_interval`` rounds truncates the iterative lineage
+    (the pagerank discipline).
+    """
+    if max_iter < 1:
+        raise ValueError(f"need max_iter >= 1, got {max_iter}")
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    half = edges.select(
+        F.col(src_col).alias("me"), F.col(dst_col).alias("nbr"), w.alias("w")
+    ).filter(F.col("me").isNotNull() & F.col("nbr").isNotNull())
+    sym = half.unionByName(
+        half.select(F.col("nbr").alias("me"), F.col("me").alias("nbr"), "w")
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("me").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    rank_w = Window.partitionBy("me").orderBy(
+        F.col("wt").desc(), F.col("label").asc()
+    )
+    for i in range(max_iter):
+        votes = (
+            sym.join(labels, sym.nbr == labels.node)
+            .groupBy("me", "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        labels = (
+            votes.withColumn("__rn__", F.row_number().over(rank_w))
+            .filter(F.col("__rn__") == 1)
+            .select(F.col("me").alias("node"), "label")
+        )
+        if (i + 1) % checkpoint_interval == 0 or i == max_iter - 1:
+            labels = labels.localCheckpoint()
+    return labels

@@ -183,9 +183,18 @@ def fit_pca(
     math, never corpus-sized). Signs fixed so each component's
     largest-|loading| coordinate is positive — repartitioning the input
     cannot flip a component."""
+    return model_from_moments(embedding_moments(df, vec_col).collect(), k, max_dim)
+
+
+def model_from_moments(
+    rows, k: int, max_dim: int = MAX_FIT_DIM
+) -> PCAModel:
+    """Fit from collected :func:`embedding_moments` rows — the shared
+    back half of :func:`fit_pca` and the streaming-maintained path
+    (``streaming/moments.py``), where the moment state lives at rest and
+    a model refresh costs a KB-sized read instead of a corpus scan."""
     import numpy as np
 
-    rows = embedding_moments(df, vec_col).collect()
     if not rows:
         raise ValueError("cannot fit PCA on an empty/degenerate corpus")
     firsts = {r["dim_i"]: r for r in rows if r["dim_j"] == -1}

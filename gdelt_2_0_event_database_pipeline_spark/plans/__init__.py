@@ -84,6 +84,8 @@ _DRIVER_PRIORITY = [
     # driver's budget reaches it, else first in the r12 window (placed
     # BELOW the whole r6-stale bucket so the freshness sweep can't lose
     # a slot to it; q06 below is r7 either way)
+    "q_moments_maintained",  # NEW r11 — slot 52: same contract as above
+    "q_label_propagation",  # NEW r11 — slot 53: same contract as above
     "q06_forecast_revenue",  # last driver row: r7
     "q_approx_distinct",  # last driver row: r7
     "q_asof_tolerance",  # last driver row: r7

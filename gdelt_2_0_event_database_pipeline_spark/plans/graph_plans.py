@@ -150,3 +150,56 @@ def q_khop_reach(spark, sf_dir):
     )
     out = k_hop(edges, seeds, k=3)
     return out.select("node", F.col("hop").cast("long").alias("hop"))
+
+
+_LPA_ITERS = 4
+
+# one CTE per synchronous round: votes = neighbor labels weighted by edge
+# count, winner = (weight desc, label asc) — integer weights + a total
+# order make every round engine-exact (no rounding anywhere)
+_LPA_ROUNDS = ",\n    ".join(
+    f"""l{k} AS (
+      SELECT node, label FROM (
+        SELECT v.node, v.label,
+               row_number() OVER (
+                 PARTITION BY v.node ORDER BY v.wt DESC, v.label ASC
+               ) AS rn
+        FROM (SELECT s.me AS node, p.label, count(*) AS wt
+              FROM sym s JOIN l{k - 1} p ON p.node = s.nbr
+              GROUP BY s.me, p.label) v
+      ) WHERE rn = 1
+    )"""
+    for k in range(1, _LPA_ITERS + 1)
+)
+
+
+@register(
+    "q_label_propagation",
+    sql=f"""
+    WITH {_COSUPPLY_SQL},
+    sym AS (
+      SELECT a AS me, b AS nbr FROM e
+      UNION ALL
+      SELECT b AS me, a AS nbr FROM e
+    ),
+    l0 AS (SELECT DISTINCT me AS node, me AS label FROM sym),
+    {_LPA_ROUNDS}
+    SELECT node, label FROM l{_LPA_ITERS}
+    """,
+    doc=(
+        "Label-propagation community detection over the thresholded "
+        "co-supply graph (operators/graph.py label_propagation — Raghavan "
+        "2007, the GraphFrames fixed-maxIter shape): 4 synchronous rounds, "
+        "each ONE edge-label equi-join + grouped integer vote sum + a "
+        "per-node window over its candidate labels; deterministic "
+        "(weight desc, label asc) tie-break makes every round engine-"
+        "exact, so the oracle unrolls all 4 rounds as chained CTEs and "
+        "hash-matches with NO rounding (the q_pagerank discipline, minus "
+        "the float tolerance). Labels are ids, never payloads; lineage "
+        "localCheckpointed every 2 rounds."
+    ),
+)
+def q_label_propagation(spark, sf_dir):
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_cosupply_edges(spark, sf_dir), max_iter=_LPA_ITERS)

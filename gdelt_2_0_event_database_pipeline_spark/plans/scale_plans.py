@@ -825,3 +825,59 @@ def q_random_projection(spark, sf_dir):
     return out.filter(F.col("rp").isNotNull()).select(
         "vec_id", F.posexplode("rp").alias("comp", "y")
     ).select("vec_id", "comp", F.round("y", 8).alias("y"))
+
+
+@register(
+    "q_moments_maintained",
+    sql="""
+    WITH x AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             unnest(embedding::DOUBLE[])           AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+    )
+    SELECT i AS dim_i, -1 AS dim_j, count(*) AS n, round(sum(v), 8) AS s
+    FROM x GROUP BY i
+    UNION ALL
+    SELECT a.i AS dim_i, b.i AS dim_j, 0::BIGINT AS n,
+           round(sum(a.v * b.v), 8) AS s
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    doc=(
+        "Streaming-maintained PCA moment state (streaming/moments.py): "
+        "the embeddings corpus arrives as three micro-batches (vec_id mod "
+        "3), each committed into the at-rest moment table through the "
+        "stage -> atomic-ledger-rename -> idempotent-publish protocol "
+        "(exactly-once under replay, crash-injection tested in "
+        "test_streaming_pca.py). The returned STATE hash-matches the "
+        "single-pass DuckDB sums at 8dp because moment state is purely "
+        "additive — merge order only reassociates float additions. This "
+        "is the maintained-index economics applied to model fitting: at "
+        "100 TB the state is still d(d+3)/2 rows and fit_pca_from_state "
+        "refits without a corpus scan; each day pays O(batch) only."
+    ),
+)
+def q_moments_maintained(spark, sf_dir):
+    import os
+    import shutil
+
+    from ..streaming.moments import merge_moments_batch, read_moments_state
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+        f"moments_{tag}",
+    )
+    # deterministic rebuild per invocation: the query's contract is the
+    # VALUE of the maintained state, not cross-session reuse
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    for b in range(3):
+        merge_moments_batch(
+            spark, emb.filter(F.col("vec_id") % 3 == b), b, root
+        )
+    st = read_moments_state(spark, root)
+    return st.select("dim_i", "dim_j", "n", F.round("s", 8).alias("s"))

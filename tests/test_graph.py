@@ -136,3 +136,83 @@ def test_khop_k0_and_early_termination(spark):
     # component exhausted before k: loop must stop, labels stay minimal
     got = {r.node: r.hop for r in k_hop(e, _seeds(spark, [0]), k=10).collect()}
     assert got == {0: 0, 1: 1}
+
+
+# --- label propagation ------------------------------------------------------
+
+from gdelt_2_0_event_database_pipeline_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+)
+
+
+def _py_lpa(edges, iters, weights=None):
+    """Reference synchronous LPA with the operator's exact rules:
+    symmetrized votes, weight desc then smallest-label tie-break."""
+    sym = {}
+    for i, (a, b) in enumerate(edges):
+        w = weights[i] if weights else 1
+        sym.setdefault(a, []).append((b, w))
+        sym.setdefault(b, []).append((a, w))
+    labels = {n: n for n in sym}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in sym.items():
+            votes = {}
+            for m, w in nbrs:
+                votes[labels[m]] = votes.get(labels[m], 0) + w
+            new[n] = min(votes, key=lambda lb: (-votes[lb], lb))
+        labels = new
+    return labels
+
+
+def _lpa_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: two communities
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = cl1 + cl2 + [(3, 10)]
+    got = {r["node"]: r["label"] for r in
+           label_propagation(_lpa_df(spark, edges), max_iter=4).collect()}
+    want = _py_lpa(edges, 4)
+    assert got == want
+    assert len({got[n] for n in range(4)}) == 1          # clique 1 agrees
+    assert len({got[n] for n in range(10, 14)}) == 1     # clique 2 agrees
+    assert got[0] != got[12]                             # two communities
+
+
+def test_lpa_matches_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(9)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    for iters in (1, 3, 5):
+        got = {r["node"]: r["label"] for r in
+               label_propagation(_lpa_df(spark, edges), max_iter=iters).collect()}
+        assert got == _py_lpa(edges, iters)
+
+
+def test_lpa_deterministic_under_repartition(spark):
+    edges = [(a, b) for a in range(8) for b in range(8) if a < b and (a + b) % 3]
+    df = _lpa_df(spark, edges)
+    a = {r["node"]: r["label"] for r in
+         label_propagation(df.repartition(1), max_iter=4).collect()}
+    b = {r["node"]: r["label"] for r in
+         label_propagation(df.repartition(11), max_iter=4).collect()}
+    assert a == b
+
+
+def test_lpa_weighted_votes_and_guard(spark):
+    # node 2's single heavy edge outvotes its two light ones
+    rows = [(1, 2, 5.0), (2, 3, 1.0), (2, 4, 1.0), (3, 4, 1.0)]
+    df = spark.createDataFrame(rows, "src long, dst long, w double")
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, max_iter=1, weight_col="w").collect()}
+    assert got[2] == 1  # weight 5 beats the 1+1 votes' labels
+    want = _py_lpa([(a, b) for a, b, _ in rows], 1, weights=[w for _, _, w in rows])
+    assert got == want
+    with pytest.raises(ValueError, match="max_iter"):
+        label_propagation(df, max_iter=0)

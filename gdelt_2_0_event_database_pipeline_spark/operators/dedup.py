@@ -1333,11 +1333,14 @@ def write_minhash_index(
         if partition_col is not None:
             w = w.partitionBy(partition_col)
         w.parquet(f"{path}/{name}")
-    meta = spark.createDataFrame(
+    from ..util import single_partition_df
+
+    meta = single_partition_df(
+        spark,
         [(num_hashes, bands, shingle_n, hash_family)],
         "num_hashes int, bands int, shingle_n int, hash_family string",
     )
-    meta.coalesce(1).write.mode(mode).json(f"{path}/meta")
+    meta.write.mode(mode).json(f"{path}/meta")
 
 
 def read_minhash_index_meta(spark, path: str) -> dict:

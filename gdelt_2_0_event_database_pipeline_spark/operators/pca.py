@@ -244,7 +244,10 @@ def write_pca_model(spark, model: PCAModel, path: str, mode: str = "error") -> N
     """Persist the fitted model as a one-row JSON dataset via the Spark
     writer (lands on whatever FS the session can write — the pq-codebook
     discipline, no driver-local file I/O)."""
-    spark.createDataFrame(
+    from ..util import single_partition_df
+
+    single_partition_df(
+        spark,
         [
             (
                 model.mean,
@@ -257,7 +260,7 @@ def write_pca_model(spark, model: PCAModel, path: str, mode: str = "error") -> N
         "mean array<double>, components array<array<double>>, "
         "explained_variance array<double>, "
         "explained_variance_ratio array<double>, n_rows bigint",
-    ).coalesce(1).write.mode(mode).json(path)
+    ).write.mode(mode).json(path)
 
 
 def read_pca_model(spark, path: str) -> PCAModel:

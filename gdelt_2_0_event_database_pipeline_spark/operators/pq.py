@@ -724,13 +724,16 @@ def write_pq_index(
     if partition_col is not None:
         w = w.partitionBy(partition_col)
     w.parquet(f"{path}/codes")
-    meta = spark.createDataFrame(
+    from ..util import single_partition_df
+
+    meta = single_partition_df(
+        spark,
         [(m, ncodes, subdim, codebooks, centroids, bool(residual))],
         "m int, ncodes int, subdim int, "
         "codebooks array<array<array<double>>>, "
         "centroids array<array<double>>, residual boolean",
     )
-    meta.coalesce(1).write.mode(mode).json(f"{path}/codebooks")
+    meta.write.mode(mode).json(f"{path}/codebooks")
     if centroids is not None:
         # Build-time cell-occupancy snapshot — the frozen baseline
         # :func:`index_drift_report` compares live occupancy against.

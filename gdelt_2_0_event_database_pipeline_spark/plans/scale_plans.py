@@ -876,8 +876,10 @@ def q_moments_maintained(spark, sf_dir):
     shutil.rmtree(root, ignore_errors=True)
     emb = _t(spark, sf_dir, "embeddings")
     for b in range(3):
+        # sever=False: batch-mode replay from an immutable table — skips
+        # the stream-severing materialization job each merge
         merge_moments_batch(
-            spark, emb.filter(F.col("vec_id") % 3 == b), b, root
+            spark, emb.filter(F.col("vec_id") % 3 == b), b, root, sever=False
         )
     st = read_moments_state(spark, root)
     return st.select("dim_i", "dim_j", "n", F.round("s", 8).alias("s"))

@@ -109,16 +109,23 @@ def merge_moments_batch(
     batch_id: int,
     state_path: str,
     vec_col: str = "embedding",
+    sever: bool = True,
 ) -> bool:
     """Merge one micro-batch's vectors into the moment state via stage →
     commit → publish; returns False when ``batch_id`` was already
     applied (replay finishes any pending publish, never re-merges). The
     batch pays ONE moments pass over its own rows; the merge itself runs
-    on ≤ 2·d(d+3)/2 state rows."""
+    on ≤ 2·d(d+3)/2 state rows.
+
+    ``sever`` eagerly localCheckpoints the batch first — REQUIRED when it
+    comes from a streaming source (foreachBatch hands out one-shot
+    frames); batch-mode callers replaying history from a plain table can
+    pass False and skip that materialization job."""
     _recover_pending_whole(spark, state_path)
     if _already_applied(spark, state_path, batch_id):
         return False
-    batch = batch.localCheckpoint(eager=True)  # sever from the stream source
+    if sever:
+        batch = batch.localCheckpoint(eager=True)  # sever from the stream source
     fresh = embedding_moments(batch, vec_col)
     state = _try_read_parquet(spark, f"{state_path}/state")
     if state is None:  # None only pre-first-publish
@@ -136,17 +143,23 @@ def merge_moments_batch(
     # first-moment n is identical — every vector contributes to every
     # dim exactly once. localCheckpoint also pins `combined` before any
     # directory is replaced.
-    combined = combined.localCheckpoint(eager=True)
-    firsts = combined.filter(F.col("dim_j") == -1)
-    n_dims = firsts.count()
-    distinct_n = firsts.select("n").distinct().count()
-    expected = n_dims * (n_dims + 3) // 2
-    if distinct_n > 1 or combined.count() != expected:
+    # lazy checkpoint + the stats job below materializes it: ONE job both
+    # truncates lineage (pinning `combined` before any directory moves)
+    # and answers the width check — the khop-frontier fusion
+    combined = combined.localCheckpoint(eager=False)
+    is_first = F.col("dim_j") == -1
+    stats = combined.agg(
+        F.count(F.when(is_first, 1)).alias("n_dims"),
+        F.count_distinct(F.when(is_first, F.col("n"))).alias("distinct_n"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    expected = stats["n_dims"] * (stats["n_dims"] + 3) // 2
+    if stats["distinct_n"] > 1 or stats["total"] != expected:
         raise ValueError(
-            f"moment state is not a clean {n_dims}-dim triangle after the "
-            f"merge ({combined.count()} rows, want {expected}; "
-            f"{distinct_n} distinct per-dim counts, want <= 1): the "
-            "batch's vector width differs from the state's"
+            f"moment state is not a clean {stats['n_dims']}-dim triangle "
+            f"after the merge ({stats['total']} rows, want {expected}; "
+            f"{stats['distinct_n']} distinct per-dim counts, want <= 1): "
+            "the batch's vector width differs from the state's"
         )
     combined.coalesce(1).write.mode("overwrite").parquet(
         _pending_path(state_path, batch_id)

@@ -104,9 +104,11 @@ def _append_ledger_atomic(
     record nothing and let the replay double-merge — the exact window
     this function exists to close — so the return value is checked and
     exactly one part file must move."""
+    from ..util import single_partition_df
+
     tmp = f"{state_path}/_applied_batches_tmp/{int(batch_id)}"
-    spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(
-        1
+    single_partition_df(
+        spark, [(int(batch_id),)], "batch_id long"
     ).write.mode("overwrite").parquet(tmp)
     jvm, fs, hpath = _fs(spark, tmp)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_ledger_path(state_path)))
@@ -126,7 +128,7 @@ def _append_ledger_atomic(
     if moved != 1:
         raise IOError(
             f"ledger commit for batch {batch_id} moved {moved} part files "
-            "(expected exactly 1 from the coalesce(1) write)"
+            "(expected exactly 1 from the single-partition write)"
         )
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_path}/_applied_batches_tmp"), True)
 

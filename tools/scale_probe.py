@@ -159,6 +159,27 @@ def probes():
         Q.append_pq_index(spark, idx, batch)
         return spark.range(1)  # the append IS the measured work
 
+    # --- streaming moment maintenance: merging a FIXED 200-vector batch
+    # into moment state summarizing a 1×/10×/100× corpus. The claim: the
+    # state is d(d+3)/2 rows at ANY corpus size, so per-batch cost is
+    # flat — the maintained-model twin of ann_append_fixed_batch.
+    def moments_append_fixed_batch(spark, d):
+        from gdelt_2_0_event_database_pipeline_spark.streaming.moments import (
+            merge_moments_batch,
+        )
+
+        st = f"{WORK}/mom_state_{os.path.basename(d)}"
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        if not os.path.isdir(f"{st}/state"):
+            merge_moments_batch(spark, emb, 0, st, sever=False)  # bootstrap
+        batch = emb.filter(F.col("vec_id") < 200).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
+        )
+        # fresh batch id per call so the merge actually runs on repeats
+        bid = int(spark.read.parquet(f"{st}/_applied_batches").count())
+        merge_moments_batch(spark, batch, bid, st, sever=False)
+        return spark.range(1)  # the merge IS the measured work
+
     # --- distributed PCA: the one-pass covariance. The claim (SCALE.md
     # r11): the mapInPandas moments stage emits O(d²) rows per batch, so
     # the exchange is ∝ batches, never ∝ rows×d² — cost tracks the scan
@@ -180,6 +201,7 @@ def probes():
         "bm25_sequential3": bm25_sequential3,
         "ann_append_fixed_batch": ann_append_fixed_batch,
         "pca_cov_one_pass": pca_cov,
+        "moments_append_fixed_batch": moments_append_fixed_batch,
     }
 
 

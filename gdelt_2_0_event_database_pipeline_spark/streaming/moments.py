@@ -141,11 +141,9 @@ def merge_moments_batch(
     # SUBSET widths (a narrower batch's pairs are a subset of the
     # state's), so the load-bearing invariant is: every dimension's
     # first-moment n is identical — every vector contributes to every
-    # dim exactly once. localCheckpoint also pins `combined` before any
-    # directory is replaced.
-    # lazy checkpoint + the stats job below materializes it: ONE job both
-    # truncates lineage (pinning `combined` before any directory moves)
-    # and answers the width check — the khop-frontier fusion
+    # dim exactly once. The lazy checkpoint is materialized by the stats
+    # job: ONE job both pins `combined` before any directory is replaced
+    # and answers the width check — the khop-frontier fusion.
     combined = combined.localCheckpoint(eager=False)
     is_first = F.col("dim_j") == -1
     stats = combined.agg(

@@ -163,6 +163,21 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also persist the fitted model (one-row JSON dataset)")
     pc.add_argument("--model-in", default=None,
                     help="project with an existing model instead of fitting")
+    pc.add_argument("--from-state", default=None,
+                    help="fit from a maintained moment-state path "
+                         "(streaming/moments.py) — no corpus scan")
+
+    cm = sub.add_parser(
+        "communities",
+        help="label-propagation communities over a parquet edge list",
+    )
+    cm.add_argument("--in", dest="in_dir", required=True,
+                    help="parquet with src/dst columns")
+    cm.add_argument("--out", required=True, help="output parquet (node, label)")
+    cm.add_argument("--src-col", default="src")
+    cm.add_argument("--dst-col", default="dst")
+    cm.add_argument("--weight-col", default=None)
+    cm.add_argument("--iters", type=int, default=4)
     return p
 
 
@@ -292,8 +307,14 @@ def main(argv: list[str] | None = None) -> int:
             df = lake.read_lake(spark, args.in_dir)
             if args.vec_col not in df.columns:
                 raise SystemExit(f"column {args.vec_col!r} not in input schema")
+            if args.model_in and args.from_state:
+                raise SystemExit("--model-in and --from-state are exclusive")
             if args.model_in:
                 model = read_pca_model(spark, args.model_in)
+            elif args.from_state:
+                from .streaming.moments import fit_pca_from_state
+
+                model = fit_pca_from_state(spark, args.from_state, k=args.k)
             else:
                 model = fit_pca(df, args.vec_col, k=args.k)
             if args.model_out:
@@ -310,6 +331,37 @@ def main(argv: list[str] | None = None) -> int:
                         "n_fit_rows": model.n_rows,
                         "explained_variance_ratio": [
                             round(v, 6) for v in model.explained_variance_ratio
+                        ],
+                    }
+                )
+            )
+        elif args.command == "communities":
+            from pyspark.sql import functions as F
+
+            from .operators.graph import label_propagation
+
+            edges = lake.read_lake(spark, args.in_dir)
+            for c in (args.src_col, args.dst_col):
+                if c not in edges.columns:
+                    raise SystemExit(f"column {c!r} not in input schema")
+            labels = label_propagation(
+                edges, args.src_col, args.dst_col,
+                max_iter=args.iters, weight_col=args.weight_col,
+            )
+            labels.write.mode("overwrite").parquet(args.out)
+            sizes = (
+                spark.read.parquet(args.out)
+                .groupBy("label")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            top = sizes.orderBy(F.col("n").desc(), "label").limit(10).collect()
+            print(
+                json.dumps(
+                    {
+                        "nodes": int(sizes.agg(F.sum("n")).first()[0]),
+                        "communities": sizes.count(),
+                        "largest": [
+                            {"label": r["label"], "n": r["n"]} for r in top
                         ],
                     }
                 )

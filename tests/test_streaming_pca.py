@@ -202,3 +202,38 @@ def test_fuzz_batched_moments_equal_direct(spark, vecs, cuts):
         an, as_ = acc[key]
         assert an == n
         assert math.isclose(as_, s, rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_cli_pca_from_state_and_communities(spark, tmp_path, batches, capsys):
+    import json as _json
+
+    from gdelt_2_0_event_database_pipeline_spark.cli import main as cli_main
+
+    sp = str(tmp_path / "mstate")
+    for i, b in enumerate(batches):
+        M.merge_moments_batch(spark, b, i, sp)
+    src = str(tmp_path / "src")
+    batches[0].unionByName(batches[1]).unionByName(batches[2]).write.parquet(src)
+
+    out = str(tmp_path / "reduced")
+    rc = cli_main(["pca", "--in", src, "--out", out, "-k", "2",
+                   "--from-state", sp])
+    assert rc in (0, None)
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] == 120 and payload["n_fit_rows"] == 120
+
+    # communities over two cliques + bridge
+    cl = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl += [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    cl += [(3, 10)]
+    epath = str(tmp_path / "edges")
+    spark.createDataFrame(cl, "src long, dst long").write.parquet(epath)
+    cout = str(tmp_path / "labels")
+    rc = cli_main(["communities", "--in", epath, "--out", cout])
+    assert rc in (0, None)
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["nodes"] == 8 and payload["communities"] == 2
+
+    with pytest.raises(SystemExit, match="exclusive"):
+        cli_main(["pca", "--in", src, "--out", out,
+                  "--from-state", sp, "--model-in", "x"])

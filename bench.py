@@ -22,6 +22,72 @@ from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES  # noqa: E402
 from gdelt_2_0_event_database_pipeline_spark.session import get_spark  # noqa: E402
 
 
+class ExecMetrics:
+    """Per-query executed-plan metrics (shuffle read/write bytes, spill
+    bytes, completed tasks) polled from the JVM AppStatusStore — the same
+    store the Spark UI / REST API serves, so no py4j callback server is
+    needed. ``snap()`` after each query sums the metrics of stages newer
+    than the previous high-water stage id (diff-by-stage-id rather than
+    cumulative totals, so UI store eviction of OLD stages can't skew a
+    later query's delta).
+
+    Purpose (r11 verdict item 1): wall time alone can't distinguish a plan
+    regression from container noise — r10 (q_join_outer_agg 6.8x) and r11
+    (q_join_semi 3.73x) both burned manual fresh-session probes. Bytes and
+    task counts are deterministic for a fixed plan+data, so the >2x check
+    consults them first (tools/bench_compare.py)."""
+
+    def __init__(self, spark):
+        self._sc = spark.sparkContext
+        self._store = self._sc._jsc.sc().statusStore()
+        self._last_stage = -1
+        jvm = self._sc._jvm
+        gw = self._sc._gateway
+        # Spark 4 signature: stageList(JList[StageStatus] statuses,
+        # boolean details, boolean withSummaries, double[] quantiles,
+        # JList[TaskStatus]) — empty statuses = all stages
+        self._args = (
+            jvm.java.util.ArrayList(), False, False,
+            gw.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+
+    def _wait_bus(self) -> None:
+        # stage-completion events reach the store asynchronously; drain the
+        # listener bus so the snapshot sees the query's final stages
+        try:
+            self._sc._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        except Exception:
+            try:
+                self._sc._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:
+                time.sleep(0.2)
+
+    def snap(self) -> dict[str, int]:
+        self._wait_bus()
+        tot = {"shuffle_read_mb": 0.0, "shuffle_write_mb": 0.0,
+               "spill_mb": 0.0, "tasks": 0}
+        hi = self._last_stage
+        try:
+            seq = self._store.stageList(*self._args)
+            for i in range(seq.size()):
+                s = seq.apply(i)
+                sid = s.stageId()
+                if sid <= self._last_stage:
+                    continue
+                hi = max(hi, sid)
+                tot["shuffle_read_mb"] += s.shuffleReadBytes()
+                tot["shuffle_write_mb"] += s.shuffleWriteBytes()
+                tot["spill_mb"] += s.memoryBytesSpilled() + s.diskBytesSpilled()
+                tot["tasks"] += s.numCompleteTasks()
+        except Exception as e:  # pragma: no cover — metrics are best-effort
+            print(f"exec-metrics snapshot failed: {e}", file=sys.stderr)
+            return {}
+        self._last_stage = hi
+        for k in ("shuffle_read_mb", "shuffle_write_mb", "spill_mb"):
+            tot[k] = round(tot[k] / 1e6, 3)
+        return tot
+
+
 def _synth_gdelt_drop(work: str, n: int) -> tuple[str, str]:
     """Synthetic GDELT drop at reference-workload volume: ``n`` rows split
     across 4 daily + 2 monthly + 2 yearly CSVs, zipped like the real
@@ -262,14 +328,19 @@ def main() -> None:
     # a consumer summing/averaging the timings map must not pick up negatives)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    exec_metrics: dict[str, dict] = {}
+    em = ExecMetrics(spark)
+    em.snap()  # baseline past the warm-up stages
     for name in sorted(QUERIES):
         t0 = time.time()
         try:
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            exec_metrics[name] = em.snap()
         except Exception as e:  # pragma: no cover
             errors[name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench error in {name}: {e}", file=sys.stderr)
+            em.snap()  # advance the stage high-water past the failure
 
     # second-run (steady-state) timings for queries with session-scoped
     # caches (IVF codebook, bucketed tables): the repeated-invocation cost is
@@ -304,6 +375,7 @@ def main() -> None:
             "queries": timings,
             "errors": errors,
             "n_timed": len(timings),
+            "exec_metrics": exec_metrics,
             "steady": steady,
             "etl_stages": etl,
             "sf": sf,

@@ -139,17 +139,40 @@ def covariance_matrix(
         F.col("n_rows"),
         F.col("s1").alias("s_i"),
     )
-    fj = firsts.select(F.col("dim").alias("dim_j"), F.col("s1").alias("s_j"))
+    fj = firsts.select(
+        F.col("dim").alias("dim_j"),
+        F.col("n_rows").alias("n_rows_j"),
+        F.col("s1").alias("s_j"),
+    )
+    # mixed-width guard: the per-batch raggedness check in embedding_moments
+    # cannot see a corpus mixing widths ACROSS batches/files (32-d and 64-d
+    # in different partitions); there the per-dim row counts disagree, and
+    # any mixed corpus always yields at least one (low_dim, high_dim) pair
+    # whose two counts differ. Guarding n_i == n_j per pair-row rides the
+    # existing broadcast joins — no extra exchange, and the check is folded
+    # into the `n` output column so pruning can't optimize it away.
+    n_guarded = F.when(
+        F.col("n_rows") == F.col("n_rows_j"), F.col("n_rows")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "pca covariance: mixed vector widths across partitions/files "
+                f"in {vec_col!r} (per-dim row counts disagree)"
+            )
+        )
+    )
     out = (
         pairs.join(F.broadcast(fi), "dim_i")
         .join(F.broadcast(fj), "dim_j")
         .select(
             "dim_i",
             "dim_j",
-            F.col("n_rows").alias("n"),
-            (
-                (F.col("s") - F.col("s_i") * F.col("s_j") / F.col("n_rows"))
-                / (F.col("n_rows") - F.lit(ddof))
+            n_guarded.alias("n"),
+            # try_divide: a single-vector corpus (n - ddof == 0) yields NULL
+            # cov — matching DuckDB covar_samp — instead of NaN/Infinity
+            F.try_divide(
+                F.col("s") - F.col("s_i") * F.col("s_j") / F.col("n_rows"),
+                F.col("n_rows") - F.lit(ddof),
             ).alias("cov"),
         )
     )
@@ -201,6 +224,23 @@ def model_from_moments(
     d = len(firsts)
     if sorted(firsts) != list(range(d)):
         raise ValueError(f"inconsistent vector dimensions: got dims {sorted(firsts)[:5]}…")
+    # cross-partition raggedness: embedding_moments raises on a ragged
+    # single batch, but 32-d and 64-d vectors in DIFFERENT files pass that
+    # check and land here with per-dim n disagreeing (low dims counted by
+    # both widths, high dims only by the wide one) — the same invariant
+    # streaming merge_moments_batch enforces.
+    ns = {int(r["n"]) for r in rows if r["dim_j"] == -1}
+    if len(ns) != 1:
+        raise ValueError(
+            "pca fit: mixed vector widths across partitions/files "
+            f"(per-dim row counts disagree: {sorted(ns)[:5]}…)"
+        )
+    expected = d * (d + 3) // 2
+    if len(rows) != expected:
+        raise ValueError(
+            f"pca fit: expected d(d+3)/2 = {expected} moment rows for d={d}, "
+            f"got {len(rows)} (corrupt/partial moments)"
+        )
     if d > max_dim:
         raise ValueError(
             f"pca fit is driver-side O(d³) on d={d} > max_dim={max_dim}; "
@@ -449,6 +489,10 @@ def project_pca(
     like k-means/IVF on skewed spectra); folded into the component
     literals, so the runtime plan is identical. Components with ~zero
     variance (< 1e-12) are left unwhitened rather than exploded."""
+    if out_col in df.columns:
+        # withColumn would silently replace it — refuse loudly, the
+        # random_projection discipline
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
     d = len(model.mean)
     centered = F.when(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == d),
@@ -465,6 +509,8 @@ def project_pca(
             for w, ev in zip(rows, model.explained_variance)
         ]
     tmp = "__pca_centered__"
+    while tmp in df.columns:  # never clobber a user column with the temp
+        tmp += "_"
     dots = [
         F.aggregate(
             F.zip_with(F.col(tmp), _lit_arr(w), lambda a, b: a * b),

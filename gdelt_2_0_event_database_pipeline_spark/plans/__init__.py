@@ -22,70 +22,17 @@ from . import tpch_plans  # noqa: E402,F401
 # by each query's newest CORRECTNESS_r* row, alphabetical within a round.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-11 rotation (r10 verdict item 1): head = the 2 queries new this
-    # round, then the ENTIRE r6-stale bucket (44 — the oldest evidence
-    # left), then the 4 oldest r7 entries — exactly one 50-slot window.
-    # After the r11 driver run no query's newest driver row is older than
-    # r7, completing the freshness sweep; the tail keeps
-    # oldest-evidence-first so r12 continues mechanically.
-    "q_pca_cov",  # NEW r11 — first driver window (oracle); takes the one
-    # free slot (displaces q06_forecast_revenue, whose last row is r7 —
-    # the nothing-older-than-r7 contract still holds)
-    "q_dp_release",  # NEW r11 — first driver window (oracle)
-    "q_pagerank",  # oracle NEW r11 (unrolled 8-iteration DuckDB replay)
-    "q_ivf_pq_residual",  # NEW r11 — first driver window
-    "q_ivf_pq_drift",  # NEW r11 — first driver window
-    "q_dedup_minhash_index",  # NEW r11 — first driver window
-    "q_ab_test",  # last driver row: r6
-    "q_apply_changes",  # last driver row: r6
-    "q_attribution_linear",  # last driver row: r6
-    "q_autocorr",  # last driver row: r6
-    "q_benford",  # last driver row: r6
-    "q_class_balance",  # last driver row: r6
-    "q_corpus_venn",  # last driver row: r6
-    "q_coverage_topk",  # last driver row: r6
-    "q_cramers_v",  # last driver row: r6
-    "q_decile_lift",  # last driver row: r6
-    "q_fk_check",  # last driver row: r6
-    "q_fuzzy_blocked",  # last driver row: r6
-    "q_gap_stats",  # last driver row: r6
-    "q_geo_hotspots",  # last driver row: r6
-    "q_geo_radius_join",  # last driver row: r6
-    "q_hard_negatives",  # last driver row: r6
-    "q_hhi",  # last driver row: r6
-    "q_interpolate",  # last driver row: r6
-    "q_interval_intersect",  # last driver row: r6
-    "q_khop_reach",  # last driver row: r6
-    "q_ks_drift",  # last driver row: r6
-    "q_life_table",  # last driver row: r6
-    "q_lorenz",  # last driver row: r6
-    "q_mode_per_group",  # last driver row: r6
-    "q_mom_growth",  # last driver row: r6
-    "q_odds_ratio",  # last driver row: r6
-    "q_pct_ref_bucketed",  # last driver row: r6
-    "q_peak_hour",  # last driver row: r6
-    "q_percentile_vs_ref",  # last driver row: r6
-    "q_pk_check",  # last driver row: r6
-    "q_quantile_table",  # last driver row: r6
-    "q_runs_test",  # last driver row: r6
-    "q_scd2_build",  # last driver row: r6
-    "q_scd2_pit",  # last driver row: r6
-    "q_seasonal_decompose",  # last driver row: r6
-    "q_share_of_parent",  # last driver row: r6
-    "q_skyline",  # last driver row: r6
-    "q_stickiness",  # last driver row: r6
-    "q_streaks",  # last driver row: r6
-    "q_top_p",  # last driver row: r6
-    "q_triangle_count",  # last driver row: r6
-    "q_ttr",  # last driver row: r6
-    "q_weighted_median",  # last driver row: r6
-    "q_zipf",  # last driver row: r6
-    "q_random_projection",  # NEW r11 — slot 51: r11-window overflow if the
-    # driver's budget reaches it, else first in the r12 window (placed
-    # BELOW the whole r6-stale bucket so the freshness sweep can't lose
-    # a slot to it; q06 below is r7 either way)
-    "q_moments_maintained",  # NEW r11 — slot 52: same contract as above
-    "q_label_propagation",  # NEW r11 — slot 53: same contract as above
+    # Round-12 rotation (r11 verdict item 2), regenerated mechanically from
+    # the cumulative CORRECTNESS_r* evidence: head = the 3 queries that
+    # registered after the r11 window ran (q_label_propagation,
+    # q_moments_maintained, q_random_projection — judge-verified locally
+    # but without a durable driver row), then the ENTIRE r7-stale bucket
+    # (46), then the single oldest r8 entry — exactly one 50-slot window.
+    # After the r12 driver run the freshness floor is r8; the tail keeps
+    # oldest-evidence-first so r13 continues mechanically.
+    "q_label_propagation",  # NEW — no driver row yet
+    "q_moments_maintained",  # NEW — no driver row yet
+    "q_random_projection",  # NEW — no driver row yet
     "q06_forecast_revenue",  # last driver row: r7
     "q_approx_distinct",  # last driver row: r7
     "q_asof_tolerance",  # last driver row: r7
@@ -278,6 +225,56 @@ _DRIVER_PRIORITY = [
     "q_union_by_name",  # last driver row: r10
     "q_unpivot",  # last driver row: r10
     "q_zscore",  # last driver row: r10
+    "q_ab_test",  # last driver row: r11
+    "q_apply_changes",  # last driver row: r11
+    "q_attribution_linear",  # last driver row: r11
+    "q_autocorr",  # last driver row: r11
+    "q_benford",  # last driver row: r11
+    "q_class_balance",  # last driver row: r11
+    "q_corpus_venn",  # last driver row: r11
+    "q_coverage_topk",  # last driver row: r11
+    "q_cramers_v",  # last driver row: r11
+    "q_decile_lift",  # last driver row: r11
+    "q_dedup_minhash_index",  # last driver row: r11
+    "q_dp_release",  # last driver row: r11
+    "q_fk_check",  # last driver row: r11
+    "q_fuzzy_blocked",  # last driver row: r11
+    "q_gap_stats",  # last driver row: r11
+    "q_geo_hotspots",  # last driver row: r11
+    "q_geo_radius_join",  # last driver row: r11
+    "q_hard_negatives",  # last driver row: r11
+    "q_hhi",  # last driver row: r11
+    "q_interpolate",  # last driver row: r11
+    "q_interval_intersect",  # last driver row: r11
+    "q_ivf_pq_drift",  # last driver row: r11
+    "q_ivf_pq_residual",  # last driver row: r11
+    "q_khop_reach",  # last driver row: r11
+    "q_ks_drift",  # last driver row: r11
+    "q_life_table",  # last driver row: r11
+    "q_lorenz",  # last driver row: r11
+    "q_mode_per_group",  # last driver row: r11
+    "q_mom_growth",  # last driver row: r11
+    "q_odds_ratio",  # last driver row: r11
+    "q_pagerank",  # last driver row: r11
+    "q_pca_cov",  # last driver row: r11
+    "q_pct_ref_bucketed",  # last driver row: r11
+    "q_peak_hour",  # last driver row: r11
+    "q_percentile_vs_ref",  # last driver row: r11
+    "q_pk_check",  # last driver row: r11
+    "q_quantile_table",  # last driver row: r11
+    "q_runs_test",  # last driver row: r11
+    "q_scd2_build",  # last driver row: r11
+    "q_scd2_pit",  # last driver row: r11
+    "q_seasonal_decompose",  # last driver row: r11
+    "q_share_of_parent",  # last driver row: r11
+    "q_skyline",  # last driver row: r11
+    "q_stickiness",  # last driver row: r11
+    "q_streaks",  # last driver row: r11
+    "q_top_p",  # last driver row: r11
+    "q_triangle_count",  # last driver row: r11
+    "q_ttr",  # last driver row: r11
+    "q_weighted_median",  # last driver row: r11
+    "q_zipf",  # last driver row: r11
 ]
 
 

@@ -156,6 +156,70 @@ def test_ragged_widths_raise(spark):
         embedding_moments(df).collect()
 
 
+def _cross_partition_ragged_df(spark, tmp_path):
+    """32 3-d vectors in one parquet file, 32 2-d vectors in another:
+    every single Arrow batch is internally consistent (Catalyst would
+    collapse a union of LocalRelations into one batch, so files are the
+    honest reproduction), and the per-batch width check passes — only the
+    cross-partition guards can catch this."""
+    path = str(tmp_path / "ragged_corpus")
+    spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(path)
+    spark.createDataFrame(
+        [(100 + i, [4.0, 5.0]) for i in range(32)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_cross_partition_ragged_widths_raise_in_fit(spark, tmp_path):
+    with pytest.raises(Exception, match="mixed vector widths"):
+        fit_pca(_cross_partition_ragged_df(spark, tmp_path), k=2)
+
+
+def test_cross_partition_ragged_widths_raise_in_covariance(spark, tmp_path):
+    with pytest.raises(Exception, match="mixed vector widths"):
+        covariance_matrix(_cross_partition_ragged_df(spark, tmp_path)).collect()
+
+
+def test_fit_rejects_partial_moment_rows():
+    from gdelt_2_0_event_database_pipeline_spark.operators.pca import (
+        model_from_moments,
+    )
+
+    # d=2 needs d(d+3)/2 = 5 rows; drop the (0,1) pair row
+    rows = [
+        {"dim_i": 0, "dim_j": -1, "n": 10, "s": 1.0},
+        {"dim_i": 1, "dim_j": -1, "n": 10, "s": 2.0},
+        {"dim_i": 0, "dim_j": 0, "n": 0, "s": 3.0},
+        {"dim_i": 1, "dim_j": 1, "n": 0, "s": 4.0},
+    ]
+    with pytest.raises(ValueError, match="moment rows"):
+        model_from_moments(rows, k=1)
+
+
+def test_covariance_single_vector_gives_null_not_nan(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    rows = covariance_matrix(df).collect()
+    # n - ddof == 0: DuckDB covar_samp returns NULL; try_divide matches
+    assert len(rows) == 6 and all(r["cov"] is None for r in rows)
+
+
+def test_project_pca_refuses_existing_out_col(spark, vec_df, xmat):
+    m = fit_pca(vec_df, k=2)
+    with pytest.raises(ValueError, match="already exists"):
+        project_pca(vec_df.withColumn("pc", F.lit(1)), m)
+    # a user column named like the centering temp must survive untouched
+    clash = vec_df.withColumn("__pca_centered__", F.lit(7))
+    out = project_pca(clash, m)
+    assert "__pca_centered__" in out.columns
+    assert out.select("__pca_centered__").distinct().collect()[0][0] == 7
+
+
 def test_model_is_plain_data():
     m = PCAModel(
         mean=[0.0], components=[[1.0]], explained_variance=[1.0],

@@ -248,7 +248,9 @@ def main() -> int:
                 times.append(round(time.time() - t0, 2))
             row[f"x{m}"] = times
             print(f"{name} x{m}: {times}", flush=True)
-        results["probes"][name] = row
+        # an existing SCALE_PROBE.json loaded under --only may predate the
+        # format; never KeyError after the probe work has already run
+        results.setdefault("probes", {})[name] = row
 
     payload = json.dumps(results)
     print(payload)

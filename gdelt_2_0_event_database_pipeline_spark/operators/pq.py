@@ -751,13 +751,56 @@ def write_pq_index(
         )
 
 
+def _index_fs(spark, path: str):
+    """(Hadoop FileSystem, Path) for ``path`` — the FS half of the
+    version-commit protocol (same jvm seam as streaming/rollup.py)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def _list_versions(spark, path: str) -> list[int]:
+    """Committed version numbers under ``path`` (``v_%05d`` dirs holding a
+    ``_COMMITTED`` marker). Uncommitted version dirs — a refit that died
+    mid-write — are invisible to readers by construction."""
+    jvm, fs, hpath = _index_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v_"):
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}/_COMMITTED")):
+                out.append(n)
+    return sorted(out)
+
+
+def resolve_index_root(spark, path: str) -> str:
+    """The directory whose codes/codebooks a reader should use: the
+    HIGHEST committed ``v_%05d`` version under ``path``, else ``path``
+    itself (the legacy un-versioned layout every pre-refit index has).
+    Every reader (meta, search, append, drift) resolves through here, so
+    a reader sees exactly one version's (codes, codebooks) pair — never
+    an old-codes/new-codebooks mix — and :func:`refit_pq_index`'s commit
+    (one atomic marker creation) flips all readers at once."""
+    vs = _list_versions(spark, path)
+    return f"{path}/v_{vs[-1]:05d}" if vs else path
+
+
 def read_pq_meta(spark, path: str) -> tuple[list, list | None, bool]:
     """(codebooks, centroids-or-None, residual) from ``write_pq_index``
     output — the append/search paths need them without scanning the
     codes table. Explicit schema (no inference pass; the centroids and
     residual fields read as NULL on indexes written before they
     existed — NULL residual means raw encoding), validated for
-    rectangularity before any use."""
+    rectangularity before any use. Resolves the committed version first
+    (idempotent on an already-resolved root)."""
+    path = resolve_index_root(spark, path)
     meta = spark.read.schema(
         "m int, ncodes int, subdim int, "
         "codebooks array<array<array<double>>>, "
@@ -798,7 +841,8 @@ def read_pq_residual_flag(spark, path: str) -> bool:
 
 def read_pq_index(spark, path: str):
     """(codes DataFrame, codebooks) from ``write_pq_index`` output."""
-    return spark.read.parquet(f"{path}/codes"), read_pq_codebooks(spark, path)
+    root = resolve_index_root(spark, path)
+    return spark.read.parquet(f"{root}/codes"), read_pq_codebooks(spark, root)
 
 
 def append_pq_index(
@@ -836,6 +880,7 @@ def append_pq_index(
         raise ValueError(
             f"new_docs must carry partition column {partition_col!r}"
         )
+    path = resolve_index_root(spark, path)  # append into the live version
     codebooks, centroids, residual = read_pq_meta(spark, path)
     if residual:
         # residual indexes carry their encoding rule in the meta: the
@@ -881,7 +926,12 @@ def ivf_pq_search_index(
     With ``rerank=None`` no raw vector is touched at all — pure
     ADC-over-index, the cheapest serving path. Unlike ``ivf_pq_topk``
     there is NO corpus assignment pass: cells were computed once at
-    ingest (``write_pq_index``/``append_pq_index``)."""
+    ingest (``write_pq_index``/``append_pq_index``).
+
+    Version resolution happens ONCE here (``resolve_index_root``), so a
+    search that overlaps a :func:`refit_pq_index` reads one version's
+    (codes, codebooks, centroids) — old or new, never a mix."""
+    path = resolve_index_root(spark, path)
     codebooks, centroids, residual = read_pq_meta(spark, path)  # one meta read
     codes = spark.read.parquet(f"{path}/codes")
     if centroids is None:
@@ -974,6 +1024,7 @@ def index_drift_report(
     safe to run on every append cycle at any index size."""
     from .ivf import _sq_dist_to, fit_ivf_centroids, well_formed_vectors
 
+    path = resolve_index_root(spark, path)
     _, centroids, _residual = read_pq_meta(spark, path)
     if centroids is None:
         raise ValueError(
@@ -1051,3 +1102,132 @@ def index_drift_report(
         "frozen_err double, refit_err double, err_ratio double, "
         "refit_recommended boolean",
     )
+
+
+def refit_pq_index(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    partition_col: str | None = None,
+    iters: int = 5,
+    seed: int = 43,
+    fit_sample_n: int | None = 100_000,
+    keep_versions: int = 1,
+) -> dict:
+    """One-call atomic refit of a maintained IVF-PQ index — the action
+    :func:`index_drift_report` recommends (r11 verdict item 3; public
+    discipline: FAISS ``train``+rebuild under a version swap).
+
+    Steps, all through Spark writers/HDFS-API renames (object-store safe):
+
+    1. Re-fit the coarse quantizer (``fit_ivf_centroids``, same n_cells)
+       and the codebooks (residual or raw per the index's own flag, same
+       m/ncodes) on a bounded hash-ranked sample of the CURRENT corpus.
+    2. Re-encode the corpus — one deterministic map pass.
+    3. Write the new (codes, codebooks, cell_stats) to a fresh sibling
+       version dir ``<path>/v_%05d`` (never touching the live files).
+    4. Commit: atomically create the version's ``_COMMITTED`` marker.
+       Readers resolve the live version per call (``resolve_index_root``),
+       so every search sees old-or-new in full — never new codebooks with
+       old codes. A crash before the marker leaves the old version live
+       and the half-written dir invisible (a later refit reuses the next
+       free number; the dead dir is cleaned by the next successful refit).
+    5. Retention: keep the newest ``keep_versions`` committed versions
+       besides the new one (default 1 — the immediately-previous version
+       stays for searches that resolved before the commit), delete older
+       committed versions and any uncommitted debris.
+
+    ``corpus`` must be the full current corpus of raw vectors (what the
+    new index should describe). Appends racing the refit window land in
+    the OLD version and are dropped by the swap — quiesce appenders or
+    replay batches newer than the refit's corpus snapshot afterwards
+    (the same contract as any rebuild).
+
+    Returns a small report dict: the new version number, row count, and
+    fit shape. Cost: one bounded fit + one encode pass + one write —
+    O(corpus) with no shuffle wider than pq_encode's own (measured in
+    SCALE_PROBE.json ``refit_ivf_pq``)."""
+    from .ivf import assign_cells, fit_ivf_centroids
+
+    old_root = resolve_index_root(spark, path)
+    codebooks, centroids, residual = read_pq_meta(spark, old_root)
+    if centroids is None:
+        raise ValueError(
+            f"{path} is a plain PQ index (no centroids) — refit_pq_index "
+            "maintains the IVF-PQ family"
+        )
+    m, ncodes, _ = _check_codebooks(codebooks)
+    n_cells = len(centroids)
+    if partition_col is not None and partition_col not in corpus.columns:
+        raise ValueError(f"corpus must carry partition column {partition_col!r}")
+
+    new_centroids = fit_ivf_centroids(
+        corpus, vec_col, id_col, k=n_cells, iters=iters, seed=seed,
+        fit_sample_n=fit_sample_n,
+    )
+    if residual:
+        new_codebooks = fit_residual_codebooks(
+            corpus, new_centroids, vec_col=vec_col, id_col=id_col, m=m,
+            ncodes=ncodes, iters=iters, seed=seed, fit_sample_n=fit_sample_n,
+        )
+        enc = ivf_pq_encode_residual(
+            corpus, new_codebooks, new_centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        new_codebooks = fit_pq_codebooks(
+            corpus, vec_col=vec_col, id_col=id_col, m=m, ncodes=ncodes,
+            iters=iters, seed=seed, fit_sample_n=fit_sample_n,
+        )
+        cells = assign_cells(
+            corpus, new_centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        ).select(id_col, "cell")
+        enc = pq_encode(corpus, new_codebooks, id_col=id_col, vec_col=vec_col).join(
+            cells, id_col
+        )
+    if partition_col is not None:
+        enc = enc.join(corpus.select(id_col, partition_col), id_col)
+
+    committed = _list_versions(spark, path)
+    new_ver = (committed[-1] + 1) if committed else 1
+    jvm, fs, _ = _index_fs(spark, path)
+    # skip past uncommitted debris (a refit that died mid-write) rather
+    # than colliding with its directory
+    while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/v_{new_ver:05d}")):
+        new_ver += 1
+    vdir = f"{path}/v_{new_ver:05d}"
+    write_pq_index(
+        enc, new_codebooks, vdir, mode="error", partition_col=partition_col,
+        centroids=new_centroids, residual=residual,
+    )
+    n_rows = int(spark.read.parquet(f"{vdir}/codes").count())
+
+    # THE commit point: marker creation is a single atomic FS operation
+    marker = jvm.org.apache.hadoop.fs.Path(f"{vdir}/_COMMITTED")
+    if not fs.createNewFile(marker):
+        raise IOError(f"refit commit failed: could not create {marker}")
+
+    # retention: newest keep_versions committed predecessors survive for
+    # in-flight readers; older versions and uncommitted debris go
+    survivors = set(committed[-keep_versions:] if keep_versions else [])
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(path)):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v_")):
+            continue
+        try:
+            n = int(name[2:])
+        except ValueError:
+            continue
+        if n != new_ver and n not in survivors:
+            fs.delete(st.getPath(), True)
+
+    return {
+        "version": new_ver,
+        "path": vdir,
+        "n_rows": n_rows,
+        "n_cells": n_cells,
+        "m": m,
+        "ncodes": ncodes,
+        "residual": residual,
+    }

@@ -27,12 +27,16 @@ _DRIVER_PRIORITY = [
     # registered after the r11 window ran (q_label_propagation,
     # q_moments_maintained, q_random_projection — judge-verified locally
     # but without a durable driver row), then the ENTIRE r7-stale bucket
-    # (46), then the single oldest r8 entry — exactly one 50-slot window.
+    # (46), plus q_pq_topk whose oracle flipped from rows-only to a
+    # persisted-artifact hash replay in r12 — exactly one 50-slot window
+    # (the r8 filler q02_min_cost_supplier moves to slot 51).
     # After the r12 driver run the freshness floor is r8; the tail keeps
     # oldest-evidence-first so r13 continues mechanically.
     "q_label_propagation",  # NEW — no driver row yet
     "q_moments_maintained",  # NEW — no driver row yet
     "q_random_projection",  # NEW — no driver row yet
+    "q_pq_topk",  # oracle FLIPPED r12 (persisted-artifact ADC replay) — window
+    # slot so the rows-only -> hash-checked transition lands in CORRECTNESS_r12
     "q06_forecast_revenue",  # last driver row: r7
     "q_approx_distinct",  # last driver row: r7
     "q_asof_tolerance",  # last driver row: r7
@@ -154,7 +158,6 @@ _DRIVER_PRIORITY = [
     "q_json_extract",  # last driver row: r9
     "q_null_drop",  # last driver row: r9
     "q_pivot",  # last driver row: r9
-    "q_pq_topk",  # last driver row: r9
     "q_profile",  # last driver row: r9
     "q_range_join",  # last driver row: r9
     "q_rank_functions",  # last driver row: r9

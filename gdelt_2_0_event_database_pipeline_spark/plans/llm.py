@@ -30,6 +30,19 @@ _SQL_TOKENS = (
 #: session-scoped codebook cache for q_ivf_topk: (sf_dir, k, iters) → centroids
 _IVF_FIT_CACHE: dict[tuple, list] = {}
 
+import os as _os
+
+#: fixed at-rest location for q_pq_topk's persisted index (codes parquet +
+#: codebook JSON): the DuckDB oracle replays the ADC scan + rerank over the
+#: SAME artifacts, so the path must be knowable at module-import time (the
+#: sql string is static). The query rebuilds the artifacts whenever a
+#: different sf_dir was last materialized here.
+_PQ_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "pq_oracle_index",
+)
+
 
 @register(
     "q_token_count_udf",
@@ -1025,15 +1038,70 @@ def q_ivf_topk(spark, sf_dir):
 
 @register(
     "q_pq_topk",
-    sql=None,  # approximate-by-design: ADC ordering depends on the fitted codebooks
+    # Persisted-artifact oracle (r11 verdict item 4, the q_minhash_index
+    # precedent): the query materializes its deterministic index — codes
+    # parquet + codebook JSON — at a fixed path, and DuckDB replays the
+    # ENTIRE serving path over those artifacts: per-subspace LUT dots
+    # (left-fold, matching Spark's aggregate fold: 0.0 + l1 + ... per the
+    # q_cosine_topk bit-parity result), ADC ordering with the neighbor-id
+    # tiebreak, the 100-candidate shortlist, and the exact-cosine re-rank.
+    sql=f"""
+    WITH b AS (
+      SELECT codebooks FROM read_json_auto('{_PQ_ORACLE_ROOT}/codebooks/*.json')
+    ),
+    cd AS (
+      SELECT vec_id, codes, vhat_sq
+      FROM read_parquet('{_PQ_ORACLE_ROOT}/codes/*.parquet')
+    ),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.v AS qv,
+             CASE WHEN cd.vhat_sq > 0 AND q.qn > 0 THEN
+               list_reduce(
+                 list_transform(range(1, 17),
+                   s -> list_dot_product(q.v[((s-1)*4+1):(s*4)],
+                                         b.codebooks[s][cd.codes[s] + 1])),
+                 (a, x) -> a + x)
+               / (q.qn * sqrt(cd.vhat_sq))
+             END AS adc_sim
+      FROM q JOIN cd ON q.vec_id != cd.vec_id CROSS JOIN b
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, qv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sim DESC NULLS LAST, neighbor_id) AS r
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(s.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(s.qv, s.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY list_dot_product(s.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(s.qv, s.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC NULLS LAST,
+               s.neighbor_id) AS rank
+      FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+      WHERE s.r <= 100
+    ) WHERE rank <= 5
+    """,
     doc=(
         "Product-quantization ANN top-k (X3 scale path; r8 verdict item 9, "
-        "the standard IVF companion): per-subspace k-means codebooks fit on "
-        "a hash-ranked bounded sample, one-shuffle codegen encode to 8-byte "
-        "codes (32x compression at rest), ADC scan over codes + exact "
-        "cosine re-rank of a 100-candidate shortlist. Measured recall@5 "
-        "0.94 on the near-uniform sf0.1 fixture (ANN_RECALL.json 'pq' "
-        "section; tests/test_pq.py pins the 0.80 floor and encode==numpy)."
+        "the standard IVF companion), served AT REST: per-subspace k-means "
+        "codebooks fit on a hash-ranked bounded sample, one-shuffle codegen "
+        "encode to 8-byte codes (32x compression), persisted via "
+        "write_pq_index, then ADC scan over the stored codes + exact cosine "
+        "re-rank of a 100-candidate shortlist. The oracle reads the SAME "
+        "persisted artifacts (read_parquet + read_json_auto) and replays "
+        "LUT build, ADC order, shortlist, and rerank — flipping this query "
+        "from rows-only to hash-checked (r11 verdict item 4). Recall@5 "
+        "0.94 measured on the near-uniform sf0.1 fixture (ANN_RECALL.json "
+        "'pq'; tests/test_pq.py pins the 0.80 floor and encode==numpy)."
     ),
 )
 def q_pq_topk(spark, sf_dir):
@@ -1048,9 +1116,17 @@ def q_pq_topk(spark, sf_dir):
     if books is None:
         books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
         _IVF_FIT_CACHE[key] = books
-    enc = Q.pq_encode(emb, books)
+    # materialize the at-rest form the oracle reads; rebuilt when a
+    # different sf was last written here (encode is deterministic, so
+    # same-session re-invocations skip straight to the read)
+    if _IVF_FIT_CACHE.get("pq_oracle_sf") != sf_dir:
+        Q.write_pq_index(
+            Q.pq_encode(emb, books), books, _PQ_ORACLE_ROOT, mode="overwrite"
+        )
+        _IVF_FIT_CACHE["pq_oracle_sf"] = sf_dir
+    codes, books2 = Q.read_pq_index(spark, _PQ_ORACLE_ROOT)
     return Q.pq_topk(
-        enc, emb.filter(F.col("vec_id") < 5), books, k=5, rerank=100, corpus=emb
+        codes, emb.filter(F.col("vec_id") < 5), books2, k=5, rerank=100, corpus=emb
     )
 
 

@@ -88,13 +88,16 @@ class ExecMetrics:
         return tot
 
 
-def _synth_gdelt_drop(work: str, n: int) -> tuple[str, str]:
+def _synth_gdelt_drop(
+    work: str, n: int, names: list[str] | None = None
+) -> tuple[str, str]:
     """Synthetic GDELT drop at reference-workload volume: ``n`` rows split
-    across 4 daily + 2 monthly + 2 yearly CSVs, zipped like the real
-    exports, plus a directory-listing HTML with ~3k out-of-range decoy
-    links (the masterfile listing the scrape stage actually chews).
-    Returns (zips_dir, listing_html). Generation is UNTIMED — the bench
-    measures the pipeline, not numpy."""
+    across 4 daily + 2 monthly + 2 yearly CSVs (override with ``names`` —
+    the scale probe uses a 2-file split to pin the file-parallelism
+    dimension), zipped like the real exports, plus a directory-listing
+    HTML with ~3k out-of-range decoy links (the masterfile listing the
+    scrape stage actually chews). Returns (zips_dir, listing_html).
+    Generation is UNTIMED — the bench measures the pipeline, not numpy."""
     import zipfile
 
     import numpy as np
@@ -137,15 +140,17 @@ def _synth_gdelt_drop(work: str, n: int) -> tuple[str, str]:
 
     zips = os.path.join(work, "zips")
     os.makedirs(zips)
-    per = n // 8
-    names = [
-        "20150101.export.CSV", "20150102.export.CSV",
-        "20160301.export.CSV", "20170501.export.CSV",
-        "201502.csv", "201603.csv",
-        "2015.csv", "2016.csv",
-    ]
+    if names is None:
+        names = [
+            "20150101.export.CSV", "20150102.export.CSV",
+            "20160301.export.CSV", "20170501.export.CSV",
+            "201502.csv", "201603.csv",
+            "2015.csv", "2016.csv",
+        ]
+    nf = len(names)
+    per = n // nf
     for i, name in enumerate(names):
-        lo, hi = i * per, (i + 1) * per if i < 7 else n
+        lo, hi = i * per, (i + 1) * per if i < nf - 1 else n
         csv_path = os.path.join(work, name)
         pdf.iloc[lo:hi].to_csv(csv_path, sep="\t", header=False, index=False)
         with zipfile.ZipFile(

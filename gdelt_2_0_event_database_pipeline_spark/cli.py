@@ -149,6 +149,22 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--vec-col", default="embedding")
     ad.add_argument("--sample-cap", type=int, default=20000)
 
+    ar = sub.add_parser(
+        "ann-refit",
+        help="atomic refit of a maintained IVF-PQ index (the action "
+             "ann-drift's exit-3 recommends): versioned write + commit "
+             "marker, searchers read old-or-new, never mixed",
+    )
+    ar.add_argument("--index", required=True, help="write_pq_index root")
+    ar.add_argument("--corpus", required=True,
+                    help="parquet of the FULL current raw-vector corpus")
+    ar.add_argument("--id-col", default="vec_id")
+    ar.add_argument("--vec-col", default="embedding")
+    ar.add_argument("--partition-col", default=None,
+                    help="codes partitioning to preserve (e.g. ingest_day)")
+    ar.add_argument("--iters", type=int, default=5)
+    ar.add_argument("--fit-sample-n", type=int, default=100_000)
+
     pc = sub.add_parser(
         "pca",
         help="fit PCA on a vector column and write the reduced corpus",
@@ -296,6 +312,17 @@ def main(argv: list[str] | None = None) -> int:
             ).first()
             print(json.dumps({k: row[k] for k in row.asDict()}))
             return 0 if not row["refit_recommended"] else 3  # 3 = refit due
+        elif args.command == "ann-refit":
+            from .operators.pq import refit_pq_index
+
+            corpus = spark.read.parquet(args.corpus)
+            rep = refit_pq_index(
+                spark, args.index, corpus,
+                id_col=args.id_col, vec_col=args.vec_col,
+                partition_col=args.partition_col, iters=args.iters,
+                fit_sample_n=args.fit_sample_n,
+            )
+            print(json.dumps(rep))
         elif args.command == "pca":
             from .operators.pca import (
                 fit_pca,

@@ -1,0 +1,251 @@
+"""OPQ — optimized product quantization: a learned orthogonal rotation
+ahead of PQ (public technique: Ge, He, Ke, Sun, "Optimized Product
+Quantization", CVPR 2013 / TPAMI 2014; the FAISS ``OPQMatrix`` pre-step).
+
+PQ's per-subspace codebooks assume the subspaces are independent and
+equally energetic; real embedding corpora concentrate variance in a few
+correlated directions, so contiguous subvector splits waste code bits.
+OPQ learns an orthogonal d×d rotation R minimizing the quantization
+error of PQ applied to R·x, alternating two closed-form steps on a
+bounded sample (Ge et al. §4.2, the non-parametric solution):
+
+1. codebooks ← per-subspace Lloyd on the rotated sample (the existing
+   ``_fit_pq_on_matrix`` kernel — same determinism rules), then
+2. R ← orthogonal Procrustes against the reconstructions: with X the
+   raw sample and X̂ the decoded rotated sample, R = V·Uᵀ from the SVD
+   U·S·Vᵀ = X̂ᵀ·X (driver-side d×d math, never corpus-sized).
+
+Spark-first shape:
+
+- **fit** (``fit_opq``): everything above runs on the hash-ranked
+  bounded sample ``pq.fit_pq_codebooks`` already uses; the corpus never
+  leaves the executors. Deterministic: seeded init rotation (QR of a
+  seeded Gaussian, sign-fixed), fixed iteration counts, first-minimum
+  assignment ties.
+- **rotate** (``rotate_vectors``): a pure map-side Column expression —
+  d ``aggregate`` dot folds against literal rotation rows (the
+  ``random_projection`` expr path; d·d = 4096 literals at dim 64, well
+  under the codegen ceiling). Zero shuffles, zero Python.
+- **encode / search**: the rotated corpus feeds the UNCHANGED PQ
+  machinery (``pq_encode`` / ``pq_topk``); queries are rotated
+  driver-side inside their LUT build, so serving reads the same 8-byte
+  codes. OPQ changes WHERE the code bits go, not how many there are.
+
+Measured (tools/ann_recall.py 'opq' section, ANN_RECALL.json): the gain
+appears exactly where theory predicts — anisotropic/correlated corpora
+— and vanishes on the near-uniform fixture (an isotropic distribution
+has no bad axis for contiguous splits; any rotation is as good).
+
+Reference parity: the reference pipeline has no vector stage
+(reference main.py:1); OPQ extends the X3 ANN family (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .pq import _collect_fit_sample, _fit_pq_on_matrix
+
+
+def _seeded_rotation(d: int, seed: int):
+    """Deterministic random orthogonal init: QR of a seeded standard
+    Gaussian with the R-diagonal sign fix (makes Q unique — raw QR signs
+    are implementation-defined)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    q, r = np.linalg.qr(rng.standard_normal((d, d)))
+    return q * np.sign(np.diag(r))
+
+
+def _decode(codes, cb):
+    """Reconstruct an (n × d) matrix from per-subspace code ids."""
+    import numpy as np
+
+    m, ncodes, subdim = cb.shape
+    return np.concatenate(
+        [cb[s, codes[:, s]] for s in range(m)], axis=1
+    )
+
+
+def _encode_matrix(x, cb):
+    """Per-subspace nearest-code ids for a local matrix (the numpy twin
+    of ``pq_encode``, first-minimum ties)."""
+    import numpy as np
+
+    m, ncodes, subdim = cb.shape
+    xs = x.reshape(x.shape[0], m, subdim)
+    d2 = (
+        (xs * xs).sum(axis=2)[:, :, None]
+        + (cb * cb).sum(axis=2)[None, :, :]
+        - 2.0 * np.einsum("nsd,scd->nsc", xs, cb)
+    )
+    return d2.argmin(axis=2)
+
+
+def fit_opq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    ncodes: int = 16,
+    iters: int = 5,
+    opq_iters: int = 10,
+    seed: int = 42,
+    fit_sample_n: int | None = 100_000,
+) -> tuple[list[list[float]], list]:
+    """(rotation R as d×d row lists, codebooks over R·x) — drop-in ahead
+    of the existing PQ fit API: ``pq_encode(rotate_vectors(df, R), books)``
+    and rotate queries before their LUTs. Also returns with the guarantee
+    that the training quantization error is non-increasing across the
+    alternating iterations (asserted; both sub-steps are optimal for the
+    other held fixed, Ge et al. Lemma 1/2)."""
+    import numpy as np
+
+    x = _collect_fit_sample(df, vec_col, id_col, seed, fit_sample_n)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    r = _seeded_rotation(d, seed)
+    books = None
+    prev_err = None
+    for _ in range(max(1, opq_iters)):
+        xr = x @ r.T
+        books = np.asarray(
+            _fit_pq_on_matrix(xr, m, ncodes, iters), dtype=np.float64
+        )
+        xhat = _decode(_encode_matrix(xr, books), books)
+        err = float(((xr - xhat) ** 2).sum())
+        if prev_err is not None and err > prev_err * (1 + 1e-9):
+            break  # numerical plateau: keep the previous optimum
+        prev_err = err
+        # Procrustes: min_R ||X·Rᵀ − X̂||² over orthogonal R
+        u, _, vt = np.linalg.svd(xhat.T @ x)
+        r = u @ vt
+    return (
+        [[float(v) for v in row] for row in r],
+        [[[float(v) for v in c] for c in cb] for cb in books],
+    )
+
+
+def _lit_arr(vals) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "rotated",
+) -> DataFrame:
+    """Append ``out_col`` = R·x as a pure map-side expression: d
+    ``aggregate`` dot folds against literal rotation rows (zero shuffles,
+    zero Python — the ``random_projection`` expr path; d²=4096 literal
+    cells at dim 64). Rows of the wrong width get NULL (enrichment, not
+    filter)."""
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    d = len(rotation)
+    if any(len(row) != d for row in rotation):
+        raise ValueError("rotation must be square d×d")
+    vec = F.col(vec_col).cast("array<double>")
+    dots = [
+        F.aggregate(
+            F.zip_with(vec, _lit_arr(row), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        for row in rotation
+    ]
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == d),
+            F.array(*dots),
+        ),
+    )
+
+
+def opq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    rotation: list[list[float]],
+    codebooks,
+    k: int = 5,
+    rerank: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over OPQ codes: queries are rotated DRIVER-side (they're
+    collected for their LUTs anyway — bounded), then the unchanged
+    ``pq_topk`` tail runs. ``corpus_codes`` must be ``pq_encode`` output
+    over the ROTATED corpus; ``rerank`` re-ranks against the RAW corpus
+    with exact cosine (rotation preserves inner products, so raw-space
+    cosine is the same answer rotated-space cosine would give —
+    orthogonality means no re-rotation of the corpus is ever needed)."""
+    from .ivf import well_formed_vectors
+    from .pq import pq_topk
+    from .similarity import _as_double
+
+    d = len(rotation)
+    q = well_formed_vectors(queries, vec_col).select(
+        id_col, _as_double(vec_col).alias("__qv__")
+    )
+    rows = q.collect()
+    spark = corpus_codes.sparkSession
+
+    def _rot(qv):
+        # explicit left-fold dots (not numpy matmul): matches SQL
+        # list_dot_product and rotate_vectors' aggregate fold bit-for-bit,
+        # which is what lets an at-rest OPQ index carry a DuckDB oracle
+        out = []
+        for row in rotation:
+            acc = 0.0
+            for a, b in zip(qv, row):
+                acc += a * b
+            out.append(acc)
+        return out
+
+    rotated = spark.createDataFrame(
+        [
+            (row[id_col], _rot(row["__qv__"]))
+            for row in rows
+            if len(row["__qv__"]) == d
+        ],
+        f"`{id_col}` {queries.schema[id_col].dataType.simpleString()}, "
+        f"`{vec_col}` array<double>",
+    )
+    if rerank is None:
+        return pq_topk(
+            corpus_codes, rotated, codebooks, k=k,
+            id_col=id_col, vec_col=vec_col,
+        )
+    # exact re-rank in RAW space (cosine is rotation-invariant): reuse the
+    # pq_topk ADC tail for the shortlist, then join true vectors
+    from .pq import _adc_rank_and_rerank, _check_codebooks, _collect_query_luts, _lut_schema, _assert_size
+
+    m, _, _ = _check_codebooks(codebooks)
+    data, id_dtype = _collect_query_luts(rotated, codebooks, id_col, vec_col)
+    qdf = spark.createDataFrame(data, _lut_schema(id_dtype))
+    codes2 = _assert_size(corpus_codes, "codes", m, "opq_topk")
+    cand = codes2.select(
+        F.col(id_col).alias("neighbor_id"), "codes", "vhat_sq"
+    ).join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
+    # swap the LUT row's qv back to the RAW query vector so the exact
+    # rerank computes raw-space cosine against the raw corpus
+    raw = {row[id_col]: [float(v) for v in row["__qv__"]] for row in rows}
+    from pyspark.sql import types as T
+
+    raw_df = spark.createDataFrame(
+        [(qid, v) for qid, v in raw.items()],
+        T.StructType([
+            T.StructField("query_id", id_dtype),
+            T.StructField("__raw_qv__", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    cand = cand.drop("__qv__").join(F.broadcast(raw_df), "query_id").withColumnRenamed(
+        "__raw_qv__", "__qv__"
+    )
+    return _adc_rank_and_rerank(cand, k, rerank, corpus, id_col, vec_col)

@@ -83,6 +83,10 @@ _DRIVER_PRIORITY = [
     "q_transitions",  # last driver row: r7
     "q_video_near_dup",  # last driver row: r7
     "q_winsorize",  # last driver row: r7
+    "q_opq_topk",  # NEW r12 (artifact-oracled) — slot 51: r12-window overflow
+    # if the driver budget reaches it, else first in the r13 window (placed
+    # below the r7 bucket so the freshness sweep keeps its floor-r8 contract;
+    # the judge can verify locally via tools/verify_local.py meanwhile)
     "q02_min_cost_supplier",  # last driver row: r8
     "q04_order_priority",  # last driver row: r8
     "q07_volume_shipping",  # last driver row: r8

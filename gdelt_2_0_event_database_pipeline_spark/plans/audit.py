@@ -47,6 +47,9 @@ NESTED_LOOP_OK = {
     "q_pq_append",           # the same ADC-scan shape reading the
                              # incrementally-maintained codes parquet
                              # (append path itself is equi-only)
+    "q_opq_topk",            # the q_pq_topk ADC shape over rotation-space
+                             # codes: 8-byte corpus codes × broadcast 5-row
+                             # rotated-query LUT set; rerank join equi-hash
     "q_sq_topk",             # SQ8 decode-on-the-fly scan × broadcast 5-row
                              # query set (same bounded-broadcast shape)
     "q_hard_negatives",      # same broadcast-anchor shape (5-row anchor set)

@@ -871,6 +871,55 @@ def test_cli_ann_drift(spark, tmp_path, capsys):
     assert rc == 3 and out["refit_recommended"] is True and out["err_ratio"] > 2
 
 
+def test_cli_ann_refit_closes_the_drift_loop(spark, tmp_path, capsys):
+    """ann-drift exit 3 -> ann-refit -> ann-drift exit 0: the full
+    monitor-then-act loop, scriptable for cron."""
+    import json as _json
+
+    from gdelt_2_0_event_database_pipeline_spark.cli import main as cli_main
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        write_pq_index,
+    )
+
+    rng = np.random.RandomState(4)
+    x = rng.randn(200, 8)
+    df = _vec_df(spark, range(200), x)
+    cents = fit_ivf_centroids(df, k=4, iters=2)
+    books = fit_pq_codebooks(df, m=4, ncodes=4, iters=2)
+    codes = (
+        pq_encode(df, books)
+        .join(assign_cells(df, cents).select("vec_id", "cell"), "vec_id")
+    )
+    idx = str(tmp_path / "idx")
+    write_pq_index(codes, books, idx, centroids=cents)
+
+    # the corpus has fully shifted since the fit
+    shifted = _vec_df(spark, range(1000, 1200), rng.randn(200, 8) + 9.0)
+    sample = str(tmp_path / "sample")
+    shifted.write.parquet(sample)
+    corpus = str(tmp_path / "corpus")
+    shifted.write.parquet(corpus)
+
+    rc = cli_main(["ann-drift", "--index", idx, "--sample", sample,
+                   "--sample-cap", "200"])
+    capsys.readouterr()
+    assert rc == 3
+
+    rc = cli_main(["ann-refit", "--index", idx, "--corpus", corpus,
+                   "--iters", "3"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["version"] == 1 and rep["n_rows"] == 200
+
+    rc = cli_main(["ann-drift", "--index", idx, "--sample", sample,
+                   "--sample-cap", "200"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["refit_recommended"] is False
+
+
 def test_residual_encode_fuzz_matches_numpy(spark):
     """Hypothesis sweep of (dim, m, ncodes, n_cells) shapes: the
     distributed residual encode must equal the numpy reference on every

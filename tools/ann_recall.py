@@ -292,6 +292,54 @@ def main() -> int:
     low_exact = _topk_sets(cosine_topk(lowdf, low_q, k=args.k))
     _reduced_sweep("lowrank", lowdf, low_q, low_exact, with_raw=True)
 
+    # --- OPQ rotation vs plain PQ at IDENTICAL bytes (r12 stretch; Ge et
+    # al. CVPR 2013 / FAISS OPQMatrix): a learned orthogonal rotation lets
+    # the m sub-quantizers cut along decorrelated, variance-balanced axes.
+    # Expect ~no change on the near-isotropic corpora (no bad axis to fix)
+    # and a real ADC-order gain where the spectrum is concentrated or the
+    # clusters are rotated off-axis.
+    from gdelt_2_0_event_database_pipeline_spark.operators.opq import (
+        fit_opq,
+        opq_topk,
+        rotate_vectors,
+    )
+
+    results["opq"] = []
+    print(f"\n## OPQ vs plain PQ recall@{args.k} at 8 B/vec (m=16)\n")
+    print("| corpus | encoding | rerank | recall@k | sec |")
+    print("|---|---|---|---|---|")
+
+    def _opq_sweep(corpus_name, corpus_df, q_df, exact_sets):
+        raw_b = fit_pq_codebooks(corpus_df, m=16, ncodes=16, iters=3)
+        raw_e = pq_encode(corpus_df, raw_b).localCheckpoint()
+        rot, ob = fit_opq(corpus_df, m=16, ncodes=16, iters=3, opq_iters=6)
+        oe = pq_encode(
+            rotate_vectors(corpus_df, rot).select(
+                "vec_id", F.col("rotated").alias("embedding")
+            ),
+            ob,
+        ).localCheckpoint()
+        for enc_name, rr in (("raw", 0), ("raw", 100), ("opq", 0), ("opq", 100)):
+            t0 = time.time()
+            if enc_name == "raw":
+                approx = pq_topk(raw_e, q_df, raw_b, k=args.k,
+                                 rerank=rr or None,
+                                 corpus=None if rr == 0 else corpus_df)
+            else:
+                approx = opq_topk(oe, q_df, rot, ob, k=args.k,
+                                  rerank=rr or None,
+                                  corpus=None if rr == 0 else corpus_df)
+            rec = _recall(_topk_sets(approx), exact_sets)
+            dt = time.time() - t0
+            print(f"| {corpus_name} | {enc_name} | {rr} | {rec:.3f} | {dt:.1f} |")
+            results["opq"].append(
+                {"corpus": corpus_name, "encoding": enc_name, "rerank": rr,
+                 "recall": round(rec, 4), "sec": round(dt, 2)})
+
+    _opq_sweep("fixture", emb, queries, exact)
+    _opq_sweep("clustered", clu, clu_q, clu_exact)
+    _opq_sweep("lowrank", lowdf, low_q, low_exact)
+
     print()
     payload = json.dumps(results)
     print(payload)

@@ -190,6 +190,89 @@ def probes():
         emb = spark.read.parquet(f"{d}/embeddings.parquet")
         return P.covariance_matrix(emb)
 
+    # --- one-call atomic refit (r12): re-fit + full re-encode + versioned
+    # write over a 1×/10×/100× index. The claim: refit is ONE bounded fit
+    # (sample-capped) plus ONE map-side encode pass plus the write — cost
+    # ~linear in corpus size, never worse (the encode shuffle is the
+    # pq_encode shape, bounded by ncodes expressions per row).
+    def refit_ivf_pq(spark, d):
+        from gdelt_2_0_event_database_pipeline_spark.operators import ivf as I
+
+        idx = f"{WORK}/refit_idx_{os.path.basename(d)}"
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        docs = emb.withColumn("ingest_day", F.lit("d0"))
+        if not os.path.isdir(f"{idx}/codes"):
+            books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=2)
+            cents = I.fit_ivf_centroids(emb, k=16, iters=2)
+            codes = (
+                Q.pq_encode(emb, books)
+                .join(I.assign_cells(emb, cents).select("vec_id", "cell"), "vec_id")
+                .withColumn("ingest_day", F.lit("d0"))
+            )
+            Q.write_pq_index(
+                codes, books, idx, partition_col="ingest_day", centroids=cents
+            )
+        Q.refit_pq_index(spark, idx, docs, partition_col="ingest_day", iters=2)
+        return spark.range(1)  # the refit IS the measured work
+
+    # --- reference ETL convert stage (r11 verdict item 6): the try_cast
+    # chain + flat/Hive routing over a 1×/10× synthetic drop (200k/2M
+    # rows). The claim: ~linear in rows; generation is cached so the
+    # SECOND repeat is the honest stage time. The 2-file variant pins the
+    # file-split dimension (2 input zips vs 8 at identical rows: fewer,
+    # larger splits — maxPartitionBytes keeps the scan parallel).
+    _ETL_CACHE: dict[tuple, tuple] = {}
+
+    def _etl_drop(mult: int, nfiles: int):
+        key = (mult, nfiles)
+        if key not in _ETL_CACHE:
+            sys.path.insert(0, REPO)
+            from bench import _synth_gdelt_drop
+
+            names = None if nfiles == 8 else [
+                "20150101.export.CSV", "2015.csv",
+            ]
+            work = f"{WORK}/etl_x{mult}_{nfiles}f"
+            if not os.path.isdir(work):
+                os.makedirs(work)
+                zips, _ = _synth_gdelt_drop(work, 200_000 * mult, names=names)
+            else:
+                zips = os.path.join(work, "zips")
+            import zipfile
+
+            csv_dir = os.path.join(work, "csv")
+            if not os.path.isdir(csv_dir):
+                os.makedirs(csv_dir)
+                for z in os.listdir(zips):
+                    with zipfile.ZipFile(os.path.join(zips, z)) as zf:
+                        zf.extractall(csv_dir)
+            _ETL_CACHE[key] = (work, csv_dir)
+        return _ETL_CACHE[key]
+
+    def _etl_convert(spark, d, nfiles: int):
+        import tempfile
+
+        from gdelt_2_0_event_database_pipeline_spark.sources import gdelt_csv
+
+        mult = int(os.path.basename(d)[1:])
+        _, csv_dir = _etl_drop(mult, nfiles)
+        out = tempfile.mkdtemp(prefix="probe_convert_")
+        gdelt_csv.convert(
+            spark, csv_dir, f"{out}/flat", historical_dir=f"{out}/hist"
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        return spark.range(1)  # the convert IS the measured work
+
+    def etl_convert(spark, d):
+        return _etl_convert(spark, d, 8)
+
+    etl_convert.max_mult = 10
+
+    def etl_convert_2files(spark, d):
+        return _etl_convert(spark, d, 2)
+
+    etl_convert_2files.max_mult = 10
+
     return {
         "q01_scan_agg": scan_agg,
         "q03_join3": join3,
@@ -202,6 +285,9 @@ def probes():
         "ann_append_fixed_batch": ann_append_fixed_batch,
         "pca_cov_one_pass": pca_cov,
         "moments_append_fixed_batch": moments_append_fixed_batch,
+        "refit_ivf_pq": refit_ivf_pq,
+        "etl_convert": etl_convert,
+        "etl_convert_2files": etl_convert_2files,
     }
 
 
@@ -241,6 +327,8 @@ def main() -> int:
     for name, fn in selected.items():
         row = {}
         for m in mults:
+            if m > getattr(fn, "max_mult", 10**9):
+                continue  # probe declares its own ceiling (e.g. ETL at 10x)
             times = []
             for _ in range(2):
                 t0 = time.time()
@@ -249,8 +337,11 @@ def main() -> int:
             row[f"x{m}"] = times
             print(f"{name} x{m}: {times}", flush=True)
         # an existing SCALE_PROBE.json loaded under --only may predate the
-        # format; never KeyError after the probe work has already run
-        results.setdefault("probes", {})[name] = row
+        # format (never KeyError after the probe work has run), and a
+        # partial-mult run must MERGE cells into the probe's existing row,
+        # not replace it (an --only --mults 10 rerun was silently dropping
+        # the probe's x1/x100 history)
+        results.setdefault("probes", {}).setdefault(name, {}).update(row)
 
     payload = json.dumps(results)
     print(payload)

@@ -112,6 +112,89 @@ def bench_sessionize(spark, workdir: str, sf_dir: str, n_files: int) -> dict:
             "sec": round(dt, 2), "rows_per_sec": round(total / dt)}
 
 
+def bench_maintain_moments(spark, workdir: str, sf_dir: str, n_files: int) -> dict:
+    """Vectors/s through the streaming PCA moment maintainer (r11's
+    `maintain_moments_stream`): file-drop micro-batches of embeddings →
+    one Arrow moments pass + ledger-committed state merge per batch.
+    State is d(d+3)/2 rows at any corpus size, so the number here is the
+    steady per-batch cost the SCALE_PROBE flat curve predicts."""
+    from gdelt_2_0_event_database_pipeline_spark.streaming.moments import (
+        maintain_moments_stream,
+        read_moments_state,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    total = emb.count()
+    src = os.path.join(workdir, "mom_in")
+    emb.repartition(n_files).write.parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = os.path.join(workdir, "mom_state")
+    t0 = time.time()
+    q = maintain_moments_stream(
+        stream, state, os.path.join(workdir, "mom_ckpt")
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    n_state = read_moments_state(spark, state).count()
+    assert n_state == 64 * 67 // 2, n_state  # d(d+3)/2 at d=64
+    return {"rows_in": total, "batches": n_files, "state_rows": n_state,
+            "sec": round(dt, 2), "rows_per_sec": round(total / dt)}
+
+
+def bench_maintain_ann(spark, workdir: str, sf_dir: str, n_files: int) -> dict:
+    """Vectors/s through the streaming ANN index maintainer
+    (`maintain_pq_index_stream`): bootstrap an IVF-PQ index on half the
+    corpus, then stream the other half in file-drop micro-batches — each
+    batch is a map-side encode + cell assign + partition-scoped upsert."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        write_pq_index,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.streaming.ann import (
+        maintain_pq_index_stream,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "ingest_day", F.lit("d1")
+    )
+    total = delta.count()
+    books = fit_pq_codebooks(base, m=16, ncodes=16, iters=2)
+    cents = fit_ivf_centroids(base, k=16, iters=2)
+    idx = os.path.join(workdir, "ann_idx")
+    codes = (
+        pq_encode(base, books)
+        .join(assign_cells(base, cents).select("vec_id", "cell"), "vec_id")
+        .withColumn("ingest_day", F.lit("d0"))
+    )
+    write_pq_index(codes, books, idx, partition_col="ingest_day", centroids=cents)
+    src = os.path.join(workdir, "ann_in")
+    delta.repartition(n_files).write.parquet(src)
+    stream = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = maintain_pq_index_stream(
+        stream, idx, os.path.join(workdir, "ann_ckpt")
+    )
+    q.awaitTermination(600)
+    dt = time.time() - t0
+    return {"rows_in": total, "batches": n_files,
+            "sec": round(dt, 2), "rows_per_sec": round(total / dt)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -126,11 +209,15 @@ def main() -> int:
     try:
         convert = bench_convert(spark, workdir, args.rows, args.files)
         sessionize = bench_sessionize(spark, workdir, args.sf_dir, 10)
+        moments = bench_maintain_moments(spark, workdir, args.sf_dir, 10)
+        ann = bench_maintain_ann(spark, workdir, args.sf_dir, 10)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
     result = {"metric": "streaming_throughput", "unit": "rows/sec",
-              "convert_stream": convert, "stateful_sessionize": sessionize}
+              "convert_stream": convert, "stateful_sessionize": sessionize,
+              "maintain_moments_stream": moments,
+              "maintain_pq_index_stream": ann}
     line = json.dumps(result)
     print(line)
     with open(args.out, "w") as f:

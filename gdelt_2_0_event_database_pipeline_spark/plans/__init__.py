@@ -87,6 +87,8 @@ _DRIVER_PRIORITY = [
     # if the driver budget reaches it, else first in the r13 window (placed
     # below the r7 bucket so the freshness sweep keeps its floor-r8 contract;
     # the judge can verify locally via tools/verify_local.py meanwhile)
+    "q_ivf_pq_residual",  # oracle FLIPPED r12 (at-rest artifact replay incl.
+    # probe selection + residual ADC term) — slot 52, same overflow contract
     "q02_min_cost_supplier",  # last driver row: r8
     "q04_order_priority",  # last driver row: r8
     "q07_volume_shipping",  # last driver row: r8
@@ -254,7 +256,6 @@ _DRIVER_PRIORITY = [
     "q_interpolate",  # last driver row: r11
     "q_interval_intersect",  # last driver row: r11
     "q_ivf_pq_drift",  # last driver row: r11
-    "q_ivf_pq_residual",  # last driver row: r11
     "q_khop_reach",  # last driver row: r11
     "q_ks_drift",  # last driver row: r11
     "q_life_table",  # last driver row: r11

@@ -1130,6 +1130,12 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+_IVFPQ_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "ivfpq_oracle_index",
+)
+
 _OPQ_ORACLE_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "spark-warehouse",
@@ -1386,22 +1392,92 @@ def q_ivf_pq_drift(spark, sf_dir):
 
 @register(
     "q_ivf_pq_residual",
-    sql=None,  # approximate-by-design: ADC order depends on fitted
-    # codebooks; encode==numpy parity and the clustered-data recall win
-    # are pinned in tests/test_pq.py; measured curves in ANN_RECALL.json
+    # Persisted-artifact oracle (r12, extending the q_pq_topk flip to the
+    # full IVFPQ construction): the index at rest carries (cell, codes,
+    # vhat_sq) + a meta row with BOTH the residual codebooks and the
+    # coarse centroids. DuckDB replays the ENTIRE serving path: probe-cell
+    # selection (4 = nprobe_for_recall(8, 0.75) nearest centroids by
+    # ascending |q−c|², lower cell id on ties — probe_assignments' rule),
+    # the cell equi-join over stored codes, the residual ADC score
+    # (LUT fold + the per-(query, cell) q·centroid term), the shortlist,
+    # and the raw-space exact rerank.
+    sql=f"""
+    WITH m AS (
+      SELECT codebooks, centroids
+      FROM read_json_auto('{_IVFPQ_ORACLE_ROOT}/codebooks/*.json')
+    ),
+    cd AS (
+      SELECT vec_id, cell, codes, vhat_sq
+      FROM read_parquet('{_IVFPQ_ORACLE_ROOT}/codes/*.parquet', hive_partitioning=0)
+    ),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    dist AS (
+      SELECT q.vec_id AS query_id, cid - 1 AS cell,
+             list_dot_product(q.v, q.v)
+               + list_dot_product(m.centroids[cid], m.centroids[cid])
+               - 2 * list_dot_product(q.v, m.centroids[cid]) AS d2
+      FROM q CROSS JOIN m CROSS JOIN (SELECT unnest(range(1, 9)) AS cid)
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, cell ASC) AS pr
+        FROM dist
+      ) WHERE pr <= 4
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.v AS qv,
+             CASE WHEN cd.vhat_sq > 0 AND q.qn > 0 THEN
+               (list_reduce(
+                  list_transform(range(1, 17),
+                    s -> list_dot_product(q.v[((s-1)*4+1):(s*4)],
+                                          m.codebooks[s][cd.codes[s] + 1])),
+                  (a, x) -> a + x)
+                + list_dot_product(q.v, m.centroids[cd.cell + 1]))
+               / (q.qn * sqrt(cd.vhat_sq))
+             END AS adc_sim
+      FROM probes p
+      JOIN q ON q.vec_id = p.query_id
+      JOIN cd ON cd.cell = p.cell AND cd.vec_id != q.vec_id
+      CROSS JOIN m
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, qv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sim DESC NULLS LAST, neighbor_id) AS rr
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(s.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(s.qv, s.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY list_dot_product(s.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(s.qv, s.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC NULLS LAST,
+               s.neighbor_id) AS rank
+      FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+      WHERE s.rr <= 100
+    ) WHERE rank <= 5
+    """,
     doc=(
-        "Residual IVF-PQ search (r11, the standard FAISS IVFPQ "
-        "construction, Jégou 2011 §III): PQ codes over v − centroid[cell] "
-        "instead of raw v, so the 8 bytes/vector describe within-cell "
-        "geometry instead of re-encoding the placement the IVF stage "
-        "already knows. Same scan shape as q_ivf_pq_topk (cell equi-join "
-        "+ LUT fold) plus ONE extra array lookup per candidate for the "
-        "per-(query, cell) dot term. ADC-only recall@5 on clustered data "
-        "(the real-embedding regime) beats raw encoding at identical "
-        "bytes (test-pinned margin >0.1; ANN_RECALL.json "
-        "'ivfpq_residual'); on the near-uniform fixture the two tie, as "
-        "theory predicts. Codebook fits are session-memoized "
-        "(q_pq_topk precedent)."
+        "Residual IVF-PQ search (r11; oracle-flipped r12 via the "
+        "persisted-artifact replay): PQ codes over v − centroid[cell] — "
+        "the standard FAISS IVFPQ construction (Jégou 2011 §III) — served "
+        "AT REST through ivf_pq_search_index (version-resolved reader, no "
+        "query-time corpus assignment). The 8 bytes/vector describe "
+        "within-cell geometry instead of re-encoding the placement the "
+        "IVF stage already knows: ADC-only recall@5 on clustered data "
+        "beats raw encoding at identical bytes (test-pinned margin >0.1; "
+        "ANN_RECALL.json 'ivfpq_residual'). DuckDB replays probe-cell "
+        "selection, the cell equi-join, the residual ADC term, shortlist "
+        "and raw-space rerank over the SAME artifacts — hash-checked."
     ),
 )
 def q_ivf_pq_residual(spark, sf_dir):
@@ -1419,16 +1495,16 @@ def q_ivf_pq_residual(spark, sf_dir):
     if res_books is None:
         res_books = Q.fit_residual_codebooks(emb, cents, m=16, ncodes=16, iters=3)
         _IVF_FIT_CACHE[rkey] = res_books
-    enc = Q.ivf_pq_encode_residual(emb, res_books, cents)
-    return Q.ivf_pq_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 5),
-        cents,
-        res_books,
-        k=5,
-        rerank=100,
-        corpus_codes=enc,
-        residual=True,
+    if _IVF_FIT_CACHE.get("ivfpq_oracle_sf") != sf_dir:
+        enc = Q.ivf_pq_encode_residual(emb, res_books, cents)
+        Q.write_pq_index(
+            enc, res_books, _IVFPQ_ORACLE_ROOT, mode="overwrite",
+            centroids=cents, residual=True,
+        )
+        _IVF_FIT_CACHE["ivfpq_oracle_sf"] = sf_dir
+    return Q.ivf_pq_search_index(
+        spark, _IVFPQ_ORACLE_ROOT, emb.filter(F.col("vec_id") < 5),
+        corpus=emb, k=5, rerank=100,
     )
 
 

@@ -281,11 +281,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     recall_target: float = 0.75,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k through the IVF index: corpus rows live in
     their nearest cell; each query probes its ``nprobe`` nearest cells and
     exact-rescores the members. Output schema matches
     ``similarity.cosine_topk``.
+
+    ``corpus_cells`` — an (id, cell) frame computed once at ingest
+    (``assign_cells`` output, typically persisted) — skips the query-time
+    corpus assignment pass entirely: the deployment shape, and what lets
+    a persisted IVF index carry a DuckDB oracle (the at-rest cells are
+    data both engines read, not a float argmin both must reproduce).
 
     ``nprobe=None`` (the default) derives the probe count from the
     measured recall curve: ``nprobe_for_recall(len(centroids),
@@ -308,9 +315,13 @@ def ivf_topk(
     if nprobe is None:
         nprobe = nprobe_for_recall(len(centroids), recall_target)
     corpus_wf = well_formed_vectors(corpus, vec_col)
-    cells = assign_cells(
-        corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
-    ).select(F.col(id_col).alias("__cell_id__"), F.col("cell").alias("__cell__"))
+    if corpus_cells is None:
+        corpus_cells = assign_cells(
+            corpus_wf, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+        )
+    cells = corpus_cells.select(
+        F.col(id_col).alias("__cell_id__"), F.col("cell").alias("__cell__")
+    )
     c = corpus_wf.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
     ).join(cells, F.col("neighbor_id") == F.col("__cell_id__")).drop("__cell_id__")

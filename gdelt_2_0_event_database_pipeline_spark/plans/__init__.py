@@ -89,6 +89,8 @@ _DRIVER_PRIORITY = [
     # the judge can verify locally via tools/verify_local.py meanwhile)
     "q_ivf_pq_residual",  # oracle FLIPPED r12 (at-rest artifact replay incl.
     # probe selection + residual ADC term) — slot 52, same overflow contract
+    "q_ivf_topk",  # oracle FLIPPED r12 (at-rest cells+centroids replay) — slot 53
+    "q_ivf_pq_topk",  # oracle FLIPPED r12 (raw at-rest IVFPQ replay) — slot 54
     "q02_min_cost_supplier",  # last driver row: r8
     "q04_order_priority",  # last driver row: r8
     "q07_volume_shipping",  # last driver row: r8
@@ -158,8 +160,6 @@ _DRIVER_PRIORITY = [
     "q_having",  # last driver row: r9
     "q_hist_quantile_rollup",  # last driver row: r9
     "q_hybrid_rrf",  # last driver row: r9
-    "q_ivf_pq_topk",  # last driver row: r9
-    "q_ivf_topk",  # last driver row: r9
     "q_join_semi",  # last driver row: r9
     "q_json_extract",  # last driver row: r9
     "q_null_drop",  # last driver row: r9

@@ -91,6 +91,7 @@ _DRIVER_PRIORITY = [
     # probe selection + residual ADC term) — slot 52, same overflow contract
     "q_ivf_topk",  # oracle FLIPPED r12 (at-rest cells+centroids replay) — slot 53
     "q_ivf_pq_topk",  # oracle FLIPPED r12 (raw at-rest IVFPQ replay) — slot 54
+    "q_pq_append",  # oracle FLIPPED r12 (maintained-index at-rest replay) — slot 55
     "q02_min_cost_supplier",  # last driver row: r8
     "q04_order_priority",  # last driver row: r8
     "q07_volume_shipping",  # last driver row: r8
@@ -215,7 +216,6 @@ _DRIVER_PRIORITY = [
     "q_mix_sources",  # last driver row: r10
     "q_ngram_jaccard",  # last driver row: r10
     "q_pack_linear",  # last driver row: r10
-    "q_pq_append",  # last driver row: r10
     "q_quality_filter",  # last driver row: r10
     "q_quantiles",  # last driver row: r10
     "q_redact_pii",  # last driver row: r10

@@ -1200,6 +1200,12 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+_PQ_APPEND_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "pq_append_oracle_index",
+)
+
 _IVFPQ_RAW_ORACLE_ROOT = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
     "spark-warehouse",
@@ -1328,24 +1334,73 @@ def q_opq_topk(spark, sf_dir):
 
 @register(
     "q_pq_append",
-    sql=None,  # approximate-by-design: results depend on the fitted codebooks
+    # Persisted-artifact oracle (r12): append+search == rebuild+search
+    # exactly (pq_encode is a deterministic expression of the frozen
+    # codebooks — pinned in tests/test_pq.py), so after the append the
+    # maintained index AT REST is replayable like q_pq_topk's: DuckDB
+    # reads the Hive-partitioned codes (two-level glob) + codebook JSON
+    # and replays LUT/ADC/shortlist/rerank.
+    sql=f"""
+    WITH b AS (
+      SELECT codebooks FROM read_json_auto('{_PQ_APPEND_ORACLE_ROOT}/codebooks/*.json')
+    ),
+    cd AS (
+      SELECT vec_id, codes, vhat_sq
+      FROM read_parquet('{_PQ_APPEND_ORACLE_ROOT}/codes/*/*.parquet')
+    ),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < 5
+    ),
+    adc AS (
+      SELECT q.vec_id AS query_id, cd.vec_id AS neighbor_id, q.v AS qv,
+             CASE WHEN cd.vhat_sq > 0 AND q.qn > 0 THEN
+               list_reduce(
+                 list_transform(range(1, 17),
+                   s -> list_dot_product(q.v[((s-1)*4+1):(s*4)],
+                                         b.codebooks[s][cd.codes[s] + 1])),
+                 (a, x) -> a + x)
+               / (q.qn * sqrt(cd.vhat_sq))
+             END AS adc_sim
+      FROM q JOIN cd ON q.vec_id != cd.vec_id CROSS JOIN b
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, qv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sim DESC NULLS LAST, neighbor_id) AS rr
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(s.qv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(s.qv, s.qv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY list_dot_product(s.qv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(s.qv, s.qv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC NULLS LAST,
+               s.neighbor_id) AS rank
+      FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+      WHERE s.rr <= 100
+    ) WHERE rank <= 5
+    """,
     doc=(
         "Incremental ANN index maintenance (r9 verdict stretch item 8, "
-        "the streaming-ingest <-> ANN link): persist a PQ index over half "
-        "the corpus partitioned by ingest day, append the other half as a "
+        "the streaming-ingest <-> ANN link): persist a PQ index over 90% "
+        "of the corpus partitioned by ingest day, append the rest as a "
         "NEW batch encoded map-side against the PERSISTED codebooks "
         "(operators/pq.py append_pq_index -> streaming/upsert.py "
         "partition-scoped merge: only the batch's day partitions "
         "rewritten, O(touched partitions) per batch regardless of index "
         "size), then ADC-search the maintained codes. pq_encode is a "
         "deterministic expression of the codebooks, so append+search == "
-        "rebuild+search exactly — pinned in tests/test_pq.py."
+        "rebuild+search exactly (pinned in tests/test_pq.py) — which is "
+        "what lets the r12 oracle replay the post-append index at rest, "
+        "hash-checking the MAINTAINED state, not just the search."
     ),
 )
 def q_pq_append(spark, sf_dir):
-    import os
-    import re as _re
-
     from ..operators import pq as Q
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1354,29 +1409,24 @@ def q_pq_append(spark, sf_dir):
     if books is None:
         books = Q.fit_pq_codebooks(emb, m=16, ncodes=16, iters=3)
         _IVF_FIT_CACHE[key] = books
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        "spark-warehouse",
-        f"pq_index_{tag}",
-    )
+    root = _PQ_APPEND_ORACLE_ROOT
     # 90/10 split: the appended batch is a realistic daily delta (10% of
     # the corpus), so the steady cost is delta-encode + touched-partition
     # upsert + search — not a half-corpus re-encode.
     half = emb.filter(F.col("vec_id") % 10 != 9)
     rest = emb.filter(F.col("vec_id") % 10 == 9)
     # bootstrap the base index once per session (the q_bucketed_join
-    # reuse_existing precedent): repeated invocations then measure the
-    # STEADY maintenance cost — append + search — not index creation.
-    # Re-appending the same batch is the idempotence property
+    # reuse_existing precedent), at the FIXED oracle path — rebuilt when a
+    # different sf was last materialized there: repeated invocations then
+    # measure the STEADY maintenance cost — append + search — not index
+    # creation. Re-appending the same batch is the idempotence property
     # (test_streaming_ann.py), so the result is invocation-independent.
-    boot_key = (sf_dir, "pq_index_built")
-    if boot_key not in _IVF_FIT_CACHE:
+    if _IVF_FIT_CACHE.get("pq_append_oracle_sf") != sf_dir:
         base = Q.pq_encode(half, books).withColumn("ingest_day", F.lit("d0"))
         Q.write_pq_index(
             base, books, root, mode="overwrite", partition_col="ingest_day"
         )
-        _IVF_FIT_CACHE[boot_key] = True
+        _IVF_FIT_CACHE["pq_append_oracle_sf"] = sf_dir
     Q.append_pq_index(spark, root, rest.withColumn("ingest_day", F.lit("d1")))
     codes, books2 = Q.read_pq_index(spark, root)
     return Q.pq_topk(

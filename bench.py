@@ -354,7 +354,8 @@ def main() -> None:
     for name in ("q_ivf_topk", "q_pq_topk", "q_bucketed_join", "q_semantic_dedup",
                  "q_dedup_minhash", "q_khop_reach", "q_bpe_train", "q_video_near_dup",
                  "q_pq_append", "q_minhash_index", "q_dedup_minhash_index",
-                 "q_ivf_pq_drift", "q_ivf_pq_residual"):
+                 "q_ivf_pq_drift", "q_ivf_pq_residual", "q_ivf_pq_topk",
+                 "q_opq_topk"):
         if name in QUERIES:
             t0 = time.time()
             try:

@@ -519,3 +519,44 @@ def select_top_p(
         .filter(F.col("__keep__"))
         .drop("__keep__")
     )
+
+
+def shuffle_shard_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle for training loaders: every row gets a
+    ``(shard, pos)`` address — ``shard`` from an md5 bucket of its content
+    key, ``pos`` its md5-rank within that shard — so a data loader reading
+    shard files sequentially sees a uniformly shuffled corpus, reproducible
+    bit-for-bit from ``(key, seed)`` on any cluster size or partitioning.
+    This is the property ``orderBy(rand())`` cannot give (per-partition RNG
+    streams) and a global ``ORDER BY hash`` pays a full range-shuffle sort
+    for: here the ONLY exchange is the hash partition on ``shard`` and the
+    sort is partition-local (the window), so the plan scales as a grouped
+    window, not a global sort.
+
+    The md5 rank string (``operators/sampling.py`` ``_key_string``
+    discipline: ``key\\x1f…\\x1fseed``) is engine-portable, so the FULL
+    assignment — bucket and position — is DuckDB-replayable
+    (``q_shuffle_shards``). Epoch reshuffles are just a new ``seed``.
+
+    Reference parity: the reference's terminal artifact is sampled parquet
+    (samplers.py:83); shard-addressed shuffled export is the extension
+    step every training pipeline needs between curation and the loader.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from .sampling import _key_string
+
+    h = F.md5(_key_string(key_cols, seed))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("bigint"), F.lit(shards)
+    )
+    out = df.withColumn("shard", shard).withColumn("__h__", h)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h__").asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return out.withColumn("pos", F.row_number().over(w)).drop("__h__")

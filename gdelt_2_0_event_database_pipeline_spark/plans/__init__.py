@@ -83,7 +83,9 @@ _DRIVER_PRIORITY = [
     "q_transitions",  # last driver row: r7
     "q_video_near_dup",  # last driver row: r7
     "q_winsorize",  # last driver row: r7
-    "q_opq_topk",  # NEW r12 (artifact-oracled) — slot 51: r12-window overflow
+    "q_shuffle_shards",  # NEW r12 (oracled) — slot 51: below the r7 bucket so
+    # the floor-r8 freshness contract holds; first in the r13 window otherwise
+    "q_opq_topk",  # NEW r12 (artifact-oracled) — slot 52: r12-window overflow
     # if the driver budget reaches it, else first in the r13 window (placed
     # below the r7 bucket so the freshness sweep keeps its floor-r8 contract;
     # the judge can verify locally via tools/verify_local.py meanwhile)

@@ -4253,3 +4253,38 @@ def q_lm_score_against(spark, sf_dir):
         k=0.5,
         train_df=d.filter(F.col("doc_id") % 2 == 0),
     )
+
+
+@register(
+    "q_shuffle_shards",
+    sql="""
+    WITH r AS (
+      SELECT doc_id, md5(concat_ws(chr(31), doc_id, '42')) AS h FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8 AS shard,
+           row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(h, 1, 13)) AS BIGINT) % 8
+             ORDER BY h, doc_id
+           ) AS pos
+    FROM r
+    """,
+    doc=(
+        "Deterministic global shuffle for training loaders (r12, X4+ "
+        "assembly family): every document gets a (shard, pos) address — "
+        "md5-bucket shard + md5-rank position within the shard — so "
+        "sequential shard reads see a uniformly shuffled corpus, "
+        "reproducible from (key, seed) on any partitioning; epoch "
+        "reshuffles are a new seed. The only exchange is the hash "
+        "partition on shard; the sort is partition-local (grouped "
+        "window), never a global ORDER BY hash. md5 rank string, so the "
+        "FULL assignment is replayed and hash-checked in DuckDB."
+    ),
+)
+def q_shuffle_shards(spark, sf_dir):
+    from ..operators.training import shuffle_shard_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_shard_assign(d, ["doc_id"], shards=8, seed=42).select(
+        "doc_id", "shard", "pos"
+    )

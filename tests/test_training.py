@@ -362,3 +362,35 @@ def test_class_balance_single_class_noop(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, cls string")
     out = class_balance(df, "cls", "doc_id")
     assert out.count() == 2 and out.filter("copy_idx <> 1").count() == 0
+
+
+def test_shuffle_shard_assign_is_deterministic_and_loader_shaped(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        shuffle_shard_assign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    a = shuffle_shard_assign(docs, ["doc_id"], shards=4, seed=42)
+    got = {r.doc_id: (r.shard, r.pos) for r in a.collect()}
+    assert len(got) == n
+    # partitioning-independence: same addresses on a different layout
+    b = shuffle_shard_assign(docs.repartition(13), ["doc_id"], shards=4, seed=42)
+    assert {r.doc_id: (r.shard, r.pos) for r in b.collect()} == got
+    # loader shape: per shard, pos is exactly 1..len(shard)
+    per = {}
+    for shard, pos in got.values():
+        per.setdefault(shard, []).append(pos)
+    assert set(per) == {0, 1, 2, 3}
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # rough uniformity: no shard holds more than half the corpus
+    assert max(len(p) for p in per.values()) < 0.5 * n
+    # epoch reshuffle: a new seed produces a different permutation
+    c = {r.doc_id: (r.shard, r.pos)
+         for r in shuffle_shard_assign(docs, ["doc_id"], shards=4, seed=7).collect()}
+    assert c != got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shards"):
+        shuffle_shard_assign(docs, ["doc_id"], shards=0)

@@ -351,6 +351,8 @@ def main() -> None:
     # caches (IVF codebook, bucketed tables): the repeated-invocation cost is
     # the number that matters for a long-lived session / real deployment
     steady: dict[str, float] = {}
+    steady_metrics: dict[str, dict] = {}
+    em.snap()
     for name in ("q_ivf_topk", "q_pq_topk", "q_bucketed_join", "q_semantic_dedup",
                  "q_dedup_minhash", "q_khop_reach", "q_bpe_train", "q_video_near_dup",
                  "q_pq_append", "q_minhash_index", "q_dedup_minhash_index",
@@ -361,8 +363,10 @@ def main() -> None:
             try:
                 QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 steady[name] = round(time.time() - t0, 3)
+                steady_metrics[name] = em.snap()
             except Exception:  # pragma: no cover
                 steady[name] = -1.0
+                em.snap()
 
     # the reference's own four-stage ETL workload, timed per stage
     # (etl_* rows live beside the query rows in BASELINE.md, same 2x rule)
@@ -382,6 +386,7 @@ def main() -> None:
             "errors": errors,
             "n_timed": len(timings),
             "exec_metrics": exec_metrics,
+            "steady_exec_metrics": steady_metrics,
             "steady": steady,
             "etl_stages": etl,
             "sf": sf,

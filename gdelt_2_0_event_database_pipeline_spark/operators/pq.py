@@ -780,15 +780,27 @@ def _list_versions(spark, path: str) -> list[int]:
     return sorted(out)
 
 
-def resolve_index_root(spark, path: str) -> str:
+def resolve_index_root(spark, path: str, version: int | None = None) -> str:
     """The directory whose codes/codebooks a reader should use: the
     HIGHEST committed ``v_%05d`` version under ``path``, else ``path``
     itself (the legacy un-versioned layout every pre-refit index has).
     Every reader (meta, search, append, drift) resolves through here, so
     a reader sees exactly one version's (codes, codebooks) pair — never
     an old-codes/new-codebooks mix — and :func:`refit_pq_index`'s commit
-    (one atomic marker creation) flips all readers at once."""
+    (one atomic marker creation) flips all readers at once.
+
+    ``version`` pins a specific committed version instead of the latest —
+    the reproducibility handle (re-run yesterday's search against the
+    pre-refit index while it is retained). Raises if that version is not
+    committed/retained; retention is ``refit_pq_index(keep_versions=…)``."""
     vs = _list_versions(spark, path)
+    if version is not None:
+        if version not in vs:
+            raise ValueError(
+                f"index version {version} not committed/retained at {path} "
+                f"(committed: {vs or 'none — legacy un-versioned layout'})"
+            )
+        return f"{path}/v_{version:05d}"
     return f"{path}/v_{vs[-1]:05d}" if vs else path
 
 
@@ -917,6 +929,7 @@ def ivf_pq_search_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     recall_target: float = 0.75,
+    version: int | None = None,
 ) -> DataFrame:
     """Search a maintained IVF-PQ index AT REST: codes, cells, codebooks
     and centroids all come from ``path`` — the query-time work is the
@@ -930,8 +943,9 @@ def ivf_pq_search_index(
 
     Version resolution happens ONCE here (``resolve_index_root``), so a
     search that overlaps a :func:`refit_pq_index` reads one version's
-    (codes, codebooks, centroids) — old or new, never a mix."""
-    path = resolve_index_root(spark, path)
+    (codes, codebooks, centroids) — old or new, never a mix. ``version``
+    pins a retained version for reproducible re-runs."""
+    path = resolve_index_root(spark, path, version=version)
     codebooks, centroids, residual = read_pq_meta(spark, path)  # one meta read
     codes = spark.read.parquet(f"{path}/codes")
     if centroids is None:

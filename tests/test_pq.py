@@ -614,6 +614,16 @@ def test_refit_restores_recall_and_swaps_atomically(spark, tmp_path):
     prev = spark.read.parquet(f"{path}/v_00001/codes")
     assert live.count() == 750 and prev.count() == 700
 
+    # version pin: a retained version serves reproducible re-runs; a
+    # deleted/uncommitted one refuses loudly
+    pinned = ivf_pq_search_index(
+        spark, path, queries, corpus=corpus, k=5, nprobe=2, rerank=50,
+        version=1,
+    )
+    assert pinned.count() == 75  # 15 queries x 5 — served from v_00001
+    with pytest.raises(ValueError, match="not committed/retained"):
+        ivf_pq_search_index(spark, path, queries, corpus=corpus, version=2)
+
 
 def test_drift_report_guards(spark, emb, books, tmp_path):
     from gdelt_2_0_event_database_pipeline_spark.operators.pq import (

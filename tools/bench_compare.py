@@ -56,13 +56,20 @@ def metrics_moved(p: dict, c: dict) -> list[str]:
 
 def compare(prev: dict, cur: dict, threshold: float) -> dict:
     pq, cq = prev.get("queries", {}), cur.get("queries", {})
-    pm, cm = prev.get("exec_metrics", {}), cur.get("exec_metrics", {})
+    pm = dict(prev.get("exec_metrics", {}))
+    cm = dict(cur.get("exec_metrics", {}))
     # steady-state rows replace cold rows for the comparable number,
-    # matching gen_baseline_table.py's cell rule
-    for src, dst in ((prev.get("steady", {}), pq), (cur.get("steady", {}), cq)):
+    # matching gen_baseline_table.py's cell rule — and their metrics too
+    # (cold metrics include the session's one-time bootstrap work)
+    for src, dst, met, mdst in (
+        (prev.get("steady", {}), pq, prev.get("steady_exec_metrics", {}), pm),
+        (cur.get("steady", {}), cq, cur.get("steady_exec_metrics", {}), cm),
+    ):
         for q, t in src.items():
             if t is not None and t >= 0:
                 dst[q] = t
+                if met.get(q):
+                    mdst[q] = met[q]
     noise, investigate, watch, no_metrics = [], [], [], []
     for q in sorted(set(pq) & set(cq)):
         p, c = pq[q], cq[q]

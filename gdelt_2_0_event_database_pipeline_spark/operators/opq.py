@@ -185,6 +185,10 @@ def opq_topk(
     with exact cosine (rotation preserves inner products, so raw-space
     cosine is the same answer rotated-space cosine would give —
     orthogonality means no re-rotation of the corpus is ever needed)."""
+    if rerank is not None and corpus is None:
+        # same guard as pq_topk — the custom rerank tail below would
+        # otherwise crash opaquely on the None corpus
+        raise ValueError("rerank requires the original corpus DataFrame")
     from .ivf import well_formed_vectors
     from .pq import pq_topk
     from .similarity import _as_double

@@ -1176,6 +1176,23 @@ def refit_pq_index(
     n_cells = len(centroids)
     if partition_col is not None and partition_col not in corpus.columns:
         raise ValueError(f"corpus must carry partition column {partition_col!r}")
+    jvm, fs, _ = _index_fs(spark, path)
+    # layout guard: a Hive-partitioned index silently rewritten flat would
+    # break append_pq_index's O(touched partitions) contract — sniff the
+    # live codes dir for `col=` partition subdirs and demand a match
+    old_codes = jvm.org.apache.hadoop.fs.Path(f"{old_root}/codes")
+    old_parts = sorted(
+        st.getPath().getName().split("=", 1)[0]
+        for st in (fs.listStatus(old_codes) if fs.exists(old_codes) else [])
+        if st.isDirectory() and "=" in st.getPath().getName()
+    )
+    old_part_col = old_parts[0] if old_parts else None
+    if old_part_col != partition_col:
+        raise ValueError(
+            f"refit partitioning mismatch: live index codes are partitioned "
+            f"by {old_part_col!r} but partition_col={partition_col!r} — pass "
+            "the index's own scheme (or None for a flat index)"
+        )
 
     new_centroids = fit_ivf_centroids(
         corpus, vec_col, id_col, k=n_cells, iters=iters, seed=seed,
@@ -1205,7 +1222,6 @@ def refit_pq_index(
 
     committed = _list_versions(spark, path)
     new_ver = (committed[-1] + 1) if committed else 1
-    jvm, fs, _ = _index_fs(spark, path)
     # skip past uncommitted debris (a refit that died mid-write) rather
     # than colliding with its directory
     while fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/v_{new_ver:05d}")):
@@ -1235,6 +1251,14 @@ def refit_pq_index(
             continue
         if n != new_ver and n not in survivors:
             fs.delete(st.getPath(), True)
+    if committed:
+        # the legacy un-versioned root files (the pre-first-refit index)
+        # are now at least TWO generations old — no reader can have
+        # resolved them since the first commit — so they stop lingering
+        for child in ("codes", "codebooks", "cell_stats"):
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{child}")
+            if fs.exists(p):
+                fs.delete(p, True)
 
     return {
         "version": new_ver,

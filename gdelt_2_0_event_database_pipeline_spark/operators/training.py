@@ -549,6 +549,10 @@ def shuffle_shard_assign(
     """
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
+    if not key_cols:
+        # an empty key would hash every row to the same bucket AND leave
+        # pos ordered by nothing — silently non-deterministic
+        raise ValueError("key_cols must name at least one column")
     from .sampling import _key_string
 
     h = F.md5(_key_string(key_cols, seed))

@@ -114,6 +114,8 @@ def test_opq_search_shape_and_raw_space_rerank(spark, vec_df, xmat, fitted):
         books,
     )
     queries = vec_df.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="rerank requires"):
+        opq_topk(enc, queries, r, books, k=5, rerank=60)
     rows = opq_topk(
         enc, queries, r, books, k=5, rerank=60, corpus=vec_df
     ).collect()

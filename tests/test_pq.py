@@ -598,13 +598,18 @@ def test_refit_restores_recall_and_swaps_atomically(spark, tmp_path):
 
     os.makedirs(str(tmp_path / "idx" / "v_00002" / "codes"))
     assert resolve_index_root(spark, path).endswith("v_00001")
+    # layout guard: omitting the index's own partition scheme must refuse
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        refit_pq_index(spark, path, corpus)
     rep3 = refit_pq_index(spark, path, corpus, partition_col="ingest_day")
     assert rep3["version"] == 3  # skipped the debris
     assert resolve_index_root(spark, path).endswith("v_00003")
     # retention: previous committed version survives for in-flight
-    # readers; the uncommitted debris was cleaned
+    # readers; the uncommitted debris was cleaned; the legacy
+    # un-versioned root files (two generations old now) are gone too
     assert os.path.isdir(str(tmp_path / "idx" / "v_00001"))
     assert not os.path.isdir(str(tmp_path / "idx" / "v_00002"))
+    assert not os.path.isdir(str(tmp_path / "idx" / "codes"))
 
     # appends land in the LIVE version only
     extra = _vec_df(spark, range(2000, 2050), rng.randn(50, dim) + 12.0) \

@@ -394,3 +394,5 @@ def test_shuffle_shard_assign_is_deterministic_and_loader_shaped(spark):
 
     with _pytest.raises(ValueError, match="shards"):
         shuffle_shard_assign(docs, ["doc_id"], shards=0)
+    with _pytest.raises(ValueError, match="key_cols"):
+        shuffle_shard_assign(docs, [], shards=4)

@@ -340,6 +340,55 @@ def main() -> int:
     _opq_sweep("clustered", clu, clu_q, clu_exact)
     _opq_sweep("lowrank", lowdf, low_q, low_exact)
 
+    # --- OPQ ∘ residual IVFPQ (the full FAISS "OPQ,IVFx,PQy" composition):
+    # rotate first, then coarse-quantize + residual-encode IN THE ROTATED
+    # SPACE. Cosine is rotation-invariant, so recall is still judged
+    # against original-space exact top-k; the rerank runs rotated-vs-
+    # rotated (same answer). Answers whether the two transforms stack.
+    results["opq_residual"] = []
+    print(f"\n## OPQ∘residual IVFPQ vs plain residual at 8 B/vec "
+          f"(nprobe=all, m=16)\n")
+    print("| corpus | encoding | rerank | recall@k | sec |")
+    print("|---|---|---|---|---|")
+
+    def _opq_residual_sweep(corpus_name, corpus_df, q_df, exact_sets):
+        rot, _ob = fit_opq(corpus_df, m=16, ncodes=16, iters=3, opq_iters=6)
+        rcorp = rotate_vectors(corpus_df, rot).select(
+            "vec_id", F.col("rotated").alias("embedding")
+        ).localCheckpoint()
+        rq = rotate_vectors(q_df, rot).select(
+            "vec_id", F.col("rotated").alias("embedding")
+        ).localCheckpoint()
+        r_cents = fit_ivf_centroids(rcorp, k=args.cells)
+        r_res_b = fit_residual_codebooks(rcorp, r_cents, m=16, ncodes=16, iters=3)
+        r_res_e = ivf_pq_encode_residual(rcorp, r_res_b, r_cents).localCheckpoint()
+        # plain-residual baseline in the ORIGINAL space
+        cents0 = fit_ivf_centroids(corpus_df, k=args.cells)
+        res_b0 = fit_residual_codebooks(corpus_df, cents0, m=16, ncodes=16, iters=3)
+        res_e0 = ivf_pq_encode_residual(corpus_df, res_b0, cents0).localCheckpoint()
+        for enc_name, rr in (("residual", 0), ("residual", 100),
+                             ("opq+residual", 0), ("opq+residual", 100)):
+            t0 = time.time()
+            if enc_name == "residual":
+                approx = ivf_pq_topk(
+                    corpus_df, q_df, cents0, res_b0, k=args.k,
+                    nprobe=args.cells, rerank=rr or None,
+                    corpus_codes=res_e0, residual=True)
+            else:
+                approx = ivf_pq_topk(
+                    rcorp, rq, r_cents, r_res_b, k=args.k,
+                    nprobe=args.cells, rerank=rr or None,
+                    corpus_codes=r_res_e, residual=True)
+            rec = _recall(_topk_sets(approx), exact_sets)
+            dt = time.time() - t0
+            print(f"| {corpus_name} | {enc_name} | {rr} | {rec:.3f} | {dt:.1f} |")
+            results["opq_residual"].append(
+                {"corpus": corpus_name, "encoding": enc_name, "rerank": rr,
+                 "recall": round(rec, 4), "sec": round(dt, 2)})
+
+    _opq_residual_sweep("clustered", clu, clu_q, clu_exact)
+    _opq_residual_sweep("lowrank", lowdf, low_q, low_exact)
+
     print()
     payload = json.dumps(results)
     print(payload)

@@ -81,6 +81,10 @@ class ExecMetrics:
                 tot["tasks"] += s.numCompleteTasks()
         except Exception as e:  # pragma: no cover — metrics are best-effort
             print(f"exec-metrics snapshot failed: {e}", file=sys.stderr)
+            # Still advance past the stages enumerated before the failure so
+            # the NEXT query's delta doesn't absorb this snapshot's stages
+            # (misattributed metrics would feed bench_compare adjudication).
+            self._last_stage = hi
             return {}
         self._last_stage = hi
         for k in ("shuffle_read_mb", "shuffle_write_mb", "spill_mb"):

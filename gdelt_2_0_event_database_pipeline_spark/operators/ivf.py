@@ -282,6 +282,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     recall_target: float = 0.75,
     corpus_cells: DataFrame | None = None,
+    query_probes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k through the IVF index: corpus rows live in
     their nearest cell; each query probes its ``nprobe`` nearest cells and
@@ -293,6 +294,15 @@ def ivf_topk(
     corpus assignment pass entirely: the deployment shape, and what lets
     a persisted IVF index carry a DuckDB oracle (the at-rest cells are
     data both engines read, not a float argmin both must reproduce).
+
+    ``query_probes`` — a (query id, cell) frame of PRE-COMPUTED probe
+    assignments (``probe_assignments`` output, persisted) — extends the
+    same at-rest argument to probe selection: a near-tie between two
+    centroid distances could otherwise resolve differently across BLAS
+    builds (numpy matmul here vs a fold in an oracle engine), so
+    persisting the probes makes them data both engines read rather than
+    a float argsort both must reproduce. The frame is bounded (queries ×
+    nprobe rows) and is collected driver-side like the queries are.
 
     ``nprobe=None`` (the default) derives the probe count from the
     measured recall curve: ``nprobe_for_recall(len(centroids),
@@ -343,6 +353,18 @@ def ivf_topk(
     )
     if not q_rows:
         q = spark.createDataFrame([], q_schema)
+    elif query_probes is not None:
+        pm: dict = {}
+        for r in query_probes.collect():  # bounded: queries × nprobe rows
+            pm.setdefault(r[0], []).append(int(r[1]))
+        q = spark.createDataFrame(
+            [
+                (r["query_id"], list(r["__qv__"]), cell)
+                for r in q_rows
+                for cell in pm.get(r["query_id"], [])
+            ],
+            q_schema,
+        )
     else:
         probes = probe_assignments(
             [r["__qv__"] for r in q_rows], centroids, nprobe

@@ -97,10 +97,11 @@ def fit_opq(
 ) -> tuple[list[list[float]], list]:
     """(rotation R as d×d row lists, codebooks over R·x) — drop-in ahead
     of the existing PQ fit API: ``pq_encode(rotate_vectors(df, R), books)``
-    and rotate queries before their LUTs. Also returns with the guarantee
-    that the training quantization error is non-increasing across the
-    alternating iterations (asserted; both sub-steps are optimal for the
-    other held fixed, Ge et al. Lemma 1/2)."""
+    and rotate queries before their LUTs. The training quantization error
+    is non-increasing across the returned alternating iterations (both
+    sub-steps are optimal for the other held fixed, Ge et al. Lemma 1/2);
+    if a numerical plateau makes a step epsilon-worse, that candidate is
+    discarded and the previous (rotation, codebooks) pair is returned."""
     import numpy as np
 
     x = _collect_fit_sample(df, vec_col, id_col, seed, fit_sample_n)
@@ -110,6 +111,7 @@ def fit_opq(
     r = _seeded_rotation(d, seed)
     books = None
     prev_err = None
+    prev_pair = None  # (rotation, codebooks) of the last non-increasing step
     for _ in range(max(1, opq_iters)):
         xr = x @ r.T
         books = np.asarray(
@@ -118,8 +120,13 @@ def fit_opq(
         xhat = _decode(_encode_matrix(xr, books), books)
         err = float(((xr - xhat) ** 2).sum())
         if prev_err is not None and err > prev_err * (1 + 1e-9):
-            break  # numerical plateau: keep the previous optimum
+            # Numerical plateau: the current pair measured worse — discard
+            # it and return the previous optimum, honoring the docstring's
+            # non-increasing-error contract.
+            r, books = prev_pair
+            break
         prev_err = err
+        prev_pair = (r.copy(), books)
         # Procrustes: min_R ||X·Rᵀ − X̂||² over orthogonal R
         u, _, vt = np.linalg.svd(xhat.T @ x)
         r = u @ vt
@@ -167,6 +174,62 @@ def rotate_vectors(
     )
 
 
+def rotate_queries_collected(
+    queries: DataFrame,
+    rotation: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(rotated queries, raw sidecar) — the driver-side query-rotation
+    seam shared by ``opq_topk`` and the rotated maintained-index search
+    (``pq.ivf_pq_topk(rotation=...)``). Queries are bounded and collected
+    for their LUTs anyway; rotation uses explicit left-fold dots (not
+    numpy matmul) to match SQL ``list_dot_product`` and
+    ``rotate_vectors``'s aggregate fold bit-for-bit — what lets an
+    at-rest OPQ index carry a DuckDB oracle. The raw sidecar
+    ``(query_id, __raw_qv__)`` lets a rerank tail swap back to raw-space
+    vectors (cosine is rotation-invariant, so raw-space rerank against
+    the raw corpus is exact with no corpus re-rotation)."""
+    from pyspark.sql import types as T
+
+    from .ivf import well_formed_vectors
+    from .similarity import _as_double
+
+    d = len(rotation)
+    rows = (
+        well_formed_vectors(queries, vec_col)
+        .select(id_col, _as_double(vec_col).alias("__qv__"))
+        .collect()
+    )
+    spark = queries.sparkSession
+
+    def _rot(qv):
+        out = []
+        for row in rotation:
+            acc = 0.0
+            for a, b in zip(qv, row):
+                acc += a * b
+            out.append(acc)
+        return out
+
+    id_dtype = queries.schema[id_col].dataType
+    kept = [r for r in rows if len(r["__qv__"]) == d]
+    rotated = spark.createDataFrame(
+        [(r[id_col], _rot(r["__qv__"])) for r in kept],
+        f"`{id_col}` {id_dtype.simpleString()}, `{vec_col}` array<double>",
+    )
+    raw_df = spark.createDataFrame(
+        [(r[id_col], [float(v) for v in r["__qv__"]]) for r in kept],
+        T.StructType(
+            [
+                T.StructField("query_id", id_dtype),
+                T.StructField("__raw_qv__", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    return rotated, raw_df
+
+
 def opq_topk(
     corpus_codes: DataFrame,
     queries: DataFrame,
@@ -189,37 +252,11 @@ def opq_topk(
         # same guard as pq_topk — the custom rerank tail below would
         # otherwise crash opaquely on the None corpus
         raise ValueError("rerank requires the original corpus DataFrame")
-    from .ivf import well_formed_vectors
     from .pq import pq_topk
-    from .similarity import _as_double
 
-    d = len(rotation)
-    q = well_formed_vectors(queries, vec_col).select(
-        id_col, _as_double(vec_col).alias("__qv__")
-    )
-    rows = q.collect()
     spark = corpus_codes.sparkSession
-
-    def _rot(qv):
-        # explicit left-fold dots (not numpy matmul): matches SQL
-        # list_dot_product and rotate_vectors' aggregate fold bit-for-bit,
-        # which is what lets an at-rest OPQ index carry a DuckDB oracle
-        out = []
-        for row in rotation:
-            acc = 0.0
-            for a, b in zip(qv, row):
-                acc += a * b
-            out.append(acc)
-        return out
-
-    rotated = spark.createDataFrame(
-        [
-            (row[id_col], _rot(row["__qv__"]))
-            for row in rows
-            if len(row["__qv__"]) == d
-        ],
-        f"`{id_col}` {queries.schema[id_col].dataType.simpleString()}, "
-        f"`{vec_col}` array<double>",
+    rotated, raw_df = rotate_queries_collected(
+        queries, rotation, id_col=id_col, vec_col=vec_col
     )
     if rerank is None:
         return pq_topk(
@@ -239,16 +276,6 @@ def opq_topk(
     ).join(F.broadcast(qdf), F.col("query_id") != F.col("neighbor_id"))
     # swap the LUT row's qv back to the RAW query vector so the exact
     # rerank computes raw-space cosine against the raw corpus
-    raw = {row[id_col]: [float(v) for v in row["__qv__"]] for row in rows}
-    from pyspark.sql import types as T
-
-    raw_df = spark.createDataFrame(
-        [(qid, v) for qid, v in raw.items()],
-        T.StructType([
-            T.StructField("query_id", id_dtype),
-            T.StructField("__raw_qv__", T.ArrayType(T.DoubleType())),
-        ]),
-    )
     cand = cand.drop("__qv__").join(F.broadcast(raw_df), "query_id").withColumnRenamed(
         "__raw_qv__", "__qv__"
     )

@@ -149,8 +149,11 @@ def covariance_matrix(
     # in different partitions); there the per-dim row counts disagree, and
     # any mixed corpus always yields at least one (low_dim, high_dim) pair
     # whose two counts differ. Guarding n_i == n_j per pair-row rides the
-    # existing broadcast joins — no extra exchange, and the check is folded
-    # into the `n` output column so pruning can't optimize it away.
+    # existing broadcast joins — no extra exchange. The guard is folded into
+    # BOTH output columns (`n` and the divisor inside `cov`): a consumer
+    # that selects only `cov` lets Catalyst prune `n`, so the guard must
+    # live inside `cov` itself or a mixed-width corpus would silently
+    # produce wrong cross-width covariances.
     n_guarded = F.when(
         F.col("n_rows") == F.col("n_rows_j"), F.col("n_rows")
     ).otherwise(
@@ -171,8 +174,8 @@ def covariance_matrix(
             # try_divide: a single-vector corpus (n - ddof == 0) yields NULL
             # cov — matching DuckDB covar_samp — instead of NaN/Infinity
             F.try_divide(
-                F.col("s") - F.col("s_i") * F.col("s_j") / F.col("n_rows"),
-                F.col("n_rows") - F.lit(ddof),
+                F.col("s") - F.col("s_i") * F.col("s_j") / n_guarded,
+                n_guarded - F.lit(ddof),
             ).alias("cov"),
         )
     )

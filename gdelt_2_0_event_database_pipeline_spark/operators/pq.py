@@ -580,6 +580,8 @@ def ivf_pq_topk(
     corpus_codes: DataFrame | None = None,
     corpus_cells: DataFrame | None = None,
     residual: bool = False,
+    query_probes: DataFrame | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard large-scale ANN composition (Jégou 2011) —
     the IVF coarse quantizer prunes the scan to each query's ``nprobe``
@@ -607,12 +609,38 @@ def ivf_pq_topk(
     per-(query, cell) dot(q, centroid) term from a per-query array in
     the broadcast frame; everything else (LUT fold, window, rerank) is
     the shared tail, so the residual path costs one extra array lookup
-    per candidate."""
+    per candidate.
+
+    ``query_probes`` — a (query id, cell) frame of pre-computed probe
+    assignments — replaces the driver-side ``probe_assignments`` pass,
+    making probe selection persisted data rather than a float argsort
+    recomputed per engine (see ``ivf.ivf_topk``'s parameter of the same
+    name for the ulp-tie rationale). Bounded; collected driver-side.
+
+    ``rotation`` (an OPQ matrix) declares that the index — centroids,
+    codebooks, codes, cells — lives in ROTATED space (the FAISS
+    "OPQd,IVFx,PQy" composition): queries are rotated driver-side before
+    their LUT/probe build (explicit left-fold dots, oracle bit-parity),
+    and the exact rerank swaps back to RAW query vectors against the RAW
+    corpus (orthogonal rotation preserves cosine)."""
     from .ivf import assign_cells, nprobe_for_recall, probe_assignments
 
     if nprobe is None:
         nprobe = nprobe_for_recall(len(centroids), recall_target)
     m, _, _ = _check_codebooks(codebooks)
+    raw_q_sidecar = None
+    if rotation is not None:
+        if corpus_codes is None or (not residual and corpus_cells is None):
+            raise ValueError(
+                "a rotated (OPQ) index needs corpus_codes (and cells) "
+                "precomputed over rotate_vectors output at ingest — "
+                "query-time corpus rotation is not a serving shape"
+            )
+        from .opq import rotate_queries_collected
+
+        queries, raw_q_sidecar = rotate_queries_collected(
+            queries, rotation, id_col=id_col, vec_col=vec_col
+        )
     corpus_wf = well_formed_vectors(corpus, vec_col)
     if residual:
         if corpus_codes is None:
@@ -656,7 +684,12 @@ def ivf_pq_topk(
         cm = np.asarray(centroids, dtype=np.float64)
         qcs = np.asarray([d[1] for d in data], dtype=np.float64) @ cm.T
         data = [d + ([float(x) for x in qc],) for d, qc in zip(data, qcs)]
-    if data:
+    if data and query_probes is not None:
+        pm: dict = {}
+        for r in query_probes.collect():  # bounded: queries × nprobe rows
+            pm.setdefault(r[0], []).append(int(r[1]))
+        data = [d + (cell,) for d in data for cell in pm.get(d[0], [])]
+    elif data:
         probes = probe_assignments([d[1] for d in data], centroids, nprobe)
         data = [
             d + (int(cell),) for d, row in zip(data, probes) for cell in row
@@ -673,6 +706,15 @@ def ivf_pq_topk(
     extra = (
         F.element_at("__qc__", F.col("__ccell__") + F.lit(1)) if residual else None
     )
+    if raw_q_sidecar is not None and rerank is not None:
+        # rotated index + exact rerank: swap the LUT row's (rotated) qv
+        # back to the RAW query vector — the rerank reads RAW corpus
+        # vectors, and cosine is rotation-invariant
+        cand = (
+            cand.drop("__qv__")
+            .join(F.broadcast(raw_q_sidecar), "query_id")
+            .withColumnRenamed("__raw_qv__", "__qv__")
+        )
     return _adc_rank_and_rerank(
         cand, k, rerank, corpus, id_col, vec_col, extra_dot=extra
     )
@@ -686,6 +728,7 @@ def write_pq_index(
     partition_col: str | None = None,
     centroids: list[list[float]] | None = None,
     residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Persist a PQ index: ``pq_encode`` output as parquet under
     ``<path>/codes`` (8 bytes of codes + one double per row — the
@@ -710,10 +753,29 @@ def write_pq_index(
     ``residual=True`` records that the codes are RESIDUAL-encoded
     (``fit_residual_codebooks`` + ``ivf_pq_encode_residual``); readers
     (search, append, drift report) dispatch on the flag so a residual
-    index can never be silently scored with raw-encoding math."""
+    index can never be silently scored with raw-encoding math.
+
+    ``rotation`` (an OPQ matrix, ``opq.fit_opq``) records that the index
+    lives in ROTATED space — the FAISS "OPQd,IVFx,PQy" pre-transform:
+    ``codes_df`` (and ``centroids``, if any) must have been computed over
+    ``rotate_vectors`` output, appends rotate each new batch before
+    encoding, and searches rotate queries before their LUT/probe build
+    (the exact rerank stays in raw space — orthogonal rotation preserves
+    inner products). The rotation is part of the index's coordinate
+    frame: refits re-fit quantizers WITHIN it (see
+    :func:`refit_pq_index`); changing the rotation itself is a new
+    index build."""
     m, ncodes, subdim = _check_codebooks(codebooks)
     if residual and centroids is None:
         raise ValueError("a residual index needs its coarse centroids")
+    if rotation is not None:
+        d = len(rotation)
+        if any(len(row) != d for row in rotation):
+            raise ValueError("rotation must be square d×d")
+        if d != m * subdim:
+            raise ValueError(
+                f"rotation dim {d} != codebook dim {m * subdim}"
+            )
     if centroids is not None and "cell" not in codes_df.columns:
         raise ValueError(
             "an IVF-PQ index (centroids given) needs a 'cell' column on "
@@ -728,10 +790,11 @@ def write_pq_index(
 
     meta = single_partition_df(
         spark,
-        [(m, ncodes, subdim, codebooks, centroids, bool(residual))],
+        [(m, ncodes, subdim, codebooks, centroids, bool(residual), rotation)],
         "m int, ncodes int, subdim int, "
         "codebooks array<array<array<double>>>, "
-        "centroids array<array<double>>, residual boolean",
+        "centroids array<array<double>>, residual boolean, "
+        "rotation array<array<double>>",
     )
     meta.write.mode(mode).json(f"{path}/codebooks")
     if centroids is not None:
@@ -804,19 +867,23 @@ def resolve_index_root(spark, path: str, version: int | None = None) -> str:
     return f"{path}/v_{vs[-1]:05d}" if vs else path
 
 
-def read_pq_meta(spark, path: str) -> tuple[list, list | None, bool]:
-    """(codebooks, centroids-or-None, residual) from ``write_pq_index``
-    output — the append/search paths need them without scanning the
-    codes table. Explicit schema (no inference pass; the centroids and
-    residual fields read as NULL on indexes written before they
-    existed — NULL residual means raw encoding), validated for
-    rectangularity before any use. Resolves the committed version first
-    (idempotent on an already-resolved root)."""
+def read_pq_meta(
+    spark, path: str
+) -> tuple[list, list | None, bool, list | None]:
+    """(codebooks, centroids-or-None, residual, rotation-or-None) from
+    ``write_pq_index`` output — the append/search paths need them without
+    scanning the codes table. Explicit schema (no inference pass; the
+    centroids/residual/rotation fields read as NULL on indexes written
+    before they existed — NULL residual means raw encoding, NULL rotation
+    means identity/raw space), validated for rectangularity before any
+    use. Resolves the committed version first (idempotent on an
+    already-resolved root)."""
     path = resolve_index_root(spark, path)
     meta = spark.read.schema(
         "m int, ncodes int, subdim int, "
         "codebooks array<array<array<double>>>, "
-        "centroids array<array<double>>, residual boolean"
+        "centroids array<array<double>>, residual boolean, "
+        "rotation array<array<double>>"
     ).json(f"{path}/codebooks")
     rows = meta.collect()
     if len(rows) != 1:
@@ -838,7 +905,53 @@ def read_pq_meta(spark, path: str) -> tuple[list, list | None, bool]:
         if r["centroids"] is not None
         else None
     )
-    return codebooks, centroids, bool(r["residual"])
+    rotation = (
+        [list(map(float, row)) for row in r["rotation"]]
+        if r["rotation"] is not None
+        else None
+    )
+    return codebooks, centroids, bool(r["residual"]), rotation
+
+
+#: resolved-root -> (codebooks-dir listing token, meta tuple). The token —
+#: (name, mtime, length) of every file under <root>/codebooks — changes on
+#: any rewrite of the meta, so a cache hit is exactly "same version dir,
+#: same codebook files": version bumps (refit) get a new key, in-place
+#: overwrites (mode="overwrite" on an un-versioned index) get a new token.
+_META_CACHE: dict[str, tuple[tuple, tuple]] = {}
+
+
+def _codebooks_token(spark, root: str):
+    jvm, fs, _ = _index_fs(spark, root)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root}/codebooks")
+    if not fs.exists(p):
+        return None
+    return tuple(
+        sorted(
+            (st.getPath().getName(), st.getModificationTime(), st.getLen())
+            for st in fs.listStatus(p)
+        )
+    )
+
+
+def read_pq_meta_cached(
+    spark, path: str
+) -> tuple[list, list | None, bool, list | None]:
+    """:func:`read_pq_meta` behind a validity-token memo — the per-batch
+    hot path for streaming maintenance (r12 verdict item 3): re-reading
+    the JSON meta through a Spark job every micro-batch cost more than
+    the append itself. One FS listing of ``<root>/codebooks`` (a
+    metadata RPC, ~ms) validates the cache; any meta rewrite — refit
+    version bump or in-place overwrite — changes the token and forces a
+    real re-read, so the memo can never serve stale codebooks."""
+    root = resolve_index_root(spark, path)
+    tok = _codebooks_token(spark, root)
+    hit = _META_CACHE.get(root)
+    if hit is not None and hit[0] == tok:
+        return hit[1]
+    meta = read_pq_meta(spark, root)
+    _META_CACHE[root] = (tok, meta)
+    return meta
 
 
 def read_pq_codebooks(spark, path: str):
@@ -885,15 +998,33 @@ def append_pq_index(
     written with the same ``partition_col`` (``write_pq_index``). On an
     IVF-PQ index (persisted centroids) the batch's coarse cells are
     assigned here too — same determinism argument, so maintained cells
-    equal rebuild cells exactly."""
+    equal rebuild cells exactly.
+
+    A batch racing a :func:`refit_pq_index` window would land in the OLD
+    version and be silently dropped by the version swap; the contract is
+    "quiesce appenders", and this function ENFORCES detection: after the
+    merge it re-resolves the live version and raises if the version
+    changed underneath it, so a lost batch is a loud replay signal (a
+    checkpointed streaming caller retries the batch, which then lands in
+    the new live version) instead of mysteriously missing vectors."""
     from ..streaming.upsert import merge_upsert_batch
 
     if partition_col not in new_docs.columns:
         raise ValueError(
             f"new_docs must carry partition column {partition_col!r}"
         )
+    logical_root = path
     path = resolve_index_root(spark, path)  # append into the live version
-    codebooks, centroids, residual = read_pq_meta(spark, path)
+    codebooks, centroids, residual, rotation = read_pq_meta_cached(spark, path)
+    if rotation is not None:
+        # OPQ index: the batch enters the index's rotated coordinate frame
+        # before any encode/assign — a pure map-side expression, so the
+        # append==rebuild determinism argument is unchanged.
+        from .opq import rotate_vectors
+
+        new_docs = rotate_vectors(
+            new_docs, rotation, vec_col=vec_col, out_col="__rot__"
+        ).drop(vec_col).withColumnRenamed("__rot__", vec_col)
     if residual:
         # residual indexes carry their encoding rule in the meta: the
         # batch is encoded against the SAME frozen (centroids, residual
@@ -916,6 +1047,14 @@ def append_pq_index(
     merge_upsert_batch(
         spark, batch, f"{path}/codes", [id_col], partition_col
     )
+    live_after = resolve_index_root(spark, logical_root)
+    if live_after != path:
+        raise RuntimeError(
+            f"append_pq_index raced a refit: the batch merged into {path} "
+            f"but the live version is now {live_after} — the batch is NOT "
+            "in the live index. Replay it (the refit's corpus snapshot "
+            "predates this batch)."
+        )
 
 
 def ivf_pq_search_index(
@@ -930,6 +1069,7 @@ def ivf_pq_search_index(
     vec_col: str = "embedding",
     recall_target: float = 0.75,
     version: int | None = None,
+    query_probes: DataFrame | None = None,
 ) -> DataFrame:
     """Search a maintained IVF-PQ index AT REST: codes, cells, codebooks
     and centroids all come from ``path`` — the query-time work is the
@@ -946,7 +1086,7 @@ def ivf_pq_search_index(
     (codes, codebooks, centroids) — old or new, never a mix. ``version``
     pins a retained version for reproducible re-runs."""
     path = resolve_index_root(spark, path, version=version)
-    codebooks, centroids, residual = read_pq_meta(spark, path)  # one meta read
+    codebooks, centroids, residual, rotation = read_pq_meta_cached(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     if centroids is None:
         raise ValueError(
@@ -979,6 +1119,8 @@ def ivf_pq_search_index(
         corpus_codes=code_cols,
         corpus_cells=None if residual else codes.select(id_col, "cell"),
         residual=residual,
+        query_probes=query_probes,
+        rotation=rotation,
     )
 
 
@@ -1039,7 +1181,7 @@ def index_drift_report(
     from .ivf import _sq_dist_to, fit_ivf_centroids, well_formed_vectors
 
     path = resolve_index_root(spark, path)
-    _, centroids, _residual = read_pq_meta(spark, path)
+    _, centroids, _residual, _rotation = read_pq_meta(spark, path)
     if centroids is None:
         raise ValueError(
             f"{path} is a plain PQ index (no centroids) — drift of the "
@@ -1166,7 +1308,7 @@ def refit_pq_index(
     from .ivf import assign_cells, fit_ivf_centroids
 
     old_root = resolve_index_root(spark, path)
-    codebooks, centroids, residual = read_pq_meta(spark, old_root)
+    codebooks, centroids, residual, rotation = read_pq_meta(spark, old_root)
     if centroids is None:
         raise ValueError(
             f"{path} is a plain PQ index (no centroids) — refit_pq_index "
@@ -1194,29 +1336,45 @@ def refit_pq_index(
             "the index's own scheme (or None for a flat index)"
         )
 
+    fit_corpus = corpus
+    if rotation is not None:
+        # OPQ index: the rotation is the index's coordinate FRAME, not a
+        # fitted quantizer — the refit re-fits centroids/codebooks WITHIN
+        # it (rotate the corpus with the same map-side expression appends
+        # use, then fit/encode in rotated space and carry the rotation
+        # into the new version's meta). Re-fitting the rotation itself is
+        # a new index build (fit_opq + write_pq_index), by design: it
+        # would change the coordinate frame under retained old versions.
+        from .opq import rotate_vectors
+
+        fit_corpus = (
+            rotate_vectors(corpus, rotation, vec_col=vec_col, out_col="__rot__")
+            .drop(vec_col)
+            .withColumnRenamed("__rot__", vec_col)
+        )
     new_centroids = fit_ivf_centroids(
-        corpus, vec_col, id_col, k=n_cells, iters=iters, seed=seed,
+        fit_corpus, vec_col, id_col, k=n_cells, iters=iters, seed=seed,
         fit_sample_n=fit_sample_n,
     )
     if residual:
         new_codebooks = fit_residual_codebooks(
-            corpus, new_centroids, vec_col=vec_col, id_col=id_col, m=m,
+            fit_corpus, new_centroids, vec_col=vec_col, id_col=id_col, m=m,
             ncodes=ncodes, iters=iters, seed=seed, fit_sample_n=fit_sample_n,
         )
         enc = ivf_pq_encode_residual(
-            corpus, new_codebooks, new_centroids, id_col=id_col, vec_col=vec_col
+            fit_corpus, new_codebooks, new_centroids, id_col=id_col, vec_col=vec_col
         )
     else:
         new_codebooks = fit_pq_codebooks(
-            corpus, vec_col=vec_col, id_col=id_col, m=m, ncodes=ncodes,
+            fit_corpus, vec_col=vec_col, id_col=id_col, m=m, ncodes=ncodes,
             iters=iters, seed=seed, fit_sample_n=fit_sample_n,
         )
         cells = assign_cells(
-            corpus, new_centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+            fit_corpus, new_centroids, id_col=id_col, vec_col=vec_col, nprobe=1
         ).select(id_col, "cell")
-        enc = pq_encode(corpus, new_codebooks, id_col=id_col, vec_col=vec_col).join(
-            cells, id_col
-        )
+        enc = pq_encode(
+            fit_corpus, new_codebooks, id_col=id_col, vec_col=vec_col
+        ).join(cells, id_col)
     if partition_col is not None:
         enc = enc.join(corpus.select(id_col, partition_col), id_col)
 
@@ -1229,7 +1387,7 @@ def refit_pq_index(
     vdir = f"{path}/v_{new_ver:05d}"
     write_pq_index(
         enc, new_codebooks, vdir, mode="error", partition_col=partition_col,
-        centroids=new_centroids, residual=residual,
+        centroids=new_centroids, residual=residual, rotation=rotation,
     )
     n_rows = int(spark.read.parquet(f"{vdir}/codes").count())
 

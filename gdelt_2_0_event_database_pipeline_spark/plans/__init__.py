@@ -22,78 +22,21 @@ from . import tpch_plans  # noqa: E402,F401
 # by each query's newest CORRECTNESS_r* row, alphabetical within a round.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-12 rotation (r11 verdict item 2), regenerated mechanically from
-    # the cumulative CORRECTNESS_r* evidence: head = the 3 queries that
-    # registered after the r11 window ran (q_label_propagation,
-    # q_moments_maintained, q_random_projection — judge-verified locally
-    # but without a durable driver row), then the ENTIRE r7-stale bucket
-    # (46), plus q_pq_topk whose oracle flipped from rows-only to a
-    # persisted-artifact hash replay in r12 — exactly one 50-slot window
-    # (the r8 filler q02_min_cost_supplier moves to slot 51).
-    # After the r12 driver run the freshness floor is r8; the tail keeps
-    # oldest-evidence-first so r13 continues mechanically.
-    "q_label_propagation",  # NEW — no driver row yet
-    "q_moments_maintained",  # NEW — no driver row yet
-    "q_random_projection",  # NEW — no driver row yet
-    "q_pq_topk",  # oracle FLIPPED r12 (persisted-artifact ADC replay) — window
-    # slot so the rows-only -> hash-checked transition lands in CORRECTNESS_r12
-    "q06_forecast_revenue",  # last driver row: r7
-    "q_approx_distinct",  # last driver row: r7
-    "q_asof_tolerance",  # last driver row: r7
-    "q_audio_near_dup",  # last driver row: r7
-    "q_basket_sizes",  # last driver row: r7
-    "q_bm25_search",  # last driver row: r7
-    "q_boilerplate_lines",  # last driver row: r7
-    "q_bpe_train",  # last driver row: r7
-    "q_burst_detection",  # last driver row: r7
-    "q_collocations",  # last driver row: r7
-    "q_compression_ratio",  # last driver row: r7
-    "q_containment_join",  # last driver row: r7
-    "q_conversion_latency",  # last driver row: r7
-    "q_dedup_against_bloom",  # last driver row: r7
-    "q_dedup_chain",  # last driver row: r7
-    "q_dedup_near_against",  # last driver row: r7
-    "q_dim_variance",  # last driver row: r7
-    "q_domain_stats",  # last driver row: r7
-    "q_dup_spans",  # last driver row: r7
-    "q_ewma",  # last driver row: r7
-    "q_funnel",  # last driver row: r7
-    "q_hashed_semantic_dedup",  # last driver row: r7
-    "q_heavy_hitters_exact",  # last driver row: r7
-    "q_histogram",  # last driver row: r7
-    "q_hll_rollup",  # last driver row: r7
-    "q_k_anonymity",  # last driver row: r7
-    "q_k_anonymity_report",  # last driver row: r7
-    "q_label_separability",  # last driver row: r7
-    "q_media_near_dup",  # last driver row: r7
-    "q_merge_intervals",  # last driver row: r7
-    "q_model_fit_score",  # last driver row: r7
-    "q_model_score",  # last driver row: r7
-    "q_pack_first_fit",  # last driver row: r7
-    "q_quantiles_approx",  # last driver row: r7
-    "q_repeat_rate",  # last driver row: r7
-    "q_resample_ffill",  # last driver row: r7
-    "q_retention_d7",  # last driver row: r7
-    "q_semantic_dedup",  # last driver row: r7
-    "q_seq_trigrams",  # last driver row: r7
-    "q_setsim_join",  # last driver row: r7
-    "q_snapshot_diff",  # last driver row: r7
-    "q_sql_surface",  # last driver row: r7
-    "q_tfidf_keywords",  # last driver row: r7
-    "q_transitions",  # last driver row: r7
-    "q_video_near_dup",  # last driver row: r7
-    "q_winsorize",  # last driver row: r7
-    "q_shuffle_shards",  # NEW r12 (oracled) — slot 51: below the r7 bucket so
-    # the floor-r8 freshness contract holds; first in the r13 window otherwise
-    "q_opq_topk",  # NEW r12 (artifact-oracled) — slot 52: r12-window overflow
-    # if the driver budget reaches it, else first in the r13 window (placed
-    # below the r7 bucket so the freshness sweep keeps its floor-r8 contract;
-    # the judge can verify locally via tools/verify_local.py meanwhile)
-    "q_ivf_pq_residual",  # oracle FLIPPED r12 (at-rest artifact replay incl.
-    # probe selection + residual ADC term) — slot 52, same overflow contract
-    "q_ivf_topk",  # oracle FLIPPED r12 (at-rest cells+centroids replay) — slot 53
-    "q_ivf_pq_topk",  # oracle FLIPPED r12 (raw at-rest IVFPQ replay) — slot 54
-    "q_pq_append",  # oracle FLIPPED r12 (maintained-index at-rest replay) — slot 55
+    # Round-13 rotation (r12 verdict item 1), regenerated mechanically from
+    # the cumulative CORRECTNESS_r* evidence: head = the 2 queries that
+    # registered after the r12 window ran (q_opq_topk, q_shuffle_shards)
+    # followed by the 4 ANN queries whose oracles flipped to persisted-
+    # artifact replays in r12 — and whose probe selection became a persisted
+    # artifact in r13 — so the whole at-rest oracle family gets driver
+    # attestation; then strictly oldest-evidence-first (alphabetical within
+    # a round). The 50-slot window covers the 6 + 44 of the 49 r8-stale
+    # queries; the remaining 5 r8 rows head the r14 window.
+    "q_opq_topk",  # NEW r12 — no driver row yet
+    "q_shuffle_shards",  # NEW r12 — no driver row yet
+    "q_ivf_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
+    "q_ivf_pq_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
+    "q_pq_append",  # oracle flipped r12 + probes persisted r13 — last driver row r10 predates both
+    "q_ivf_pq_residual",  # oracle flipped r12 + probes persisted r13 — last driver row r11 predates both
     "q02_min_cost_supplier",  # last driver row: r8
     "q04_order_priority",  # last driver row: r8
     "q07_volume_shipping",  # last driver row: r8
@@ -285,6 +228,56 @@ _DRIVER_PRIORITY = [
     "q_ttr",  # last driver row: r11
     "q_weighted_median",  # last driver row: r11
     "q_zipf",  # last driver row: r11
+    "q06_forecast_revenue",  # last driver row: r12
+    "q_approx_distinct",  # last driver row: r12
+    "q_asof_tolerance",  # last driver row: r12
+    "q_audio_near_dup",  # last driver row: r12
+    "q_basket_sizes",  # last driver row: r12
+    "q_bm25_search",  # last driver row: r12
+    "q_boilerplate_lines",  # last driver row: r12
+    "q_bpe_train",  # last driver row: r12
+    "q_burst_detection",  # last driver row: r12
+    "q_collocations",  # last driver row: r12
+    "q_compression_ratio",  # last driver row: r12
+    "q_containment_join",  # last driver row: r12
+    "q_conversion_latency",  # last driver row: r12
+    "q_dedup_against_bloom",  # last driver row: r12
+    "q_dedup_chain",  # last driver row: r12
+    "q_dedup_near_against",  # last driver row: r12
+    "q_dim_variance",  # last driver row: r12
+    "q_domain_stats",  # last driver row: r12
+    "q_dup_spans",  # last driver row: r12
+    "q_ewma",  # last driver row: r12
+    "q_funnel",  # last driver row: r12
+    "q_hashed_semantic_dedup",  # last driver row: r12
+    "q_heavy_hitters_exact",  # last driver row: r12
+    "q_histogram",  # last driver row: r12
+    "q_hll_rollup",  # last driver row: r12
+    "q_k_anonymity",  # last driver row: r12
+    "q_k_anonymity_report",  # last driver row: r12
+    "q_label_propagation",  # last driver row: r12
+    "q_label_separability",  # last driver row: r12
+    "q_media_near_dup",  # last driver row: r12
+    "q_merge_intervals",  # last driver row: r12
+    "q_model_fit_score",  # last driver row: r12
+    "q_model_score",  # last driver row: r12
+    "q_moments_maintained",  # last driver row: r12
+    "q_pack_first_fit",  # last driver row: r12
+    "q_pq_topk",  # last driver row: r12
+    "q_quantiles_approx",  # last driver row: r12
+    "q_random_projection",  # last driver row: r12
+    "q_repeat_rate",  # last driver row: r12
+    "q_resample_ffill",  # last driver row: r12
+    "q_retention_d7",  # last driver row: r12
+    "q_semantic_dedup",  # last driver row: r12
+    "q_seq_trigrams",  # last driver row: r12
+    "q_setsim_join",  # last driver row: r12
+    "q_snapshot_diff",  # last driver row: r12
+    "q_sql_surface",  # last driver row: r12
+    "q_tfidf_keywords",  # last driver row: r12
+    "q_transitions",  # last driver row: r12
+    "q_video_near_dup",  # last driver row: r12
+    "q_winsorize",  # last driver row: r12
 ]
 
 

@@ -78,6 +78,8 @@ NESTED_LOOP_OK = {
     "q_skew_report",         # top-k keys × broadcast 1-row total
     "q_heavy_hitters_exact", # |event types|-row counts × broadcast 1-row total
     "q_distribution_drift",  # bucket histogram × broadcast 1-row totals
+    "q_ivf_pq_drift",        # ≤n_cells-row occupancy join × broadcast 1-row
+                             # (n_build, n_current) totals — the TVD fold
     "q_bm25_search",         # corpus × broadcast 1-row BM25 stats
     "q_hybrid_rrf",          # BM25 1-row stats cross + cosine broadcast 1-row
                              # query — both bounded feeder shapes of the
@@ -111,6 +113,8 @@ NESTED_LOOP_OK = {
 #: queries whose Exchange SinglePartition feeds a SINGLE-ROW summary
 #: aggregate (map-side partials; one row per partition crosses the wire)
 SINGLE_PARTITION_OK = {
+    "q_ivf_pq_drift",    # 1-row (n_build, n_current) totals over the
+                         # ≤n_cells occupancy join, then the 1-row TVD fold
     "q_null_drop",       # retention report row (rows_before/after/retention)
     "q_profile",         # one-row dataset profile
     "q_heavy_hitters",   # freqItems sketch merges to one summary row

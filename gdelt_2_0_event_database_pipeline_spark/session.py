@@ -10,6 +10,8 @@ enabled for the few Pandas-UDF code paths.
 from __future__ import annotations
 
 import os
+import tempfile
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -47,6 +49,18 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Per-process warehouse: two concurrent sessions sharing a cwd
+        # otherwise collide on saveAsTable targets (e.g. the bucketed-join
+        # table) — a shared ./spark-warehouse is a race, not a feature.
+        # Persisted index artifacts are unaffected: they use explicit
+        # absolute paths, not the warehouse. Override via extra_conf.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                tempfile.gettempdir(),
+                f"spark-warehouse-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -30,9 +30,11 @@ tests/test_streaming_ann.py).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
-from ..operators.pq import append_pq_index
+from ..operators.pq import append_pq_index, index_drift_report, refit_pq_index
 
 
 def maintain_pq_index_stream(
@@ -42,6 +44,12 @@ def maintain_pq_index_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     partition_col: str = "ingest_day",
+    drift_check_every_n_batches: int | None = None,
+    drift_action: str = "report",
+    refit_corpus: Callable[[], DataFrame] | None = None,
+    drift_sink: str | None = None,
+    tvd_threshold: float = 0.25,
+    err_ratio_threshold: float = 1.30,
 ):
     """``writeStream.foreachBatch`` wrapper around
     :func:`operators.pq.append_pq_index` — returns the started query
@@ -50,17 +58,86 @@ def maintain_pq_index_stream(
     same ``partition_col``). Search the maintained index any time with
     ``read_pq_index`` + ``pq_topk``, or — for an IVF-PQ index (persisted
     centroids; appends assign cells automatically) —
-    ``ivf_pq_search_index``, which never re-assigns the corpus."""
+    ``ivf_pq_search_index``, which never re-assigns the corpus.
 
-    def _append(batch: DataFrame, _batch_id: int) -> None:
+    **Drift → refit loop** (r12 verdict item 2; default OFF): with
+    ``drift_check_every_n_batches=N``, every Nth micro-batch (by batch
+    id, so the cadence survives checkpointed restarts) additionally runs
+    :func:`operators.pq.index_drift_report` with the batch itself as the
+    bounded tap of recent vectors (the report hash-rank-caps it). The
+    decision row — batch id, the report's measurements, and the action
+    taken — is appended to ``drift_sink`` (a parquet monitoring table)
+    when given. On ``refit_recommended``:
+
+    - ``drift_action="report"`` (default): emit the decision row only —
+      the operator schedules the refit (the FAISS-style discipline:
+      retrain on evidence, on the operator's terms).
+    - ``drift_action="refit"``: call :func:`operators.pq.refit_pq_index`
+      with ``refit_corpus()`` (a REQUIRED zero-arg provider returning
+      the full current raw-vector corpus incl. ``partition_col``,
+      evaluated only when a refit actually fires). The refit is the
+      atomic version swap: concurrent searches resolve old-or-new in
+      full, never a mix (``resolve_index_root`` contract), and the NEXT
+      batch's append resolves the new version. The refit runs after this
+      batch's append, so its corpus snapshot can include the batch.
+
+    Cadence cost is measured in BENCH_streaming.json (``drift_check``
+    rows): one scan of the codes table's cell column + two bounded
+    sample passes per checked batch."""
+    if drift_action not in ("report", "refit"):
+        raise ValueError(f"drift_action must be 'report' or 'refit', got {drift_action!r}")
+    if drift_action == "refit" and drift_check_every_n_batches and refit_corpus is None:
+        raise ValueError("drift_action='refit' needs a refit_corpus provider")
+
+    def _append(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         append_pq_index(
-            batch.sparkSession,
+            spark,
             index_path,
             batch,
             id_col=id_col,
             vec_col=vec_col,
             partition_col=partition_col,
         )
+        n = drift_check_every_n_batches
+        if not n or (batch_id + 1) % n:
+            return
+        rep = index_drift_report(
+            spark,
+            index_path,
+            batch,
+            id_col=id_col,
+            vec_col=vec_col,
+            tvd_threshold=tvd_threshold,
+            err_ratio_threshold=err_ratio_threshold,
+        ).collect()[0]
+        refitted = bool(rep["refit_recommended"]) and drift_action == "refit"
+        if refitted:
+            refit_pq_index(
+                spark,
+                index_path,
+                refit_corpus(),
+                id_col=id_col,
+                vec_col=vec_col,
+                partition_col=partition_col,
+            )
+        if drift_sink is not None:
+            from ..util import single_partition_df
+
+            single_partition_df(
+                spark,
+                [
+                    (
+                        int(batch_id),
+                        rep["occupancy_tvd"],
+                        rep["err_ratio"],
+                        bool(rep["refit_recommended"]),
+                        "refit" if refitted else "report",
+                    )
+                ],
+                "batch_id bigint, occupancy_tvd double, err_ratio double, "
+                "refit_recommended boolean, action string",
+            ).write.mode("append").parquet(drift_sink)
 
     return (
         stream.writeStream.foreachBatch(_append)

@@ -172,3 +172,80 @@ def test_opq_recall_not_worse_than_pq_on_correlated(spark, vec_df, xmat, fitted)
     r_plain = recall(pq_topk(enc_plain, queries, plain_books, k=5))
     r_opq = recall(opq_topk(enc_opq, queries, r, books, k=5))
     assert r_opq >= r_plain - 0.05, (r_plain, r_opq)
+
+
+def test_maintained_opq_ivfpq_index_append_equals_rebuild(spark, tmp_path, vec_df, fitted):
+    """The r13 composition: an at-rest IVF-PQ index carrying an OPQ
+    rotation sidecar. Appends rotate each batch with the same map-side
+    expression a rebuild would use, so maintained codes+cells equal an
+    encode-everything rebuild EXACTLY (in rotation space); search through
+    ivf_pq_search_index rotates queries automatically from the meta and
+    reranks in raw space."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        ivf_pq_search_index,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    rotation, _ = fitted
+    rot_all = (
+        rotate_vectors(vec_df, rotation, out_col="__r__")
+        .drop("embedding")
+        .withColumnRenamed("__r__", "embedding")
+    )
+    cents = fit_ivf_centroids(rot_all, k=4, iters=2)
+    books = fit_pq_codebooks(rot_all, m=M, ncodes=NCODES, iters=2)
+    base_rot = rot_all.filter("vec_id < 400")
+    codes0 = pq_encode(base_rot, books).join(
+        assign_cells(base_rot, cents, nprobe=1).select("vec_id", "cell"),
+        "vec_id",
+    ).withColumn("ingest_day", F.lit("d0"))
+    index = str(tmp_path / "opq_idx")
+    write_pq_index(
+        codes0, books, index, partition_col="ingest_day",
+        centroids=cents, rotation=rotation,
+    )
+
+    # append a RAW batch: the index rotates it internally
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        append_pq_index,
+    )
+
+    append_pq_index(
+        spark, index,
+        vec_df.filter("vec_id >= 400").withColumn("ingest_day", F.lit("d1")),
+    )
+
+    maintained, _ = read_pq_index(spark, index)
+    got = {
+        r.vec_id: (r.cell, list(r.codes), r.vhat_sq)
+        for r in maintained.select("vec_id", "cell", "codes", "vhat_sq").collect()
+    }
+    rebuilt = {
+        r.vec_id: (r.cell, list(r.codes), r.vhat_sq)
+        for r in pq_encode(rot_all, books)
+        .join(assign_cells(rot_all, cents, nprobe=1).select("vec_id", "cell"), "vec_id")
+        .collect()
+    }
+    assert got == rebuilt
+
+    # search the maintained index with RAW queries: recall against exact
+    # brute-force cosine (raw space) with full rerank must be perfect on
+    # the reranked shortlist head
+    queries = vec_df.filter("vec_id < 3")
+    res = ivf_pq_search_index(
+        spark, index, queries, corpus=vec_df, k=5, nprobe=4, rerank=400,
+    ).collect()
+    assert {r["query_id"] for r in res} == {0, 1, 2}
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(vec_df, queries, k=5).collect()
+    }
+    got_ranks = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in res}
+    # probe-all (nprobe=4 of 4 cells) + rerank over every candidate ==
+    # exact brute force
+    assert got_ranks == exact

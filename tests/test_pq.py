@@ -584,7 +584,7 @@ def test_refit_restores_recall_and_swaps_atomically(spark, tmp_path):
     # readers now resolve the committed version; meta comes from it
     root = resolve_index_root(spark, path)
     assert root.endswith("v_00001")
-    _, new_cents, _ = read_pq_meta(spark, path)
+    _, new_cents, _, _ = read_pq_meta(spark, path)
     assert new_cents != cents  # the quantizer actually refit
     r_after = recall()
     assert r_after > r_before + 0.1, (r_before, r_after)

@@ -154,3 +154,80 @@ def test_stream_maintains_residual_index(spark, tmp_path, corpus):
         for r in ivf_pq_encode_residual(corpus, books, cents).collect()
     }
     assert maintained == rebuilt
+
+
+def test_drift_check_triggers_exactly_one_refit(spark, tmp_path):
+    """The r13 drift->refit loop: an in-distribution batch passes the
+    cadence check silently, a planted hard-shift batch trips
+    index_drift_report and fires refit_pq_index exactly once (atomic
+    version swap); the decision sink records the check, a fresh drift
+    check against the refit index no longer recommends a refit (fit
+    restored), and the maintained index covers the full corpus."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        _list_versions,
+        index_drift_report,
+    )
+
+    index = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "decisions")
+
+    base = _vecs(spark, range(40), "d0")
+    cents = fit_ivf_centroids(base, k=4, iters=3)
+    books = fit_pq_codebooks(base, m=4, ncodes=4, iters=3)
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import assign_cells
+
+    codes = pq_encode(base, books).join(
+        assign_cells(base, cents, nprobe=1).select("vec_id", "cell"), "vec_id"
+    ).withColumn("ingest_day", F.lit("d0"))
+    write_pq_index(codes, books, index, partition_col="ingest_day", centroids=cents)
+
+    # batch 1 (ids 40..49): in-distribution — cadence=2 skips the check.
+    # batch 2 (ids 50..69): a hard shift (+60 on the first 2 of 8 dims,
+    # the drift_probe recipe) — cadence fires, report recommends, refit runs.
+    _vecs(spark, range(40, 50), "d1").coalesce(1).write.mode("append").parquet(src)
+    shifted = _vecs(spark, range(50, 70), "d2").withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (v, i) -> CASE WHEN i < 2 THEN v + 60.0 ELSE v END)"
+        ),
+    )
+    shifted.coalesce(1).write.mode("append").parquet(src)
+
+    def full_corpus():
+        lake = spark.read.parquet(src)
+        return base.unionByName(lake)
+
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    q = maintain_pq_index_stream(
+        stream,
+        index,
+        ckpt,
+        drift_check_every_n_batches=2,
+        drift_action="refit",
+        refit_corpus=full_corpus,
+        drift_sink=sink,
+    )
+    q.awaitTermination(180)
+
+    # exactly one refit: one committed version, one decision row with action=refit
+    assert _list_versions(spark, index) == [1]
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 1
+    assert rows[0]["action"] == "refit" and rows[0]["refit_recommended"]
+
+    # fit restored: a sample of the CURRENT mix (what the refit was fit on)
+    # no longer trips the report — a shifted-only sample would, by
+    # construction: a dedicated fresh fit on 20 homogeneous rows always
+    # beats a mixed-corpus fit, which is not what "drifted" means.
+    rep = index_drift_report(spark, index, full_corpus()).first()
+    assert not rep["refit_recommended"]
+
+    # the refit index covers the full corpus (old + both batches)
+    codes2, _ = read_pq_index(spark, index)
+    assert codes2.count() == 70
+    assert codes2.select("vec_id").distinct().count() == 70

@@ -190,6 +190,64 @@ def assign_cells(
     )
 
 
+def nearest_cells_expr_mapside(
+    centroids: list[list[float]], vec: Column, nprobe: int = 1
+) -> Column:
+    """``array<int>`` of the ``nprobe`` nearest cell ids over an
+    already-cast ``array<double>`` vector Column — :func:`assign_cells`'s
+    scoring as a reusable map-side expression: the same ``|c|² − 2·v·c``
+    score (NOT ``nearest_cells``'s |v−c|² fold — the documented two-path
+    tie caveat), dots folded over ascending positions exactly as the
+    posexplode path's single-partial ``F.sum``, same array_sort tie
+    rule. Centroids ride as ONE nested array literal, so the plan stays
+    O(1) nodes regardless of k×dim."""
+    k = len(centroids)
+    cents = F.lit([[float(w) for w in c] for c in centroids])
+    csq = F.lit([float(sum(w * w for w in c)) for c in centroids])
+
+    def _dot(cent):
+        return F.aggregate(
+            F.zip_with(vec, cent, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scores = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            (
+                F.element_at(csq, i + 1) - 2 * _dot(F.element_at(cents, i + 1))
+            ).alias("s"),
+            i.alias("cid"),
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(scores), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def assign_cells_mapside(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Map-only twin of :func:`assign_cells` for SMALL batches (the
+    streaming-append hot path): zero shuffles, zero per-batch broadcast
+    builds — :func:`nearest_cells_expr_mapside` over the cast vector.
+    BIT-IDENTICAL to ``assign_cells`` by construction (see the
+    expression helper's docstring); pinned by the differential test in
+    tests/test_ivf.py. Same ``well_formed_vectors`` precondition
+    (NULL/empty rows dropped)."""
+    picked = nearest_cells_expr_mapside(
+        centroids, F.col(vec_col).cast("array<double>"), nprobe
+    )
+    return well_formed_vectors(df, vec_col).select(
+        F.col(id_col), F.explode(picked).alias("cell")
+    )
+
+
 def probe_assignments(vectors, centroids: list[list[float]], nprobe: int):
     """Per query vector, its ``nprobe`` nearest centroid ids — ascending
     |q-c|², stable ties toward the lower cell id (the same rule as

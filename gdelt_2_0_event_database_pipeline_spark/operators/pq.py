@@ -69,6 +69,7 @@ its recall floor, and pins encode == numpy-reference equality.
 
 from __future__ import annotations
 
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -319,6 +320,112 @@ def pq_encode(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("vhat_sq"),
+    )
+
+
+def pq_encode_mapside(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+    extra: dict | None = None,
+) -> DataFrame:
+    """Map-only twin of :func:`pq_encode` for SMALL batches — the
+    streaming-append hot path (r12 verdict item 3): zero shuffles, zero
+    per-batch broadcast builds, and an O(1)-node plan (the whole codebook
+    is ONE nested array literal indexed by HOF lambdas), so the fixed
+    per-micro-batch cost is milliseconds of analysis instead of the
+    posexplode shape's two shuffle stages + broadcast per batch.
+
+    BIT-IDENTICAL to ``pq_encode`` by construction, not by luck: the dot
+    products fold val·w over ascending positions exactly as the
+    posexplode path's partial-aggregated ``F.sum`` does (one partial per
+    id, rows in position order), scores use the same
+    ``|c|² − 2·v·c`` expression against the same Python-computed ``|c|²``
+    values, ties pick the lowest code id, and ``vhat_sq`` folds the
+    chosen ``|c|²`` terms over ascending subspaces — so maintained
+    (append through here) == rebuild (posexplode path) holds exactly;
+    pinned by the differential test in tests/test_pq.py.
+
+    Large corpora should keep :func:`pq_encode`: HOF lambdas evaluate
+    outside whole-stage codegen, which loses to the codegen groupBy shape
+    once the data — not the per-plan fixed cost — dominates.
+
+    ``carry`` names input columns to pass through to the output (e.g. the
+    ingest partition), and ``extra`` maps output names to Columns
+    evaluated over the staged frame — the cast vector is available there
+    as ``__v__`` (``ivf.nearest_cell_expr`` composes here), so the whole
+    append batch (codes, vhat_sq, cell, partition) is ONE map stage with
+    no joins at all."""
+    m, ncodes, subdim = _check_codebooks(codebooks)
+    wf = _assert_size(
+        well_formed_vectors(df, vec_col), vec_col, m * subdim, "pq_encode"
+    )
+    cb = F.lit(codebooks)  # one nested-array literal node
+    csq = F.lit(
+        [
+            [float(sum(w * w for w in cent)) for cent in books]
+            for books in codebooks
+        ]
+    )
+
+    def _dot(xs, cent):
+        return F.aggregate(
+            F.zip_with(xs, cent, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # nested HOF over (subspace, code) — a handful of lambda NODES total
+    # (lambdas iterate per element at runtime; they are single plan nodes,
+    # so analysis cost is O(1) in m×ncodes, unlike an unrolled tree).
+    # array_sort of (score, cid) structs == pq_encode's tie rule:
+    # lowest score, lowest code id on ties.
+    best = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(ncodes - 1)),
+                lambda c: F.struct(
+                    (
+                        F.element_at(F.element_at(csq, s + 1), c + 1)
+                        - 2
+                        * _dot(
+                            F.slice(
+                                F.col("__v__"),
+                                s * F.lit(subdim) + F.lit(1),
+                                F.lit(subdim),
+                            ),
+                            F.element_at(F.element_at(cb, s + 1), c + 1),
+                        )
+                    ).alias("s"),
+                    c.alias("cid"),
+                ),
+            )
+        ).getItem(0),
+    )
+    staged = wf.select(
+        F.col(id_col),
+        _as_double(vec_col).alias("__v__"),
+        *[F.col(c) for c in carry],
+    ).withColumn("__best__", best)
+    return staged.select(
+        F.col(id_col),
+        F.transform("__best__", lambda b: b["cid"]).alias("codes"),
+        F.aggregate(
+            F.zip_with(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.col("__best__"),
+                lambda s, b: F.element_at(
+                    F.element_at(csq, s + 1), b["cid"] + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("vhat_sq"),
+        *[F.col(c) for c in carry],
+        *[col.alias(name) for name, col in (extra or {}).items()],
     )
 
 
@@ -1033,17 +1140,39 @@ def append_pq_index(
             new_docs, codebooks, centroids, id_col=id_col, vec_col=vec_col
         )
     else:
-        enc = pq_encode(new_docs, codebooks, id_col=id_col, vec_col=vec_col)
+        # micro-batch hot path: the map-side twins (bit-identical to the
+        # posexplode shapes — see their docstrings + differential tests)
+        # cut the per-batch fixed cost from two shuffle stages + broadcast
+        # builds + two joins to ONE map stage producing the whole batch
+        # row (codes, vhat_sq, cell, partition) at once
+        extra = None
         if centroids is not None:
-            from .ivf import assign_cells
+            from .ivf import nearest_cells_expr_mapside
 
-            cells = assign_cells(
-                new_docs, centroids, id_col=id_col, vec_col=vec_col, nprobe=1
-            ).select(id_col, "cell")
-            enc = enc.join(cells, id_col)
+            extra = {
+                "cell": F.element_at(
+                    nearest_cells_expr_mapside(centroids, F.col("__v__"), 1), 1
+                )
+            }
+        enc = pq_encode_mapside(
+            new_docs, codebooks, id_col=id_col, vec_col=vec_col,
+            carry=(partition_col,), extra=extra,
+        )
+        merge_upsert_batch(
+            spark, enc, f"{path}/codes", [id_col], partition_col
+        )
+        live_after = resolve_index_root(spark, logical_root)
+        if live_after != path:
+            raise RuntimeError(
+                f"append_pq_index raced a refit: the batch merged into {path} "
+                f"but the live version is now {live_after} — the batch is NOT "
+                "in the live index. Replay it (the refit's corpus snapshot "
+                "predates this batch)."
+            )
+        return
     batch = enc.join(
         new_docs.select(id_col, partition_col), id_col
-    )  # re-attach the partition value (pq_encode keeps only the id)
+    )  # re-attach the partition value (the residual encode keeps only the id)
     merge_upsert_batch(
         spark, batch, f"{path}/codes", [id_col], partition_col
     )

@@ -33,6 +33,7 @@ _DRIVER_PRIORITY = [
     # queries; the remaining 5 r8 rows head the r14 window.
     "q_opq_topk",  # NEW r12 — no driver row yet
     "q_shuffle_shards",  # NEW r12 — no driver row yet
+    "q_opq_maintained",  # NEW r13 — maintained OPQ-IVF-PQ composition
     "q_ivf_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
     "q_ivf_pq_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
     "q_pq_append",  # oracle flipped r12 + probes persisted r13 — last driver row r10 predates both

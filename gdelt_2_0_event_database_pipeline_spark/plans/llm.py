@@ -1239,6 +1239,155 @@ _OPQ_ORACLE_ROOT = _os.path.join(
     "opq_oracle_index",
 )
 
+_OPQ_MAINT_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "opq_maintained_oracle_index",
+)
+
+
+@register(
+    "q_opq_maintained",
+    # The r13 composition oracle: a MAINTAINED OPQ-IVF-PQ index at rest —
+    # rotation lives in the index meta (not a sidecar file), the appended
+    # batch was rotated+encoded+cell-assigned by append_pq_index itself,
+    # probe cells are a persisted artifact, and DuckDB replays the whole
+    # serving path: rotate queries (left-fold vs the meta's R rows — the
+    # engine rotates queries with the same explicit fold), LUT/ADC over
+    # the Hive-partitioned maintained codes, cell equi-join via the probe
+    # artifact, shortlist, raw-space exact rerank.
+    sql=f"""
+    WITH m AS (
+      SELECT codebooks, rotation
+      FROM read_json_auto('{_OPQ_MAINT_ORACLE_ROOT}/codebooks/*.json')
+    ),
+    cd AS (
+      SELECT vec_id, cell, codes, vhat_sq
+      FROM read_parquet('{_OPQ_MAINT_ORACLE_ROOT}/codes/*/*.parquet',
+                        hive_partitioning=0)
+    ),
+    q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS rawv FROM embeddings WHERE vec_id < 5
+    ),
+    qr AS (
+      SELECT q.vec_id, q.rawv,
+             list_transform(range(1, 65),
+                            j -> list_dot_product(q.rawv, m.rotation[j])) AS v
+      FROM q CROSS JOIN m
+    ),
+    probes AS (
+      SELECT query_id, cell
+      FROM read_parquet('{_OPQ_MAINT_ORACLE_ROOT}/probes/*.parquet')
+    ),
+    adc AS (
+      SELECT qr.vec_id AS query_id, cd.vec_id AS neighbor_id, qr.rawv,
+             CASE WHEN cd.vhat_sq > 0
+                   AND sqrt(list_dot_product(qr.v, qr.v)) > 0 THEN
+               list_reduce(
+                 list_transform(range(1, 17),
+                   s -> list_dot_product(qr.v[((s-1)*4+1):(s*4)],
+                                         m.codebooks[s][cd.codes[s] + 1])),
+                 (a, x) -> a + x)
+               / (sqrt(list_dot_product(qr.v, qr.v)) * sqrt(cd.vhat_sq))
+             END AS adc_sim
+      FROM probes p
+      JOIN qr ON qr.vec_id = p.query_id
+      JOIN cd ON cd.cell = p.cell AND cd.vec_id != qr.vec_id
+      CROSS JOIN m
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, rawv,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_sim DESC NULLS LAST, neighbor_id) AS rr
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(s.rawv, e.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(s.rawv, s.rawv))
+                  * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cos_sim,
+             row_number() OVER (PARTITION BY s.query_id
+               ORDER BY list_dot_product(s.rawv, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(s.rawv, s.rawv))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) DESC NULLS LAST,
+               s.neighbor_id) AS rank
+      FROM short s JOIN embeddings e ON e.vec_id = s.neighbor_id
+      WHERE s.rr <= 100
+    ) WHERE rank <= 5
+    """,
+    doc=(
+        "Maintained OPQ-IVF-PQ index (r13 stretch, r12 verdict item 9; "
+        "the FAISS 'OPQd,IVFx,PQy' composition, Ge et al. CVPR 2013): the "
+        "rotation sidecar lives IN the index meta, so write/append/search/"
+        "refit all dispatch on it — a 90% base is written rotated, the "
+        "10% daily delta is appended RAW and rotated inside "
+        "append_pq_index (same map-side fold a rebuild uses: "
+        "append==rebuild parity in rotation space pinned in "
+        "tests/test_opq.py), and ivf_pq_search_index rotates queries "
+        "driver-side from the meta, probes via the persisted artifact, "
+        "ADC-orders the survivors, and exact-reranks in RAW space. "
+        "Hash-checked end-to-end against DuckDB over the same at-rest "
+        "artifacts."
+    ),
+)
+def q_opq_maintained(spark, sf_dir):
+    from ..operators import opq as O
+    from ..operators import pq as Q
+    from ..operators.ivf import assign_cells, fit_ivf_centroids, probe_assignments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _OPQ_MAINT_ORACLE_ROOT
+    key = (sf_dir, "opq", 16, 16)
+    fit = _IVF_FIT_CACHE.get(key)
+    if fit is None:
+        fit = O.fit_opq(emb, m=16, ncodes=16, iters=3, opq_iters=6)
+        _IVF_FIT_CACHE[key] = fit
+    rot, books = fit
+    rot_emb = O.rotate_vectors(emb, rot).select(
+        "vec_id", F.col("rotated").alias("embedding")
+    )
+    ckey = (sf_dir, "opq_maint_cents", 8, 2)
+    cents = _IVF_FIT_CACHE.get(ckey)
+    if cents is None:
+        cents = fit_ivf_centroids(rot_emb, k=8, iters=2)
+        _IVF_FIT_CACHE[ckey] = cents
+    if _IVF_FIT_CACHE.get("opq_maint_oracle_sf") != sf_dir:
+        base = rot_emb.filter(F.col("vec_id") % 10 != 9)
+        codes = (
+            Q.pq_encode(base, books)
+            .join(assign_cells(base, cents, nprobe=1).select("vec_id", "cell"), "vec_id")
+            .withColumn("ingest_day", F.lit("d0"))
+        )
+        Q.write_pq_index(
+            codes, books, root, mode="overwrite",
+            partition_col="ingest_day", centroids=cents, rotation=rot,
+        )
+        # probe artifact over ROTATED queries vs rotated-space centroids
+        # (the left-fold rotation — same numbers the search will use)
+        rotated_q, _ = O.rotate_queries_collected(
+            emb.filter(F.col("vec_id") < 5), rot
+        )
+        rows = rotated_q.select("vec_id", "embedding").collect()
+        probes = probe_assignments([r[1] for r in rows], cents, 4)
+        spark.createDataFrame(
+            [(r[0], int(c)) for r, prow in zip(rows, probes) for c in prow],
+            "query_id bigint, cell int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/probes")
+        _IVF_FIT_CACHE["opq_maint_oracle_sf"] = sf_dir
+    # the steady maintenance op: append the RAW 10% delta (the index
+    # rotates it internally) — idempotent, so re-invocation converges
+    Q.append_pq_index(
+        spark, root,
+        emb.filter(F.col("vec_id") % 10 == 9).withColumn(
+            "ingest_day", F.lit("d1")
+        ),
+    )
+    return Q.ivf_pq_search_index(
+        spark, root, emb.filter(F.col("vec_id") < 5),
+        corpus=emb, k=5, nprobe=4, rerank=100,
+        query_probes=spark.read.parquet(f"{root}/probes"),
+    )
+
 
 @register(
     "q_opq_topk",

@@ -46,10 +46,15 @@ def merge_upsert_batch(
     survives (the standard partitioned-upsert caveat; keys must be stable
     within their partition value, e.g. event-id within its event-day).
     """
+    # checkpoint FIRST (sever from the streaming source), THEN read the
+    # touched partitions off the materialized batch — the old order ran
+    # the batch's full lineage twice (once for the distinct-collect, once
+    # for the checkpoint), which at encode-heavy lineages (ANN append)
+    # was the single largest per-micro-batch cost (r12 verdict item 3)
+    batch = batch.localCheckpoint(eager=True)
     parts = [r[0] for r in batch.select(partition_col).distinct().collect()]
     if not parts:
         return
-    batch = batch.localCheckpoint(eager=True)  # sever from the streaming source
     try:
         existing = spark.read.parquet(path)
     except AnalysisException:  # first batch: lake doesn't exist yet.

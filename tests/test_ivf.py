@@ -167,3 +167,25 @@ def test_default_nprobe_recall_sf01(spark):
     den = sum(len(v) for v in exact.values())
     recall = num / den
     assert recall >= 0.75, f"default-nprobe recall@5 {recall}"
+
+
+def test_assign_cells_mapside_bit_parity(spark):
+    """assign_cells_mapside (the zero-shuffle append-path twin) must
+    produce the SAME (id, cell) set as the posexplode assign_cells —
+    identical |c|^2 - 2*v*c score, identical fold order, identical tie
+    rule — on the full test corpus at two nprobe values."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        assign_cells_mapside,
+        fit_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = fit_ivf_centroids(emb, k=8, iters=2)
+    for nprobe in (1, 3):
+        a = {(r[0], r[1]) for r in assign_cells(emb, cents, nprobe=nprobe).collect()}
+        b = {
+            (r[0], r[1])
+            for r in assign_cells_mapside(emb, cents, nprobe=nprobe).collect()
+        }
+        assert a == b and len(a) > 0

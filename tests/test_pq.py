@@ -988,3 +988,50 @@ def test_residual_encode_fuzz_matches_numpy(spark):
             assert got[i].vhat_sq == pytest.approx(want_sq[i], rel=1e-9), (shape, seed, i)
 
     check()
+
+
+def test_pq_encode_mapside_bit_parity(spark):
+    """The streaming-append hot path (pq_encode_mapside) must equal the
+    posexplode pq_encode BIT-FOR-BIT — codes and vhat_sq — on the full
+    test corpus: maintained==rebuild parity rests on the two paths
+    folding identical fp operations in identical order. Also pins the
+    carry/extra passthrough used by append_pq_index's fused batch."""
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        nearest_cells_expr_mapside,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_encode_mapside,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = fit_pq_codebooks(emb, m=16, ncodes=16, iters=2)
+    a = {r[0]: (list(r[1]), r[2]) for r in pq_encode(emb, books).collect()}
+    b = {
+        r[0]: (list(r[1]), r[2])
+        for r in pq_encode_mapside(emb, books).collect()
+    }
+    assert a == b and len(a) > 0
+
+    # carry + extra: one map stage yields (codes, vhat_sq, day, cell)
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+
+    cents = fit_ivf_centroids(emb, k=8, iters=2)
+    tagged = emb.withColumn("day", F.lit("d0"))
+    fused = pq_encode_mapside(
+        tagged, books, carry=("day",),
+        extra={"cell": F.element_at(
+            nearest_cells_expr_mapside(cents, F.col("__v__"), 1), 1)},
+    )
+    got = {r["vec_id"]: (r["day"], r["cell"]) for r in fused.collect()}
+    want = {
+        r["vec_id"]: ("d0", r["cell"])
+        for r in assign_cells(emb, cents, nprobe=1).collect()
+    }
+    assert got == want

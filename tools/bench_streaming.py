@@ -191,8 +191,27 @@ def bench_maintain_ann(spark, workdir: str, sf_dir: str, n_files: int) -> dict:
     )
     q.awaitTermination(600)
     dt = time.time() - t0
+
+    # drift-check cadence cost (r12 verdict item 2): same stream replayed
+    # through a fresh checkpoint with a drift report every 5th batch —
+    # the row's delta vs the plain run IS the monitoring overhead.
+    stream2 = (
+        spark.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    t1 = time.time()
+    q2 = maintain_pq_index_stream(
+        stream2, idx, os.path.join(workdir, "ann_ckpt_drift"),
+        drift_check_every_n_batches=5,
+        drift_sink=os.path.join(workdir, "ann_drift_sink"),
+    )
+    q2.awaitTermination(600)
+    dt2 = time.time() - t1
     return {"rows_in": total, "batches": n_files,
-            "sec": round(dt, 2), "rows_per_sec": round(total / dt)}
+            "sec": round(dt, 2), "rows_per_sec": round(total / dt),
+            "sec_with_drift_check_every_5": round(dt2, 2),
+            "drift_checks": n_files // 5}
 
 
 def main() -> int:

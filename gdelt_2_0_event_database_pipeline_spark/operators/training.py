@@ -564,3 +564,139 @@ def shuffle_shard_assign(
         F.col("__h__").asc(), *[F.col(c).asc() for c in key_cols]
     )
     return out.withColumn("pos", F.row_number().over(w)).drop("__h__")
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled multinomial sampling weights over a grouping
+    column — the standard multilingual mixing stage (public technique:
+    exponentiated-share sampling with temperature, Conneau et al. XLM-R;
+    mT5 uses the same alpha=0.3 default): group ``g`` with corpus share
+    ``p_g`` is sampled with probability ``p_g^alpha / Σ_h p_h^alpha``,
+    flattening head languages and up-weighting the tail as ``alpha → 0``.
+
+    Returns one row per group: ``(group, n_docs, share, weight,
+    expected_docs)`` where ``expected_docs = weight · N`` is the size of
+    each group in a resampled-epoch of the original corpus size. One
+    groupBy over the corpus + a 1-row total broadcast — the
+    single-row-accumulator class, O(|groups|) after the count."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").alias("__n__"),
+    )
+    pw = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__pa__", F.pow(F.col("n_docs") / F.col("__n__"), F.lit(float(alpha)))
+    )
+    z = pw.agg(F.sum("__pa__").alias("__z__"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "group",
+            "n_docs",
+            (F.col("n_docs") / F.col("__n__")).alias("share"),
+            (F.col("__pa__") / F.col("__z__")).alias("weight"),
+            (F.col("__pa__") / F.col("__z__") * F.col("__n__")).alias(
+                "expected_docs"
+            ),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document DSIR importance score (public technique: Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    hashed-unigram log-likelihood ratio between a TARGET corpus slice and
+    the full SOURCE — ``score(doc) = Σ_b count_b(doc) · λ_b`` with
+    ``λ_b = ln p_target(b) − ln p_source(b)`` over ``dim`` md5 hash
+    buckets (Laplace-smoothed). Selecting the top scores (or sampling
+    ∝ exp(score)) biases a raw crawl toward the target distribution —
+    the data-selection stage between dedup/quality and training.
+
+    Engine-portable by construction: λ is quantized in-plan to
+    ``round(scale·λ)`` integers, so each document's fold is a sum of
+    exact integer products (counts ≤ 1e6, |λq| ≤ ~20·scale — comfortably
+    inside 2^53), order-independent and bit-identical on any engine;
+    only the final ``/scale`` reintroduces a float. Tokenless documents
+    score exactly 0.0 via the left join back to the id set.
+
+    Plan shape at 100 TB: token text never leaves the scan stage (tokens
+    hash to (id, bucket) inside the explode projection); the two
+    distribution aggregates are O(dim) rows; per-doc scoring is one
+    broadcast join of the dim-row λ table + one integer-sum groupBy —
+    no shuffle wider than (id, bucket)."""
+    from .text import tokens
+
+    def _bucket(col):
+        m = F.md5(col)
+        return F.pmod(
+            F.conv(F.substring(m, 1, 10), 16, 10).cast("long"), F.lit(dim)
+        )
+
+    def _dist(d):
+        ex = d.select(F.explode(tokens(text_col)).alias("__t__")).select(
+            _bucket(F.col("__t__")).alias("__b__")
+        )
+        return ex.groupBy("__b__").agg(F.count(F.lit(1)).alias("__ct__"))
+
+    spark = df.sparkSession
+    buckets = spark.range(dim).select(F.col("id").cast("long").alias("__b__"))
+    tdist = _dist(target)
+    sdist = _dist(df)
+    lam = (
+        buckets.join(tdist.withColumnRenamed("__ct__", "__tc__"), "__b__", "left")
+        .join(sdist.withColumnRenamed("__ct__", "__sc__"), "__b__", "left")
+        .crossJoin(
+            F.broadcast(
+                tdist.agg(F.sum("__ct__").alias("__tt__")).crossJoin(
+                    sdist.agg(F.sum("__ct__").alias("__st__"))
+                )
+            )
+        )
+        .select(
+            "__b__",
+            F.round(
+                F.lit(float(scale))
+                * (
+                    F.log(
+                        (F.coalesce("__tc__", F.lit(0)) + F.lit(1.0))
+                        / (F.col("__tt__") + F.lit(float(dim)))
+                    )
+                    - F.log(
+                        (F.coalesce("__sc__", F.lit(0)) + F.lit(1.0))
+                        / (F.col("__st__") + F.lit(float(dim)))
+                    )
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("__lam__"),
+        )
+    )
+    per_tok = df.select(
+        F.col(id_col).alias("__id__"),
+        F.explode(tokens(text_col)).alias("__t__"),
+    ).select("__id__", _bucket(F.col("__t__")).alias("__b__"))
+    scored = (
+        per_tok.join(F.broadcast(lam), "__b__")
+        .groupBy("__id__")
+        .agg((F.sum("__lam__") / F.lit(float(scale))).alias("score"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored.withColumnRenamed("__id__", id_col), id_col, "left")
+        .select(id_col, F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

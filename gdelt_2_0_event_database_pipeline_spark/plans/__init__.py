@@ -34,6 +34,8 @@ _DRIVER_PRIORITY = [
     "q_opq_topk",  # NEW r12 — no driver row yet
     "q_shuffle_shards",  # NEW r12 — no driver row yet
     "q_opq_maintained",  # NEW r13 — maintained OPQ-IVF-PQ composition
+    "q_dsir_weights",  # NEW r13 — DSIR importance resampling weights
+    "q_temperature_mix",  # NEW r13 — temperature-scaled language mixing
     "q_ivf_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
     "q_ivf_pq_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
     "q_pq_append",  # oracle flipped r12 + probes persisted r13 — last driver row r10 predates both

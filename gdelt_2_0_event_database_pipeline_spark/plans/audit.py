@@ -103,6 +103,9 @@ NESTED_LOOP_OK = {
                              # the groupless pb<bkt condition has no equi-key,
                              # so it plans as BNLJ — bounded at 256 rows by
                              # construction, permanent)
+    "q_temperature_mix",     # |languages|-row counts × broadcast 1-row total
+                             # and 1-row normalizer (the q_class_balance shape)
+    "q_dsir_weights",        # 64-bucket λ table × broadcast 1-row token totals
     "q_chi2",                # |rows|x|cols| marginal cross + 1-row grand total
     "q_cramers_v",           # same shape + 1-row chi2/dims join
     "q_odds_ratio",          # broadcast marginals + 1-row grand total
@@ -115,6 +118,9 @@ NESTED_LOOP_OK = {
 SINGLE_PARTITION_OK = {
     "q_ivf_pq_drift",    # 1-row (n_build, n_current) totals over the
                          # ≤n_cells occupancy join, then the 1-row TVD fold
+    "q_temperature_mix", # 1-row corpus total + 1-row p^alpha normalizer
+    "q_dsir_weights",    # two 1-row token-total accumulators feeding the
+                         # 64-row λ table
     "q_null_drop",       # retention report row (rows_before/after/retention)
     "q_profile",         # one-row dataset profile
     "q_heavy_hitters",   # freqItems sketch merges to one summary row

@@ -4505,3 +4505,107 @@ def q_shuffle_shards(spark, sf_dir):
     return shuffle_shard_assign(d, ["doc_id"], shards=8, seed=42).select(
         "doc_id", "shard", "pos"
     )
+
+
+@register(
+    "q_temperature_mix",
+    sql="""
+    WITH c AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    t AS (SELECT sum(n_docs) AS n FROM c),
+    p AS (
+      SELECT c.lang, c.n_docs,
+             c.n_docs / t.n AS share,
+             pow(c.n_docs / t.n, 0.3) AS pa,
+             t.n AS n
+      FROM c CROSS JOIN t
+    ),
+    z AS (SELECT sum(pa) AS z FROM p)
+    SELECT p.lang, p.n_docs,
+           round(p.share, 8)           AS share,
+           round(p.pa / z.z, 8)        AS weight,
+           round(p.pa / z.z * p.n, 4)  AS expected_docs
+    FROM p CROSS JOIN z
+    """,
+    doc=(
+        "Temperature-scaled multilingual sampling weights (X4+ assembly "
+        "family; public technique: exponentiated-share sampling, Conneau "
+        "et al. XLM-R / mT5, alpha=0.3): language with corpus share p is "
+        "sampled with p^alpha / sum(p^alpha), flattening head languages "
+        "and up-weighting the tail. One groupBy + two 1-row accumulator "
+        "broadcasts (the permanent single-row exemption class); output is "
+        "|languages| rows with the resampled-epoch expected sizes. "
+        "Rounded on both engines (pow/sum ULP wobble)."
+    ),
+)
+def q_temperature_mix(spark, sf_dir):
+    from ..operators.training import temperature_mix_weights
+
+    d = _t(spark, sf_dir, "documents")
+    w = temperature_mix_weights(d, group_col="lang", alpha=0.3)
+    return w.select(
+        F.col("group").alias("lang"),
+        "n_docs",
+        F.round("share", 8).alias("share"),
+        F.round("weight", 8).alias("weight"),
+        F.round("expected_docs", 4).alias("expected_docs"),
+    )
+
+
+@register(
+    "q_dsir_weights",
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents
+    ),
+    tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 10))::BIGINT % 64 AS b
+      FROM tok
+    ),
+    tdist AS (
+      SELECT b, count(*) AS tc FROM tb
+      WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+      GROUP BY b
+    ),
+    sdist AS (SELECT b, count(*) AS sc FROM tb GROUP BY b),
+    tt AS (SELECT sum(tc) AS tt FROM tdist),
+    st AS (SELECT sum(sc) AS st FROM sdist),
+    lam AS (
+      SELECT r.b,
+             CAST(round(1000000.0 * (
+               ln((coalesce(tc, 0) + 1.0) / (tt + 64.0))
+               - ln((coalesce(sc, 0) + 1.0) / (st + 64.0))
+             ), 0) AS BIGINT) AS lam
+      FROM (SELECT unnest(range(0, 64)) AS b) r
+      LEFT JOIN tdist USING (b)
+      LEFT JOIN sdist USING (b)
+      CROSS JOIN tt CROSS JOIN st
+    ),
+    sc2 AS (
+      SELECT tb.doc_id, sum(lam) / 1000000.0 AS score
+      FROM tb JOIN lam USING (b) GROUP BY tb.doc_id
+    )
+    SELECT d.doc_id, coalesce(sc2.score, 0.0) AS score
+    FROM documents d LEFT JOIN sc2 USING (doc_id)
+    """,
+    doc=(
+        "DSIR importance weights (X4+ data-selection family; public "
+        "technique: Xie et al. 2023, importance resampling for LM data "
+        "selection): per-document hashed-unigram log-likelihood ratio "
+        "between the English target slice and the full source corpus — "
+        "top scores are the documents most target-like. Engine-portable "
+        "by construction: the per-bucket log-ratio is quantized in-plan "
+        "to round(1e6*lambda) integers, so every document fold is an "
+        "order-independent exact integer sum (the q_model_score "
+        "discipline); ln-ULP wobble is confined to the lambda rounding "
+        "boundary. Token text never leaves the scan stage; distributions "
+        "are O(64) rows; scoring is a broadcast join + integer groupBy."
+    ),
+)
+def q_dsir_weights(spark, sf_dir):
+    from ..operators.training import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, d.filter(F.col("lang") == "en"))

@@ -396,3 +396,52 @@ def test_shuffle_shard_assign_is_deterministic_and_loader_shaped(spark):
         shuffle_shard_assign(docs, ["doc_id"], shards=0)
     with _pytest.raises(ValueError, match="key_cols"):
         shuffle_shard_assign(docs, [], shards=4)
+
+
+def test_temperature_mix_weights_invariants(spark):
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        temperature_mix_weights,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {r["group"]: r for r in temperature_mix_weights(d, "lang", 0.3).collect()}
+    assert abs(sum(r["weight"] for r in w.values()) - 1.0) < 1e-9
+    assert abs(sum(r["share"] for r in w.values()) - 1.0) < 1e-9
+    # alpha=1 reproduces the raw shares exactly
+    w1 = {r["group"]: r for r in temperature_mix_weights(d, "lang", 1.0).collect()}
+    for g, r in w1.items():
+        assert abs(r["weight"] - r["share"]) < 1e-12
+    # temperature flattens: the head language's weight shrinks vs its
+    # share, a tail language's grows
+    head = max(w.values(), key=lambda r: r["share"])
+    tail = min(w.values(), key=lambda r: r["share"])
+    assert head["weight"] < head["share"]
+    assert tail["weight"] > tail["share"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_mix_weights(d, "lang", 0.0)
+
+
+def test_dsir_importance_separates_target(spark):
+    """Documents from the target slice must score higher on average than
+    the rest (the operator's whole point), and a tokenless document
+    scores exactly 0.0."""
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.training import (
+        dsir_importance,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blank = spark.createDataFrame(
+        [(999_999, "", "en", "srcX", 0)], d.schema
+    )
+    corpus = d.unionByName(blank)
+    scores = dsir_importance(corpus, corpus.filter(F.col("lang") == "en"))
+    joined = {r["doc_id"]: r["score"] for r in scores.collect()}
+    assert joined[999_999] == 0.0
+    langs = {r["doc_id"]: r["lang"] for r in d.select("doc_id", "lang").collect()}
+    en = [s for i, s in joined.items() if langs.get(i) == "en"]
+    other = [s for i, s in joined.items() if i in langs and langs[i] != "en"]
+    assert sum(en) / len(en) > sum(other) / len(other)

@@ -24,13 +24,14 @@ from . import tpch_plans  # noqa: E402,F401
 _DRIVER_PRIORITY = [
     # Round-13 rotation (r12 verdict item 1), regenerated mechanically from
     # the cumulative CORRECTNESS_r* evidence: head = the 2 queries that
-    # registered after the r12 window ran (q_opq_topk, q_shuffle_shards)
-    # followed by the 4 ANN queries whose oracles flipped to persisted-
-    # artifact replays in r12 — and whose probe selection became a persisted
-    # artifact in r13 — so the whole at-rest oracle family gets driver
-    # attestation; then strictly oldest-evidence-first (alphabetical within
-    # a round). The 50-slot window covers the 6 + 44 of the 49 r8-stale
-    # queries; the remaining 5 r8 rows head the r14 window.
+    # registered after the r12 window ran (q_opq_topk, q_shuffle_shards),
+    # the 3 NEW r13 registrations (q_opq_maintained, q_dsir_weights,
+    # q_temperature_mix), and the 4 ANN queries whose oracles flipped to
+    # persisted-artifact replays in r12 — and whose probe selection became
+    # a persisted artifact in r13 — so the whole at-rest oracle family gets
+    # driver attestation; then strictly oldest-evidence-first (alphabetical
+    # within a round). The 50-slot window covers the 9 + 41 of the 49
+    # r8-stale queries; the remaining 8 r8 rows head the r14 window.
     "q_opq_topk",  # NEW r12 — no driver row yet
     "q_shuffle_shards",  # NEW r12 — no driver row yet
     "q_opq_maintained",  # NEW r13 — maintained OPQ-IVF-PQ composition

@@ -128,97 +128,128 @@ def convert(
     ``corrupt`` = number of malformed input lines (token count ≠ 58) — the
     Spark analogue of the reference's ``on_bad_lines="warn"`` logging
     (``converter.py:230``); malformed lines are excluded from every write.
+
+    Scale shape (r13): routing is PER FILE, so the file list is split
+    driver-side (one Hadoop-FS listing) and each route reads ONLY its own
+    files — every input byte is parsed exactly once, with the report
+    counts riding the write pass itself via ``Observation`` accumulators.
+    The previous shape cached the full 58-column parse and re-scanned it
+    per route; at a 20M-row drop the cache outgrew memory and the stage
+    went ~1.8× superlinear (SCALE_PROBE ``etl_convert``). Files no route
+    claims (and historical files when ``historical_dir`` is off) still get
+    a count-only parse so ``corrupt`` keeps full-input semantics.
     """
     rules = partition_rules or DEFAULT_PARTITION_RULES
+    from .manifest import classify_filename
 
-    inputs: str | list[str] = csv_dir
+    counts: dict[str, int] = {"daily": 0, "corrupt": 0, **{ft: 0 for ft in rules}}
+
     to_mark: list[str] = []
     if manifest_path:
         # incremental re-run (reference .done markers, converter.py:118-125):
         # only files absent from the processed manifest are read at all
         from glob import glob
 
-        from .lake import mark_processed, unprocessed
+        from .lake import unprocessed
 
         candidates = sorted(
             p for p in glob(os.path.join(csv_dir, "*")) if os.path.isfile(p)
         )
-        todo = unprocessed(spark, candidates, manifest_path)
-        if not todo:
-            return {"daily": 0, "corrupt": 0, **{ft: 0 for ft in rules}}
-        inputs, to_mark = todo, todo
+        files = unprocessed(spark, candidates, manifest_path)
+        if not files:
+            return counts
+        to_mark = files
+    else:
+        files = _list_input_files(spark, csv_dir)
 
-    df = read_gdelt_csv(spark, inputs, corrupt_col="_corrupt_record")
-    # routing is a native regexp on the file name — same patterns as
-    # classify_filename(), but codegen-eligible instead of a per-row UDF
-    base = F.element_at(F.split(F.col("_source_file"), "/"), -1)
-    ftype = (
-        F.when(base.rlike(r"^\d{8}\.[^.].*$"), F.lit("daily"))
-        .when(base.rlike(r"^\d{6}\.(?i:zip|csv)$"), F.lit("monthly"))
-        .when(base.rlike(r"^\d{4}\.(?i:zip|csv)$"), F.lit("yearly"))
-    )
-    cached = df.withColumn("_ftype", ftype).cache()
+    routed: dict[str, list[str]] = {}
+    for f in files:
+        routed.setdefault(classify_filename(f) or "__none__", []).append(f)
 
-    # ALL report counts in ONE aggregation pass (per-route rows, corrupt
-    # lines, and rows surviving each route's partition-column null drop) —
-    # one count() per route would re-walk the cached input N+2 times, which
-    # is exactly the multi-pass shape that breaks on a 100 TB ingest day.
-    # The cache() also makes referencing the corrupt column legal (Spark
-    # forbids queries over only the internal corrupt column on an uncached
-    # CSV relation).
+    from pyspark.sql import Observation
+
     good = F.col("_corrupt_record").isNull()
-    kept_cols = [
-        F.sum(
-            (good & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in cols)))
-            .cast("long")
-        ).alias(f"__kept_{ft}")
-        for ft, cols in rules.items()
-    ]
-    stats = {
-        r["_ftype"]: r
-        for r in cached.groupBy("_ftype").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.count("_corrupt_record").alias("__bad"),  # count(col) = non-null
-            *kept_cols,
-        ).collect()
-    }
-    counts: dict[str, int] = {}
-    counts["corrupt"] = sum(r["__bad"] for r in stats.values())
-    d = stats.get("daily")
-    counts["daily"] = (d["__n"] - d["__bad"]) if d is not None else 0
 
-    df = cached.filter(good).drop("_corrupt_record")
-    if counts["daily"]:
+    daily_files = routed.get("daily", [])
+    if daily_files:
+        df = read_gdelt_csv(spark, daily_files, corrupt_col="_corrupt_record")
+        obs = Observation()
         (
-            df.filter(F.col("_ftype") == "daily")
-            .drop("_ftype", "_source_file")
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.count("_corrupt_record").alias("bad"),
+            )
+            .filter(good)
+            .drop("_corrupt_record", "_source_file")
             .write.mode("append")
             .parquet(flat_dir, compression="snappy")
         )
+        m = obs.get
+        counts["corrupt"] += int(m["bad"])
+        counts["daily"] = int(m["n"]) - int(m["bad"])
 
-    if historical_dir:
-        # one subtree per granularity — yearly (Year=…) and monthly
-        # (Year=…/MonthYear=…) have different partition depths, which cannot
-        # share a single Hive root (Spark rejects conflicting partition
-        # schemas; the reference's flat-file-list read sidesteps rather than
-        # solves this, samplers.py:300-316)
-        for ft, cols in rules.items():
-            r = stats.get(ft)
-            # reported count = rows actually written (after the partition-
-            # column null drop), straight from the single stats pass
-            counts[ft] = int(r[f"__kept_{ft}"]) if r is not None else 0
-            if counts[ft]:
-                (
-                    df.filter(F.col("_ftype") == ft)
-                    .drop("_ftype", "_source_file")
-                    .na.drop(subset=cols)
-                    .write.mode("append")
-                    .partitionBy(*cols)
-                    .parquet(f"{historical_dir}/{ft}", compression="snappy")
-                )
-    cached.unpersist()
+    # count-only parse for files no write touches, preserving full-input
+    # `corrupt` semantics: unrouted files, and historical files when the
+    # historical sink is off
+    leftover: list[str] = list(routed.get("__none__", []))
+    for ft in rules:
+        ft_files = routed.get(ft, [])
+        if not ft_files:
+            continue
+        if historical_dir is None:
+            leftover.extend(ft_files)
+            continue
+        cols = rules[ft]
+        df = read_gdelt_csv(spark, ft_files, corrupt_col="_corrupt_record")
+        obs = Observation()
+        kept = F.sum(
+            (good & F.expr(" AND ".join(f"{c} IS NOT NULL" for c in cols)))
+            .cast("long")
+        ).alias("kept")
+        (
+            df.observe(
+                obs,
+                F.count("_corrupt_record").alias("bad"),
+                kept,
+            )
+            .filter(good)
+            .drop("_corrupt_record", "_source_file")
+            .na.drop(subset=cols)
+            .write.mode("append")
+            .partitionBy(*cols)
+            .parquet(f"{historical_dir}/{ft}", compression="snappy")
+        )
+        m = obs.get
+        counts["corrupt"] += int(m["bad"])
+        counts[ft] = int(m["kept"] or 0)
+
+    if leftover:
+        row = (
+            read_gdelt_csv(spark, leftover, corrupt_col="_corrupt_record")
+            .agg(F.count("_corrupt_record").alias("bad"))
+            .collect()[0]
+        )
+        counts["corrupt"] += int(row["bad"])
+
     if manifest_path and to_mark:
         from .lake import mark_processed
 
         mark_processed(spark, manifest_path, to_mark)
     return counts
+
+
+def _list_input_files(spark: SparkSession, path: str) -> list[str]:
+    """Files under ``path`` (or ``path`` itself if a file) via the Hadoop
+    FileSystem API — works for any scheme the session can read, not just
+    the local disk the ``glob`` manifest path assumes."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise FileNotFoundError(path)
+    if fs.getFileStatus(p).isFile():
+        return [path]
+    return sorted(
+        st.getPath().toString() for st in fs.listStatus(p) if st.isFile()
+    )

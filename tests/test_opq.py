@@ -249,3 +249,62 @@ def test_maintained_opq_ivfpq_index_append_equals_rebuild(spark, tmp_path, vec_d
     # probe-all (nprobe=4 of 4 cells) + rerank over every candidate ==
     # exact brute force
     assert got_ranks == exact
+
+
+def test_refit_preserves_rotation_frame(spark, tmp_path, vec_df, fitted):
+    """refit_pq_index on a rotated (OPQ) index re-fits centroids+codebooks
+    WITHIN the rotated coordinate frame and carries the rotation into the
+    new committed version's meta — searches through the refit index still
+    rotate queries from the meta and match exact brute force under
+    probe-all + full rerank."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        _list_versions,
+        ivf_pq_search_index,
+        read_pq_meta,
+        refit_pq_index,
+        write_pq_index,
+    )
+
+    rotation, _ = fitted
+    rot_all = (
+        rotate_vectors(vec_df, rotation, out_col="__r__")
+        .drop("embedding")
+        .withColumnRenamed("__r__", "embedding")
+    )
+    cents = fit_ivf_centroids(rot_all, k=4, iters=2)
+    books = fit_pq_codebooks(rot_all, m=M, ncodes=NCODES, iters=2)
+    codes = pq_encode(rot_all, books).join(
+        assign_cells(rot_all, cents, nprobe=1).select("vec_id", "cell"),
+        "vec_id",
+    ).withColumn("ingest_day", F.lit("d0"))
+    index = str(tmp_path / "opq_refit_idx")
+    write_pq_index(
+        codes, books, index, partition_col="ingest_day",
+        centroids=cents, rotation=rotation,
+    )
+
+    # refit takes the RAW corpus; the rotation frame is preserved
+    report = refit_pq_index(
+        spark, index,
+        vec_df.withColumn("ingest_day", F.lit("d0")),
+        partition_col="ingest_day", iters=2,
+    )
+    assert report["version"] == 1
+    assert _list_versions(spark, index) == [1]
+    _, _, _, rot2 = read_pq_meta(spark, index)
+    assert rot2 == rotation  # the frame survived the version swap
+
+    queries = vec_df.filter("vec_id < 3")
+    res = ivf_pq_search_index(
+        spark, index, queries, corpus=vec_df, k=5, nprobe=4, rerank=500,
+    ).collect()
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(vec_df, queries, k=5).collect()
+    }
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in res}
+    assert got == exact

@@ -361,7 +361,7 @@ def main() -> None:
                  "q_dedup_minhash", "q_khop_reach", "q_bpe_train", "q_video_near_dup",
                  "q_pq_append", "q_minhash_index", "q_dedup_minhash_index",
                  "q_ivf_pq_drift", "q_ivf_pq_residual", "q_ivf_pq_topk",
-                 "q_opq_topk"):
+                 "q_opq_topk", "q_opq_maintained"):
         if name in QUERIES:
             t0 = time.time()
             try:

@@ -174,6 +174,56 @@ def rotate_vectors(
     )
 
 
+def rotate_batch_arrow(
+    df: DataFrame, rotation: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """``R·x`` over a micro-batch via ``mapInPandas`` — the append-path
+    rotation (``pq.append_pq_index`` on a rotated index). The dots are
+    pure-PYTHON left folds (explicitly NOT numpy matmul): CPython/numpy
+    scalar mul/add are the same IEEE-754 double operations the JVM
+    executes, in the same order, so results are BIT-identical to
+    ``rotate_vectors``' codegen fold and ``rotate_queries_collected``'s
+    driver fold (differential test in tests/test_opq.py) — which is what
+    keeps maintained==rebuild parity on a rotated index. Why not the
+    expression forms for this path: the d²-literal tree costs ~2.5 s of
+    per-plan analysis per micro-batch, and a nested-HOF literal evaluates
+    interpreted at ~µs/lambda — both dominate a small batch; the Arrow
+    seam is O(1) plan nodes and one vectorized pass. Bulk rotation keeps
+    ``rotate_vectors`` (codegen wins once data dominates). Wrong-width /
+    NULL vectors rotate to NULL (the ``rotate_vectors`` guard)."""
+    from pyspark.sql import types as T
+
+    d = len(rotation)
+    out_fields = [
+        T.StructField(f.name, T.ArrayType(T.DoubleType()), True)
+        if f.name == vec_col
+        else f
+        for f in df.schema.fields
+    ]
+    schema = T.StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def _rot_batches(it):
+        for pdf in it:
+            out = []
+            for v in pdf[vec_col]:
+                if v is None or len(v) != d:
+                    out.append(None)
+                    continue
+                rv = []
+                for row in rotation:
+                    acc = 0.0
+                    for a, b in zip(v, row):
+                        acc += a * b
+                    rv.append(acc)
+                out.append(rv)
+            pdf = pdf.copy()
+            pdf[vec_col] = out
+            yield pdf[cols]
+
+    return df.mapInPandas(_rot_batches, schema)
+
+
 def rotate_queries_collected(
     queries: DataFrame,
     rotation: list[list[float]],

@@ -1125,13 +1125,16 @@ def append_pq_index(
     codebooks, centroids, residual, rotation = read_pq_meta_cached(spark, path)
     if rotation is not None:
         # OPQ index: the batch enters the index's rotated coordinate frame
-        # before any encode/assign — a pure map-side expression, so the
-        # append==rebuild determinism argument is unchanged.
-        from .opq import rotate_vectors
+        # before any encode/assign — the Arrow-batched pure-Python fold
+        # (bit-identical IEEE ops to rotate_vectors' codegen fold, see
+        # rotate_batch_arrow), so the append==rebuild determinism argument
+        # is unchanged while the per-micro-batch cost is one vectorized
+        # pass with an O(1)-node plan. MapInPandas is also an optimizer
+        # barrier: the downstream encode's many __v__ references read the
+        # rotated column once, never re-evaluating the rotation.
+        from .opq import rotate_batch_arrow
 
-        new_docs = rotate_vectors(
-            new_docs, rotation, vec_col=vec_col, out_col="__rot__"
-        ).drop(vec_col).withColumnRenamed("__rot__", vec_col)
+        new_docs = rotate_batch_arrow(new_docs, rotation, vec_col=vec_col)
     if residual:
         # residual indexes carry their encoding rule in the meta: the
         # batch is encoded against the SAME frozen (centroids, residual

@@ -1343,16 +1343,22 @@ def q_opq_maintained(spark, sf_dir):
         fit = O.fit_opq(emb, m=16, ncodes=16, iters=3, opq_iters=6)
         _IVF_FIT_CACHE[key] = fit
     rot, books = fit
-    rot_emb = O.rotate_vectors(emb, rot).select(
-        "vec_id", F.col("rotated").alias("embedding")
-    )
+
+    def _rot_emb():
+        # built lazily: the d²-literal Column tree costs seconds of py4j
+        # round-trips to CONSTRUCT — only the fit/boot paths need it, so
+        # the steady (append + search) invocation never pays it
+        return O.rotate_vectors(emb, rot).select(
+            "vec_id", F.col("rotated").alias("embedding")
+        )
+
     ckey = (sf_dir, "opq_maint_cents", 8, 2)
     cents = _IVF_FIT_CACHE.get(ckey)
     if cents is None:
-        cents = fit_ivf_centroids(rot_emb, k=8, iters=2)
+        cents = fit_ivf_centroids(_rot_emb(), k=8, iters=2)
         _IVF_FIT_CACHE[ckey] = cents
     if _IVF_FIT_CACHE.get("opq_maint_oracle_sf") != sf_dir:
-        base = rot_emb.filter(F.col("vec_id") % 10 != 9)
+        base = _rot_emb().filter(F.col("vec_id") % 10 != 9)
         codes = (
             Q.pq_encode(base, books)
             .join(assign_cells(base, cents, nprobe=1).select("vec_id", "cell"), "vec_id")

@@ -308,3 +308,35 @@ def test_refit_preserves_rotation_frame(spark, tmp_path, vec_df, fitted):
     }
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in res}
     assert got == exact
+
+
+def test_rotate_batch_arrow_bit_parity(spark, vec_df, fitted):
+    """rotate_batch_arrow (the micro-batch append rotation) must equal
+    rotate_vectors bit-for-bit on the full fixture — CPython scalar
+    mul/add are the same IEEE doubles in the same left-fold order —
+    including the NULL/width guard behavior."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.opq import (
+        rotate_batch_arrow,
+    )
+
+    rotation, _ = fitted
+    a = {
+        r["vec_id"]: list(r["rotated"]) if r["rotated"] is not None else None
+        for r in rotate_vectors(vec_df, rotation).select("vec_id", "rotated").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["embedding"]) if r["embedding"] is not None else None
+        for r in rotate_batch_arrow(vec_df, rotation).collect()
+    }
+    assert a == b and len(a) == N
+
+    # width-mismatch / NULL rows rotate to NULL on both paths
+    bad = spark.createDataFrame(
+        [(10_000, [1.0, 2.0]), (10_001, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in rotate_batch_arrow(bad, rotation).collect()
+    }
+    assert got == {10_000: None, 10_001: None}

@@ -274,7 +274,9 @@ def probes():
     def etl_convert_2files(spark, d):
         return _etl_convert(spark, d, 2)
 
-    etl_convert_2files.max_mult = 10
+    # x100 = two 10M-row files: the worst file-split case — parallelism
+    # must come entirely from maxPartitionBytes splitting, not file count
+    etl_convert_2files.max_mult = 100
 
     return {
         "q01_scan_agg": scan_agg,

@@ -330,16 +330,44 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # registry order is the DRIVER's correctness-priority order; bench walks
-    # names alphabetically so per-query timings stay comparable across rounds
-    # even when the driver priority shuffles
-    # errored queries go to a separate map (NOT a -1.0 sentinel in `queries`:
-    # a consumer summing/averaging the timings map must not pick up negatives)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     exec_metrics: dict[str, dict] = {}
     em = ExecMetrics(spark)
     em.snap()  # baseline past the warm-up stages
+
+    # ---- build phase (r13 verdict item 1): the ANN/at-rest index family
+    # constructs its artifacts (fit + encode + persist) lazily on first
+    # invocation. Charging that to the serving row made the >2x gate track
+    # artifact construction growth instead of serving cost (q_opq_maintained
+    # 27.6s cold vs 5.2s steady was 8.6% of the r13 bench by itself). Run
+    # each builder ONCE here, recorded as a first-class `build_<query>` row
+    # (fit + encode + write + one serve pass — compare against SCALE_PROBE
+    # refit_ivf_pq), so the alphabetical walk below measures every q_* row
+    # at its steady serving cost.
+    builds: dict[str, float] = {}
+    build_metrics: dict[str, dict] = {}
+    for name in ("q_ivf_topk", "q_pq_topk", "q_pq_append", "q_minhash_index",
+                 "q_dedup_minhash_index", "q_ivf_pq_drift", "q_ivf_pq_residual",
+                 "q_ivf_pq_topk", "q_opq_topk", "q_opq_maintained"):
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        try:
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            builds[f"build_{name}"] = round(time.time() - t0, 3)
+            build_metrics[f"build_{name}"] = em.snap()
+        except Exception as e:  # pragma: no cover
+            errors[f"build_{name}"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench error in build_{name}: {e}", file=sys.stderr)
+            em.snap()
+
+    # registry order is the DRIVER's correctness-priority order; bench walks
+    # names alphabetically so per-query timings stay comparable across rounds
+    # even when the driver priority shuffles
+    # errored queries go to a separate map (NOT a -1.0 sentinel in `queries`:
+    # a consumer summing/averaging the timings map must not pick up negatives)
+    em.snap()
     for name in sorted(QUERIES):
         t0 = time.time()
         try:
@@ -352,16 +380,17 @@ def main() -> None:
             em.snap()  # advance the stage high-water past the failure
 
     # second-run (steady-state) timings for queries with session-scoped
-    # caches (IVF codebook, bucketed tables): the repeated-invocation cost is
-    # the number that matters for a long-lived session / real deployment
+    # caches that the build phase does NOT cover (bucketed tables, codegen
+    # warm-up): the repeated-invocation cost is the number that matters for
+    # a long-lived session / real deployment. The ANN index family needs no
+    # row here — its artifacts were built in the build phase, so its
+    # `queries` rows above are already steady.
     steady: dict[str, float] = {}
     steady_metrics: dict[str, dict] = {}
     em.snap()
-    for name in ("q_ivf_topk", "q_pq_topk", "q_bucketed_join", "q_semantic_dedup",
-                 "q_dedup_minhash", "q_khop_reach", "q_bpe_train", "q_video_near_dup",
-                 "q_pq_append", "q_minhash_index", "q_dedup_minhash_index",
-                 "q_ivf_pq_drift", "q_ivf_pq_residual", "q_ivf_pq_topk",
-                 "q_opq_topk", "q_opq_maintained"):
+    for name in ("q_bucketed_join", "q_semantic_dedup",
+                 "q_dedup_minhash", "q_khop_reach", "q_bpe_train",
+                 "q_video_near_dup"):
         if name in QUERIES:
             t0 = time.time()
             try:
@@ -392,6 +421,9 @@ def main() -> None:
             "exec_metrics": exec_metrics,
             "steady_exec_metrics": steady_metrics,
             "steady": steady,
+            "builds": builds,
+            "build_exec_metrics": build_metrics,
+            "build_total": round(sum(t for t in builds.values() if t >= 0), 3),
             "etl_stages": etl,
             "sf": sf,
         }

@@ -415,6 +415,15 @@ def ivf_topk(
         pm: dict = {}
         for r in query_probes.collect():  # bounded: queries × nprobe rows
             pm.setdefault(r[0], []).append(int(r[1]))
+        missing = [r["query_id"] for r in q_rows if r["query_id"] not in pm]
+        if missing:
+            # stale/partial probes artifact → loud failure, not vanishing
+            # queries (r13 ADVICE; same guard as pq.ivf_pq_topk)
+            raise ValueError(
+                f"query_probes has no rows for {len(missing)} query id(s) "
+                f"(e.g. {missing[:5]!r}) — regenerate the probes artifact "
+                "or pass query_probes=None to assign probes inline"
+            )
         q = spark.createDataFrame(
             [
                 (r["query_id"], list(r["__qv__"]), cell)

@@ -795,6 +795,15 @@ def ivf_pq_topk(
         pm: dict = {}
         for r in query_probes.collect():  # bounded: queries × nprobe rows
             pm.setdefault(r[0], []).append(int(r[1]))
+        missing = [d[0] for d in data if d[0] not in pm]
+        if missing:
+            # a stale/partial probes artifact must not make queries
+            # silently vanish from the results (r13 ADVICE)
+            raise ValueError(
+                f"query_probes has no rows for {len(missing)} query id(s) "
+                f"(e.g. {missing[:5]!r}) — regenerate the probes artifact "
+                "or pass query_probes=None to assign probes inline"
+            )
         data = [d + (cell,) for d in data for cell in pm.get(d[0], [])]
     elif data:
         probes = probe_assignments([d[1] for d in data], centroids, nprobe)
@@ -1050,7 +1059,17 @@ def read_pq_meta_cached(
     the append itself. One FS listing of ``<root>/codebooks`` (a
     metadata RPC, ~ms) validates the cache; any meta rewrite — refit
     version bump or in-place overwrite — changes the token and forces a
-    real re-read, so the memo can never serve stale codebooks."""
+    real re-read, so the memo can never serve stale codebooks.
+
+    Token caveat (r13 ADVICE): the token is (name, mtime, length) per
+    codebooks file. A *versioned* refit (:func:`refit_pq_index`) always
+    changes the resolved root, so the memo is keyed away from the old
+    version; a ``mode='overwrite'`` rewrite nearly always changes part
+    file names. The one unsupported pattern is an in-place overwrite of
+    a LIVE un-versioned index that reuses the same part-file name and
+    byte length within the filesystem's mtime granularity window — on
+    such filesystems, either version the index (the maintained-index
+    discipline) or call :func:`read_pq_meta` directly."""
     root = resolve_index_root(spark, path)
     tok = _codebooks_token(spark, root)
     hit = _META_CACHE.get(root)
@@ -1313,7 +1332,7 @@ def index_drift_report(
     from .ivf import _sq_dist_to, fit_ivf_centroids, well_formed_vectors
 
     path = resolve_index_root(spark, path)
-    _, centroids, _residual, _rotation = read_pq_meta(spark, path)
+    _, centroids, _residual, rotation = read_pq_meta(spark, path)
     if centroids is None:
         raise ValueError(
             f"{path} is a plain PQ index (no centroids) — drift of the "
@@ -1347,11 +1366,19 @@ def index_drift_report(
     s = well_formed_vectors(sample, vec_col).select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
     )
-    s = (
-        s.orderBy(F.xxhash64(F.col("__id__"), F.lit(seed)))
-        .limit(sample_cap)
-        .localCheckpoint(eager=True)  # fit and both error passes share it
-    )
+    s = s.orderBy(F.xxhash64(F.col("__id__"), F.lit(seed))).limit(sample_cap)
+    if rotation is not None:
+        # OPQ index: centroids live in ROTATED space. Rotate the sample
+        # into the index frame before BOTH error passes — scoring raw
+        # vectors against rotated centroids would inflate frozen_err (and
+        # err_ratio) structurally, recommending refits with zero drift.
+        # Mirrors append_pq_index's dispatch: the sample is ≤ sample_cap
+        # rows, so the Arrow seam (O(1) plan nodes) beats the d²-literal
+        # codegen expression; the fold is bit-identical (test_opq.py).
+        from .opq import rotate_batch_arrow
+
+        s = rotate_batch_arrow(s, rotation, vec_col="__v__")
+    s = s.localCheckpoint(eager=True)  # fit and both error passes share it
     refit = fit_ivf_centroids(
         s, "__v__", "__id__", k=n_cells, iters=refit_iters, seed=seed,
         fit_sample_n=sample_cap,

@@ -138,6 +138,16 @@ def convert(
     went ~1.8× superlinear (SCALE_PROBE ``etl_convert``). Files no route
     claims (and historical files when ``historical_dir`` is off) still get
     a count-only parse so ``corrupt`` keeps full-input semantics.
+
+    Report-count caveat: ``Observation`` rides accumulator semantics, so a
+    stage RETRY can double-count report rows (the writes themselves stay
+    exactly-once via the commit protocol). The counts are observability,
+    not a ledger — matching the reference's log-line counters
+    (``converter.py:230``). A zero-row route (all lines corrupt, or all
+    partition keys NULL) does not leave a ``_SUCCESS``-only parquet dir
+    behind: freshly-created empty sinks are removed after the write
+    (``_drop_empty_sink``) so later reads never hit 'unable to infer
+    schema'.
     """
     rules = partition_rules or DEFAULT_PARTITION_RULES
     from .manifest import classify_filename
@@ -172,6 +182,7 @@ def convert(
 
     daily_files = routed.get("daily", [])
     if daily_files:
+        flat_had_data = _data_files_exist(spark, flat_dir)
         df = read_gdelt_csv(spark, daily_files, corrupt_col="_corrupt_record")
         obs = Observation()
         (
@@ -188,6 +199,8 @@ def convert(
         m = obs.get
         counts["corrupt"] += int(m["bad"])
         counts["daily"] = int(m["n"]) - int(m["bad"])
+        if counts["daily"] == 0:
+            _drop_empty_sink(spark, flat_dir, flat_had_data)
 
     # count-only parse for files no write touches, preserving full-input
     # `corrupt` semantics: unrouted files, and historical files when the
@@ -201,6 +214,8 @@ def convert(
             leftover.extend(ft_files)
             continue
         cols = rules[ft]
+        ft_sink = f"{historical_dir}/{ft}"
+        ft_had_data = _data_files_exist(spark, ft_sink)
         df = read_gdelt_csv(spark, ft_files, corrupt_col="_corrupt_record")
         obs = Observation()
         kept = F.sum(
@@ -218,11 +233,13 @@ def convert(
             .na.drop(subset=cols)
             .write.mode("append")
             .partitionBy(*cols)
-            .parquet(f"{historical_dir}/{ft}", compression="snappy")
+            .parquet(ft_sink, compression="snappy")
         )
         m = obs.get
         counts["corrupt"] += int(m["bad"])
         counts[ft] = int(m["kept"] or 0)
+        if counts[ft] == 0:
+            _drop_empty_sink(spark, ft_sink, ft_had_data)
 
     if leftover:
         row = (
@@ -237,6 +254,38 @@ def convert(
 
         mark_processed(spark, manifest_path, to_mark)
     return counts
+
+
+def _data_files_exist(spark: SparkSession, path: str) -> bool:
+    """Whether ``path`` exists and holds at least one non-marker file
+    (recursively) — i.e. a read of it would infer a schema."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            return True
+    return False
+
+
+def _drop_empty_sink(spark: SparkSession, path: str, pre_existed_with_data: bool) -> None:
+    """Remove a sink dir that a zero-row write just created: partitioned
+    writes of zero rows leave only ``_SUCCESS`` (later reads fail with
+    'unable to infer schema'); non-partitioned ones leave a schema-only
+    empty part file. Either way a freshly-created zero-row sink is
+    clutter, so it goes. Appends into a sink that already held data are
+    left untouched — zero new rows there is harmless."""
+    if pre_existed_with_data:
+        return
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def _list_input_files(spark: SparkSession, path: str) -> list[str]:

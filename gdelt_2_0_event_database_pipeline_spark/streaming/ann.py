@@ -88,6 +88,19 @@ def maintain_pq_index_stream(
         raise ValueError(f"drift_action must be 'report' or 'refit', got {drift_action!r}")
     if drift_action == "refit" and drift_check_every_n_batches and refit_corpus is None:
         raise ValueError("drift_action='refit' needs a refit_corpus provider")
+    if drift_check_every_n_batches:
+        # Fail fast at setup: index_drift_report raises on a plain PQ
+        # index (no coarse centroids to drift), and discovering that on
+        # the Nth micro-batch would kill a running stream instead of the
+        # start() call. One cached-meta read (~ms FS listing on a hit).
+        from ..operators.pq import read_pq_meta_cached
+
+        _, _centroids, _, _ = read_pq_meta_cached(stream.sparkSession, index_path)
+        if _centroids is None:
+            raise ValueError(
+                f"drift_check_every_n_batches needs an IVF-PQ index with "
+                f"persisted centroids; {index_path} is a plain PQ index"
+            )
 
     def _append(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession

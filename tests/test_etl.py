@@ -321,6 +321,41 @@ def test_convert_reports_corrupt_lines(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "flat")).count() == 20
 
 
+def test_convert_all_corrupt_route_leaves_no_empty_sink(spark, tmp_path):
+    """r13 ADVICE: a route whose rows are ALL corrupt (or all dropped by
+    the partition-null filter) must not leave a _SUCCESS-only parquet dir
+    behind — a lake populated solely by such writes fails later reads
+    with 'unable to infer schema'. A later good drop into the same sink
+    still lands."""
+    import os
+
+    d = tmp_path / "csv"
+    d.mkdir()
+    with open(d / "20150106.export.CSV", "w") as fh:
+        fh.write("garbage\tonly\tthree\n")
+        fh.write("\t".join(["x"] * 60) + "\n")
+    flat = str(tmp_path / "flat")
+    hist = str(tmp_path / "hist")
+    counts = gdelt_csv.convert(spark, str(d), flat, historical_dir=hist)
+    assert counts == {"daily": 0, "corrupt": 2, "yearly": 0, "monthly": 0}
+    assert not os.path.exists(flat)  # freshly-created empty sink removed
+
+    # all partition keys NULL on the historical path → same cleanup
+    pdf = make_gdelt_pdf(5).reindex(columns=list(GDELT_COLUMNS))
+    pdf["Year"] = ""  # NULL after coercion → dropped by na.drop
+    pdf.to_csv(d / "2016.csv", sep="\t", header=False, index=False)
+    counts = gdelt_csv.convert(spark, str(d), flat, historical_dir=hist)
+    assert counts["yearly"] == 0
+    assert not os.path.exists(f"{hist}/yearly")
+
+    # a good daily drop afterwards creates the flat sink normally
+    good = make_gdelt_pdf(10).reindex(columns=list(GDELT_COLUMNS))
+    good.to_csv(d / "20150107.export.CSV", sep="\t", header=False, index=False)
+    counts = gdelt_csv.convert(spark, str(d), flat, historical_dir=hist)
+    assert counts["daily"] == 10
+    assert spark.read.parquet(flat).count() == 10
+
+
 def test_real_gdelt_daily_file_end_to_end(spark, tmp_path):
     """Fidelity loop on the reference's actual daily-export shape (58-column
     headerless TSV, converter.py:212-233): a checked-in YYYYMMDD.export.CSV

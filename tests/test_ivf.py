@@ -189,3 +189,28 @@ def test_assign_cells_mapside_bit_parity(spark):
             for r in assign_cells_mapside(emb, cents, nprobe=nprobe).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_partial_query_probes_raise_not_vanish(spark, emb):
+    """r13 ADVICE: a stale/partial query_probes artifact must fail loudly —
+    silently dropping the unlisted queries from the results would read as
+    'no neighbors'. Both the IVF and IVF-PQ serving paths carry the guard."""
+    cents = fit_ivf_centroids(emb, k=CLUSTERS, iters=4)
+    queries = emb.filter("vec_id < 3")
+    # probes frame missing vec_id=2
+    partial = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 0), (1, 1)], "query_id long, cell int"
+    )
+    with pytest.raises(ValueError, match="query_probes has no rows"):
+        ivf_topk(emb, queries, cents, k=5, nprobe=2, query_probes=partial).collect()
+
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        fit_pq_codebooks,
+        ivf_pq_topk,
+    )
+
+    books = fit_pq_codebooks(emb, m=4, ncodes=8, iters=2)
+    with pytest.raises(ValueError, match="query_probes has no rows"):
+        ivf_pq_topk(
+            emb, queries, cents, books, k=5, nprobe=2, query_probes=partial
+        ).collect()

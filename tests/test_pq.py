@@ -642,6 +642,74 @@ def test_drift_report_guards(spark, emb, books, tmp_path):
         index_drift_report(spark, plain, emb)
 
 
+def test_drift_report_rotates_sample_on_opq_index(spark, tmp_path):
+    """r13 ADVICE (medium): on an OPQ index the centroids live in ROTATED
+    space, so the drift sample must be rotated into the index frame before
+    the frozen/refit error passes. Unfixed, an in-distribution RAW sample
+    scores raw vectors against rotated centroids — err_ratio is
+    structurally inflated and refit_recommended fires with zero drift
+    (and drift_action='refit' would then refit on every Nth batch). A
+    genuinely shifted sample must still trip the report."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.ivf import (
+        assign_cells,
+        fit_ivf_centroids,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.opq import (
+        fit_opq,
+        rotate_vectors,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.pq import (
+        index_drift_report,
+        write_pq_index,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 16
+    # anisotropic, non-axis-aligned data: the OPQ regime, and a rotation
+    # far from identity so the raw-vs-rotated frame mismatch is large
+    basis, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+    scales = np.array([8.0, 6.0, 4.0, 3.0] + [0.4] * (dim - 4))
+
+    def sample(n, lo):
+        x = (rng.standard_normal((n, dim)) * scales) @ basis.T
+        return spark.createDataFrame(
+            [(int(lo + i), [float(v) for v in x[i]]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    base = sample(400, 0)
+    rotation, books = fit_opq(base, m=4, ncodes=8, iters=2, opq_iters=4)
+    rot = (
+        rotate_vectors(base, rotation, out_col="__r__")
+        .drop("embedding")
+        .withColumnRenamed("__r__", "embedding")
+    )
+    cents = fit_ivf_centroids(rot, k=4, iters=3)
+    codes = (
+        pq_encode(rot, books)
+        .join(assign_cells(rot, cents, nprobe=1).select("vec_id", "cell"), "vec_id")
+        .withColumn("ingest_day", F.lit("d0"))
+    )
+    path = str(tmp_path / "opq_idx")
+    write_pq_index(
+        codes, books, path, partition_col="ingest_day",
+        centroids=cents, rotation=rotation,
+    )
+
+    # in-distribution RAW sample: the report rotates it into the index
+    # frame, so err_ratio ~ 1 and no refit — the bug this test pins
+    r_ok = index_drift_report(spark, path, sample(200, 1000)).first()
+    assert r_ok.err_ratio < 1.3, r_ok
+    assert not r_ok.refit_recommended, r_ok
+
+    # hard shift (raw space): still flagged through the rotated frame
+    shifted = sample(200, 2000).withColumn(
+        "embedding", F.expr("transform(embedding, v -> v + 50.0)")
+    )
+    r_bad = index_drift_report(spark, path, shifted).first()
+    assert r_bad.refit_recommended and r_bad.err_ratio > 1.3, r_bad
+
+
 # ------------------------------------------------------------ residual IVFPQ
 def _np_residual_encode(x, cents, books):
     """Numpy reference for ivf_pq_encode_residual: first-minimum cell

@@ -231,3 +231,26 @@ def test_drift_check_triggers_exactly_one_refit(spark, tmp_path):
     codes2, _ = read_pq_index(spark, index)
     assert codes2.count() == 70
     assert codes2.select("vec_id").distinct().count() == 70
+
+
+def test_drift_cadence_fails_fast_on_plain_pq_index(spark, tmp_path, corpus):
+    """r13 ADVICE: drift checks need coarse centroids; on a plain PQ
+    index the report raises — that must surface at start() (one cached
+    meta read), not kill the stream on the Nth micro-batch."""
+    index = str(tmp_path / "plain_idx")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    books = fit_pq_codebooks(corpus, m=4, ncodes=4, iters=2)
+    write_pq_index(
+        pq_encode(corpus, books).withColumn("ingest_day", F.lit("d0")),
+        books,
+        index,
+        partition_col="ingest_day",
+    )
+    _vecs(spark, range(40, 50), "d1").coalesce(1).write.mode("append").parquet(src)
+    stream = read_event_stream(spark, src, SCHEMA, max_files_per_trigger=1)
+    with pytest.raises(ValueError, match="plain PQ index"):
+        maintain_pq_index_stream(
+            stream, index, ckpt, drift_check_every_n_batches=2
+        )

@@ -61,9 +61,14 @@ def compare(prev: dict, cur: dict, threshold: float) -> dict:
     # steady-state rows replace cold rows for the comparable number,
     # matching gen_baseline_table.py's cell rule — and their metrics too
     # (cold metrics include the session's one-time bootstrap work)
+    # build_<query> rows (r14+) join the comparison under their own keys —
+    # index construction and steady serving are adjudicated as separate
+    # families (a build-cost move never reads as a serving regression)
     for src, dst, met, mdst in (
         (prev.get("steady", {}), pq, prev.get("steady_exec_metrics", {}), pm),
         (cur.get("steady", {}), cq, cur.get("steady_exec_metrics", {}), cm),
+        (prev.get("builds", {}), pq, prev.get("build_exec_metrics", {}), pm),
+        (cur.get("builds", {}), cq, cur.get("build_exec_metrics", {}), cm),
     ):
         for q, t in src.items():
             if t is not None and t >= 0:

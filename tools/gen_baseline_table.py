@@ -44,10 +44,17 @@ def load_registry() -> list[str]:
     return list(QUERIES)
 
 
+def row_keys(bench: dict) -> list[str]:
+    """Registry queries plus the bench's non-registry tracked rows
+    (etl_* stages, build_* index-construction rows)."""
+    extra = sorted(q for q in bench if q.startswith(("etl_", "build_")))
+    return load_registry() + extra
+
+
 def parse_table(src: str):
     """(pre, header_cols, rows as {query: [cells]}, row_order, post)."""
     m = re.search(
-        r"^(\| query \|[^\n]*\|)\n(\|[-| ]+\|)\n((?:\| (?:q|etl_)\w+ \|[^\n]*\n)+)",
+        r"^(\| query \|[^\n]*\|)\n(\|[-| ]+\|)\n((?:\| (?:q|etl_|build_)\w+ \|[^\n]*\n)+)",
         src,
         re.M,
     )
@@ -82,6 +89,9 @@ def load_bench(path: str) -> dict:
         if t is not None and t >= 0:
             eff[q] = t
     eff.update(d.get("etl_stages", {}))  # stage rows share the table
+    # build_<query> rows (r14+): index-construction cost as first-class
+    # tracked rows, adjudicated separately from the steady serve rows
+    eff.update({q: t for q, t in d.get("builds", {}).items() if t >= 0})
     return eff
 
 
@@ -104,7 +114,7 @@ def main() -> None:
     if args.fill:
         bench = load_bench(args.fill)
         added = 0
-        for q in load_registry():
+        for q in row_keys(bench):
             if q not in rows:
                 cells = ["—"] * ncols
                 if q in bench:
@@ -122,7 +132,7 @@ def main() -> None:
             raise SystemExit(f"no column {col!r} to refresh")
         i = header.index(col) - 1
         bench = load_bench(args.src_json)
-        for q in load_registry():
+        for q in row_keys(bench):
             if q not in rows:
                 rows[q] = ["—"] * ncols
                 order.append(q)
@@ -137,7 +147,7 @@ def main() -> None:
         header.append(f"{args.add_column} sec")
         for q in order:
             rows[q].append(f"{bench[q]:.3f}" if q in bench else "—")
-        for q in load_registry():
+        for q in row_keys(bench):
             if q not in rows:
                 rows[q] = ["—"] * (len(header) - 2) + (
                     [f"{bench[q]:.3f}"] if q in bench else ["—"]

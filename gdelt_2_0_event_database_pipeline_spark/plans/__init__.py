@@ -22,66 +22,20 @@ from . import tpch_plans  # noqa: E402,F401
 # by each query's newest CORRECTNESS_r* row, alphabetical within a round.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-13 rotation (r12 verdict item 1), regenerated mechanically from
-    # the cumulative CORRECTNESS_r* evidence: head = the 2 queries that
-    # registered after the r12 window ran (q_opq_topk, q_shuffle_shards),
-    # the 3 NEW r13 registrations (q_opq_maintained, q_dsir_weights,
-    # q_temperature_mix), and the 4 ANN queries whose oracles flipped to
-    # persisted-artifact replays in r12 — and whose probe selection became
-    # a persisted artifact in r13 — so the whole at-rest oracle family gets
-    # driver attestation; then strictly oldest-evidence-first (alphabetical
-    # within a round). The 50-slot window covers the 9 + 41 of the 49
-    # r8-stale queries; the remaining 8 r8 rows head the r14 window.
-    "q_opq_topk",  # NEW r12 — no driver row yet
-    "q_shuffle_shards",  # NEW r12 — no driver row yet
-    "q_opq_maintained",  # NEW r13 — maintained OPQ-IVF-PQ composition
-    "q_dsir_weights",  # NEW r13 — DSIR importance resampling weights
-    "q_temperature_mix",  # NEW r13 — temperature-scaled language mixing
-    "q_ivf_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
-    "q_ivf_pq_topk",  # oracle flipped r12 + probes persisted r13 — last driver row r9 predates both
-    "q_pq_append",  # oracle flipped r12 + probes persisted r13 — last driver row r10 predates both
-    "q_ivf_pq_residual",  # oracle flipped r12 + probes persisted r13 — last driver row r11 predates both
-    "q02_min_cost_supplier",  # last driver row: r8
-    "q04_order_priority",  # last driver row: r8
-    "q07_volume_shipping",  # last driver row: r8
-    "q08_market_share",  # last driver row: r8
-    "q09_profit_by_nation",  # last driver row: r8
-    "q10_returned_items",  # last driver row: r8
-    "q12_late_shipments",  # last driver row: r8
-    "q13_customer_distribution",  # last driver row: r8
-    "q14_promo_effect",  # last driver row: r8
-    "q15_top_supplier",  # last driver row: r8
-    "q16_supplier_cnt",  # last driver row: r8
-    "q17_small_qty_revenue",  # last driver row: r8
-    "q18_large_volume_customer",  # last driver row: r8
-    "q19_discounted_revenue",  # last driver row: r8
-    "q20_dominant_suppliers",  # last driver row: r8
-    "q21_waiting_suppliers",  # last driver row: r8
-    "q22_dormant_customers",  # last driver row: r8
-    "q_cohort_retention",  # last driver row: r8
-    "q_corpus_report",  # last driver row: r8
-    "q_cosine_topk_lsh",  # last driver row: r8
-    "q_dedup_minhash",  # last driver row: r8
-    "q_dedup_simhash",  # last driver row: r8
-    "q_distribution_drift",  # last driver row: r8
-    "q_dup_spans_keep_first",  # last driver row: r8
-    "q_embedding_near_dup",  # last driver row: r8
-    "q_expectations",  # last driver row: r8
-    "q_familiarity",  # last driver row: r8
-    "q_join_anti",  # last driver row: r8
-    "q_join_outer_agg",  # last driver row: r8
-    "q_lm_score",  # last driver row: r8
-    "q_lm_score_against",  # last driver row: r8
-    "q_mad_outliers",  # last driver row: r8
-    "q_mannwhitney",  # last driver row: r8
-    "q_media_stats",  # last driver row: r8
-    "q_normalize_url",  # last driver row: r8
-    "q_ohlc",  # last driver row: r8
-    "q_rolling_distinct",  # last driver row: r8
-    "q_sample_daily",  # last driver row: r8
-    "q_sample_filtered",  # last driver row: r8
-    "q_sample_stratified",  # last driver row: r8
-    "q_sample_uniform",  # last driver row: r8
+    # Round-14 rotation (r13 verdict item 2), regenerated mechanically from
+    # the cumulative CORRECTNESS_r* evidence (latest row per query across
+    # r01-r13): head = the 4 queries whose ORACLE flipped after their last
+    # driver row (q_compact_lake / q_ivf_pq_drift flipped r13 with driver
+    # rows r10/r11; q_bpe_train / q_model_fit_score flipped r14 via the
+    # persisted-artifact discipline with driver rows r12) — the flips need
+    # driver attestation, not just judge verify_local runs; then strictly
+    # oldest-evidence-first (alphabetical within a round). The 50-slot
+    # window covers the 4 flips, all 8 remaining r8-stale rows, and 38 of
+    # the r9 rows, raising the freshness floor to r9.
+    "q_compact_lake",  # oracle flipped after its last driver row (r10)
+    "q_ivf_pq_drift",  # oracle flipped after its last driver row (r11)
+    "q_bpe_train",  # oracle flipped after its last driver row (r12)
+    "q_model_fit_score",  # oracle flipped after its last driver row (r12)
     "q_sample_weighted",  # last driver row: r8
     "q_set_union",  # last driver row: r8
     "q_simhash_signature",  # last driver row: r8
@@ -140,7 +94,6 @@ _DRIVER_PRIORITY = [
     "q_bpe_tokens",  # last driver row: r10
     "q_chi2",  # last driver row: r10
     "q_chunk_documents",  # last driver row: r10
-    "q_compact_lake",  # last driver row: r10
     "q_contamination",  # last driver row: r10
     "q_cosine_topk",  # last driver row: r10
     "q_cube",  # last driver row: r10
@@ -204,7 +157,6 @@ _DRIVER_PRIORITY = [
     "q_hhi",  # last driver row: r11
     "q_interpolate",  # last driver row: r11
     "q_interval_intersect",  # last driver row: r11
-    "q_ivf_pq_drift",  # last driver row: r11
     "q_khop_reach",  # last driver row: r11
     "q_ks_drift",  # last driver row: r11
     "q_life_table",  # last driver row: r11
@@ -239,7 +191,6 @@ _DRIVER_PRIORITY = [
     "q_basket_sizes",  # last driver row: r12
     "q_bm25_search",  # last driver row: r12
     "q_boilerplate_lines",  # last driver row: r12
-    "q_bpe_train",  # last driver row: r12
     "q_burst_detection",  # last driver row: r12
     "q_collocations",  # last driver row: r12
     "q_compression_ratio",  # last driver row: r12
@@ -263,7 +214,6 @@ _DRIVER_PRIORITY = [
     "q_label_separability",  # last driver row: r12
     "q_media_near_dup",  # last driver row: r12
     "q_merge_intervals",  # last driver row: r12
-    "q_model_fit_score",  # last driver row: r12
     "q_model_score",  # last driver row: r12
     "q_moments_maintained",  # last driver row: r12
     "q_pack_first_fit",  # last driver row: r12
@@ -282,6 +232,56 @@ _DRIVER_PRIORITY = [
     "q_transitions",  # last driver row: r12
     "q_video_near_dup",  # last driver row: r12
     "q_winsorize",  # last driver row: r12
+    "q02_min_cost_supplier",  # last driver row: r13
+    "q04_order_priority",  # last driver row: r13
+    "q07_volume_shipping",  # last driver row: r13
+    "q08_market_share",  # last driver row: r13
+    "q09_profit_by_nation",  # last driver row: r13
+    "q10_returned_items",  # last driver row: r13
+    "q12_late_shipments",  # last driver row: r13
+    "q13_customer_distribution",  # last driver row: r13
+    "q14_promo_effect",  # last driver row: r13
+    "q15_top_supplier",  # last driver row: r13
+    "q16_supplier_cnt",  # last driver row: r13
+    "q17_small_qty_revenue",  # last driver row: r13
+    "q18_large_volume_customer",  # last driver row: r13
+    "q19_discounted_revenue",  # last driver row: r13
+    "q20_dominant_suppliers",  # last driver row: r13
+    "q21_waiting_suppliers",  # last driver row: r13
+    "q22_dormant_customers",  # last driver row: r13
+    "q_cohort_retention",  # last driver row: r13
+    "q_corpus_report",  # last driver row: r13
+    "q_cosine_topk_lsh",  # last driver row: r13
+    "q_dedup_minhash",  # last driver row: r13
+    "q_dedup_simhash",  # last driver row: r13
+    "q_distribution_drift",  # last driver row: r13
+    "q_dsir_weights",  # last driver row: r13
+    "q_dup_spans_keep_first",  # last driver row: r13
+    "q_embedding_near_dup",  # last driver row: r13
+    "q_expectations",  # last driver row: r13
+    "q_familiarity",  # last driver row: r13
+    "q_ivf_pq_residual",  # last driver row: r13
+    "q_ivf_pq_topk",  # last driver row: r13
+    "q_ivf_topk",  # last driver row: r13
+    "q_join_anti",  # last driver row: r13
+    "q_join_outer_agg",  # last driver row: r13
+    "q_lm_score",  # last driver row: r13
+    "q_lm_score_against",  # last driver row: r13
+    "q_mad_outliers",  # last driver row: r13
+    "q_mannwhitney",  # last driver row: r13
+    "q_media_stats",  # last driver row: r13
+    "q_normalize_url",  # last driver row: r13
+    "q_ohlc",  # last driver row: r13
+    "q_opq_maintained",  # last driver row: r13
+    "q_opq_topk",  # last driver row: r13
+    "q_pq_append",  # last driver row: r13
+    "q_rolling_distinct",  # last driver row: r13
+    "q_sample_daily",  # last driver row: r13
+    "q_sample_filtered",  # last driver row: r13
+    "q_sample_stratified",  # last driver row: r13
+    "q_sample_uniform",  # last driver row: r13
+    "q_shuffle_shards",  # last driver row: r13
+    "q_temperature_mix",  # last driver row: r13
 ]
 
 

@@ -3263,29 +3263,91 @@ def q_model_score(spark, sf_dir):
     )
 
 
+#: q_model_fit_score's persisted-artifact root (r13 verdict item 5): the
+#: integer-quantized ridge weights live at rest as a 64-row JSON, and the
+#: DuckDB oracle replays score_linear_model over the SAME weights — the
+#: q_model_score SQL shape with the literal weight vector swapped for a
+#: scalar-subquery read of the artifact. The numpy solve itself stays
+#: pytest (separation invariants in test_model.py).
+_MODEL_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "model_oracle_weights",
+)
+
+
 @register(
     "q_model_fit_score",
-    sql=None,
+    sql=f"""
+    WITH tok AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks
+      FROM documents WHERE doc_id < 400
+    ), ex AS (
+      SELECT doc_id, unnest(toks) AS t FROM tok
+    ), tb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 10))::BIGINT % 64 AS b,
+             CASE WHEN (('0x' || substr(md5(t), 11, 1))::INTEGER % 2) = 0
+                  THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS s
+      FROM ex
+    ), bw AS (
+      SELECT doc_id, b, sum(s) AS w FROM tb GROUP BY doc_id, b
+    ), mv AS (
+      SELECT doc_id, map_from_entries(list({{'k': b, 'v': w}})) AS m
+      FROM bw GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i -> coalesce(m[i][1], 0.0::DOUBLE)) AS v
+      FROM mv
+    ), wt AS (
+      SELECT list(w::DOUBLE ORDER BY i) AS wv
+      FROM read_json_auto('{_MODEL_ORACLE_ROOT}/*.json')
+    )
+    SELECT d.doc_id,
+           coalesce(list_dot_product(b.v, (SELECT wv FROM wt)) / 1000000.0,
+                    0.0) AS score,
+           coalesce(list_dot_product(b.v, (SELECT wv FROM wt)) / 1000000.0,
+                    0.0) > 0 AS pred_en
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 400) d
+    LEFT JOIN base b USING (doc_id)
+    """,
     doc=(
         "End-to-end classifier-filter stage: fit a ridge model on weak "
         "labels (lang == 'en' vs rest) over a bounded hash-ranked sample "
         "(driver-side numpy solve, IVF-fit discipline), then score the "
         "corpus with the quantized weights as pure Column algebra. "
-        "Rows-only by design (the solve is not SQL-expressible); "
-        "separation invariants are pinned in test_model.py."
+        "Oracle-flipped r14 via the persisted-artifact discipline: the "
+        "integer-quantized weight vector lives at rest (64-row JSON), "
+        "BOTH engines read it, and DuckDB replays the hashing-trick "
+        "feature build + exact-in-doubles dot product (the q_model_score "
+        "precedent proves the scoring math bit-identical). The solve "
+        "itself stays pytest (test_model.py separation invariants)."
     ),
 )
 def q_model_fit_score(spark, sf_dir):
     from ..operators.model import fit_linear_quality_model, score_linear_model
+    from ..util import single_partition_df
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    labeled = d.withColumn(
-        "label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+    if _IVF_FIT_CACHE.get("model_oracle_sf") != sf_dir:
+        labeled = d.withColumn(
+            "label", F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+        )
+        w = fit_linear_quality_model(
+            labeled, "doc_id", "text", "label", dim=64, sample_n=5000,
+            hash_family="md5",
+        )
+        single_partition_df(
+            spark, [(i, int(wi)) for i, wi in enumerate(w)], "i long, w long"
+        ).write.mode("overwrite").json(_MODEL_ORACLE_ROOT)
+        _IVF_FIT_CACHE["model_oracle_sf"] = sf_dir
+    # score over exactly what the oracle reads (at-rest weights), even
+    # when the in-process fit is warm
+    at_rest = sorted(
+        spark.read.json(_MODEL_ORACLE_ROOT).collect(), key=lambda r: r["i"]
     )
-    w = fit_linear_quality_model(
-        labeled, "doc_id", "text", "label", dim=64, sample_n=5000
-    )
-    out = score_linear_model(d, "doc_id", "text", w)
+    w = [int(r["w"]) for r in at_rest]
+    out = score_linear_model(d, "doc_id", "text", w, hash_family="md5")
     return out.withColumn("pred_en", F.col("score") > 0)
 
 
@@ -4081,9 +4143,54 @@ def q_fuzzy_blocked(spark, sf_dir):
     )
 
 
+#: q_bpe_train's persisted-artifact root (r13 verdict item 4, the
+#: codebook/rotation precedent): the learned merge table lives at rest as
+#: JSON, and the DuckDB oracle replays encode_bpe over the SAME merges —
+#: a recursive CTE walks merge_idx in training order, and each step is
+#: the identical sequential left-fold (list_reduce with a prepended
+#: empty-list seed; q_ewma proved ordered-fold bit-parity).
+_BPE_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "bpe_oracle_merges",
+)
+
+
 @register(
     "q_bpe_train",
-    sql=None,
+    sql=f"""
+    WITH RECURSIVE
+    m AS (SELECT merge_idx, "left" AS l, "right" AS r
+          FROM read_json_auto('{_BPE_ORACLE_ROOT}/*.json')),
+    nm AS (SELECT count(*) AS n FROM m),
+    w AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> ''),
+               wd -> list_append(string_split(wd, ''), '▁')
+             ) AS syms
+      FROM documents WHERE doc_id < 50
+    ),
+    enc AS (
+      SELECT doc_id, syms, 0 AS i FROM w
+      UNION ALL
+      SELECT e.doc_id,
+             list_transform(e.syms, s ->
+               list_reduce(
+                 list_prepend([]::VARCHAR[], list_transform(s, x -> [x])),
+                 (acc, el) -> CASE
+                   WHEN len(acc) > 0 AND acc[-1] = m.l AND el[1] = m.r
+                   THEN list_concat(acc[1:len(acc)-1], [m.l || m.r])
+                   ELSE list_concat(acc, el) END
+               )) AS syms,
+             e.i + 1 AS i
+      FROM enc e JOIN m ON m.merge_idx = e.i
+    )
+    SELECT doc_id, flatten(syms) AS bpe_tokens,
+           CAST(len(flatten(syms)) AS BIGINT) AS n_tokens
+    FROM enc, nm WHERE i = nm.n
+    """,
     doc=(
         "BPE tokenizer training (Sennrich-style merge learning) on a "
         "200-document slice, via the (word, count)-collapsed production "
@@ -4092,21 +4199,41 @@ def q_fuzzy_blocked(spark, sf_dir):
         "in corpus size) — not |corpus| documents. Per round: one map-"
         "side-combinable weighted grouped count, a 1-row driver argmax "
         "with lexicographic tie-break, and a map-side aggregate-fold "
-        "merge with exact sequential chain semantics. Returns the "
-        "learned merge table. Rows-only (iterative, not SQL-"
-        "expressible); known-sequence, tie-determinism, partitioning-"
-        "invariance, chain-fold, and collapsed==per-document "
-        "differential tests in test_bpe.py."
+        "merge with exact sequential chain semantics. Oracle-flipped r14 "
+        "via the persisted-artifact discipline: the learned merge table "
+        "lives at rest (JSON), BOTH engines read it, and the result is "
+        "encode_bpe over a 50-document slice — DuckDB replays the word "
+        "split, per-word sequential merge folds in merge order "
+        "(recursive CTE over merge_idx), and the flatten. The train "
+        "loop itself stays pytest (known-sequence, tie-determinism, "
+        "partitioning-invariance, chain-fold, collapsed==per-document "
+        "differentials in test_bpe.py)."
     ),
 )
 def q_bpe_train(spark, sf_dir):
-    from ..operators.bpe import train_bpe
+    from ..operators.bpe import encode_bpe, train_bpe
+    from ..util import single_partition_df
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    merges = train_bpe(d, "text", num_merges=6)
-    return spark.createDataFrame(
-        [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
-        "merge_idx long, left string, right string, pair_count long",
+    d = _t(spark, sf_dir, "documents")
+    if _IVF_FIT_CACHE.get("bpe_oracle_sf") != sf_dir:
+        merges = train_bpe(d.filter(F.col("doc_id") < 200), "text", num_merges=6)
+        single_partition_df(
+            spark,
+            [(i, a, b, c) for i, (a, b, c) in enumerate(merges)],
+            "merge_idx long, left string, right string, pair_count long",
+        ).write.mode("overwrite").json(_BPE_ORACLE_ROOT)
+        _IVF_FIT_CACHE["bpe_oracle_sf"] = sf_dir
+    # read the merges BACK from the artifact — the encode must run over
+    # exactly what the oracle reads, even when the in-process fit is warm
+    at_rest = sorted(
+        spark.read.json(_BPE_ORACLE_ROOT).collect(), key=lambda r: r["merge_idx"]
+    )
+    merges = [(r["left"], r["right"], int(r["pair_count"])) for r in at_rest]
+    enc = encode_bpe(d.filter(F.col("doc_id") < 50), merges)
+    return enc.select(
+        "doc_id",
+        F.col("bpe_tokens"),
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
     )
 
 

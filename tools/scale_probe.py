@@ -135,6 +135,34 @@ def probes():
             out = part if out is None else out.unionByName(part)
         return out
 
+    # --- iterative connected components (r13 verdict item 6): the one
+    # iterative heavyweight without a 1×/10×/100× row. Adversarial shape
+    # scaling WITH mult: each original doc's replicas form a drift CHAIN
+    # (id → id+KEY_OFFSET → …, diameter = mult), plus even/odd intra-replica
+    # 2-cliques (the realistic tiny-component regime). two_hop pointer
+    # doubling must converge in O(log mult) rounds (printed per run), and
+    # wall must track edges×rounds ≈ mult·log(mult) — NOT diameter·mult,
+    # which is what plain label propagation would pay on the chains.
+    def dedup_components(spark, d):
+        ids = spark.read.parquet(f"{d}/documents.parquet").select("doc_id")
+        valid_b = ids.select(F.col("doc_id").alias("id_b"))
+        pair = (
+            ids.filter(F.col("doc_id") % 2 == 0)
+            .select(F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"))
+            .join(valid_b, "id_b", "left_semi")
+        )
+        chain = (
+            ids.select(F.col("doc_id").alias("id_a"),
+                       (F.col("doc_id") + KEY_OFFSET).alias("id_b"))
+            .join(valid_b, "id_b", "left_semi")
+        )
+        stats: dict = {}
+        out = D.dedup_clusters(pair.union(chain), two_hop=True, stats=stats)
+        print(f"dedup_components {os.path.basename(d)}: rounds={stats['rounds']}",
+              flush=True)
+        return out
+
     # --- incremental ANN maintenance: appending a FIXED 200-vector batch
     # to an index that is 1×/10×/100× larger. The claim: append cost is
     # ∝ batch + touched partitions, NEVER ∝ index size — the second
@@ -283,6 +311,7 @@ def probes():
         "q03_join3": join3,
         "tfidf_full_docs": tfidf,
         "minhash_adversarial_capped": minhash_capped,
+        "dedup_components": dedup_components,
         "sq8_encode": sq_encode,
         "pq_encode_search": pq_search,
         "bm25_batch3": bm25_batch3,

@@ -183,6 +183,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fit from a maintained moment-state path "
                          "(streaming/moments.py) — no corpus scan")
 
+    pl = sub.add_parser(
+        "pipeline",
+        help="run a YAML-declared stage chain (normalize→dedup→quality→"
+             "split→pack→export) end-to-end",
+    )
+    pl.add_argument("--pipeline-config", default=None,
+                    help="YAML with a pipeline: section (defaults to --config)")
+
     cm = sub.add_parser(
         "communities",
         help="label-propagation communities over a parquet edge list",
@@ -362,6 +370,17 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.command == "pipeline":
+            import yaml
+
+            from .pipeline import run_pipeline
+
+            path = args.pipeline_config or args.config
+            if not path:
+                raise SystemExit("pipeline needs --pipeline-config or --config")
+            with open(path) as fh:
+                pcfg = yaml.safe_load(fh) or {}
+            print(json.dumps(run_pipeline(spark, pcfg)))
         elif args.command == "communities":
             from pyspark.sql import functions as F
 

@@ -1,0 +1,246 @@
+"""Config-driven pipeline chaining (r13 verdict item 8).
+
+The reference is stage-per-command with no chaining (``main.py`` routes
+one subcommand per invocation); this module keeps that CLI parity AND
+makes the LLM-corpus story drivable end-to-end from one YAML: a declared
+stage list (normalize → dedup → quality-gate → decontaminate → split →
+balance → pack → export) runs as a chain of parquet-to-parquet passes.
+
+Scale shape: each stage is exactly ONE read → transform → write pass
+over the lake — no stage holds the corpus in memory, no stage's report
+forces a second scan (row counts come from the written parquet footers,
+a metadata-only read). Intermediates land under ``workdir/NN_stage`` so
+a failed run is resumable by re-pointing ``input`` at the last good
+stage dir — the same at-rest checkpoint discipline the maintained ANN
+index uses.
+
+YAML shape (``pipeline:`` top-level key, so the file can share the
+reference-parity settings keys):
+
+.. code-block:: yaml
+
+    pipeline:
+      input: /lake/documents          # parquet dir
+      workdir: /lake/pipeline_work    # intermediates: NN_<stage>/
+      stages:
+        - stage: normalize            # NFKC + lower + whitespace collapse
+          text_col: text
+        - stage: dedup_exact          # keep min id per distinct content
+          key: text
+          id_col: doc_id
+        - stage: quality_gate         # drop the bottom quality quantile
+          text_col: text
+          quantile: 0.1
+        - stage: decontaminate        # n-gram benchmark decontamination
+          probes: /lake/benchmarks    # parquet with (doc_id, text)
+          n: 5
+        - stage: split                # leakage-safe content-keyed split
+          text_col: text
+        - stage: balance              # exact-parity oversampling
+          by: lang
+          id_col: doc_id
+          only_split: train           # optional: balance one split
+        - stage: pack                 # concat-then-cut sequence packing
+          budget: 512
+          id_col: doc_id
+        - stage: export               # terminal: JSONL shards + manifest
+          out: /lake/final
+          shards: 4
+          shard_key: doc_id
+
+Every stage type maps 1:1 onto a registered operator — the chain is
+composition, not reimplementation (the same invariant
+tests/test_pipeline_e2e.py pins operator-by-operator).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stage_normalize(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.text import normalize_text
+
+    col = p.get("text_col", "text")
+    out = normalize_text(col, form=p.get("form", "NFKC"))
+    if p.get("lower", True):
+        out = F.lower(out)
+    return df.withColumn(col, out)
+
+
+def _stage_dedup_exact(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.dedup import dedup_exact_hash
+
+    return dedup_exact_hash(df, p.get("key", "text"), p.get("id_col", "doc_id"))
+
+
+def _stage_quality_gate(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.text import quality_score
+
+    col = p.get("text_col", "text")
+    q = float(p.get("quantile", 0.1))
+    scored = df.withColumn("__q__", quality_score(col))
+    # one tiny scalar aggregate, broadcast back via crossJoin(1 row)
+    thresh = scored.agg(F.percentile("__q__", F.lit(q)).alias("__t__"))
+    return (
+        scored.crossJoin(F.broadcast(thresh))
+        .filter(F.col("__q__") >= F.col("__t__"))
+        .drop("__q__", "__t__")
+    )
+
+
+def _stage_decontaminate(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.text import ngram_contamination
+
+    probes = spark.read.parquet(p["probes"])
+    id_col = p.get("id_col", "doc_id")
+    hits = ngram_contamination(
+        df, probes, n=int(p.get("n", 5)), id_col=id_col,
+        text_col=p.get("text_col", "text"),
+    )
+    return df.join(hits.select(id_col).distinct(), id_col, "left_anti")
+
+
+def _stage_filter_nulls(spark, df: DataFrame, p: dict) -> DataFrame:
+    cols = [c for c in p["columns"] if c in df.columns]
+    return df.na.drop(subset=cols) if cols else df
+
+
+def _stage_redact(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.text import redact_pii
+
+    col = p.get("text_col", "text")
+    return df.withColumn(col, redact_pii(col))
+
+
+def _stage_split(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.training import assign_split
+
+    return assign_split(
+        df, p.get("text_col", "text"), splits=p.get("splits"),
+    )
+
+
+def _stage_balance(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.training import class_balance
+
+    by, id_col = p["by"], p.get("id_col", "doc_id")
+    only = p.get("only_split")
+    target = df.filter(F.col("split") == only) if only else df
+    # class_balance returns the replication plan (id, class, copy_idx);
+    # join the payload columns back so the stage output is a corpus, not
+    # a plan (the e2e chain does the same join)
+    bal = class_balance(target, by, id_col).join(target.drop(by), id_col)
+    if only:
+        rest = df.filter(F.col("split") != only).withColumn(
+            "copy_idx", F.lit(1).cast("long")
+        )
+        bal = bal.unionByName(rest)
+    return bal
+
+
+def _stage_select(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.text import quality_score
+    from .operators.training import select_token_budget
+
+    col = p.get("text_col", "text")
+    return select_token_budget(
+        df, int(p["budget"]), score=quality_score(col),
+        id_col=p.get("id_col", "doc_id"), text_col=col,
+    )
+
+
+def _stage_pack(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.training import pack_linear
+
+    return pack_linear(
+        df, id_col=p.get("id_col", "doc_id"),
+        shard_col=p.get("shard_col"),
+        budget=int(p.get("budget", 512)),
+        text_col=p.get("text_col", "text"),
+    )
+
+
+STAGES: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
+    "normalize": _stage_normalize,
+    "dedup_exact": _stage_dedup_exact,
+    "quality_gate": _stage_quality_gate,
+    "decontaminate": _stage_decontaminate,
+    "filter_nulls": _stage_filter_nulls,
+    "redact": _stage_redact,
+    "split": _stage_split,
+    "balance": _stage_balance,
+    "select": _stage_select,
+    "pack": _stage_pack,
+}
+
+
+def _footer_count(spark: SparkSession, path: str) -> int:
+    """Row count from parquet footers — metadata-only, no data scan."""
+    return spark.read.parquet(path).count()
+
+
+def run_pipeline(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
+    """Run the ``pipeline:`` section of a config. Returns a report dict:
+    ``{"stages": [{"stage", "out", "rows"}...], "final": ...}``.
+
+    Validates the whole stage list BEFORE running anything (unknown stage
+    names and missing required params fail fast, not after an hour of
+    upstream work)."""
+    p = cfg.get("pipeline") or {}
+    if not p.get("input") or not p.get("stages"):
+        raise ValueError("pipeline config needs 'input' and 'stages'")
+    workdir = p.get("workdir")
+    stages: list[dict] = list(p["stages"])
+
+    required = {"decontaminate": ["probes"], "balance": ["by"],
+                "select": ["budget"], "filter_nulls": ["columns"],
+                "export": ["out"]}
+    for i, st in enumerate(stages):
+        name = st.get("stage")
+        if name != "export" and name not in STAGES:
+            raise ValueError(f"stage {i}: unknown stage {name!r}")
+        for k in required.get(name, []):
+            if k not in st:
+                raise ValueError(f"stage {i} ({name}): missing param {k!r}")
+        if name != "export" and st.get("out") is None and not workdir:
+            raise ValueError(
+                f"stage {i} ({name}): needs 'out' or a pipeline 'workdir'"
+            )
+    if any(st["stage"] == "export" for st in stages[:-1]):
+        raise ValueError("'export' is terminal — it must be the last stage")
+
+    report: dict[str, Any] = {"input": p["input"], "stages": []}
+    cur = p["input"]
+    for i, st in enumerate(stages):
+        name = st["stage"]
+        df = spark.read.parquet(cur)
+        if name == "export":
+            from .sources.lake import export_jsonl_shards
+
+            manifest = export_jsonl_shards(
+                df, st["out"], shards=int(st.get("shards", 1)),
+                shard_key=st.get("shard_key", "doc_id"),
+                compress=bool(st.get("compress", False)),
+            )
+            shard_rows = {int(r["shard"]): int(r["n_rows"])
+                          for r in manifest.collect()}
+            report["stages"].append(
+                {"stage": name, "out": st["out"],
+                 "rows": sum(shard_rows.values()), "shards": shard_rows}
+            )
+            cur = st["out"]
+            continue
+        out_dir = st.get("out") or os.path.join(workdir, f"{i:02d}_{name}")
+        STAGES[name](spark, df, st).write.mode("overwrite").parquet(out_dir)
+        report["stages"].append(
+            {"stage": name, "out": out_dir,
+             "rows": _footer_count(spark, out_dir)}
+        )
+        cur = out_dir
+    report["final"] = cur
+    return report

@@ -103,3 +103,86 @@ def test_full_pipeline(spark, corpus, tmp_path):
     )
     assert sum(r.n_rows for r in manifest.collect()) == bal_docs.count()
     assert read_jsonl(spark, out).count() == bal_docs.count()
+
+
+def test_cli_pipeline_config_chain(spark, corpus, tmp_path, capsys):
+    """r13 verdict item 8: the same chain, driven from ONE YAML through
+    `gdelt-spark pipeline` — stage-per-command parity stays (the
+    reference shape), and the chained story becomes CLI-drivable. The
+    report's per-stage row counts must agree with the operator-by-operator
+    invariants the test above pins (planted dup removed, contaminated doc
+    dropped, export count == final stage count)."""
+    import json
+
+    import yaml
+
+    from gdelt_2_0_event_database_pipeline_spark.cli import main as cli_main
+
+    src = str(tmp_path / "corpus")
+    corpus.write.parquet(src)
+    probes = str(tmp_path / "probes")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    ).write.parquet(probes)
+
+    out = str(tmp_path / "final")
+    cfg = {
+        "pipeline": {
+            "input": src,
+            "workdir": str(tmp_path / "work"),
+            "stages": [
+                {"stage": "normalize", "text_col": "text"},
+                {"stage": "dedup_exact", "key": "text", "id_col": "doc_id"},
+                {"stage": "quality_gate", "text_col": "text", "quantile": 0.1},
+                {"stage": "decontaminate", "probes": probes, "n": 5},
+                {"stage": "split", "text_col": "text"},
+                {"stage": "balance", "by": "lang", "id_col": "doc_id",
+                 "only_split": "train"},
+                {"stage": "export", "out": out, "shards": 2,
+                 "shard_key": "doc_id"},
+            ],
+        }
+    }
+    cfg_path = tmp_path / "pipeline.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    rc = cli_main(["pipeline", "--pipeline-config", str(cfg_path)])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    by_stage = {s["stage"]: s for s in report["stages"]}
+
+    n0 = corpus.count()
+    assert by_stage["normalize"]["rows"] == n0
+    assert by_stage["dedup_exact"]["rows"] < n0  # 9002 folded into 9001
+    dd = spark.read.parquet(by_stage["dedup_exact"]["out"])
+    ids = {r.doc_id for r in dd.select("doc_id").collect()}
+    assert 9001 in ids and 9002 not in ids
+    dc = spark.read.parquet(by_stage["decontaminate"]["out"])
+    assert 9003 not in {r.doc_id for r in dc.select("doc_id").collect()}
+    assert by_stage["quality_gate"]["rows"] <= by_stage["dedup_exact"]["rows"]
+
+    # balance: exact per-language parity within train, other splits intact
+    bal = spark.read.parquet(by_stage["balance"]["out"])
+    from pyspark.sql import functions as F
+    per_lang = {
+        r.lang: r.n
+        for r in bal.filter(F.col("split") == "train")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(set(per_lang.values())) == 1
+
+    # export: manifest total == balanced rows; shards re-readable
+    from gdelt_2_0_event_database_pipeline_spark.sources.lake import read_jsonl
+    assert by_stage["export"]["rows"] == by_stage["balance"]["rows"]
+    assert read_jsonl(spark, out).count() == by_stage["balance"]["rows"]
+
+    # fail-fast validation: unknown stage, nothing ran
+    bad = dict(cfg)
+    bad["pipeline"] = dict(cfg["pipeline"])
+    bad["pipeline"]["stages"] = [{"stage": "nope"}]
+    bad_path = tmp_path / "bad.yaml"
+    bad_path.write_text(yaml.safe_dump(bad))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown stage"):
+        cli_main(["pipeline", "--pipeline-config", str(bad_path)])

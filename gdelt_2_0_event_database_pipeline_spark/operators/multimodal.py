@@ -416,6 +416,43 @@ def _dhash_from_gray(w: int, h: int, gray: bytes) -> int:
     return out
 
 
+def gray_raster_pil(payload: bytes) -> tuple:
+    """Pillow-backed twin of :func:`gray_raster` — the real-codec seam,
+    exercised (r13 verdict item 9). Decodes via ``PIL.Image`` (any format
+    Pillow supports, including the JPEGs the pure-Python path refuses),
+    then grayscales with the SAME integer channel-mean convention (alpha
+    excluded) — NOT Pillow's luma-weighted ``convert('L')`` — so on
+    formats BOTH backends decode, the rasters and therefore the 64-bit
+    dHashes are bit-identical (pinned by the PIL-marked tests in
+    tests/test_multimodal.py, which skip when Pillow is absent).
+
+    Optional dependency: Pillow imports lazily here, at the worker, so
+    the module stays importable without it."""
+    from io import BytesIO
+
+    from PIL import Image  # optional dep — callers gate on importability
+
+    img = Image.open(BytesIO(payload))
+    w, h = img.size
+    if img.mode == "L":
+        return w, h, img.tobytes()
+    # depalettize / normalize; keep alpha out of the mean like gray_raster
+    rgb = img.convert("RGBA" if "A" in img.getbands() else "RGB")
+    px = rgb.tobytes()
+    ch = len(rgb.getbands())
+    gray = bytes(
+        (px[p * ch] + px[p * ch + 1] + px[p * ch + 2]) // 3
+        for p in range(w * h)
+    )
+    return w, h, gray
+
+
+def dhash64_pil(payload: bytes) -> int:
+    """dHash through the Pillow decode seam (see :func:`gray_raster_pil`)."""
+    w, h, gray = gray_raster_pil(payload)
+    return _dhash_from_gray(w, h, gray)
+
+
 def dhash64(payload: bytes) -> int:
     """64-bit difference hash (dHash): nearest-neighbor downsample of the
     grayscale raster to 9×8, then each bit = left pixel brighter than its
@@ -425,10 +462,26 @@ def dhash64(payload: bytes) -> int:
     return _dhash_from_gray(w, h, gray)
 
 
-def media_dhash(df: DataFrame) -> DataFrame:
+def media_dhash(df: DataFrame, *, backend: str = "pure") -> DataFrame:
     """(media_id, dhash) via ``mapInPandas`` over the payload column —
     same Arrow-batched seam as :func:`extract_features`; undecodable
-    payloads yield NULL (kept, so callers can audit failures)."""
+    payloads yield NULL (kept, so callers can audit failures).
+
+    ``backend="pil"`` routes the decode through :func:`dhash64_pil`
+    (Pillow — handles JPEG etc.; bit-identical to the pure path on the
+    formats both decode); ``"pure"`` (default) needs no dependencies."""
+    if backend not in ("pure", "pil"):
+        raise ValueError(f"backend must be 'pure' or 'pil', got {backend!r}")
+    if backend == "pil":
+        import importlib.util
+
+        # fail fast driver-side: inside the worker the per-payload
+        # try/except would silently turn a missing dependency into
+        # all-NULL hashes
+        if importlib.util.find_spec("PIL") is None:
+            raise ModuleNotFoundError(
+                "backend='pil' needs Pillow on the driver and workers"
+            )
 
     schema = T.StructType(
         [
@@ -437,13 +490,15 @@ def media_dhash(df: DataFrame) -> DataFrame:
         ]
     )
 
+    hash_fn = dhash64_pil if backend == "pil" else dhash64
+
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vals = []
             for p in pdf["payload"]:
                 try:
                     # dHash is 64 unsigned bits; store as signed long
-                    v = dhash64(p)
+                    v = hash_fn(p)
                     vals.append(v - (1 << 64) if v >= (1 << 63) else v)
                 except Exception:
                     vals.append(None)
@@ -513,11 +568,14 @@ def hamming_near_dup_pairs(
     )
 
 
-def media_near_dup_pairs(df: DataFrame, *, max_hamming: int = 6) -> DataFrame:
+def media_near_dup_pairs(
+    df: DataFrame, *, max_hamming: int = 6, backend: str = "pure"
+) -> DataFrame:
     """Image near-duplicate pairs: decoded-pixel dHash front end over the
     shared banded Hamming join. Returns (id_a, id_b, hamming)."""
     return hamming_near_dup_pairs(
-        media_dhash(df), "media_id", "dhash", max_hamming=max_hamming
+        media_dhash(df, backend=backend), "media_id", "dhash",
+        max_hamming=max_hamming
     )
 
 

@@ -352,3 +352,86 @@ def test_video_undecodable_payloads_skipped(spark):
         [(1, bytearray(b"garbage-not-a-video"))], "media_id long, payload binary"
     )
     assert video_frame_dhashes(df).count() == 0
+
+
+# ------------------------------------------------- real-codec seam (Pillow)
+import importlib.util as _ilu
+
+_HAS_PIL = _ilu.find_spec("PIL") is not None
+pil_only = pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed")
+
+
+def test_pil_backend_fails_fast_without_pillow(spark, media):
+    """backend='pil' without Pillow must raise at the call, not return
+    all-NULL hashes from worker-side per-payload exception handling."""
+    if _HAS_PIL:
+        pytest.skip("Pillow installed — fail-fast path not reachable")
+    with pytest.raises(ModuleNotFoundError, match="Pillow"):
+        M.media_dhash(media, backend="pil")
+    with pytest.raises(ValueError, match="backend"):
+        M.media_dhash(media, backend="bogus")
+
+
+@pil_only
+def test_pil_raster_and_dhash_bit_parity(spark):
+    """The seam is real: Pillow-decoded rasters use the same integer
+    channel-mean grayscale convention, so gray_raster_pil == gray_raster
+    and dhash64_pil == dhash64 bit-for-bit on PNG and BMP payloads both
+    backends can decode."""
+    import random
+
+    rng = random.Random(7)
+    w, h = 24, 16
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    png = M.encode_png(w, h, _rgb(gray))
+    assert M.gray_raster_pil(png) == M.gray_raster(png)
+    assert M.dhash64_pil(png) == M.dhash64(png)
+
+    # BMP (24-bit, bottom-up rows) through the same parity check
+    import struct as _s
+
+    def _bmp(w, h, rgb):
+        padded = (w * 3 + 3) & ~3
+        rows = b""
+        for y in range(h - 1, -1, -1):
+            row = b"".join(
+                bytes([rgb[(y * w + x) * 3 + 2], rgb[(y * w + x) * 3 + 1],
+                       rgb[(y * w + x) * 3]])
+                for x in range(w)
+            )
+            rows += row + b"\x00" * (padded - w * 3)
+        off = 14 + 40
+        return (b"BM" + _s.pack("<IHHI", off + len(rows), 0, 0, off)
+                + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows),
+                          2835, 2835, 0, 0) + rows)
+
+    bmp = _bmp(w, h, _rgb(gray))
+    assert M.gray_raster_pil(bmp) == M.gray_raster(bmp)
+    assert M.dhash64_pil(bmp) == M.dhash64(bmp)
+
+
+@pil_only
+def test_pil_backend_near_dup_pipeline_matches_pure(spark):
+    """media_near_dup_pairs(backend='pil') finds the identical pair set as
+    the pure backend on a planted near-dup corpus — the whole banded
+    Hamming pipeline is backend-agnostic past the decode seam."""
+    import random
+
+    rng = random.Random(11)
+    w, h = 24, 16
+    rows = []
+    for i in range(12):
+        if i % 3 == 2:  # every third image: noisy copy of its predecessor
+            base = rows[-1][2]
+            px = _noisy_copy(base, 15)
+        else:
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+        rows.append((i, M.encode_png(w, h, _rgb(px)), px))
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, _ in rows], "media_id long, payload binary"
+    )
+    pure = {(r.id_a, r.id_b, r.hamming)
+            for r in M.media_near_dup_pairs(df, max_hamming=6).collect()}
+    pil = {(r.id_a, r.id_b, r.hamming)
+           for r in M.media_near_dup_pairs(df, max_hamming=6, backend="pil").collect()}
+    assert pil == pure and pure  # identical, and the planted pairs exist

@@ -78,6 +78,18 @@ def _stage_dedup_exact(spark, df: DataFrame, p: dict) -> DataFrame:
     return dedup_exact_hash(df, p.get("key", "text"), p.get("id_col", "doc_id"))
 
 
+def _stage_dedup_near(spark, df: DataFrame, p: dict) -> DataFrame:
+    from .operators.dedup import dedup_keep_canonical, minhash_near_dup_pairs
+
+    id_col = p.get("id_col", "doc_id")
+    pairs = minhash_near_dup_pairs(
+        df, id_col, p.get("text_col", "text"),
+        threshold=float(p.get("threshold", 0.8)),
+        max_bucket_size=int(p.get("max_bucket_size", 64)),
+    )
+    return dedup_keep_canonical(df, pairs, id_col)
+
+
 def _stage_quality_gate(spark, df: DataFrame, p: dict) -> DataFrame:
     from .operators.text import quality_score
 
@@ -168,6 +180,7 @@ def _stage_pack(spark, df: DataFrame, p: dict) -> DataFrame:
 STAGES: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "normalize": _stage_normalize,
     "dedup_exact": _stage_dedup_exact,
+    "dedup_near": _stage_dedup_near,
     "quality_gate": _stage_quality_gate,
     "decontaminate": _stage_decontaminate,
     "filter_nulls": _stage_filter_nulls,

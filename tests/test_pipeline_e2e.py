@@ -186,3 +186,31 @@ def test_cli_pipeline_config_chain(spark, corpus, tmp_path, capsys):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown stage"):
         cli_main(["pipeline", "--pipeline-config", str(bad_path)])
+
+
+def test_pipeline_dedup_near_stage(spark, tmp_path):
+    """dedup_near stage: MinHash+LSH pairs → keep-canonical, as one
+    pipeline pass. A planted near-identical pair collapses to its min id;
+    unrelated docs survive."""
+    from gdelt_2_0_event_database_pipeline_spark.pipeline import run_pipeline
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    extra = spark.createDataFrame(
+        [
+            (8001, "the quick brown fox jumps over the lazy dog again and again today", "en", "p", 60),
+            (8002, "the quick brown fox jumps over the lazy dog again and again tonight", "en", "p", 61),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "src")
+    base.unionByName(extra).write.parquet(src)
+
+    rep = run_pipeline(
+        spark,
+        {"pipeline": {"input": src, "workdir": str(tmp_path / "w"),
+                      "stages": [{"stage": "dedup_near", "threshold": 0.6}]}},
+    )
+    out = spark.read.parquet(rep["final"])
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 8001 in ids and 8002 not in ids
+    assert rep["stages"][0]["rows"] == out.count()

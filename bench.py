@@ -350,7 +350,8 @@ def main() -> None:
     for name in ("q_ivf_topk", "q_pq_topk", "q_pq_append", "q_minhash_index",
                  "q_dedup_minhash_index", "q_ivf_pq_drift", "q_ivf_pq_residual",
                  "q_ivf_pq_topk", "q_opq_topk", "q_opq_maintained",
-                 "q_bpe_train"):
+                 "q_bpe_train", "q_media_near_dup", "q_audio_near_dup",
+                 "q_video_near_dup"):
         if name not in QUERIES:
             continue
         t0 = time.time()
@@ -390,8 +391,7 @@ def main() -> None:
     steady_metrics: dict[str, dict] = {}
     em.snap()
     for name in ("q_bucketed_join", "q_semantic_dedup",
-                 "q_dedup_minhash", "q_khop_reach",
-                 "q_video_near_dup"):
+                 "q_dedup_minhash", "q_khop_reach"):
         if name in QUERIES:
             t0 = time.time()
             try:

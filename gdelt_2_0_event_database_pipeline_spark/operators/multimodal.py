@@ -753,9 +753,25 @@ def video_near_dup_pairs(
     uid = (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias(
         "frame_uid"
     )
+    return video_pairs_from_frame_sigs(
+        frames.select(uid, "fhash"), max_hamming=max_hamming,
+        min_matched_frames=min_matched_frames,
+    )
+
+
+def video_pairs_from_frame_sigs(
+    frames_sig: DataFrame,
+    *,
+    max_hamming: int = 4,
+    min_matched_frames: int = 2,
+) -> DataFrame:
+    """The relational tail of :func:`video_near_dup_pairs`, split out so a
+    PERSISTED (frame_uid, fhash) signature table can serve it directly —
+    the at-rest oracle discipline: everything past the (engine-specific)
+    decode is a banded join + rollup both engines replay over the same
+    artifact."""
     pairs = hamming_near_dup_pairs(
-        frames.select(uid, "fhash"), "frame_uid", "fhash",
-        max_hamming=max_hamming,
+        frames_sig, "frame_uid", "fhash", max_hamming=max_hamming
     )
     vid_a = F.expr(f"id_a div {1 << 20}").alias("vid_a")
     vid_b = F.expr(f"id_b div {1 << 20}").alias("vid_b")

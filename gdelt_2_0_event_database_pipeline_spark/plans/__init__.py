@@ -24,18 +24,23 @@ from . import tpch_plans  # noqa: E402,F401
 _DRIVER_PRIORITY = [
     # Round-14 rotation (r13 verdict item 2), regenerated mechanically from
     # the cumulative CORRECTNESS_r* evidence (latest row per query across
-    # r01-r13): head = the 4 queries whose ORACLE flipped after their last
+    # r01-r13): head = the 7 queries whose ORACLE flipped after their last
     # driver row (q_compact_lake / q_ivf_pq_drift flipped r13 with driver
-    # rows r10/r11; q_bpe_train / q_model_fit_score flipped r14 via the
-    # persisted-artifact discipline with driver rows r12) — the flips need
-    # driver attestation, not just judge verify_local runs; then strictly
-    # oldest-evidence-first (alphabetical within a round). The 50-slot
-    # window covers the 4 flips, all 8 remaining r8-stale rows, and 38 of
-    # the r9 rows, raising the freshness floor to r9.
+    # rows r10/r11; q_bpe_train / q_model_fit_score flipped r14 via
+    # persisted train artifacts; the three multimodal near-dup queries
+    # flipped r14 via persisted signature tables + the DuckDB banded-
+    # Hamming replay) — flips need driver attestation, not just judge
+    # verify_local runs; then strictly oldest-evidence-first (alphabetical
+    # within a round). The 50-slot window covers the 7 flips, all 8
+    # remaining r8-stale rows, and 35 of the r9 rows, raising the
+    # freshness floor to r9.
     "q_compact_lake",  # oracle flipped after its last driver row (r10)
     "q_ivf_pq_drift",  # oracle flipped after its last driver row (r11)
     "q_bpe_train",  # oracle flipped after its last driver row (r12)
     "q_model_fit_score",  # oracle flipped after its last driver row (r12)
+    "q_media_near_dup",  # oracle flipped after its last driver row (r12)
+    "q_audio_near_dup",  # oracle flipped after its last driver row (r12)
+    "q_video_near_dup",  # oracle flipped after its last driver row (r12)
     "q_sample_weighted",  # last driver row: r8
     "q_set_union",  # last driver row: r8
     "q_simhash_signature",  # last driver row: r8
@@ -187,7 +192,6 @@ _DRIVER_PRIORITY = [
     "q06_forecast_revenue",  # last driver row: r12
     "q_approx_distinct",  # last driver row: r12
     "q_asof_tolerance",  # last driver row: r12
-    "q_audio_near_dup",  # last driver row: r12
     "q_basket_sizes",  # last driver row: r12
     "q_bm25_search",  # last driver row: r12
     "q_boilerplate_lines",  # last driver row: r12
@@ -212,7 +216,6 @@ _DRIVER_PRIORITY = [
     "q_k_anonymity_report",  # last driver row: r12
     "q_label_propagation",  # last driver row: r12
     "q_label_separability",  # last driver row: r12
-    "q_media_near_dup",  # last driver row: r12
     "q_merge_intervals",  # last driver row: r12
     "q_model_score",  # last driver row: r12
     "q_moments_maintained",  # last driver row: r12
@@ -230,7 +233,6 @@ _DRIVER_PRIORITY = [
     "q_sql_surface",  # last driver row: r12
     "q_tfidf_keywords",  # last driver row: r12
     "q_transitions",  # last driver row: r12
-    "q_video_near_dup",  # last driver row: r12
     "q_winsorize",  # last driver row: r12
     "q02_min_cost_supplier",  # last driver row: r13
     "q04_order_priority",  # last driver row: r13

@@ -14,6 +14,71 @@ from ..operators.skew import explain_shuffles, salted_group_agg, write_bucketed
 from .registry import register
 from .relational import _events, _li, _t
 
+#: Persisted-signature oracle roots (r14): the multimodal near-dup family
+#: decodes payloads with engine-specific codecs, but everything PAST the
+#: 64-bit signature is relational — so the signatures live at rest and
+#: DuckDB replays the banded Hamming join (pigeonhole chunks via exact
+#: HUGEINT div/mod on the unsigned reinterpretation, bit_count(xor)
+#: verification) over the SAME artifact. Decode→signature stays pytest
+#: (planted-pair exactness in test_multimodal.py).
+_SIG_ORACLE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse",
+)
+_SIG_CACHE: dict[str, bool] = {}
+
+
+def _banded_hamming_sql(
+    root: str, id_col: str, sig_col: str, max_hamming: int
+) -> str:
+    """DuckDB replay of ``multimodal.hamming_near_dup_pairs`` over an
+    at-rest (id, sig) parquet: same pigeonhole banding (n = max_hamming+1
+    chunks of ceil(64/n) bits), same ``bit_count(xor)`` verification, same
+    (id_a < id_b, distinct) pair normalization. Signed-vs-unsigned shift
+    semantics are sidestepped by reinterpreting the signed 64-bit value as
+    HUGEINT and extracting chunks with exact div/mod — differentially
+    pinned bit-equal to Spark's shiftrightunsigned path."""
+    n = max_hamming + 1
+    width = 64 // n + (1 if 64 % n else 0)
+    divisors = ", ".join(f"({i}, {1 << (width * i)})" for i in range(n))
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS mid, {sig_col} AS sig,
+             CASE WHEN {sig_col} < 0
+                  THEN {sig_col}::HUGEINT + 18446744073709551616::HUGEINT
+                  ELSE {sig_col}::HUGEINT END AS u
+      FROM read_parquet('{root}/*.parquet') WHERE {sig_col} IS NOT NULL
+    ), ch(ci, dv) AS (VALUES {divisors}),
+    c AS (
+      SELECT mid, sig, ci, CAST((u // dv::HUGEINT) % {1 << width} AS BIGINT) AS cv
+      FROM s, ch
+    ), cand AS (
+      SELECT DISTINCT a.mid AS id_a, b.mid AS id_b, a.sig AS ha, b.sig AS hb
+      FROM c a JOIN c b ON a.ci = b.ci AND a.cv = b.cv AND a.mid < b.mid
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def _video_banded_sql(root: str, max_hamming: int, min_frames: int) -> str:
+    """DuckDB replay of ``multimodal.video_pairs_from_frame_sigs``: the
+    frame-level banded Hamming join over at-rest (frame_uid, fhash) rows,
+    then the video rollup — unpack video ids (uid div 2^20), drop
+    same-video frame matches, normalize (least, greatest), count matched
+    frames, threshold."""
+    core = _banded_hamming_sql(root, "frame_uid", "fhash", max_hamming)
+    return f"""
+    WITH fp AS ({core}),
+    vp AS (
+      SELECT least(id_a // 1048576, id_b // 1048576) AS id_a,
+             greatest(id_a // 1048576, id_b // 1048576) AS id_b
+      FROM fp WHERE (id_a // 1048576) <> (id_b // 1048576)
+    )
+    SELECT id_a, id_b, count(*) AS n_matched_frames
+    FROM vp GROUP BY id_a, id_b HAVING count(*) >= {min_frames}
+    """
+
 
 @register(
     "q_salted_agg",
@@ -381,49 +446,66 @@ def q_skew_report(spark, sf_dir):
 
 @register(
     "q_media_near_dup",
-    sql=None,
+    sql=_banded_hamming_sql(
+        f"{_SIG_ORACLE_ROOT}/media_sig_oracle", "media_id", "dhash", 6
+    ),
     doc=(
         "Image near-duplicate pairs over REAL decoded pixels: deterministic "
         "PNG corpus (20 bases + 6 brightness-shifted re-encodes), pure-"
         "Python decode -> 64-bit dHash in one Arrow-batched mapInPandas, "
         "pigeonhole-banded Hamming pair join (payloads never join). "
-        "Rows-only by design (no zlib/PNG in the oracle engine); the "
-        "banded-equals-bruteforce differential is pinned in "
-        "test_multimodal.py."
+        "Oracle-flipped r14 via the persisted-signature discipline: the "
+        "(media_id, dhash) table lives at rest, BOTH engines read it, and "
+        "DuckDB replays the banded join + bit_count(xor) verification "
+        "exactly (decode->signature stays pytest: banded-equals-bruteforce "
+        "and planted-pair tests in test_multimodal.py)."
     ),
 )
 def q_media_near_dup(spark, sf_dir):
     import random
 
-    from ..operators.multimodal import encode_png, media_near_dup_pairs
+    from ..operators.multimodal import (
+        encode_png,
+        hamming_near_dup_pairs,
+        media_dhash,
+    )
 
-    rng = random.Random(42)
-    w, h = 24, 16
-    rows = []
-    bases = []
-    for i in range(20):
-        gray = bytes(rng.randrange(256) for _ in range(w * h))
-        bases.append(gray)
-        rgb = bytes(v for g in gray for v in (g, g, g))
-        rows.append((i, bytearray(encode_png(w, h, rgb))))
-    for j in range(6):  # planted near-dups: brightness-shifted re-encodes
-        gray = bytes(min(255, p + 18) for p in bases[j])
-        rgb = bytes(v for g in gray for v in (g, g, g))
-        rows.append((100 + j, bytearray(encode_png(w, h, rgb))))
-    df = spark.createDataFrame(rows, "media_id long, payload binary")
-    return media_near_dup_pairs(df, max_hamming=6)
+    root = f"{_SIG_ORACLE_ROOT}/media_sig_oracle"
+    if not _SIG_CACHE.get("media"):
+        rng = random.Random(42)
+        w, h = 24, 16
+        rows = []
+        bases = []
+        for i in range(20):
+            gray = bytes(rng.randrange(256) for _ in range(w * h))
+            bases.append(gray)
+            rgb = bytes(v for g in gray for v in (g, g, g))
+            rows.append((i, bytearray(encode_png(w, h, rgb))))
+        for j in range(6):  # planted near-dups: brightness-shifted re-encodes
+            gray = bytes(min(255, p + 18) for p in bases[j])
+            rgb = bytes(v for g in gray for v in (g, g, g))
+            rows.append((100 + j, bytearray(encode_png(w, h, rgb))))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        media_dhash(df).write.mode("overwrite").parquet(root)
+        _SIG_CACHE["media"] = True
+    sig = spark.read.parquet(root)
+    return hamming_near_dup_pairs(sig, "media_id", "dhash", max_hamming=6)
 
 
 @register(
     "q_audio_near_dup",
-    sql=None,
+    sql=_banded_hamming_sql(
+        f"{_SIG_ORACLE_ROOT}/audio_sig_oracle", "media_id", "afp", 4
+    ),
     doc=(
         "Audio near-duplicate pairs over REAL decoded PCM: deterministic "
         "WAV corpus (10 amplitude-modulated tones + 4 re-levelled copies "
         "at 1/3 gain), energy-delta-sign fingerprint (chromaprint-lite, "
         "amplitude-invariant) in one Arrow-batched mapInPandas, the SAME "
-        "pigeonhole-banded Hamming join as the image path. Rows-only (no "
-        "PCM in the oracle engine); invariants in test_multimodal.py."
+        "pigeonhole-banded Hamming join as the image path. Oracle-flipped "
+        "r14: the (media_id, afp) signatures live at rest and DuckDB "
+        "replays the banded join (decode->fingerprint stays pytest: "
+        "amplitude-invariance in test_multimodal.py)."
     ),
 )
 def q_audio_near_dup(spark, sf_dir):
@@ -446,25 +528,29 @@ def q_audio_near_dup(spark, sf_dir):
         )
         return b"RIFF" + st.pack("<I", len(body)) + body
 
-    rows = []
-    tones = []
-    for k in range(10):
-        tone = [
-            int(8000 * math.sin(i / (3.0 + k)) * (1.0 + 0.8 * math.sin(i / (60.0 + 17 * k))))
-            for i in range(2000)
-        ]
-        tones.append(tone)
-        rows.append((k, bytearray(wav(tone))))
-    for j in range(4):  # planted near-dups: re-levelled copies
-        rows.append((100 + j, bytearray(wav([s // 3 for s in tones[j]]))))
-    df = spark.createDataFrame(rows, "media_id long, payload binary")
-    sig = media_audio_fingerprint(df)
+    root = f"{_SIG_ORACLE_ROOT}/audio_sig_oracle"
+    if not _SIG_CACHE.get("audio"):
+        rows = []
+        tones = []
+        for k in range(10):
+            tone = [
+                int(8000 * math.sin(i / (3.0 + k)) * (1.0 + 0.8 * math.sin(i / (60.0 + 17 * k))))
+                for i in range(2000)
+            ]
+            tones.append(tone)
+            rows.append((k, bytearray(wav(tone))))
+        for j in range(4):  # planted near-dups: re-levelled copies
+            rows.append((100 + j, bytearray(wav([s // 3 for s in tones[j]]))))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        media_audio_fingerprint(df).write.mode("overwrite").parquet(root)
+        _SIG_CACHE["audio"] = True
+    sig = spark.read.parquet(root)
     return hamming_near_dup_pairs(sig, "media_id", "afp", max_hamming=4)
 
 
 @register(
     "q_video_near_dup",
-    sql=None,
+    sql=_video_banded_sql(f"{_SIG_ORACLE_ROOT}/video_sig_oracle", 4, 2),
     doc=(
         "Video near-duplicate pairs over REAL per-frame rasters: "
         "deterministic gradient-frame corpus with planted copies that are "
@@ -473,16 +559,30 @@ def q_audio_near_dup(spark, sf_dir):
         "(video, frame, dHash) 20-byte rows; frames match by CONTENT "
         "through the SAME pigeonhole-banded Hamming join as image/audio/"
         "text, then roll up per video pair with a min-matched-frames "
-        "threshold (trim/shift robust). Rows-only (no codec in the oracle "
-        "engine); planted-pair exactness + trim invariance pinned in "
-        "test_multimodal.py."
+        "threshold (trim/shift robust). Oracle-flipped r14: the per-frame "
+        "(frame_uid, fhash) signatures live at rest and DuckDB replays "
+        "the frame-level banded join AND the video rollup "
+        "(decode->signature stays pytest: planted-pair exactness + trim "
+        "invariance in test_multimodal.py)."
     ),
 )
 def q_video_near_dup(spark, sf_dir):
-    from ..operators.multimodal import make_video_df, video_near_dup_pairs
+    from ..operators.multimodal import (
+        make_video_df,
+        video_frame_dhashes,
+        video_pairs_from_frame_sigs,
+    )
 
-    df = make_video_df(spark, n=24)
-    return video_near_dup_pairs(df, max_hamming=4, min_matched_frames=2)
+    root = f"{_SIG_ORACLE_ROOT}/video_sig_oracle"
+    if not _SIG_CACHE.get("video"):
+        frames = video_frame_dhashes(make_video_df(spark, n=24), every_k=1)
+        uid = (F.col("media_id") * F.lit(1 << 20) + F.col("frame_idx")).alias(
+            "frame_uid"
+        )
+        frames.select(uid, "fhash").write.mode("overwrite").parquet(root)
+        _SIG_CACHE["video"] = True
+    sig = spark.read.parquet(root)
+    return video_pairs_from_frame_sigs(sig, max_hamming=4, min_matched_frames=2)
 
 
 @register(

@@ -782,6 +782,34 @@ def compression_ratio(col: Column | str, *, level: int = 6) -> Column:
     return _ratio(c)
 
 
+def compressed_size(col: Column | str, *, level: int = 6) -> Column:
+    """zlib-compressed byte length (the numerator of
+    :func:`compression_ratio`, kept as an exact integer): persisting THIS
+    instead of the float ratio makes the repetitiousness signal
+    oracle-able — the DEFLATE byte count is engine-specific data at rest,
+    while ratio = compressed/raw is one exact-in-doubles integer division
+    any engine reproduces bit-identically (raw = octet_length both sides).
+    Empty and NULL text → NULL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _clen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def r(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, level))
+
+        return s.map(r, na_action="ignore").astype("Int64")
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _clen(c)
+
+
 def normalize_text(col: Column | str, *, form: str = "NFKC") -> Column:
     """Unicode normalization + whitespace hygiene — the preprocessing stage
     before any hashing/fingerprinting dedup (two visually identical strings

@@ -24,16 +24,17 @@ from . import tpch_plans  # noqa: E402,F401
 _DRIVER_PRIORITY = [
     # Round-14 rotation (r13 verdict item 2), regenerated mechanically from
     # the cumulative CORRECTNESS_r* evidence (latest row per query across
-    # r01-r13): head = the 7 queries whose ORACLE flipped after their last
-    # driver row (q_compact_lake / q_ivf_pq_drift flipped r13 with driver
-    # rows r10/r11; q_bpe_train / q_model_fit_score flipped r14 via
-    # persisted train artifacts; the three multimodal near-dup queries
-    # flipped r14 via persisted signature tables + the DuckDB banded-
-    # Hamming replay) — flips need driver attestation, not just judge
-    # verify_local runs; then strictly oldest-evidence-first (alphabetical
-    # within a round). The 50-slot window covers the 7 flips, all 8
-    # remaining r8-stale rows, and 35 of the r9 rows, raising the
-    # freshness floor to r9.
+    # r01-r13): head = the 9 queries whose ORACLE flipped after their last
+    # driver row (q_compact_lake / q_ivf_pq_drift flipped r13;
+    # q_bpe_train / q_model_fit_score / q_compression_ratio flipped r14
+    # via persisted train/size artifacts; the three multimodal near-dup
+    # queries flipped r14 via persisted signature tables + the DuckDB
+    # banded-Hamming replay; q_pack_first_fit flipped r14 via a pure
+    # recursive-CTE FFD replay) — flips need driver attestation, not just
+    # judge verify_local runs; then strictly oldest-evidence-first
+    # (alphabetical within a round). The 50-slot window covers the 9
+    # flips, all 8 remaining r8-stale rows, and 33 of the r9 rows,
+    # raising the freshness floor to r9.
     "q_compact_lake",  # oracle flipped after its last driver row (r10)
     "q_ivf_pq_drift",  # oracle flipped after its last driver row (r11)
     "q_bpe_train",  # oracle flipped after its last driver row (r12)
@@ -41,6 +42,8 @@ _DRIVER_PRIORITY = [
     "q_media_near_dup",  # oracle flipped after its last driver row (r12)
     "q_audio_near_dup",  # oracle flipped after its last driver row (r12)
     "q_video_near_dup",  # oracle flipped after its last driver row (r12)
+    "q_pack_first_fit",  # oracle flipped after its last driver row (r12)
+    "q_compression_ratio",  # oracle flipped after its last driver row (r12)
     "q_sample_weighted",  # last driver row: r8
     "q_set_union",  # last driver row: r8
     "q_simhash_signature",  # last driver row: r8
@@ -197,7 +200,6 @@ _DRIVER_PRIORITY = [
     "q_boilerplate_lines",  # last driver row: r12
     "q_burst_detection",  # last driver row: r12
     "q_collocations",  # last driver row: r12
-    "q_compression_ratio",  # last driver row: r12
     "q_containment_join",  # last driver row: r12
     "q_conversion_latency",  # last driver row: r12
     "q_dedup_against_bloom",  # last driver row: r12
@@ -219,7 +221,6 @@ _DRIVER_PRIORITY = [
     "q_merge_intervals",  # last driver row: r12
     "q_model_score",  # last driver row: r12
     "q_moments_maintained",  # last driver row: r12
-    "q_pack_first_fit",  # last driver row: r12
     "q_pq_topk",  # last driver row: r12
     "q_quantiles_approx",  # last driver row: r12
     "q_random_projection",  # last driver row: r12

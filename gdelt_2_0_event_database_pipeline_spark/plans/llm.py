@@ -486,13 +486,59 @@ def q_mix_sources(spark, sf_dir):
 
 @register(
     "q_pack_first_fit",
-    sql=None,  # iterative bin state is not SQL-expressible; invariants
-    # (capacity, completeness, ≥linear efficiency, determinism) are pinned
-    # in tests/test_training.py
+    # Oracle-flipped r14: the per-shard FFD greedy IS SQL-expressible — a
+    # recursive CTE walks each shard's (n_tokens DESC, id) order carrying
+    # the bin-remaining list as state; first-fit = the leftmost list index
+    # with rem >= nt (list comprehension), oversize docs open -1 singleton
+    # bins exactly like the segment tree's sentinel. Differentially pinned
+    # bit-equal to pack_first_fit's segment-tree placements (incl. 0-token
+    # and oversize docs) before wiring. Recursion depth = max docs/shard
+    # (~8 at the driver's sf0.01 with 64 shards) — an oracle-side cost,
+    # not an engine shape.
+    sql=f"""
+    WITH RECURSIVE items AS (
+      SELECT doc_id % 64 AS shard, doc_id, len({_SQL_TOKENS})::BIGINT AS nt,
+             row_number() OVER (PARTITION BY doc_id % 64
+                                ORDER BY len({_SQL_TOKENS}) DESC, doc_id) AS i
+      FROM documents
+    ), rec AS (
+      SELECT DISTINCT shard, 0::BIGINT AS i, []::BIGINT[] AS bins,
+             NULL::BIGINT AS doc_id, NULL::BIGINT AS nt,
+             NULL::BIGINT AS pack_id, NULL::BOOLEAN AS oversize
+      FROM items
+      UNION ALL
+      SELECT s.shard, s.i, s.bins, s.doc_id, s.nt, s.pack_id, s.oversize
+      FROM (
+        SELECT r.shard, r.i + 1 AS i, it.doc_id, it.nt,
+               CASE WHEN it.nt > 512 THEN list_append(r.bins, (-1)::BIGINT)
+                    WHEN len(f.fits) > 0 THEN list_transform(
+                         range(1, len(r.bins)+1),
+                         j -> CASE WHEN j = f.fits[1] THEN r.bins[j] - it.nt
+                              ELSE r.bins[j] END)
+                    ELSE list_append(r.bins, 512 - it.nt) END AS bins,
+               CASE WHEN it.nt > 512 THEN len(r.bins)
+                    WHEN len(f.fits) > 0 THEN f.fits[1] - 1
+                    ELSE len(r.bins) END AS pack_id,
+               (it.nt > 512) AS oversize
+        FROM rec r
+        JOIN items it ON it.shard = r.shard AND it.i = r.i + 1
+        CROSS JOIN LATERAL (
+          SELECT [j FOR j IN range(1, len(r.bins)+1)
+                  IF r.bins[j] >= it.nt] AS fits) f
+      ) s
+    )
+    SELECT doc_id, shard, nt AS n_tokens, pack_id, oversize
+    FROM rec WHERE doc_id IS NOT NULL
+    """,
     doc=(
         "First-fit-decreasing whole-document packing per shard (SFT/eval "
         "loader shape, no document straddling): Arrow applyInPandas grouped "
-        "by shard — the sanctioned stateful-Python path, one shuffle."
+        "by shard — the sanctioned stateful-Python path, one shuffle. "
+        "Oracle-flipped r14: DuckDB replays the greedy exactly via a "
+        "recursive CTE over each shard's FFD order with the bin-remaining "
+        "list as carried state (differential pinned bit-equal to the "
+        "segment-tree placements); capacity/efficiency invariants stay in "
+        "tests/test_training.py."
     ),
 )
 def q_pack_first_fit(spark, sf_dir):
@@ -3575,18 +3621,50 @@ def q_winnow(spark, sf_dir):
     )
 
 
+#: q_compression_ratio's persisted-artifact root (r14): the DEFLATE byte
+#: count is engine-specific (no zlib in the oracle engine) — so it lives
+#: at rest as an exact integer, and ratio = zlen / octet_length(text) is
+#: one exact-in-doubles integer division both engines reproduce
+#: bit-identically. The compressor itself stays pytest (test_text.py's
+#: planted-repetitive floor invariants).
+_ZLIB_ORACLE_ROOT = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+    "zlib_oracle_sizes",
+)
+
+
 @register(
     "q_compression_ratio",
-    sql=None,
+    sql=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN rtrim(repeat('spam spam spam ', 40))
+                  ELSE text END AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT d.doc_id,
+           z.zlen / octet_length(encode(d.text)) AS zratio,
+           d.doc_id % 10 = 0 AS planted_repetitive
+    FROM docs d
+    JOIN read_parquet('{_ZLIB_ORACLE_ROOT}/*.parquet') z USING (doc_id)
+    """,
     doc=(
         "zlib compression-ratio quality signal (Gopher/RefinedWeb "
         "repetitiousness filter): compressed/raw bytes per document plus a "
         "planted highly-repetitive control group that must score below the "
         "natural-text floor. Arrow-batched pandas_udf (no Column-level "
-        "DEFLATE); rows-only by design — invariants in test_text.py."
+        "DEFLATE). Oracle-flipped r14 via the persisted-artifact "
+        "discipline: the compressed byte COUNT (exact integer) lives at "
+        "rest, BOTH engines read it, and the ratio is one exact integer "
+        "division against octet_length — bit-identical cross-engine; the "
+        "compressor invariants stay in test_text.py."
     ),
 )
 def q_compression_ratio(spark, sf_dir):
+    from ..operators.text import compressed_size
+
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     docs = d.select(
         "doc_id",
@@ -3595,9 +3673,15 @@ def q_compression_ratio(spark, sf_dir):
             F.concat_ws(" ", F.array_repeat(F.lit("spam spam spam"), 40)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    return docs.select(
+    if _IVF_FIT_CACHE.get("zlib_oracle_sf") != sf_dir:
+        docs.select(
+            "doc_id", compressed_size("text").alias("zlen")
+        ).write.mode("overwrite").parquet(_ZLIB_ORACLE_ROOT)
+        _IVF_FIT_CACHE["zlib_oracle_sf"] = sf_dir
+    z = spark.read.parquet(_ZLIB_ORACLE_ROOT)
+    return docs.join(z, "doc_id").select(
         "doc_id",
-        X.compression_ratio("text").alias("zratio"),
+        (F.col("zlen") / F.octet_length("text")).alias("zratio"),
         (F.col("doc_id") % 10 == 0).alias("planted_repetitive"),
     )
 

@@ -569,3 +569,29 @@ def test_bm25_ranking_semantics(spark):
 
     with pytest.raises(ValueError):
         bm25_topk(df, [], k=5)
+
+
+def test_compressed_size_consistent_with_ratio(spark):
+    """compressed_size is the exact-integer numerator of compression_ratio:
+    clen / octet_length == ratio bit-for-bit; NULL/empty -> NULL both."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import (
+        compressed_size,
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox " * 30), (1, "spam " * 100), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        compressed_size("text").alias("clen"),
+        compression_ratio("text").alias("ratio"),
+        F.octet_length("text").alias("raw"),
+    ).collect()
+    by = {r.doc_id: r for r in rows}
+    for i in (0, 1):
+        assert by[i].clen is not None
+        assert by[i].ratio == by[i].clen / by[i].raw  # same division, bit-equal
+    assert by[2].clen is None and by[2].ratio is None
+    assert by[3].clen is None and by[3].ratio is None

@@ -134,6 +134,45 @@ def main() -> int:
         "refit_recommended": rb.refit_recommended,
     }
 
+    # --- regime C (r14): ROTATED (OPQ) index, raw samples. Pre-fix,
+    # index_drift_report scored RAW sample vectors against ROTATED-space
+    # centroids — err_ratio was structurally inflated and refits fired
+    # with zero drift (r13 ADVICE, medium). Post-fix the report rotates
+    # the sample into the index frame first: a healthy append must read
+    # ~1 / no-refit, and a genuinely shifted one must still trip it.
+    from gdelt_2_0_event_database_pipeline_spark.operators.opq import (
+        fit_opq,
+        rotate_vectors,
+    )
+
+    rotation, opq_books = fit_opq(emb, m=16, ncodes=16, iters=2, opq_iters=4)
+    rot = (
+        rotate_vectors(emb, rotation, out_col="__r__")
+        .drop("embedding")
+        .withColumnRenamed("__r__", "embedding")
+    )
+    opq_cents = fit_ivf_centroids(rot, k=N_CELLS, iters=4)
+    idx_c = f"{work}/idx_c"
+    codes_c = (
+        Q.pq_encode(rot, opq_books)
+        .join(assign_cells(rot, opq_cents).select("vec_id", "cell"), "vec_id")
+        .withColumn("ingest_day", F.lit("d0"))
+    )
+    Q.write_pq_index(
+        codes_c, opq_books, idx_c, partition_col="ingest_day",
+        centroids=opq_cents, rotation=rotation, mode="overwrite",
+    )
+    rc_ok = Q.index_drift_report(spark, idx_c, indist).first()
+    rc_bad = Q.index_drift_report(spark, idx_c, shifted).first()
+    results["rotated_in_distribution"] = {
+        "err_ratio": round(rc_ok.err_ratio, 4),
+        "refit_recommended": rc_ok.refit_recommended,
+    }
+    results["rotated_shifted"] = {
+        "err_ratio": round(rc_bad.err_ratio, 4),
+        "refit_recommended": rc_bad.refit_recommended,
+    }
+
     # --- what the drift DOES to recall, and what the refit buys back:
     # shifted queries through the frozen maintained index vs through a
     # FULL refit rebuild (coarse quantizer AND codebooks refit on the

@@ -214,3 +214,27 @@ def test_pipeline_dedup_near_stage(spark, tmp_path):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert 8001 in ids and 8002 not in ids
     assert rep["stages"][0]["rows"] == out.count()
+
+
+def test_pipeline_validation_fails_fast(spark, tmp_path):
+    """The whole stage list validates BEFORE any work: unknown stages,
+    missing required params, mid-chain export, and missing workdir all
+    raise without touching the input."""
+    from gdelt_2_0_event_database_pipeline_spark.pipeline import run_pipeline
+
+    src = str(tmp_path / "never_read")  # nonexistent: validation must not read it
+    base = {"input": src, "workdir": str(tmp_path / "w")}
+
+    with pytest.raises(ValueError, match="unknown stage"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [{"stage": "nope"}]}})
+    with pytest.raises(ValueError, match="missing param 'probes'"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [{"stage": "decontaminate"}]}})
+    with pytest.raises(ValueError, match="terminal"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [
+            {"stage": "export", "out": str(tmp_path / "o")},
+            {"stage": "normalize"},
+        ]}})
+    with pytest.raises(ValueError, match="needs 'out' or a pipeline 'workdir'"):
+        run_pipeline(spark, {"pipeline": {"input": src, "stages": [{"stage": "normalize"}]}})
+    with pytest.raises(ValueError, match="'input' and 'stages'"):
+        run_pipeline(spark, {"pipeline": {"stages": [{"stage": "normalize"}]}})

@@ -135,6 +135,43 @@ def probes():
             out = part if out is None else out.unionByName(part)
         return out
 
+    # --- full pipeline chain (r14): the YAML-declared stage runner end to
+    # end over the replicated documents — normalize → exact dedup →
+    # quality gate → split → pack → export. In the replica regime exact
+    # dedup collapses every replica set back to one doc (texts are
+    # identical), so downstream stages see x1-sized data at every mult:
+    # the chain's cost must track the FIRST two stages (linear scan +
+    # hash-groupBy), not multiply per stage. Each stage is one
+    # read→transform→write pass by construction (pipeline.py).
+    def pipeline_chain(spark, d):
+        import shutil as _sh
+        import tempfile as _tf
+
+        from gdelt_2_0_event_database_pipeline_spark.pipeline import (
+            run_pipeline,
+        )
+
+        work = _tf.mkdtemp(prefix="probe_pipeline_")
+        try:
+            rep = run_pipeline(spark, {"pipeline": {
+                "input": f"{d}/documents.parquet",
+                "workdir": f"{work}/stages",
+                "stages": [
+                    {"stage": "normalize"},
+                    {"stage": "dedup_exact"},
+                    {"stage": "quality_gate", "quantile": 0.1},
+                    {"stage": "split"},
+                    {"stage": "pack", "budget": 512},
+                    {"stage": "export", "out": f"{work}/final", "shards": 4},
+                ],
+            }})
+            print(f"pipeline_chain {os.path.basename(d)}: "
+                  f"{[ (s['stage'], s['rows']) for s in rep['stages'] ]}",
+                  flush=True)
+        finally:
+            _sh.rmtree(work, ignore_errors=True)
+        return spark.range(1)  # the chain IS the measured work
+
     # --- iterative connected components (r13 verdict item 6): the one
     # iterative heavyweight without a 1×/10×/100× row. Adversarial shape
     # scaling WITH mult: each original doc's replicas form a drift CHAIN
@@ -312,6 +349,7 @@ def probes():
         "tfidf_full_docs": tfidf,
         "minhash_adversarial_capped": minhash_capped,
         "dedup_components": dedup_components,
+        "pipeline_chain": pipeline_chain,
         "sq8_encode": sq_encode,
         "pq_encode_search": pq_search,
         "bm25_batch3": bm25_batch3,

@@ -13,9 +13,13 @@ compact pure-Python implementation are decoded for real — PNG (stdlib zlib
 inflate + per-scanline de-filtering, 8-bit gray/RGB/palette/alpha), BMP
 (24-bit uncompressed), and WAV (PCM RIFF) — and exotic formats (JPEG, video
 containers) raise ``ValueError`` at the same seam a Pillow/ffmpeg build
-would plug into. The synthetic ``SGMEDIA1`` payload keeps working for
-plumbing tests. The Spark-side shape — schemas, Arrow batches,
-partitioning, UDF signatures — is identical either way.
+would plug into. That seam is EXERCISED, not just documented (r14):
+:func:`gray_raster_pil` / ``media_dhash(backend='pil')`` route the decode
+through Pillow when it is importable, with the same integer channel-mean
+grayscale so dHashes stay bit-identical across backends (PIL-marked parity
+tests skip gracefully without the dependency). The synthetic ``SGMEDIA1``
+payload keeps working for plumbing tests. The Spark-side shape — schemas,
+Arrow batches, partitioning, UDF signatures — is identical either way.
 
 The pure-Python decoders are byte-at-a-time and meant for the small-image /
 test path; a production cluster swaps ``_decode_image_bytes``'s dispatch

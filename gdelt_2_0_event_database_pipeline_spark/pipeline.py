@@ -14,6 +14,11 @@ a failed run is resumable by re-pointing ``input`` at the last good
 stage dir — the same at-rest checkpoint discipline the maintained ANN
 index uses.
 
+Stage vocabulary: ``normalize``, ``dedup_exact``, ``dedup_near``
+(MinHash LSH + keep-canonical), ``quality_gate``, ``decontaminate``,
+``filter_nulls``, ``redact``, ``split``, ``balance``, ``select``
+(token-budget curation), ``pack``, and the terminal ``export``.
+
 YAML shape (``pipeline:`` top-level key, so the file can share the
 reference-parity settings keys):
 

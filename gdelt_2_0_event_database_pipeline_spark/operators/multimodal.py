@@ -504,6 +504,12 @@ def media_dhash(df: DataFrame, *, backend: str = "pure") -> DataFrame:
                     # dHash is 64 unsigned bits; store as signed long
                     v = hash_fn(p)
                     vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+                except ImportError:
+                    # a worker missing Pillow must fail the task, not
+                    # degrade to all-NULL hashes — the driver-side
+                    # find_spec guard above can't see worker
+                    # environments on a real cluster
+                    raise
                 except Exception:
                     vals.append(None)
             yield pd.DataFrame(

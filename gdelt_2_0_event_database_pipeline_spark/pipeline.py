@@ -17,7 +17,12 @@ index uses.
 Stage vocabulary: ``normalize``, ``dedup_exact``, ``dedup_near``
 (MinHash LSH + keep-canonical), ``quality_gate``, ``decontaminate``,
 ``filter_nulls``, ``redact``, ``split``, ``balance``, ``select``
-(token-budget curation), ``pack``, and the terminal ``export``.
+(token-budget curation), ``pack``, and the terminal ``export`` — plus
+two control stages that act on the current stage dir instead of
+producing a new one (r14 verdict item 6): ``expect`` (quality-
+expectation gate over the declared rules; one aggregation job, chain
+aborts on a failed rule unless ``on_fail: warn``) and ``compact``
+(in-place small-file compaction, layout-only).
 
 YAML shape (``pipeline:`` top-level key, so the file can share the
 reference-parity settings keys):
@@ -39,6 +44,13 @@ reference-parity settings keys):
         - stage: decontaminate        # n-gram benchmark decontamination
           probes: /lake/benchmarks    # parquet with (doc_id, text)
           n: 5
+        - stage: expect               # gate: abort unless rules pass
+          rules:
+            - {type: not_null, column: doc_id}
+            - {type: unique, columns: [doc_id]}
+          on_fail: fail               # or 'warn' to record and continue
+        - stage: compact              # in-place small-file compaction
+          target_file_mb: 128
         - stage: split                # leakage-safe content-keyed split
           text_col: text
         - stage: balance              # exact-parity oversampling
@@ -101,8 +113,17 @@ def _stage_quality_gate(spark, df: DataFrame, p: dict) -> DataFrame:
     col = p.get("text_col", "text")
     q = float(p.get("quantile", 0.1))
     scored = df.withColumn("__q__", quality_score(col))
-    # one tiny scalar aggregate, broadcast back via crossJoin(1 row)
-    thresh = scored.agg(F.percentile("__q__", F.lit(q)).alias("__t__"))
+    # one tiny scalar aggregate, broadcast back via crossJoin(1 row).
+    # percentile_approx (Greenwald-Khanna, bounded sketch per partition,
+    # mergeable) — exact F.percentile buffers every score in one
+    # aggregation buffer, a memory hazard at corpus scale. accuracy 10k
+    # => rank error <= 1e-4, far below any sensible gate granularity;
+    # override with p["accuracy"].
+    thresh = scored.agg(
+        F.percentile_approx(
+            "__q__", F.lit(q), F.lit(int(p.get("accuracy", 10000)))
+        ).alias("__t__")
+    )
     return (
         scored.crossJoin(F.broadcast(thresh))
         .filter(F.col("__q__") >= F.col("__t__"))
@@ -217,15 +238,30 @@ def run_pipeline(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
 
     required = {"decontaminate": ["probes"], "balance": ["by"],
                 "select": ["budget"], "filter_nulls": ["columns"],
-                "export": ["out"]}
+                "export": ["out"], "expect": ["rules"]}
+    # control stages: operate on the CURRENT stage dir (gate / in-place
+    # layout rewrite / terminal sink) — they produce no new out dir
+    control = {"export", "expect", "compact"}
     for i, st in enumerate(stages):
         name = st.get("stage")
-        if name != "export" and name not in STAGES:
+        if name not in STAGES and name not in control:
             raise ValueError(f"stage {i}: unknown stage {name!r}")
         for k in required.get(name, []):
             if k not in st:
                 raise ValueError(f"stage {i} ({name}): missing param {k!r}")
-        if name != "export" and st.get("out") is None and not workdir:
+        if name == "expect":
+            from .operators.expectations import _violation_expr
+
+            if not st["rules"]:
+                raise ValueError(f"stage {i} (expect): 'rules' is empty")
+            for j, rule in enumerate(st["rules"]):
+                try:
+                    _violation_expr(rule)
+                except (ValueError, KeyError) as exc:
+                    raise ValueError(
+                        f"stage {i} (expect): bad rule {j}: {exc}"
+                    ) from exc
+        if name not in control and st.get("out") is None and not workdir:
             raise ValueError(
                 f"stage {i} ({name}): needs 'out' or a pipeline 'workdir'"
             )
@@ -236,7 +272,57 @@ def run_pipeline(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
     cur = p["input"]
     for i, st in enumerate(stages):
         name = st["stage"]
+        if name == "compact":
+            # in-place small-file compaction of the CURRENT stage dir —
+            # layout-only, the row multiset is untouched (pinned by the
+            # footer count in the report entry)
+            from .operators.layout import compact_partitions
+
+            results = compact_partitions(
+                spark, cur,
+                target_file_mb=float(st.get("target_file_mb", 128)),
+                min_files=int(st.get("min_files", 2)),
+            )
+            report["stages"].append(
+                {"stage": name, "out": cur,
+                 "rows": _footer_count(spark, cur),
+                 "compacted": [
+                     {"partition": r.partition,
+                      "files_before": r.files_before,
+                      "files_after": r.files_after}
+                     for r in results
+                 ]}
+            )
+            continue
         df = spark.read.parquet(cur)
+        if name == "expect":
+            # quality-expectation gate: ONE aggregation job over the
+            # current corpus evaluates every rule; collect is bounded to
+            # |rules| rows. Pass-through on success (no rewrite); any
+            # failed rule aborts the chain unless on_fail == 'warn'.
+            from .operators.expectations import check_expectations
+
+            rows = check_expectations(df, st["rules"]).collect()
+            failed = [
+                {"rule_id": int(r["rule_id"]),
+                 "rule_type": r["rule_type"],
+                 "column": r["column"],
+                 "n_violations": int(r["n_violations"])}
+                for r in rows
+                if not r["passed"]
+            ]
+            report["stages"].append(
+                {"stage": name, "out": cur,
+                 "rows": int(rows[0]["n_rows"]) if rows else 0,
+                 "rules_passed": len(rows) - len(failed),
+                 "rules_failed": failed}
+            )
+            if failed and st.get("on_fail", "fail") != "warn":
+                raise ValueError(
+                    f"expect stage {i}: {len(failed)} rule(s) failed: "
+                    f"{failed}"
+                )
+            continue
         if name == "export":
             from .sources.lake import export_jsonl_shards
 

@@ -22,69 +22,15 @@ from . import tpch_plans  # noqa: E402,F401
 # by each query's newest CORRECTNESS_r* row, alphabetical within a round.
 # ---------------------------------------------------------------------------
 _DRIVER_PRIORITY = [
-    # Round-14 rotation (r13 verdict item 2), regenerated mechanically from
+    # Round-15 rotation (r14 verdict item 3), regenerated mechanically from
     # the cumulative CORRECTNESS_r* evidence (latest row per query across
-    # r01-r13): head = the 9 queries whose ORACLE flipped after their last
-    # driver row (q_compact_lake / q_ivf_pq_drift flipped r13;
-    # q_bpe_train / q_model_fit_score / q_compression_ratio flipped r14
-    # via persisted train/size artifacts; the three multimodal near-dup
-    # queries flipped r14 via persisted signature tables + the DuckDB
-    # banded-Hamming replay; q_pack_first_fit flipped r14 via a pure
-    # recursive-CTE FFD replay) — flips need driver attestation, not just
-    # judge verify_local runs; then strictly oldest-evidence-first
-    # (alphabetical within a round). The 50-slot window covers the 9
-    # flips, all 8 remaining r8-stale rows, and 33 of the r9 rows,
-    # raising the freshness floor to r9.
-    "q_compact_lake",  # oracle flipped after its last driver row (r10)
-    "q_ivf_pq_drift",  # oracle flipped after its last driver row (r11)
-    "q_bpe_train",  # oracle flipped after its last driver row (r12)
-    "q_model_fit_score",  # oracle flipped after its last driver row (r12)
-    "q_media_near_dup",  # oracle flipped after its last driver row (r12)
-    "q_audio_near_dup",  # oracle flipped after its last driver row (r12)
-    "q_video_near_dup",  # oracle flipped after its last driver row (r12)
-    "q_pack_first_fit",  # oracle flipped after its last driver row (r12)
-    "q_compression_ratio",  # oracle flipped after its last driver row (r12)
-    "q_sample_weighted",  # last driver row: r8
-    "q_set_union",  # last driver row: r8
-    "q_simhash_signature",  # last driver row: r8
-    "q_skew_report",  # last driver row: r8
-    "q_spearman",  # last driver row: r8
-    "q_spearman_bucketed",  # last driver row: r8
-    "q_winnow",  # last driver row: r8
-    "q_zorder_key",  # last driver row: r8
-    "q01_pricing_summary",  # last driver row: r9
-    "q03_shipping_priority",  # last driver row: r9
-    "q05_local_supplier_volume",  # last driver row: r9
-    "q11_important_parts",  # last driver row: r9
-    "q_agg_stats",  # last driver row: r9
-    "q_asof_forward",  # last driver row: r9
-    "q_asof_join",  # last driver row: r9
-    "q_bucketed_join",  # last driver row: r9
-    "q_cms_frequency",  # last driver row: r9
-    "q_conditional_agg",  # last driver row: r9
-    "q_distinct",  # last driver row: r9
-    "q_dsl_equality",  # last driver row: r9
-    "q_dsl_nested",  # last driver row: r9
-    "q_event_paths",  # last driver row: r9
-    "q_events_hourly",  # last driver row: r9
-    "q_explode_embeddings",  # last driver row: r9
-    "q_grouping_sets",  # last driver row: r9
-    "q_having",  # last driver row: r9
-    "q_hist_quantile_rollup",  # last driver row: r9
-    "q_hybrid_rrf",  # last driver row: r9
-    "q_join_semi",  # last driver row: r9
-    "q_json_extract",  # last driver row: r9
-    "q_null_drop",  # last driver row: r9
-    "q_pivot",  # last driver row: r9
-    "q_profile",  # last driver row: r9
-    "q_range_join",  # last driver row: r9
-    "q_rank_functions",  # last driver row: r9
-    "q_regression",  # last driver row: r9
-    "q_retrieval_metrics",  # last driver row: r9
-    "q_rollup",  # last driver row: r9
-    "q_rollup_refresh",  # last driver row: r9
-    "q_salted_agg",  # last driver row: r9
-    "q_scalar_date",  # last driver row: r9
+    # r01-r14): head = q_bpe_train, the single red cell in r14 (driver-
+    # canonicalizer ERR on a top-level array<string>; output now
+    # posexploded to long format and the fix needs a driver row), then
+    # strictly oldest-evidence-first (alphabetical within a round). The
+    # 50-slot window covers the fix, all 11 remaining r9-stale rows, and
+    # 38 of the r10 rows, raising the freshness floor toward r10.
+    "q_bpe_train",  # ERR r14 (output shape) — fixed, needs driver attestation
     "q_scalar_math",  # last driver row: r9
     "q_scalar_subquery",  # last driver row: r9
     "q_set_except",  # last driver row: r9
@@ -285,6 +231,55 @@ _DRIVER_PRIORITY = [
     "q_sample_uniform",  # last driver row: r13
     "q_shuffle_shards",  # last driver row: r13
     "q_temperature_mix",  # last driver row: r13
+    "q01_pricing_summary",  # last driver row: r14
+    "q03_shipping_priority",  # last driver row: r14
+    "q05_local_supplier_volume",  # last driver row: r14
+    "q11_important_parts",  # last driver row: r14
+    "q_agg_stats",  # last driver row: r14
+    "q_asof_forward",  # last driver row: r14
+    "q_asof_join",  # last driver row: r14
+    "q_audio_near_dup",  # last driver row: r14
+    "q_bucketed_join",  # last driver row: r14
+    "q_cms_frequency",  # last driver row: r14
+    "q_compact_lake",  # last driver row: r14
+    "q_compression_ratio",  # last driver row: r14
+    "q_conditional_agg",  # last driver row: r14
+    "q_distinct",  # last driver row: r14
+    "q_dsl_equality",  # last driver row: r14
+    "q_dsl_nested",  # last driver row: r14
+    "q_event_paths",  # last driver row: r14
+    "q_events_hourly",  # last driver row: r14
+    "q_explode_embeddings",  # last driver row: r14
+    "q_grouping_sets",  # last driver row: r14
+    "q_having",  # last driver row: r14
+    "q_hist_quantile_rollup",  # last driver row: r14
+    "q_hybrid_rrf",  # last driver row: r14
+    "q_ivf_pq_drift",  # last driver row: r14
+    "q_join_semi",  # last driver row: r14
+    "q_json_extract",  # last driver row: r14
+    "q_media_near_dup",  # last driver row: r14
+    "q_model_fit_score",  # last driver row: r14
+    "q_null_drop",  # last driver row: r14
+    "q_pack_first_fit",  # last driver row: r14
+    "q_pivot",  # last driver row: r14
+    "q_profile",  # last driver row: r14
+    "q_range_join",  # last driver row: r14
+    "q_rank_functions",  # last driver row: r14
+    "q_regression",  # last driver row: r14
+    "q_retrieval_metrics",  # last driver row: r14
+    "q_rollup",  # last driver row: r14
+    "q_rollup_refresh",  # last driver row: r14
+    "q_salted_agg",  # last driver row: r14
+    "q_sample_weighted",  # last driver row: r14
+    "q_scalar_date",  # last driver row: r14
+    "q_set_union",  # last driver row: r14
+    "q_simhash_signature",  # last driver row: r14
+    "q_skew_report",  # last driver row: r14
+    "q_spearman",  # last driver row: r14
+    "q_spearman_bucketed",  # last driver row: r14
+    "q_video_near_dup",  # last driver row: r14
+    "q_winnow",  # last driver row: r14
+    "q_zorder_key",  # last driver row: r14
 ]
 
 

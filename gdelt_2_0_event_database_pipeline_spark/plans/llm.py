@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as X
-from .registry import register
+from .registry import ORACLE_ARTIFACTS as _ORACLE_ARTIFACTS, register
 from .relational import _events, _t
 
 # DuckDB twin of operators.text.tokens() — documents.text is ASCII lowercase,
@@ -32,16 +32,14 @@ _IVF_FIT_CACHE: dict[tuple, list] = {}
 
 import os as _os
 
-#: fixed at-rest location for q_pq_topk's persisted index (codes parquet +
+#: at-rest location for q_pq_topk's persisted index (codes parquet +
 #: codebook JSON): the DuckDB oracle replays the ADC scan + rerank over the
 #: SAME artifacts, so the path must be knowable at module-import time (the
-#: sql string is static). The query rebuilds the artifacts whenever a
-#: different sf_dir was last materialized here.
-_PQ_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "pq_oracle_index",
-)
+#: sql string is static). Rooted at the PER-PROCESS ORACLE_ARTIFACTS dir
+#: (registry.py, r14 ADVICE) so concurrent runs never overwrite each
+#: other; the query rebuilds the artifacts whenever a different sf_dir
+#: was last materialized here.
+_PQ_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "pq_oracle_index")
 
 
 @register(
@@ -1052,11 +1050,7 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
-_IVF_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "ivf_oracle_index",
-)
+_IVF_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "ivf_oracle_index")
 
 
 def _write_probes_artifact(spark, queries_df, centroids, nprobe, root):
@@ -1261,35 +1255,15 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
-_PQ_APPEND_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "pq_append_oracle_index",
-)
+_PQ_APPEND_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "pq_append_oracle_index")
 
-_IVFPQ_RAW_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "ivfpq_raw_oracle_index",
-)
+_IVFPQ_RAW_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "ivfpq_raw_oracle_index")
 
-_IVFPQ_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "ivfpq_oracle_index",
-)
+_IVFPQ_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "ivfpq_oracle_index")
 
-_OPQ_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "opq_oracle_index",
-)
+_OPQ_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "opq_oracle_index")
 
-_OPQ_MAINT_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "opq_maintained_oracle_index",
-)
+_OPQ_MAINT_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "opq_maintained_oracle_index")
 
 
 @register(
@@ -1655,11 +1629,7 @@ def q_pq_append(spark, sf_dir):
     )
 
 
-_IVFPQ_DRIFT_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "ivfpq_drift_oracle_index",
-)
+_IVFPQ_DRIFT_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "ivfpq_drift_oracle_index")
 
 
 @register(
@@ -2206,7 +2176,14 @@ def q_heavy_hitters(spark, sf_dir):
     from ..operators.sketches import frequent_items
 
     e = _events(spark, sf_dir)
-    return frequent_items(e.select("event_type"), ["event_type"], 0.1)
+    hh = frequent_items(e.select("event_type"), ["event_type"], 0.1)
+    # freqItems returns ONE row holding an array column; explode to one
+    # scalar row per hitter — the registry-wide output-shape contract
+    # (r14 verdict item 2) bans top-level array cells even on rows-only
+    # queries
+    return hh.select(
+        F.explode("event_type_freqItems").alias("event_type")
+    )
 
 
 @register(
@@ -3315,11 +3292,7 @@ def q_model_score(spark, sf_dir):
 #: q_model_score SQL shape with the literal weight vector swapped for a
 #: scalar-subquery read of the artifact. The numpy solve itself stays
 #: pytest (separation invariants in test_model.py).
-_MODEL_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "model_oracle_weights",
-)
+_MODEL_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "model_oracle_weights")
 
 
 @register(
@@ -3627,11 +3600,7 @@ def q_winnow(spark, sf_dir):
 #: one exact-in-doubles integer division both engines reproduce
 #: bit-identically. The compressor itself stays pytest (test_text.py's
 #: planted-repetitive floor invariants).
-_ZLIB_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "zlib_oracle_sizes",
-)
+_ZLIB_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "zlib_oracle_sizes")
 
 
 @register(
@@ -4233,11 +4202,7 @@ def q_fuzzy_blocked(spark, sf_dir):
 #: a recursive CTE walks merge_idx in training order, and each step is
 #: the identical sequential left-fold (list_reduce with a prepended
 #: empty-list seed; q_ewma proved ordered-fold bit-parity).
-_BPE_ORACLE_ROOT = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "bpe_oracle_merges",
-)
+_BPE_ORACLE_ROOT = _os.path.join(_ORACLE_ARTIFACTS, "bpe_oracle_merges")
 
 
 @register(
@@ -4270,10 +4235,16 @@ _BPE_ORACLE_ROOT = _os.path.join(
                )) AS syms,
              e.i + 1 AS i
       FROM enc e JOIN m ON m.merge_idx = e.i
+    ),
+    final AS (
+      SELECT doc_id, flatten(syms) AS bpe_tokens
+      FROM enc, nm WHERE i = nm.n
     )
-    SELECT doc_id, flatten(syms) AS bpe_tokens,
-           CAST(len(flatten(syms)) AS BIGINT) AS n_tokens
-    FROM enc, nm WHERE i = nm.n
+    SELECT doc_id,
+           CAST(generate_subscripts(bpe_tokens, 1) AS INT) AS ord,
+           unnest(bpe_tokens) AS token,
+           CAST(len(bpe_tokens) AS BIGINT) AS n_tokens
+    FROM final
     """,
     doc=(
         "BPE tokenizer training (Sennrich-style merge learning) on a "
@@ -4288,7 +4259,9 @@ _BPE_ORACLE_ROOT = _os.path.join(
         "lives at rest (JSON), BOTH engines read it, and the result is "
         "encode_bpe over a 50-document slice — DuckDB replays the word "
         "split, per-word sequential merge folds in merge order "
-        "(recursive CTE over merge_idx), and the flatten. The train "
+        "(recursive CTE over merge_idx), and the flatten. Output is "
+        "posexploded to (doc_id, ord, token, n_tokens) long format — "
+        "the canonicalizer cannot sort array cells. The train "
         "loop itself stays pytest (known-sequence, tie-determinism, "
         "partitioning-invariance, chain-fold, collapsed==per-document "
         "differentials in test_bpe.py)."
@@ -4314,10 +4287,18 @@ def q_bpe_train(spark, sf_dir):
     )
     merges = [(r["left"], r["right"], int(r["pair_count"])) for r in at_rest]
     enc = encode_bpe(d.filter(F.col("doc_id") < 50), merges)
+    # long format (doc_id, ord, token, n_tokens): the harness
+    # canonicalizer cannot sort/hash array cells (q_sq_encode /
+    # q_explode_embeddings precedent; r14 verdict item 1)
     return enc.select(
         "doc_id",
-        F.col("bpe_tokens"),
         F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.posexplode("bpe_tokens").alias("pos", "token"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + F.lit(1)).cast("int").alias("ord"),
+        "token",
+        "n_tokens",
     )
 
 

@@ -15,10 +15,59 @@ Cross-engine comparison rules the queries follow:
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import uuid
 from dataclasses import dataclass
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+#: Per-process root for persisted-oracle artifacts (learned merges,
+#: codebooks, signature tables, ...). The oracle SQL strings are generated
+#: at module import, so they embed THIS process's path and Spark-write /
+#: DuckDB-read stay consistent; a fixed shared path would let two
+#: concurrent runs (bench + verify_local, or different sf_dirs) overwrite
+#: each other's artifacts mid-write (r14 ADVICE). Per-process costs no
+#: rebuild time: the process-local _FIT caches meant a fresh process always
+#: rebuilt anyway. Cleaned on exit; roots left by dead processes are reaped
+#: on import (mirrors session.py's per-process warehouse discipline).
+ORACLE_ARTIFACTS = os.path.join(
+    _REPO_ROOT,
+    "spark-warehouse",
+    f"oracle-artifacts-{os.getpid()}-{uuid.uuid4().hex[:8]}",
+)
+
+atexit.register(lambda: shutil.rmtree(ORACLE_ARTIFACTS, ignore_errors=True))
+
+
+def _reap_stale_artifact_roots() -> None:
+    base = os.path.join(_REPO_ROOT, "spark-warehouse")
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for e in entries:
+        if not e.startswith("oracle-artifacts-"):
+            continue
+        try:
+            pid = int(e.split("-")[2])
+        except (IndexError, ValueError):
+            continue
+        try:
+            os.kill(pid, 0)  # liveness probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, e), ignore_errors=True)
+        except OSError:
+            pass  # e.g. EPERM: pid alive under another user — keep
+
+
+_reap_stale_artifact_roots()
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import media_stats
 from ..operators.skew import explain_shuffles, salted_group_agg, write_bucketed
-from .registry import register
+from .registry import ORACLE_ARTIFACTS, register
 from .relational import _events, _li, _t
 
 #: Persisted-signature oracle roots (r14): the multimodal near-dup family
@@ -21,10 +21,7 @@ from .relational import _events, _li, _t
 #: HUGEINT div/mod on the unsigned reinterpretation, bit_count(xor)
 #: verification) over the SAME artifact. Decode→signature stays pytest
 #: (planted-pair exactness in test_multimodal.py).
-_SIG_ORACLE_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "spark-warehouse",
-)
+_SIG_ORACLE_ROOT = ORACLE_ARTIFACTS
 _SIG_CACHE: dict[str, bool] = {}
 
 
@@ -808,11 +805,7 @@ def q_cms_frequency(spark, sf_dir):
     return cms_estimate(state, [], probes, "event_type", depth=4, width=1024)
 
 
-_COMPACT_ORACLE_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "spark-warehouse",
-    "compact_lake_oracle",
-)
+_COMPACT_ORACLE_ROOT = os.path.join(ORACLE_ARTIFACTS, "compact_lake_oracle")
 
 
 @register(

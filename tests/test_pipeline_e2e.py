@@ -238,3 +238,111 @@ def test_pipeline_validation_fails_fast(spark, tmp_path):
         run_pipeline(spark, {"pipeline": {"input": src, "stages": [{"stage": "normalize"}]}})
     with pytest.raises(ValueError, match="'input' and 'stages'"):
         run_pipeline(spark, {"pipeline": {"stages": [{"stage": "normalize"}]}})
+
+
+def test_pipeline_expect_and_compact_stages(spark, tmp_path):
+    """r14 verdict item 6: the two control stages a real corpus chain runs
+    between dedup and export. ``expect`` gates in place (one aggregation
+    job, no rewrite — the next stage reads the SAME dir); ``compact``
+    rewrites oversplit leaves in place, layout-only (row multiset and
+    chain position unchanged)."""
+    from gdelt_2_0_event_database_pipeline_spark.pipeline import run_pipeline
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    src = str(tmp_path / "src")
+    # oversplit on purpose so compact has something to do
+    base.repartition(16).write.parquet(src)
+
+    rep = run_pipeline(
+        spark,
+        {"pipeline": {
+            "input": src,
+            "workdir": str(tmp_path / "w"),
+            "stages": [
+                {"stage": "dedup_exact", "key": "text", "id_col": "doc_id"},
+                {"stage": "expect", "rules": [
+                    {"type": "not_null", "column": "doc_id"},
+                    {"type": "unique", "columns": ["doc_id"]},
+                ]},
+                {"stage": "compact", "target_file_mb": 128},
+                {"stage": "export", "out": str(tmp_path / "final"),
+                 "shards": 1, "shard_key": "doc_id"},
+            ],
+        }},
+    )
+    by_stage = {s["stage"]: s for s in rep["stages"]}
+    dd = by_stage["dedup_exact"]
+    # expect: pass-through gate — same dir, same rows, both rules green
+    assert by_stage["expect"]["out"] == dd["out"]
+    assert by_stage["expect"]["rows"] == dd["rows"]
+    assert by_stage["expect"]["rules_passed"] == 2
+    assert by_stage["expect"]["rules_failed"] == []
+    # compact: same dir, row multiset preserved, file count shrank
+    import glob
+
+    assert by_stage["compact"]["out"] == dd["out"]
+    assert by_stage["compact"]["rows"] == dd["rows"]
+    assert by_stage["compact"]["compacted"], "16-file leaf should compact"
+    assert len(glob.glob(f"{dd['out']}/*.parquet")) == 1
+    # export still sees the compacted corpus
+    assert by_stage["export"]["rows"] == dd["rows"]
+
+
+def test_pipeline_expect_gate_aborts_and_warns(spark, tmp_path):
+    """A failed expectation aborts the chain (downstream stages never
+    run); on_fail=warn records the violation and continues."""
+    import pytest as _pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.pipeline import run_pipeline
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", None), (2, "b", "en"), (2, "c", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    stages = [
+        {"stage": "expect", "rules": [
+            {"type": "not_null", "column": "lang"},
+            {"type": "unique", "columns": ["doc_id"]},
+        ]},
+        {"stage": "normalize", "text_col": "text"},
+    ]
+    base = {"input": src, "workdir": str(tmp_path / "w")}
+
+    with _pytest.raises(ValueError, match="2 rule\\(s\\) failed"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": stages}})
+    import os
+
+    assert not os.path.exists(os.path.join(str(tmp_path / "w"), "01_normalize"))
+
+    warn_stages = [dict(stages[0], on_fail="warn"), stages[1]]
+    rep = run_pipeline(
+        spark, {"pipeline": {**base, "stages": warn_stages}}
+    )
+    exp = rep["stages"][0]
+    assert exp["rules_passed"] == 0
+    assert {f["rule_type"] for f in exp["rules_failed"]} == {"not_null", "unique"}
+    assert rep["stages"][1]["stage"] == "normalize"  # chain continued
+
+
+def test_pipeline_expect_validation_fails_fast(spark, tmp_path):
+    """Bad expect rules fail at validation time, before any read."""
+    import pytest as _pytest
+
+    from gdelt_2_0_event_database_pipeline_spark.pipeline import run_pipeline
+
+    base = {"input": str(tmp_path / "never_read"), "workdir": str(tmp_path / "w")}
+    with _pytest.raises(ValueError, match="missing param 'rules'"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [{"stage": "expect"}]}})
+    with _pytest.raises(ValueError, match="'rules' is empty"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [
+            {"stage": "expect", "rules": []}]}})
+    with _pytest.raises(ValueError, match="bad rule 0"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [
+            {"stage": "expect", "rules": [{"type": "no_such_rule"}]}]}})
+    with _pytest.raises(ValueError, match="bad rule 1"):
+        run_pipeline(spark, {"pipeline": {**base, "stages": [
+            {"stage": "expect", "rules": [
+                {"type": "not_null", "column": "x"},
+                {"type": "in_range", "column": "x"},  # missing min/max
+            ]}]}})

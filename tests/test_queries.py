@@ -30,8 +30,25 @@ def test_oracle_sql_keys_subset_of_queries():
 
 @pytest.mark.parametrize("name", sorted(em.queries()))
 def test_query_runs(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     df = em.queries()[name](spark, SF_DIR)
     assert df.columns  # non-empty schema
+    # driver-canonicalizer contract (r14 verdict item 2): the harness
+    # sorts/hashes result cells with pandas, which cannot handle list/
+    # dict/struct cells — q_bpe_train ERR'd r14 on a top-level
+    # array<string>. Complex outputs must be posexploded to long format
+    # (q_sq_encode precedent) before being returned from queries().
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name} returns non-scalar top-level column(s) {bad}; the driver "
+        "canonicalizer cannot sort/hash array/map/struct cells — "
+        "posexplode to long format (q_sq_encode precedent)"
+    )
     assert df.count() >= 0
 
 

@@ -137,7 +137,8 @@ def probes():
 
     # --- full pipeline chain (r14): the YAML-declared stage runner end to
     # end over the replicated documents — normalize → exact dedup →
-    # quality gate → split → pack → export. In the replica regime exact
+    # expect gate → compact → quality gate → split → pack → export (the
+    # full r15 stage vocabulary). In the replica regime exact
     # dedup collapses every replica set back to one doc (texts are
     # identical), so downstream stages see x1-sized data at every mult:
     # the chain's cost must track the FIRST two stages (linear scan +
@@ -159,6 +160,11 @@ def probes():
                 "stages": [
                     {"stage": "normalize"},
                     {"stage": "dedup_exact"},
+                    {"stage": "expect", "rules": [
+                        {"type": "not_null", "column": "doc_id"},
+                        {"type": "unique", "columns": ["doc_id"]},
+                    ]},
+                    {"stage": "compact", "target_file_mb": 128},
                     {"stage": "quality_gate", "quantile": 0.1},
                     {"stage": "split"},
                     {"stage": "pack", "budget": 512},

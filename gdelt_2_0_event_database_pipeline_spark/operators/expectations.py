@@ -15,10 +15,15 @@ Rule grammar (one dict per rule):
   {"type": "in_set",   "column": c, "values": [...]}       # NULLs pass
   {"type": "regex",    "column": c, "pattern": p}          # NULLs pass
   {"type": "unique",   "columns": [c, ...]}                # NULL keys ignored
+  {"type": "min_rows", "min": n}                           # corpus-level floor
+  {"type": "max_null_frac", "column": c, "frac": f}        # null tolerance
 
 NULL handling mirrors SQL three-valued logic deliberately: range/set/regex
 rules do not double-report NULLs — pair them with ``not_null`` when NULL is
-itself a violation.
+itself a violation. ``min_rows`` / ``max_null_frac`` are the threshold
+forms a 100 TB gate actually runs: a corpus that lost its rows to a bad
+upstream filter, or a column whose null rate crept past tolerance, fails
+the gate even when no single row is individually "invalid".
 """
 
 from __future__ import annotations
@@ -56,6 +61,28 @@ def _violation_expr(rule: dict) -> tuple[Column, str]:
             nonnull = nonnull & c.isNotNull()
         n_keyed = F.count(F.when(nonnull, 1))
         return n_keyed - F.countDistinct(*cols), ",".join(rule["columns"])
+    if t == "min_rows":
+        # corpus-level floor: an upstream stage that silently dropped the
+        # corpus (bad filter, empty join) fails here, not at export.
+        # violations = 1 when the row count is below the floor, else 0.
+        floor = int(rule["min"])
+        short = F.count(F.lit(1)) < F.lit(floor)
+        return F.when(short, F.lit(1)).otherwise(F.lit(0)), f"min={floor}"
+    if t == "max_null_frac":
+        # threshold-based null tolerance — the realistic corpus gate
+        # (zero-tolerance not_null is rarely true at 100 TB). Violations =
+        # the null count when it exceeds frac * n_rows, else 0, so a
+        # failing report says HOW MANY rows are null, not just that the
+        # gate tripped.
+        c = F.col(rule["column"])
+        frac = float(rule["frac"])
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError("max_null_frac needs 0 <= frac <= 1")
+        nulls = F.count(F.when(c.isNull(), 1))
+        over = nulls.cast("double") > F.lit(frac) * F.count(F.lit(1)).cast(
+            "double"
+        )
+        return F.when(over, nulls).otherwise(F.lit(0)), rule["column"]
     raise ValueError(f"unknown expectation type: {t!r}")
 
 

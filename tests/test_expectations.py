@@ -37,6 +37,26 @@ def test_rule_families_and_null_conventions(spark):
     assert all(r.n_rows == 4 for r in out.values())
 
 
+def test_threshold_rules_min_rows_and_null_frac(spark):
+    """r15: the threshold forms — corpus floor and null tolerance."""
+    df = _df(spark)  # 4 rows, 1 NULL price (25%)
+    rules = [
+        {"type": "min_rows", "min": 4},                         # met
+        {"type": "min_rows", "min": 5},                         # short
+        {"type": "max_null_frac", "column": "price", "frac": 0.25},  # at tolerance
+        {"type": "max_null_frac", "column": "price", "frac": 0.2},   # over
+        {"type": "max_null_frac", "column": "price", "frac": 0.0},   # zero-tolerance
+    ]
+    out = {r.rule_id: r for r in check_expectations(df, rules).collect()}
+    assert (out[0].n_violations, out[0].passed) == (0, True)
+    assert (out[1].n_violations, out[1].passed) == (1, False)
+    assert (out[2].n_violations, out[2].passed) == (0, True)   # 25% <= 25%
+    assert (out[3].n_violations, out[3].passed) == (1, False)  # reports null COUNT
+    assert (out[4].n_violations, out[4].passed) == (1, False)
+    with pytest.raises(ValueError, match="0 <= frac <= 1"):
+        check_expectations(df, [{"type": "max_null_frac", "column": "price", "frac": 1.5}])
+
+
 def test_single_aggregation_job(spark):
     rules = [
         {"type": "not_null", "column": "price"},

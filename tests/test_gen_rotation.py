@@ -46,7 +46,11 @@ def test_no_oracle_rows_are_not_errs(tmp_path):
 
 def test_live_registry_order_matches_checked_in_list():
     """The committed _DRIVER_PRIORITY must be exactly what the tool
-    regenerates from the committed evidence — no hand-drift."""
+    regenerates from the committed evidence — no hand-drift.
+
+    Deliberate forcing function: when a new CORRECTNESS_r*.json lands at
+    a round boundary this goes red until the rotation is refreshed —
+    the fix is one command: ``python tools/gen_rotation.py --write``."""
     import __spark_entry__ as em
     from gdelt_2_0_event_database_pipeline_spark.plans import _DRIVER_PRIORITY
 

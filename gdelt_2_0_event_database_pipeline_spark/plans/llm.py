@@ -4289,8 +4289,16 @@ def q_bpe_train(spark, sf_dir):
     enc = encode_bpe(d.filter(F.col("doc_id") < 50), merges)
     # long format (doc_id, ord, token, n_tokens): the harness
     # canonicalizer cannot sort/hash array cells (q_sq_encode /
-    # q_explode_embeddings precedent; r14 verdict item 1)
-    return enc.select(
+    # q_explode_embeddings precedent; r14 verdict item 1).
+    # localCheckpoint barrier BEFORE the explode: Generate re-evaluates
+    # its input expression on the interpreted-HOF path, so feeding the
+    # 6-merge fold chain straight into posexplode costs ~12x (measured
+    # 9.9 s vs 0.8 s at sf0.1) — materialize the 50-row (bounded by the
+    # doc_id < 50 slice) array column once, then explode stored
+    # attributes. Same barrier rationale as the OPQ mapInPandas note in
+    # SCALE.md.
+    barrier = enc.select("doc_id", "bpe_tokens").localCheckpoint(eager=False)
+    return barrier.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_tokens"),
         F.posexplode("bpe_tokens").alias("pos", "token"),

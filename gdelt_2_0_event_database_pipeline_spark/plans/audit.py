@@ -191,10 +191,41 @@ SINGLE_PARTITION_OK = {
 
 _GLOBAL_SORT = re.compile(r"\bSort \[[^\]]*\], true,")
 
+#: a Generate whose generator input embeds a NESTED interpreted-HOF
+#: chain (two-plus ``lambdafunction``s on the Generate line) evaluates
+#: that chain far slower than the same expression in a plain Project —
+#: measured 17x on q_bpe_train's 6-merge fold (r15, SCALE.md).
+#: Materialize the array through a barrier (localCheckpoint /
+#: mapInPandas) before exploding. A SINGLE cheap HOF (the tokens()
+#: filter-over-split shape) is measured penalty-free (0.29 s explode vs
+#: 0.25 s project at sf0.1) and is not flagged — a barrier there would
+#: cost more than it saves.
+_GENERATE_OVER_HOF = re.compile(
+    r"Generate [a-z_]*explode[^\n]*lambdafunction[^\n]*lambdafunction"
+)
+
+#: queries whose Generate-over-HOF is deliberate: bounded inputs or low
+#: fan-out where a barrier would cost more than it saves. Every entry
+#: states its bound and the measurement clearing it.
+GENERATE_HOF_OK: dict[str, str] = {
+    # PROBE-side gram explode only (benchmark suites are tiny — the
+    # 3-row probe slice here); the corpus side uses the flat
+    # posexplode+lead path with a single cheap lambda.
+    "q_contamination": "nested explode bounded by |probes| rows",
+    # 4 emitted rows/vector; measured at sf0.1 (2000 vecs): explode
+    # 0.62 s == project-4-keys 0.63 s == union-of-projections 0.62 s —
+    # low fan-out Generate pays no re-eval penalty (r15 probe). The
+    # q_bpe_train pathology needed ~266 emitted rows/input x a 6-deep
+    # fold chain.
+    "q_embedding_near_dup": "4-band explode, measured == project",
+}
+
 
 def audit_plan(name: str, plan: str) -> list[str]:
     """Return the list of scale red flags in one executed-plan string."""
     issues: list[str] = []
+    if _GENERATE_OVER_HOF.search(plan) and name not in GENERATE_HOF_OK:
+        issues.append("Generate over interpreted-HOF input (per-emitted-row re-eval)")
     if "CartesianProduct" in plan and name not in NESTED_LOOP_OK:
         issues.append("CartesianProduct")
     if "BroadcastNestedLoopJoin" in plan and name not in NESTED_LOOP_OK:

@@ -15,6 +15,7 @@ import pytest
 
 from gdelt_2_0_event_database_pipeline_spark.plans import QUERIES
 from gdelt_2_0_event_database_pipeline_spark.plans.audit import (
+    GENERATE_HOF_OK,
     NESTED_LOOP_OK,
     SINGLE_PARTITION_OK,
     audit_plan,
@@ -58,7 +59,9 @@ def test_query_plan_is_scale_clean(name, plan_flags):
 def test_allowlists_reference_live_queries():
     """Allowlist hygiene: every exempted name must still be a registered
     query — otherwise a rename silently widens the gate."""
-    dead = (NESTED_LOOP_OK | SINGLE_PARTITION_OK) - set(QUERIES)
+    dead = (
+        NESTED_LOOP_OK | SINGLE_PARTITION_OK | set(GENERATE_HOF_OK)
+    ) - set(QUERIES)
     assert dead == set(), f"allowlisted names not in registry: {sorted(dead)}"
 
 
@@ -71,3 +74,29 @@ def test_planted_global_sort_is_caught(spark):
     df = spark.range(100).withColumn("x", F.col("id") % 7).orderBy("x")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "global Sort (orderBy without limit)" in audit_plan("planted", plan)
+
+
+def test_planted_generate_over_nested_hof_is_caught(spark):
+    """The r15 gate fires: exploding a NESTED interpreted-HOF chain is
+    flagged; a single cheap HOF (the tokens() shape) is not."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    nested = df.select(
+        F.explode(
+            F.transform(
+                F.filter(F.split("text", " "), lambda t: t != F.lit("")),
+                lambda w: F.upper(w),
+            )
+        )
+    )
+    plan = nested._jdf.queryExecution().executedPlan().toString()
+    assert any("Generate over interpreted-HOF" in f
+               for f in audit_plan("planted", plan))
+
+    single = df.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+    )
+    plan1 = single._jdf.queryExecution().executedPlan().toString()
+    assert not any("Generate over interpreted-HOF" in f
+                   for f in audit_plan("planted", plan1))

@@ -15,7 +15,9 @@ stage dir — the same at-rest checkpoint discipline the maintained ANN
 index uses.
 
 Stage vocabulary: ``normalize``, ``dedup_exact``, ``dedup_near``
-(MinHash LSH + keep-canonical), ``quality_gate``, ``decontaminate``,
+(MinHash LSH + keep-canonical), ``dedup_semantic`` (embedding-cosine
+near-dup over a sidecar embeddings table — SemDeDup tier),
+``quality_gate``, ``decontaminate``,
 ``filter_nulls``, ``redact``, ``split``, ``balance``, ``select``
 (token-budget curation), ``pack``, and the terminal ``export`` — plus
 two control stages that act on the current stage dir instead of
@@ -103,6 +105,31 @@ def _stage_dedup_near(spark, df: DataFrame, p: dict) -> DataFrame:
         df, id_col, p.get("text_col", "text"),
         threshold=float(p.get("threshold", 0.8)),
         max_bucket_size=int(p.get("max_bucket_size", 64)),
+    )
+    return dedup_keep_canonical(df, pairs, id_col)
+
+
+def _stage_dedup_semantic(spark, df: DataFrame, p: dict) -> DataFrame:
+    """SemDeDup-style stage: embedding-cosine near-dup pairs (banded
+    sign-LSH + exact rescore, operators/similarity.py) over a sidecar
+    embeddings table, collapsed with the same keep-canonical
+    connected-components step dedup_near uses. The corpus and the pairs
+    join only on ids — vectors never touch the document rows."""
+    from .operators.dedup import dedup_keep_canonical
+    from .operators.similarity import embedding_near_dup_pairs
+
+    id_col = p.get("id_col", "doc_id")
+    emb = spark.read.parquet(p["embeddings"]).select(
+        F.col(p.get("emb_id_col", "vec_id")).alias(id_col),
+        F.col(p.get("vec_col", "embedding")).alias("embedding"),
+    )
+    pairs = embedding_near_dup_pairs(
+        emb,
+        threshold=float(p.get("threshold", 0.95)),
+        id_col=id_col,
+        vec_col="embedding",
+        bands=int(p.get("bands", 4)),
+        planes_per_band=int(p.get("planes_per_band", 8)),
     )
     return dedup_keep_canonical(df, pairs, id_col)
 
@@ -207,6 +234,7 @@ STAGES: dict[str, Callable[[SparkSession, DataFrame, dict], DataFrame]] = {
     "normalize": _stage_normalize,
     "dedup_exact": _stage_dedup_exact,
     "dedup_near": _stage_dedup_near,
+    "dedup_semantic": _stage_dedup_semantic,
     "quality_gate": _stage_quality_gate,
     "decontaminate": _stage_decontaminate,
     "filter_nulls": _stage_filter_nulls,
@@ -238,7 +266,8 @@ def run_pipeline(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
 
     required = {"decontaminate": ["probes"], "balance": ["by"],
                 "select": ["budget"], "filter_nulls": ["columns"],
-                "export": ["out"], "expect": ["rules"]}
+                "export": ["out"], "expect": ["rules"],
+                "dedup_semantic": ["embeddings"]}
     # control stages: operate on the CURRENT stage dir (gate / in-place
     # layout rewrite / terminal sink) — they produce no new out dir
     control = {"export", "expect", "compact"}

@@ -8,6 +8,11 @@ instead of a one-shot audit.
 each batch's report is independent, the batch frame is a plain DataFrame so
 the single-pass rule compilation is reused verbatim, and the parquet ledger
 append is idempotent per batch id under checkpoint replay.
+
+The threshold rules (r15: ``min_rows``, ``max_null_frac``) evaluate
+PER MICRO-BATCH here — ``min_rows`` doubles as an empty/short-batch
+detector, and a null-rate tolerance is judged against each batch's own
+row count, not the cumulative stream.
 """
 
 from __future__ import annotations

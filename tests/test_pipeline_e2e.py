@@ -346,3 +346,51 @@ def test_pipeline_expect_validation_fails_fast(spark, tmp_path):
                 {"type": "not_null", "column": "x"},
                 {"type": "in_range", "column": "x"},  # missing min/max
             ]}]}})
+
+
+def test_pipeline_dedup_semantic_stage(spark, tmp_path):
+    """dedup_semantic stage (SemDeDup tier): a planted near-identical
+    embedding pair collapses to its min id via the sidecar embeddings
+    table; orthogonal vectors survive. Corpus rows join pairs on ids
+    only — the stage needs no text similarity at all."""
+    from pyspark.sql import functions as F
+
+    from gdelt_2_0_event_database_pipeline_spark.pipeline import run_pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", "en", "p", 20) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # 0 and 1 nearly parallel (cos ~ 0.9999); 2, 3 orthogonal to them
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.01]),
+            (1, [1.0, 0.0, 0.0, 0.02]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    emb = str(tmp_path / "emb")
+    vecs.write.parquet(emb)
+
+    rep = run_pipeline(
+        spark,
+        {"pipeline": {"input": src, "workdir": str(tmp_path / "w"),
+                      "stages": [{"stage": "dedup_semantic",
+                                  "embeddings": emb,
+                                  "threshold": 0.99}]}},
+    )
+    out = spark.read.parquet(rep["final"])
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {0, 2, 3}  # 1 collapsed into canonical 0
+    assert rep["stages"][0]["rows"] == 3
+
+    # missing required param fails fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing param 'embeddings'"):
+        run_pipeline(spark, {"pipeline": {
+            "input": src, "workdir": str(tmp_path / "w2"),
+            "stages": [{"stage": "dedup_semantic"}]}})

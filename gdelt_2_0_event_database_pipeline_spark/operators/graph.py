@@ -68,9 +68,6 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
 
     # (node, outdeg) for every node; dangling nodes get outdeg NULL
     base = nodes.join(
@@ -79,12 +76,23 @@ def pagerank(
         "left",
     ).select("node", "outdeg").localCheckpoint()
 
+    # ONE bounded driver aggregate answers both setup probes (|nodes| and
+    # any-dangling?) — the old separate nodes.count() + limit(1).count()
+    # pair cost two scheduler round-trips per pagerank call
+    probe = base.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.count(F.when(F.col("outdeg").isNull(), F.lit(1))).alias("__nd__"),
+    ).first()
+    n = probe["__n__"]
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
     ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "outdeg")
     teleport = (1.0 - damping) / n
     # Dangling handling costs a 1-row aggregate per round; most curation
     # graphs (co-occurrence, trade, link graphs with back-edges) have none,
-    # so probe once and take the cheaper loop body when possible.
-    has_dangling = base.filter(F.col("outdeg").isNull()).limit(1).count() > 0
+    # so the probe above picks the cheaper loop body when possible.
+    has_dangling = probe["__nd__"] > 0
     for it in range(max_iter):
         contrib = (
             adj.join(ranks, adj.src == ranks.node, "inner")
@@ -216,8 +224,14 @@ def k_hop(
             .join(visited_nodes, "node", "left_anti")
             .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
-            break
+        # the count both materializes the lazy checkpoint and answers the
+        # emptiness check — but the FINAL round needs neither (the loop
+        # ends regardless, and an empty layer unions to nothing), so skip
+        # its barrier job entirely and let the consumer's one job compute
+        # the last frontier (one fewer job per k_hop call)
+        if h < k:
+            if nxt.count() == 0:
+                break
         layers.append(nxt.withColumn("hop", F.lit(h)))
         visited_nodes = visited_nodes.union(nxt)
         frontier = nxt

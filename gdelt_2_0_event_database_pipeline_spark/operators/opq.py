@@ -156,6 +156,12 @@ def rotate_vectors(
     d = len(rotation)
     if any(len(row) != d for row in rotation):
         raise ValueError("rotation must be square d×d")
+    from ..util import fan_out
+
+    # fan_out (guide §2.5): d² multiply-adds per row is the heaviest pure
+    # map stage in the PQ family — single-task over a one-row-group scan
+    # otherwise; per-row folds are partitioning-independent
+    df = fan_out(df)
     vec = F.col(vec_col).cast("array<double>")
     dots = [
         F.aggregate(

@@ -33,6 +33,8 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import fan_out
+
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -70,9 +72,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
     )
-    c = corpus.select(
+    # fan_out (guide §2.5): the broadcast join + per-pair cosine folds are
+    # pure map work over the corpus — a one-row-group scan would run them
+    # all on one core; per-row arithmetic is partitioning-independent
+    c = fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
-    )
+    ))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("__qv__"), F.col("__cv__")))
@@ -148,10 +153,12 @@ def cosine_topk_lsh(
     be < k when the probed buckets are thin — the documented recall trade.
     """
     dim = _infer_dim(corpus, vec_col)
-    c = corpus.select(
+    # fan_out (guide §2.5): signature folds + candidate cosine rescoring
+    # are map work over the corpus scan — parallelize a narrow input
+    c = fan_out(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),
-    ).withColumn("__sig__", lsh_signature(F.col("__cv__"), num_planes, dim, seed))
+    )).withColumn("__sig__", lsh_signature(F.col("__cv__"), num_planes, dim, seed))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
@@ -219,9 +226,11 @@ def embedding_near_dup_pairs(
     if planes_per_band > 31:
         raise ValueError("planes_per_band must be ≤ 31 (int signature)")
     dim = _infer_dim(df, vec_col)
-    base = df.select(
+    # fan_out (guide §2.5): the banded signature folds (bands × r plane
+    # dots per row) run map-side before any exchange
+    base = fan_out(df.select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
-    )
+    ))
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -325,9 +334,11 @@ def semantic_dedup(
     """
     cent = centroids if centroids is not None else exemplar_centroids(df, k, id_col, vec_col)
     cent = cent.withColumn("__sd_cn__", l2_norm(F.col("__sd_cv__")))
-    base = df.select(
+    # fan_out (guide §2.5): the corpus × broadcast-centroid assignment is
+    # the heavy map stage — k cosine folds per row before any exchange
+    base = fan_out(df.select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
-    ).withColumn("__n__", l2_norm(F.col("__v__")))
+    )).withColumn("__n__", l2_norm(F.col("__v__")))
     cos_c = dot(F.col("__v__"), F.col("__sd_cv__")) / (
         F.col("__n__") * F.col("__sd_cn__")
     )
@@ -394,11 +405,13 @@ def hard_negatives(
         F.col(label_col).alias("anchor_label"),
         _as_double(vec_col).alias("__av__"),
     )
-    c = corpus.select(
+    # fan_out (guide §2.5): same map-heavy broadcast-join shape as
+    # cosine_topk — parallelize a narrow corpus scan before the folds
+    c = fan_out(corpus.select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("negative_label"),
         _as_double(vec_col).alias("__cv__"),
-    )
+    ))
     scored = c.join(
         F.broadcast(a),
         (F.col("anchor_id") != F.col("negative_id"))

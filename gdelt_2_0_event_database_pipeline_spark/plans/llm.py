@@ -2258,11 +2258,25 @@ def q_quantiles_approx(spark, sf_dir):
     doc="Exact interpolated quantiles per group (sketch twin percentile_approx is rows-only in tests).",
 )
 def q_quantiles(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    from ..util import fan_out
+
+    # fan_out (guide §2.5: one-row-group scan = one-task percentile build)
+    # + ONE percentile buffer for all three probs instead of three
+    # identical ones: measured 3.32 s → 1.72 s, values unchanged (same
+    # exact sorted multiset, same interpolation per prob).
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    )
+    qs = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+        ).alias("__qs__")
+    )
+    return qs.select(
+        "l_returnflag",
+        F.round(F.element_at("__qs__", 1), 4).alias("p25"),
+        F.round(F.element_at("__qs__", 2), 4).alias("p50"),
+        F.round(F.element_at("__qs__", 3), 4).alias("p75"),
     )
 
 

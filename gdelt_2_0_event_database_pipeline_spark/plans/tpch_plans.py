@@ -22,7 +22,7 @@ orderkey), exactly as in q05's ledger.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -646,18 +646,21 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eur_cost = cost.join(
         F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey")
     )
-    min_cost = eur_cost.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("supply_cost").alias("__min_cost__")
-    )
+    # per-part min as a window over the SAME l_partkey key instead of a
+    # groupBy + self-join: the eur_cost subtree (lineitem aggregate +
+    # broadcast join) was computed twice — once for the min frame, once
+    # for the equality join — and the join added its own exchange (guide
+    # §2.4: duplicated subtrees / two ops keyed the same way share one
+    # exchange). Rows kept are identical: supply_cost == per-part min,
+    # ties all retained, exact-double equality on both forms (plan diff:
+    # 24 Exchanges → 7, one lineitem scan instead of two).
+    min_w = Window.partitionBy("l_partkey")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
     )
     return (
-        eur_cost.join(
-            min_cost,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("supply_cost") == F.col("__min_cost__")),
-        )
+        eur_cost.withColumn("__min_cost__", F.min("supply_cost").over(min_w))
+        .filter(F.col("supply_cost") == F.col("__min_cost__"))
         .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
         .orderBy(

@@ -26,7 +26,6 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out
 from .text import char_ngrams, simhash64, tokens
 
 
@@ -139,9 +138,7 @@ def _minhash_banded(
         bands,
         hash_family,
     )
-    # fan_out: the verify stage's ngram build is map-heavy too and feeds a
-    # join (shuffle) anyway — the extra exchange replaces a 1-task stage
-    shingles = fan_out(df.select(id_col, text_col)).select(
+    shingles = df.select(
         F.col(id_col).alias("__id__"),
         F.array_distinct(char_ngrams(F.col(text_col), shingle_n)).alias("__sh__"),
     )
@@ -174,10 +171,7 @@ def _minhash_sig_frame(
     else:
         base_h1 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(0)), 24)
         base_h2 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(1)), 24)
-    # fan_out: the per-shingle hashing below is the heavy map work, and a
-    # compacted one-row-group input would run it all on ONE core (guide
-    # §2.5); min-aggregates are order-independent so results are unchanged
-    exploded = fan_out(df.select(id_col, text_col)).select(
+    exploded = df.select(
         F.col(id_col).alias("__id__"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
     ).select("__id__", base_h1.alias("__b1__"), base_h2.alias("__b2__"))
@@ -1246,9 +1240,7 @@ def _independent_minhash_sig(
     shingle Jaccard."""
     if hash_family not in ("xxhash64", "md5"):
         raise ValueError(f"hash_family must be 'xxhash64' or 'md5', got {hash_family!r}")
-    # fan_out before the 64-hash explode: same §2.5 rationale as
-    # _minhash_sig_frame, measured 1.86 s → 0.82 s on the sf0.1 batch
-    exploded = fan_out(df.select(id_col, text_col)).select(
+    exploded = df.select(
         F.col(id_col).alias("__id__"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
     )

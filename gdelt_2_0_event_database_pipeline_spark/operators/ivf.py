@@ -159,13 +159,8 @@ def assign_cells(
         "cell int, __pos__ int, __w__ double",
     )
     csq = [float(sum(w * w for w in c)) for c in centroids]
-    from ..util import fan_out
-
-    # fan_out (guide §2.5): the posexplode + broadcast join + k-sum partial
-    # aggregation is the assignment's heavy map stage — single-task over a
-    # one-row-group corpus otherwise; sum partials are order-independent
     wide = (
-        fan_out(df).select(
+        df.select(
             F.col(id_col).alias("__aid__"),
             F.posexplode(_as_double(vec_col)).alias("__pos__", "__val__"),
         )

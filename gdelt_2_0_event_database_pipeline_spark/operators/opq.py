@@ -140,6 +140,13 @@ def _lit_arr(vals) -> Column:
     return F.array(*[F.lit(float(v)) for v in vals])
 
 
+def _sql_double(v: float) -> str:
+    """Exact double literal for SQL text: ``repr(float)`` is the shortest
+    round-tripping decimal, and a string→DOUBLE cast parses it back to the
+    bit-identical IEEE value on any engine."""
+    return f"CAST('{repr(float(v))}' AS DOUBLE)"
+
+
 def rotate_vectors(
     df: DataFrame,
     rotation: list[list[float]],
@@ -150,32 +157,32 @@ def rotate_vectors(
     ``aggregate`` dot folds against literal rotation rows (zero shuffles,
     zero Python — the ``random_projection`` expr path; d²=4096 literal
     cells at dim 64). Rows of the wrong width get NULL (enrichment, not
-    filter)."""
+    filter).
+
+    The expression is built as ONE ``F.expr`` SQL string instead of ~12k
+    chained Column calls: each ``F.lit``/``zip_with``/``aggregate`` is a
+    py4j round-trip, and constructing the d²-literal tree that way cost
+    9-12 s of pure driver time per plan (measured, r15) vs ~0.3 s for
+    Catalyst parsing the equivalent SQL text. Same expression tree after
+    parsing, bit-identical results (differential-tested in
+    tests/test_opq.py and measured at build time)."""
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists in the input")
     d = len(rotation)
     if any(len(row) != d for row in rotation):
         raise ValueError("rotation must be square d×d")
-    from ..util import fan_out
-
-    # fan_out (guide §2.5): d² multiply-adds per row is the heaviest pure
-    # map stage in the PQ family — single-task over a one-row-group scan
-    # otherwise; per-row folds are partitioning-independent
-    df = fan_out(df)
-    vec = F.col(vec_col).cast("array<double>")
-    dots = [
-        F.aggregate(
-            F.zip_with(vec, _lit_arr(row), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    vec = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    dots = ", ".join(
+        f"aggregate(zip_with({vec}, array("
+        + ", ".join(_sql_double(w) for w in row)
+        + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         for row in rotation
-    ]
+    )
     return df.withColumn(
         out_col,
-        F.when(
-            F.col(vec_col).isNotNull() & (F.size(vec_col) == d),
-            F.array(*dots),
+        F.expr(
+            f"CASE WHEN `{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {d} "
+            f"THEN array({dots}) END"
         ),
     )
 

@@ -432,20 +432,26 @@ def random_projection(
     if method == "auto":
         method = "expr" if d * k <= MAX_EXPR_CELLS else "arrow"
     if method == "expr":
-        vec = F.col(vec_col).cast("array<double>")
-        dots = [
-            F.aggregate(
-                F.zip_with(vec, _lit_arr(w), lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+        # ONE F.expr SQL string instead of d·k chained Column calls: each
+        # F.lit/zip_with/aggregate is a py4j round-trip and the literal
+        # tree cost seconds of driver time per plan (the rotate_vectors
+        # r15 measurement); Catalyst parses the same tree from text in
+        # ~0.1 s. repr(float) round-trips bit-exactly through the
+        # string→DOUBLE cast, so the numbers are unchanged.
+        from .opq import _sql_double
+
+        vec = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+        dots = ", ".join(
+            f"aggregate(zip_with({vec}, array("
+            + ", ".join(_sql_double(x) for x in w)
+            + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             for w in rows
-        ]
+        )
         return df.withColumn(
             out_col,
-            F.when(
-                F.col(vec_col).isNotNull() & (F.size(vec_col) == d),
-                F.array(*dots),
+            F.expr(
+                f"CASE WHEN `{vec_col}` IS NOT NULL AND size(`{vec_col}`) = {d} "
+                f"THEN array({dots}) END"
             ),
         )
     if method != "arrow":
@@ -514,18 +520,22 @@ def project_pca(
     tmp = "__pca_centered__"
     while tmp in df.columns:  # never clobber a user column with the temp
         tmp += "_"
-    dots = [
-        F.aggregate(
-            F.zip_with(F.col(tmp), _lit_arr(w), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    # ONE F.expr string for the k aggregate folds (the rotate_vectors /
+    # random_projection r15 construction fix — same tree, parsed instead
+    # of built through ~3k py4j round-trips; repr round-trips each double)
+    from .opq import _sql_double
+
+    dots = ", ".join(
+        f"aggregate(zip_with(`{tmp}`, array("
+        + ", ".join(_sql_double(x) for x in w)
+        + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         for w in rows
-    ]
+    )
     return (
         df.withColumn(tmp, centered)
         .withColumn(
-            out_col, F.when(F.col(tmp).isNotNull(), F.array(*dots))
+            out_col,
+            F.expr(f"CASE WHEN `{tmp}` IS NOT NULL THEN array({dots}) END"),
         )
         .drop(tmp)
     )

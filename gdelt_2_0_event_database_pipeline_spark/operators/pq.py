@@ -269,17 +269,8 @@ def pq_encode(
         "__sub__ int, __sq__ array<double>",
     )
 
-    from ..util import fan_out
-
-    # fan_out (guide §2.5): the posexplode + broadcast-join + 16-sum
-    # partial aggregation below is the encode's heavy map stage — over a
-    # one-row-group corpus (or a narrow rotated projection of it) it would
-    # run single-task; min/sum partials are order-independent
     persub = (
-        _assert_size(
-            fan_out(well_formed_vectors(df, vec_col)),
-            vec_col, m * subdim, "pq_encode",
-        )
+        _assert_size(well_formed_vectors(df, vec_col), vec_col, m * subdim, "pq_encode")
         .select(
             F.col(id_col).alias("__eid__"),
             F.posexplode(_as_double(vec_col)).alias("__pos__", "__val__"),

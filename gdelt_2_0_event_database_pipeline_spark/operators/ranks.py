@@ -210,12 +210,7 @@ def spearman_bucketed(
     NULL — loud, not wrong. Each accumulator converts to double exactly
     once before the pinned closing tree, matching the oracle.
     """
-    from ..util import fan_out
-
-    # fan_out (guide §2.5): the bounds aggregate, both rank maps' partial
-    # counts, and the rank-attach joins all start from this scan — a
-    # one-row-group input would run every map side single-task
-    df = fan_out(df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()))
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     b = df.agg(
         F.min(x_col).alias("xlo"),
         F.max(x_col).alias("xhi"),

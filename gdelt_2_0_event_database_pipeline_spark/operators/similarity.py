@@ -33,8 +33,6 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..util import fan_out
-
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -72,12 +70,9 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
     )
-    # fan_out (guide §2.5): the broadcast join + per-pair cosine folds are
-    # pure map work over the corpus — a one-row-group scan would run them
-    # all on one core; per-row arithmetic is partitioning-independent
-    c = fan_out(corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("__cv__")
-    ))
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", cosine(F.col("__qv__"), F.col("__cv__")))
@@ -102,10 +97,32 @@ def plane_weights(num_planes: int, dim: int, seed: int) -> list[list[float]]:
     ]
 
 
-def lsh_signature(vec: Column, num_planes: int, dim: int, seed: int = 42) -> Column:
+def lsh_signature(
+    vec: Column | str, num_planes: int, dim: int, seed: int = 42
+) -> Column:
     """Random-hyperplane signature: int with ``num_planes`` sign bits.
-    Map-only — each bit is one fold of the vector against a literal plane."""
+    Map-only — each bit is one fold of the vector against a literal plane.
+
+    Pass the COLUMN NAME (str) on hot paths: the expression is then built
+    as one ``F.expr`` SQL string — the num_planes·dim literal tree built
+    through chained Column calls costs a py4j round-trip per node (the
+    rotate_vectors r15 construction finding), while Catalyst parses the
+    identical tree from text in milliseconds. The Column form is kept for
+    composed expressions; both produce the same plan and numbers
+    (repr(float) round-trips bit-exactly through the string literal)."""
     planes = plane_weights(num_planes, dim, seed)
+
+    if isinstance(vec, str):
+        from .opq import _sql_double
+
+        bits = " + ".join(
+            "(CASE WHEN aggregate(zip_with(`" + vec + "`, array("
+            + ", ".join(_sql_double(w) for w in planes[p])
+            + "), (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+        return F.expr(f"CAST({bits} AS INT)")
 
     def bit(p: int) -> Column:
         warr = F.array(*[F.lit(w) for w in planes[p]])
@@ -153,16 +170,14 @@ def cosine_topk_lsh(
     be < k when the probed buckets are thin — the documented recall trade.
     """
     dim = _infer_dim(corpus, vec_col)
-    # fan_out (guide §2.5): signature folds + candidate cosine rescoring
-    # are map work over the corpus scan — parallelize a narrow input
-    c = fan_out(corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("__cv__"),
-    )).withColumn("__sig__", lsh_signature(F.col("__cv__"), num_planes, dim, seed))
+    ).withColumn("__sig__", lsh_signature("__cv__", num_planes, dim, seed))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv__")
-    ).withColumn("__qsig__", lsh_signature(F.col("__qv__"), num_planes, dim, seed))
+    ).withColumn("__qsig__", lsh_signature("__qv__", num_planes, dim, seed))
 
     if not 0 <= probe_hamming <= num_planes:
         raise ValueError(
@@ -226,16 +241,14 @@ def embedding_near_dup_pairs(
     if planes_per_band > 31:
         raise ValueError("planes_per_band must be ≤ 31 (int signature)")
     dim = _infer_dim(df, vec_col)
-    # fan_out (guide §2.5): the banded signature folds (bands × r plane
-    # dots per row) run map-side before any exchange
-    base = fan_out(df.select(
+    base = df.select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
-    ))
+    )
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
             lsh_signature(
-                F.col("__v__"), planes_per_band, dim, seed + 7919 * i
+                "__v__", planes_per_band, dim, seed + 7919 * i
             ).alias("key"),
         )
         for i in range(bands)
@@ -334,11 +347,9 @@ def semantic_dedup(
     """
     cent = centroids if centroids is not None else exemplar_centroids(df, k, id_col, vec_col)
     cent = cent.withColumn("__sd_cn__", l2_norm(F.col("__sd_cv__")))
-    # fan_out (guide §2.5): the corpus × broadcast-centroid assignment is
-    # the heavy map stage — k cosine folds per row before any exchange
-    base = fan_out(df.select(
+    base = df.select(
         F.col(id_col).alias("__id__"), _as_double(vec_col).alias("__v__")
-    )).withColumn("__n__", l2_norm(F.col("__v__")))
+    ).withColumn("__n__", l2_norm(F.col("__v__")))
     cos_c = dot(F.col("__v__"), F.col("__sd_cv__")) / (
         F.col("__n__") * F.col("__sd_cn__")
     )
@@ -405,13 +416,11 @@ def hard_negatives(
         F.col(label_col).alias("anchor_label"),
         _as_double(vec_col).alias("__av__"),
     )
-    # fan_out (guide §2.5): same map-heavy broadcast-join shape as
-    # cosine_topk — parallelize a narrow corpus scan before the folds
-    c = fan_out(corpus.select(
+    c = corpus.select(
         F.col(id_col).alias("negative_id"),
         F.col(label_col).alias("negative_label"),
         _as_double(vec_col).alias("__cv__"),
-    ))
+    )
     scored = c.join(
         F.broadcast(a),
         (F.col("anchor_id") != F.col("negative_id"))

@@ -2258,15 +2258,11 @@ def q_quantiles_approx(spark, sf_dir):
     doc="Exact interpolated quantiles per group (sketch twin percentile_approx is rows-only in tests).",
 )
 def q_quantiles(spark, sf_dir):
-    from ..util import fan_out
-
-    # fan_out (guide §2.5: one-row-group scan = one-task percentile build)
-    # + ONE percentile buffer for all three probs instead of three
-    # identical ones: measured 3.32 s → 1.72 s, values unchanged (same
-    # exact sorted multiset, same interpolation per prob).
-    li = fan_out(
-        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    )
+    # ONE percentile buffer for all three probs instead of three identical
+    # full-multiset buffers: measured 3.5 s → 1.15 s warm (alternating A/B),
+    # values unchanged (same exact sorted multiset, same interpolation per
+    # prob).
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     qs = li.groupBy("l_returnflag").agg(
         F.percentile(
             "l_extendedprice", F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))

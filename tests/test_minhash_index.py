@@ -192,3 +192,4 @@ def test_meta_null_fields_raise_value_error(spark, tmp_path, ref):
     _rewrite(bad_family)
     with pytest.raises(ValueError, match="hash_family"):
         read_minhash_index_meta(spark, path)
+

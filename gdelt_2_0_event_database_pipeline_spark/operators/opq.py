@@ -142,9 +142,12 @@ def _lit_arr(vals) -> Column:
 
 def _sql_double(v: float) -> str:
     """Exact double literal for SQL text: ``repr(float)`` is the shortest
-    round-tripping decimal, and a string→DOUBLE cast parses it back to the
-    bit-identical IEEE value on any engine."""
-    return f"CAST('{repr(float(v))}' AS DOUBLE)"
+    round-tripping decimal and the ``D`` suffix makes the parser emit a
+    DOUBLE Literal node directly (``Double.parseDouble`` — bit-identical).
+    A ``CAST('…' AS DOUBLE)`` spelling would parse to the same VALUE but
+    leave thousands of un-folded Cast nodes that every analysis pass of
+    every composed plan re-walks — measured ~20% slower OPQ builds."""
+    return f"{repr(float(v))}D"
 
 
 def rotate_vectors(
@@ -175,7 +178,7 @@ def rotate_vectors(
     dots = ", ".join(
         f"aggregate(zip_with({vec}, array("
         + ", ".join(_sql_double(w) for w in row)
-        + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        + "), (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
         for row in rotation
     )
     return df.withColumn(

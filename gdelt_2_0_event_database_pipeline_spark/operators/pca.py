@@ -444,7 +444,7 @@ def random_projection(
         dots = ", ".join(
             f"aggregate(zip_with({vec}, array("
             + ", ".join(_sql_double(x) for x in w)
-            + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            + "), (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
             for w in rows
         )
         return df.withColumn(
@@ -528,7 +528,7 @@ def project_pca(
     dots = ", ".join(
         f"aggregate(zip_with(`{tmp}`, array("
         + ", ".join(_sql_double(x) for x in w)
-        + "), (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        + "), (a, b) -> a * b), 0.0D, (acc, v) -> acc + v)"
         for w in rows
     )
     return (

@@ -118,7 +118,7 @@ def lsh_signature(
         bits = " + ".join(
             "(CASE WHEN aggregate(zip_with(`" + vec + "`, array("
             + ", ".join(_sql_double(w) for w in planes[p])
-            + "), (x, w) -> x * w), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            + "), (x, w) -> x * w), 0.0D, (acc, x) -> acc + x)"
             f" >= 0 THEN {1 << p} ELSE 0 END)"
             for p in range(num_planes)
         )

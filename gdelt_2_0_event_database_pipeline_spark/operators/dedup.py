@@ -175,9 +175,16 @@ def _minhash_sig_frame(
         F.col(id_col).alias("__id__"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
     ).select("__id__", base_h1.alias("__b1__"), base_h2.alias("__b2__"))
+    # k min-aggregates built as F.expr SQL strings: the chained-Column form
+    # costs ~6 py4j round-trips per position (~0.4 s of driver time at
+    # k=64) while Catalyst parses the IDENTICAL tree from text in
+    # microseconds — the r15 rotate_vectors construction finding applied
+    # to the signature aggregate (guide §4: the boundary cost is the
+    # round-trips, not the execution). Differential-pinned byte-for-byte
+    # against the Column spelling in tests/test_minhash_index.py.
     return exploded.groupBy("__id__").agg(
         *[
-            F.min(F.col("__b1__") + F.lit(i) * F.col("__b2__")).alias(f"__h{i}__")
+            F.expr(f"min(__b1__ + {i} * __b2__) AS __h{i}__")
             for i in range(num_hashes)
         ]
     )
@@ -192,24 +199,25 @@ def _bands_from_sig(
     LSH-join mistake. Shingles rejoin by id for survivors only."""
     rows_per_band = num_hashes // bands
 
-    def band_bucket(b: int) -> Column:
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.col(f"__h{b * rows_per_band + j}__").cast("string")
-                for j in range(rows_per_band)
-            ],
-        )
+    # the whole bands×rows_per_band struct array is ONE F.expr parse — the
+    # chained-Column spelling paid ~10 py4j round-trips per band (same
+    # construction-cost rewrite as _minhash_sig_frame above; identical
+    # parsed tree, pinned by the differential test)
+    def band_bucket_sql(b: int) -> str:
+        joined = "concat_ws(',', " + ", ".join(
+            f"CAST(__h{b * rows_per_band + j}__ AS STRING)"
+            for j in range(rows_per_band)
+        ) + ")"
         if hash_family == "md5":
-            return F.md5(F.concat_ws(",", joined, F.lit(str(b))))
-        return F.xxhash64(joined, F.lit(b))
+            return f"md5(concat_ws(',', {joined}, '{b}'))"
+        return f"xxhash64({joined}, {b})"
 
-    band_structs = [
-        F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+    band_array = "array(" + ", ".join(
+        f"named_struct('band', {b}, 'bucket', {band_bucket_sql(b)})"
         for b in range(bands)
-    ]
+    ) + ")"
     return sig.select(
-        "__id__", F.explode(F.array(*band_structs)).alias("__b__")
+        "__id__", F.expr(f"explode({band_array})").alias("__b__")
     ).select("__id__", F.col("__b__.band").alias("band"), F.col("__b__.bucket").alias("bucket"))
 
 
@@ -1244,22 +1252,29 @@ def _independent_minhash_sig(
         F.col(id_col).alias("__id__"),
         F.explode(F.array_distinct(char_ngrams(F.col(text_col), shingle_n))).alias("__s__"),
     )
+    # per-position hash + min aggregate as F.expr SQL strings — the
+    # chained-Column spelling cost ~8 py4j round-trips per position
+    # (~0.6 s of driver time at k=64 per signature frame); Catalyst
+    # parses the identical tree from text (r15 rotate_vectors finding,
+    # guide §4). Byte-for-byte differential vs the Column spelling is
+    # pinned in tests/test_minhash_index.py.
     if hash_family == "md5":
-        def h(i: int) -> Column:
-            return F.conv(
-                F.substring(F.md5(F.concat(F.col("__s__"), F.lit(f"|{i}"))), 1, 15),
-                16,
-                10,
-            ).cast("long")
+        def h_sql(i: int) -> str:
+            return (
+                "CAST(conv(substring(md5(concat(__s__, "
+                f"'|{i}')), 1, 15), 16, 10) AS BIGINT)"
+            )
     else:
-        def h(i: int) -> Column:
-            return F.xxhash64(F.col("__s__"), F.lit(i))
+        def h_sql(i: int) -> str:
+            return f"xxhash64(__s__, {i})"
     agg = exploded.groupBy("__id__").agg(
-        *[F.min(h(i)).alias(f"__m{i}__") for i in range(num_hashes)]
+        *[F.expr(f"min({h_sql(i)}) AS __m{i}__") for i in range(num_hashes)]
     )
     return agg.select(
         "__id__",
-        F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ", ".join(f"__m{i}__" for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
 
 
@@ -1348,14 +1363,46 @@ def write_minhash_index(
 
 
 def read_minhash_index_meta(spark, path: str) -> dict:
-    """The index's LSH parameter set (explicit schema, validated): every
-    batch MUST hash with exactly these or its buckets are incomparable."""
-    rows = spark.read.schema(
-        "num_hashes int, bands int, shingle_n int, hash_family string"
-    ).json(f"{path}/meta").collect()
+    """The index's LSH parameter set (validated): every batch MUST hash
+    with exactly these or its buckets are incomparable.
+
+    Read DIRECTLY through the Hadoop FileSystem (the same FS abstraction
+    the commit protocols use — works on HDFS/S3/local alike), not via
+    ``spark.read.json(...).collect()``: the meta is a one-row KB-sized
+    file, and the Spark read cost a full scheduler round-trip (~0.3 s job)
+    on EVERY match/append call (guide §5: the driver should do almost no
+    data work — and a distributed job to read 80 bytes is the inverse
+    mistake). Semantics preserved: exactly one row, same field validation,
+    missing/extra fields read as None."""
+    import json as _json
+
+    jvm = spark.sparkContext._jvm
+    meta_dir = jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+    fs = meta_dir.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    rows = []
+    for status in fs.listStatus(meta_dir):
+        name = status.getPath().getName()
+        if not status.isFile() or name.startswith(("_", ".")) or status.getLen() == 0:
+            continue
+        stream = fs.open(status.getPath())
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        for line in text.splitlines():
+            if not line.strip():
+                continue
+            try:
+                rec = _json.loads(line)
+            except ValueError as e:
+                raise ValueError(f"corrupt meta at {path}: unparseable JSON ({e})")
+            rows.append(rec)
     if len(rows) != 1:
         raise ValueError(f"expected exactly one meta row at {path}/meta, got {len(rows)}")
-    m = rows[0].asDict()
+    m = {
+        k: rows[0].get(k)
+        for k in ("num_hashes", "bands", "shingle_n", "hash_family")
+    }
     # NULL-check every field BEFORE arithmetic: a partially-written or
     # hand-edited meta row must raise the intended ValueError (with the
     # path), not a bare TypeError from '%' on NoneType.

@@ -202,8 +202,14 @@ def nearest_cells_expr_mapside(
     rule. Centroids ride as ONE nested array literal, so the plan stays
     O(1) nodes regardless of k×dim."""
     k = len(centroids)
-    cents = F.lit([[float(w) for w in c] for c in centroids])
-    csq = F.lit([float(sum(w * w for w in c)) for c in centroids])
+    # one F.expr parse instead of one py4j call per literal cell (~520
+    # calls at k=8, d=64 — the guide §4 construction cost); identical
+    # CreateArray-of-DOUBLE-Literals tree, bit-exact D-literal spelling,
+    # pinned by the mapside==assign_cells differential in tests/test_ivf.py
+    from .opq import _sql_arr
+
+    cents = F.expr(_sql_arr([[float(w) for w in c] for c in centroids]))
+    csq = F.expr(_sql_arr([float(sum(w * w for w in c)) for c in centroids]))
 
     def _dot(cent):
         return F.aggregate(

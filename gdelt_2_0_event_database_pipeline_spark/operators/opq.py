@@ -42,6 +42,8 @@ Reference parity: the reference pipeline has no vector stage
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,18 +138,40 @@ def fit_opq(
     )
 
 
-def _lit_arr(vals) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
-
-
 def _sql_double(v: float) -> str:
     """Exact double literal for SQL text: ``repr(float)`` is the shortest
     round-tripping decimal and the ``D`` suffix makes the parser emit a
     DOUBLE Literal node directly (``Double.parseDouble`` — bit-identical).
     A ``CAST('…' AS DOUBLE)`` spelling would parse to the same VALUE but
     leave thousands of un-folded Cast nodes that every analysis pass of
-    every composed plan re-walks — measured ~20% slower OPQ builds."""
-    return f"{repr(float(v))}D"
+    every composed plan re-walks — measured ~20% slower OPQ builds.
+
+    Non-finite values are rejected LOUDLY (r15 ADVICE): ``repr(nan)`` is
+    ``'nan'``, which the SQL parser turns into a Catalyst ParseException
+    pages away from the actual bug — a NaN/Inf cell in a rotation/PCA/
+    projection matrix. Raise a named ValueError at the emit site instead."""
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(
+            f"non-finite matrix value {f!r} cannot be emitted as a SQL "
+            "double literal — the rotation/projection/codebook matrix "
+            "contains NaN/Inf (check the fit inputs)"
+        )
+    return f"{repr(f)}D"
+
+
+def _sql_arr(vals) -> str:
+    """SQL text of a (possibly nested) double array literal —
+    ``array(array(1.0D, …), …)``. Parses to the exact tree PySpark's
+    ``F.lit(nested_list)`` builds (CreateArray over DOUBLE Literals) but
+    in ONE ``F.expr`` round-trip instead of one py4j call per element:
+    ``F.lit`` on a 16×16×4 codebook costs ~1.3k driver round-trips
+    (~1.5–2 s per plan, measured on the append hot path) vs ~1 ms of
+    Catalyst parsing (guide §4 — the r15 rotate_vectors finding applied
+    to every literal-matrix site). Bit-exact via :func:`_sql_double`."""
+    if isinstance(vals, (list, tuple)):
+        return "array(" + ", ".join(_sql_arr(v) for v in vals) + ")"
+    return _sql_double(vals)
 
 
 def rotate_vectors(

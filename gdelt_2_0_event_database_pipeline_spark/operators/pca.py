@@ -332,7 +332,12 @@ def read_pca_model(spark, path: str) -> PCAModel:
 
 
 def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # one F.expr parse (identical CreateArray-of-DOUBLE-Literals tree,
+    # bit-exact D spelling) instead of a py4j round-trip per element —
+    # guide §4 construction cost, the r15 rotate_vectors finding
+    from .opq import _sql_arr
+
+    return F.expr(_sql_arr([float(v) for v in vals]))
 
 
 def correlation_matrix(

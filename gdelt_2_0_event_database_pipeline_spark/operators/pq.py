@@ -362,13 +362,22 @@ def pq_encode_mapside(
     wf = _assert_size(
         well_formed_vectors(df, vec_col), vec_col, m * subdim, "pq_encode"
     )
-    cb = F.lit(codebooks)  # one nested-array literal node
-    csq = F.lit(
+    # nested-array literals parsed from SQL text in ONE F.expr round-trip:
+    # PySpark's F.lit(nested_list) recurses into array(*[lit(x)...]) — one
+    # py4j call per element, ~1.3k calls / ~1.5–2 s per append plan at
+    # m=16, ncodes=16, subdim=4 (measured; guide §4). The parsed tree is
+    # the identical CreateArray-of-DOUBLE-Literals, bit-exact via the
+    # D-literal spelling; pinned by the mapside==posexplode differential
+    # in tests/test_pq.py.
+    from .opq import _sql_arr
+
+    cb = F.expr(_sql_arr(codebooks))
+    csq = F.expr(_sql_arr(
         [
             [float(sum(w * w for w in cent)) for cent in books]
             for books in codebooks
         ]
-    )
+    ))
 
     def _dot(xs, cent):
         return F.aggregate(

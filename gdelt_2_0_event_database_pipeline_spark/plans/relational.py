@@ -11,6 +11,8 @@ Every query follows the cross-engine comparison rules in ``registry.py``
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -19,12 +21,49 @@ from ..functions.predicates import compile_filter, compile_filter_sql
 from .registry import register
 
 
+def _table_view(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Resolve a base TABLE through a session temp view registered on first
+    use — the catalog pattern every real deployment runs (tables resolved by
+    name through a metastore, not re-inferred per query).
+
+    Why: a bare ``spark.read.parquet(path)`` re-lists the directory and
+    re-reads parquet footers for schema inference on EVERY call — measured
+    130–270 ms per call warm on this machine. With ~250 registry queries
+    each resolving 1–3 tables per invocation, that is tens of seconds of
+    pure per-query fixed cost (guide §6 file-listing/metadata costs; the
+    r15 verdict's "schema probes in _t/_events" item). ``spark.table`` on a
+    registered view is ~14 ms and returns a FRESH DataFrame each call (new
+    attribute ids — self-joins of two ``_t`` results stay unambiguous).
+
+    NOT result caching: the view stores only the analyzed read plan
+    (schema + file listing of the immutable testdata tables); every action
+    over it still scans the parquet inputs. Views are session-scoped, so a
+    new session re-registers from scratch. Do NOT use this for mutable
+    artifacts (index codes/bands/ledgers) — those must re-resolve per read.
+    """
+    view = (
+        "__sg_t_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        + "_"
+        + name
+    )
+    try:
+        return spark.table(view)
+    except Exception:  # not registered in this session yet
+        df = build()
+        df.createOrReplaceTempView(view)
+        return spark.table(view)
+
+
 def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _t(spark, sf_dir, "lineitem")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _table_view(
+        spark, sf_dir, name,
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,18 +81,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
       set on this fallback path so plan-build stays side-effect-free for
       modern data.
     """
-    path = f"{sf_dir}/events.parquet"
-    try:
-        e = spark.read.parquet(path)
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        e = spark.read.parquet(path)
-    ts_type = dict(e.dtypes).get("ts")
-    if ts_type == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
-    return e
+    def build() -> DataFrame:
+        path = f"{sf_dir}/events.parquet"
+        try:
+            e = spark.read.parquet(path)
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            e = spark.read.parquet(path)
+        ts_type = dict(e.dtypes).get("ts")
+        if ts_type == "bigint":
+            e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+        return e
+
+    # registered under its own view name ("events__norm"): the normalized
+    # frame is what every consumer wants, and the name can never collide
+    # with a plain _t(..., "events") read
+    return _table_view(spark, sf_dir, "events__norm", build)
 
 
 # --------------------------------------------------------------------------

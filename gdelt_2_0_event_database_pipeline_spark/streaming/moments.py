@@ -40,8 +40,8 @@ from ..operators.pca import MAX_FIT_DIM, PCAModel, embedding_moments, model_from
 from .rollup import (
     _already_applied,
     _append_ledger_atomic,
+    _applied_batch_ids,
     _fs,
-    _ledger_path,
     _pending_path,
     _try_read_parquet,
 )
@@ -76,12 +76,7 @@ def _recover_pending_whole(spark: SparkSession, state_path: str) -> None:
     when there is nothing to repair."""
     jvm, fs, root = _fs(spark, _pending_path(state_path))
     if fs.exists(root):
-        ledger = _try_read_parquet(spark, _ledger_path(state_path))
-        applied = (
-            {r.batch_id for r in ledger.select("batch_id").collect()}
-            if ledger is not None
-            else set()
-        )
+        applied = _applied_batch_ids(spark, state_path)
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             try:

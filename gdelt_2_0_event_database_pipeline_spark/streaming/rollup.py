@@ -82,11 +82,34 @@ def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _applied_batch_ids(spark: SparkSession, state_path: str) -> set[int]:
+    """The committed-batch set, from the ledger directory LISTING: a batch
+    is committed iff its ``batch-<id>.parquet`` entry exists — the entry's
+    *name* is what the atomic rename in :func:`_append_ledger_atomic`
+    creates, so name-presence IS the commit bit. One FS metadata RPC
+    instead of a distributed parquet read per check (guide §5 driver-work
+    discipline; r15 verdict item 2). The parquet *content* (the batch_id
+    row) stays — it is the audit record and external readers may still
+    read the ledger as a table."""
+    jvm, fs, lpath = _fs(spark, _ledger_path(state_path))
+    if not fs.exists(lpath):
+        return set()
+    out: set[int] = set()
+    for status in fs.listStatus(lpath):
+        name = status.getPath().getName()
+        if name.startswith("batch-") and name.endswith(".parquet"):
+            try:
+                out.add(int(name[len("batch-"):-len(".parquet")]))
+            except ValueError:
+                continue
+    return out
+
+
 def _already_applied(spark: SparkSession, state_path: str, batch_id: int) -> bool:
-    ledger = _try_read_parquet(spark, _ledger_path(state_path))
-    if ledger is None:  # first batch: no ledger yet
-        return False
-    return ledger.filter(F.col("batch_id") == batch_id).limit(1).count() > 0
+    jvm, fs, entry = _fs(
+        spark, f"{_ledger_path(state_path)}/batch-{int(batch_id)}.parquet"
+    )
+    return fs.exists(entry)
 
 
 def _append_ledger_atomic(
@@ -102,33 +125,41 @@ def _append_ledger_atomic(
     Hadoop ``FileSystem.rename`` reports most failures by returning
     ``false`` rather than throwing; a silently failed rename here would
     record nothing and let the replay double-merge — the exact window
-    this function exists to close — so the return value is checked and
-    exactly one part file must move."""
-    from ..util import single_partition_df
+    this function exists to close — so the return value is checked.
 
-    tmp = f"{state_path}/_applied_batches_tmp/{int(batch_id)}"
-    single_partition_df(
-        spark, [(int(batch_id),)], "batch_id long"
-    ).write.mode("overwrite").parquet(tmp)
-    jvm, fs, hpath = _fs(spark, tmp)
+    The one-row parquet is serialized driver-side (pyarrow — the same
+    Arrow build pyspark itself bundles) and written through the Hadoop
+    ``FileSystem`` stream: the old single-partition Spark write cost a
+    full scheduler round-trip (~0.4 s job) per commit to produce ~700
+    bytes (guide §5: the driver should not *launch jobs* to do O(1)
+    work either). Content and layout are unchanged — a real parquet file
+    named ``batch-<id>.parquet`` with one ``batch_id`` long row, staged
+    in the temp dir and moved by ONE atomic rename, still readable as a
+    table by any external consumer."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    buf = io.BytesIO()
+    papq.write_table(
+        pa.table({"batch_id": pa.array([int(batch_id)], type=pa.int64())}),
+        buf,
+    )
+    tmp = f"{state_path}/_applied_batches_tmp/{int(batch_id)}.parquet"
+    jvm, fs, tpath = _fs(spark, tmp)
+    stream = fs.create(tpath, True)
+    try:
+        stream.write(buf.getvalue())
+    finally:
+        stream.close()
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(_ledger_path(state_path)))
-    moved = 0
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
-        if name.endswith(".parquet"):
-            dest = jvm.org.apache.hadoop.fs.Path(
-                f"{_ledger_path(state_path)}/batch-{int(batch_id)}.parquet"
-            )
-            if not fs.rename(status.getPath(), dest):
-                raise IOError(
-                    f"ledger commit failed: rename {status.getPath()} -> "
-                    f"{dest} returned false"
-                )
-            moved += 1
-    if moved != 1:
+    dest = jvm.org.apache.hadoop.fs.Path(
+        f"{_ledger_path(state_path)}/batch-{int(batch_id)}.parquet"
+    )
+    if not fs.rename(tpath, dest):
         raise IOError(
-            f"ledger commit for batch {batch_id} moved {moved} part files "
-            "(expected exactly 1 from the single-partition write)"
+            f"ledger commit failed: rename {tpath} -> {dest} returned false"
         )
     fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_path}/_applied_batches_tmp"), True)
 
@@ -172,12 +203,7 @@ def _recover_pending(spark: SparkSession, state_path: str) -> None:
     one listing when there is nothing to repair."""
     jvm, fs, root = _fs(spark, _pending_path(state_path))
     if fs.exists(root):
-        ledger = _try_read_parquet(spark, _ledger_path(state_path))
-        applied = (
-            {r.batch_id for r in ledger.select("batch_id").collect()}
-            if ledger is not None
-            else set()
-        )
+        applied = _applied_batch_ids(spark, state_path)
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             try:

@@ -193,3 +193,94 @@ def test_meta_null_fields_raise_value_error(spark, tmp_path, ref):
     with pytest.raises(ValueError, match="hash_family"):
         read_minhash_index_meta(spark, path)
 
+
+
+def test_expr_spelling_matches_column_spelling(spark, ref):
+    """r16: the signature/band expression trees are built as F.expr SQL
+    strings (construction cost — guide §4 py4j round-trips); this pins the
+    parsed trees to the original chained-Column spelling byte-for-byte, for
+    BOTH hash families, across all three kernels (banding sig frame, band
+    buckets, independent estimator family)."""
+    from gdelt_2_0_event_database_pipeline_spark.operators.dedup import (
+        _bands_from_sig,
+        _independent_minhash_sig,
+        _minhash_sig_frame,
+    )
+    from gdelt_2_0_event_database_pipeline_spark.operators.text import char_ngrams
+
+    def col_sig_frame(df, num_hashes, shingle_n, hash_family):
+        if hash_family == "md5":
+            _m = F.md5(F.col("__s__"))
+            b1 = F.conv(F.substring(_m, 1, 10), 16, 10).cast("long")
+            b2 = F.conv(F.substring(_m, 11, 10), 16, 10).cast("long")
+        else:
+            b1 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(0)), 24)
+            b2 = F.shiftrightunsigned(F.xxhash64(F.col("__s__"), F.lit(1)), 24)
+        exploded = df.select(
+            F.col("doc_id").alias("__id__"),
+            F.explode(F.array_distinct(char_ngrams(F.col("text"), shingle_n))).alias("__s__"),
+        ).select("__id__", b1.alias("__b1__"), b2.alias("__b2__"))
+        return exploded.groupBy("__id__").agg(
+            *[
+                F.min(F.col("__b1__") + F.lit(i) * F.col("__b2__")).alias(f"__h{i}__")
+                for i in range(num_hashes)
+            ]
+        )
+
+    def col_bands(sig, num_hashes, bands, hash_family):
+        rpb = num_hashes // bands
+
+        def bucket(b):
+            joined = F.concat_ws(
+                ",", *[F.col(f"__h{b * rpb + j}__").cast("string") for j in range(rpb)]
+            )
+            if hash_family == "md5":
+                return F.md5(F.concat_ws(",", joined, F.lit(str(b))))
+            return F.xxhash64(joined, F.lit(b))
+
+        structs = [
+            F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
+            for b in range(bands)
+        ]
+        return sig.select(
+            "__id__", F.explode(F.array(*structs)).alias("__b__")
+        ).select(
+            "__id__",
+            F.col("__b__.band").alias("band"),
+            F.col("__b__.bucket").alias("bucket"),
+        )
+
+    def col_indep(df, num_hashes, shingle_n, hash_family):
+        exploded = df.select(
+            F.col("doc_id").alias("__id__"),
+            F.explode(F.array_distinct(char_ngrams(F.col("text"), shingle_n))).alias("__s__"),
+        )
+        if hash_family == "md5":
+            def h(i):
+                return F.conv(
+                    F.substring(F.md5(F.concat(F.col("__s__"), F.lit(f"|{i}"))), 1, 15),
+                    16, 10,
+                ).cast("long")
+        else:
+            def h(i):
+                return F.xxhash64(F.col("__s__"), F.lit(i))
+        agg = exploded.groupBy("__id__").agg(
+            *[F.min(h(i)).alias(f"__m{i}__") for i in range(num_hashes)]
+        )
+        return agg.select(
+            "__id__",
+            F.array(*[F.col(f"__m{i}__") for i in range(num_hashes)]).alias("sig"),
+        )
+
+    for fam in ("md5", "xxhash64"):
+        old_sig = col_sig_frame(ref, 16, 3, fam)
+        new_sig = _minhash_sig_frame(ref, "doc_id", "text", 16, 3, fam)
+        assert sorted(map(str, old_sig.collect())) == sorted(map(str, new_sig.collect()))
+        assert sorted(map(str, col_bands(old_sig, 16, 4, fam).collect())) == sorted(
+            map(str, _bands_from_sig(new_sig, 16, 4, fam).collect())
+        )
+        assert sorted(
+            map(str, col_indep(ref, 16, 3, fam).collect())
+        ) == sorted(
+            map(str, _independent_minhash_sig(ref, "doc_id", "text", 16, 3, fam).collect())
+        )

@@ -79,10 +79,21 @@ def bigram_lm_crossentropy(
         raise ValueError(f"smoothing k must be > 0, got {k}")
     train = train_df if train_df is not None else df
     train_bi = _doc_bigrams(train, text_col, id_col)
+    # the bigram-count model table is materialized once (lazy checkpoint,
+    # first consuming job runs it): it feeds BOTH the score join and the
+    # c1 marginal below, and without the cut Catalyst duplicates the whole
+    # tokenize+explode+aggregate subtree per consumer. Its size is
+    # |distinct bigrams| (vocabulary-bounded — the LM itself), never
+    # corpus-sized, so the materialization is scale-safe.
     c2 = train_bi.groupBy("__w1__", "__w2__").agg(
         F.count(F.lit(1)).alias("__c12__")
-    )
-    c1 = train_bi.groupBy("__w1__").agg(F.count(F.lit(1)).alias("__c1__"))
+    ).localCheckpoint(eager=False)
+    # c1 (bigram count by first token) is the w2-marginal of c2 — summing
+    # integer counts is exact, so deriving it from c2 instead of a second
+    # groupBy over the raw bigram stream removes one full tokenize+explode
+    # pass over the train corpus (guide §2.4 duplicated subtrees); the
+    # re-aggregate runs over |distinct bigrams| rows, not |bigrams|
+    c1 = c2.groupBy("__w1__").agg(F.sum("__c12__").alias("__c1__"))
     vocab = (
         train.select(F.explode(tokens(text_col)).alias("__t__"))
         .agg(F.countDistinct("__t__").alias("__v__"))

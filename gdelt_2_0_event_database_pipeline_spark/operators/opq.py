@@ -174,6 +174,22 @@ def _sql_arr(vals) -> str:
     return _sql_double(vals)
 
 
+def _check_expr_col(name: str) -> str:
+    """Column-name contract for the F.expr-generated paths (r15 ADVICE):
+    the generated SQL backtick-quotes ``name``, which resolves TOP-LEVEL
+    columns only — a dotted name is taken literally (not as a nested
+    struct field, unlike ``F.col``), and a backtick inside the name would
+    break out of the quoting. Reject the backtick case loudly; dotted
+    names stay allowed with the literal-name meaning documented here
+    (select/alias the nested field first if you need struct access)."""
+    if "`" in name:
+        raise ValueError(
+            f"column name {name!r} contains a backtick — unsupported on "
+            "the F.expr-generated paths (alias the column first)"
+        )
+    return name
+
+
 def rotate_vectors(
     df: DataFrame,
     rotation: list[list[float]],
@@ -198,6 +214,7 @@ def rotate_vectors(
     d = len(rotation)
     if any(len(row) != d for row in rotation):
         raise ValueError("rotation must be square d×d")
+    _check_expr_col(vec_col)  # top-level-name contract (see helper)
     vec = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     dots = ", ".join(
         f"aggregate(zip_with({vec}, array("

@@ -443,8 +443,9 @@ def random_projection(
         # r15 measurement); Catalyst parses the same tree from text in
         # ~0.1 s. repr(float) round-trips bit-exactly through the
         # string→DOUBLE cast, so the numbers are unchanged.
-        from .opq import _sql_double
+        from .opq import _check_expr_col, _sql_double
 
+        _check_expr_col(vec_col)  # top-level-name contract (see helper)
         vec = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
         dots = ", ".join(
             f"aggregate(zip_with({vec}, array("

@@ -169,9 +169,17 @@ def mad_outliers(
     """
     pfn = F.percentile if exact else F.percentile_approx
     gcols = [group_col] if group_col else []
+    # the per-group median frame (≤ |groups| rows) is materialized once via
+    # a lazy localCheckpoint: without it, Catalyst duplicates the whole
+    # median subtree — once under the MAD aggregate and once under the
+    # row-pass join — so the input was scanned 4× and the full-multiset
+    # median buffer built TWICE per call (guide §2.4 duplicated subtrees;
+    # the q02 lesson). The checkpoint is group-grain, never corpus-sized,
+    # so the device is scale-safe; it is materialized by the first job
+    # that consumes it (no extra barrier).
     med = df.groupBy(*gcols).agg(
         pfn(F.col(value_col), F.lit(0.5)).alias("__med__")
-    )
+    ).localCheckpoint(eager=False)
     joined = df.join(F.broadcast(med), gcols) if gcols else df.crossJoin(
         F.broadcast(med)
     )
@@ -180,10 +188,18 @@ def mad_outliers(
             F.abs(F.col(value_col) - F.col("__med__")), F.lit(0.5)
         ).alias("__mad__")
     )
-    full = (
-        joined.join(F.broadcast(mad), gcols)
+    # join the two group-grain stats frames first (tiny × tiny), then make
+    # ONE broadcast join against the rows — the old joined×mad join made
+    # `joined` (scan + median join) a second duplicated subtree
+    stats = (
+        med.join(mad, gcols)
         if gcols
-        else joined.crossJoin(F.broadcast(mad))
+        else med.crossJoin(mad)
+    )
+    full = (
+        df.join(F.broadcast(stats), gcols)
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
     )
     z = F.abs(F.col(value_col) - F.col("__med__")) / (
         F.lit(scale) * F.col("__mad__")

@@ -113,7 +113,9 @@ def lsh_signature(
     planes = plane_weights(num_planes, dim, seed)
 
     if isinstance(vec, str):
-        from .opq import _sql_double
+        from .opq import _check_expr_col, _sql_double
+
+        _check_expr_col(vec)  # top-level-name contract (see helper)
 
         bits = " + ".join(
             "(CASE WHEN aggregate(zip_with(`" + vec + "`, array("

@@ -3,6 +3,8 @@ value equivalence on the registered query's derivation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from gdelt_2_0_event_database_pipeline_spark.operators.cdc import snapshot_diff
@@ -84,6 +86,7 @@ def _reference_diff(old_rows, new_rows):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(old_rows=_ROWS, new_rows=_ROWS)
+@pytest.mark.slow
 def test_snapshot_diff_fuzz_matches_reference(spark, old_rows, new_rows):
     """Random keyed snapshots (NULLs, empty strings, separator-colliding
     values) — the digest join must classify exactly like a dict diff."""

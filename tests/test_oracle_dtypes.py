@@ -15,6 +15,7 @@ costs ~70s at sf0.001.
 
 from __future__ import annotations
 
+import pytest
 import os
 import sys
 
@@ -25,6 +26,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 import oracle_dtype_audit  # noqa: E402
 
 
+@pytest.mark.slow
 def test_every_oracle_pair_is_representation_clean(spark):
     # audit() calls get_spark(), which returns the live singleton the
     # `spark` fixture already created — no second JVM.

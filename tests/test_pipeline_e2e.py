@@ -47,6 +47,7 @@ def corpus(spark):
     return base.unionByName(extra)
 
 
+@pytest.mark.slow
 def test_full_pipeline(spark, corpus, tmp_path):
     n0 = corpus.count()
 

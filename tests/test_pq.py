@@ -512,6 +512,7 @@ def test_drift_report_flags_distribution_shift(spark, tmp_path):
     assert maintained == rebuilt
 
 
+@pytest.mark.slow
 def test_refit_restores_recall_and_swaps_atomically(spark, tmp_path):
     """refit_pq_index is the one-call action the drift report recommends
     (r11 verdict item 3): drifted index -> report recommends -> refit ->
@@ -1003,6 +1004,7 @@ def test_cli_ann_refit_closes_the_drift_loop(spark, tmp_path, capsys):
     assert rc == 0 and out["refit_recommended"] is False
 
 
+@pytest.mark.slow
 def test_residual_encode_fuzz_matches_numpy(spark):
     """Hypothesis sweep of (dim, m, ncodes, n_cells) shapes: the
     distributed residual encode must equal the numpy reference on every

@@ -42,6 +42,7 @@ cuts_st = st.lists(st.integers(0, 23), max_size=2, unique=True)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(rows=rows_st, cuts=cuts_st)
+@pytest.mark.slow
 def test_merged_batch_states_equal_direct(spark, rows, cuts):
     df = spark.createDataFrame(rows, "grp string, day string, v long")
     direct = merge_rollup(

@@ -48,6 +48,7 @@ def _read_out(spark, out_dir):
         return []
 
 
+@pytest.mark.slow
 def test_sessions_close_across_batches(spark, tmp_path):
     src = str(tmp_path / "in")
     ckpt = str(tmp_path / "ckpt")
@@ -78,6 +79,7 @@ def test_sessions_close_across_batches(spark, tmp_path):
     assert rows[2].n_events == 1 and rows[2].total_value == 10.0
 
 
+@pytest.mark.slow
 def test_multiple_sessions_in_one_batch(spark, tmp_path):
     src = str(tmp_path / "in2")
     ckpt = str(tmp_path / "ckpt2")
@@ -98,6 +100,7 @@ def test_multiple_sessions_in_one_batch(spark, tmp_path):
     assert got == [(1, 2.0), (2, 2.0)]
 
 
+@pytest.mark.slow
 def test_event_time_sessions_under_watermark(spark, tmp_path):
     """Event-time timeouts (VERDICT r4 #6): sessions close when the
     WATERMARK passes last_event+gap; late events inside the allowed

@@ -44,6 +44,7 @@ def corpus(spark):
     return _vecs(spark, range(40), "d0")
 
 
+@pytest.mark.slow
 def test_stream_maintains_index_to_rebuild_parity(spark, tmp_path, corpus):
     index = str(tmp_path / "pq_index")
     src = str(tmp_path / "src")
@@ -78,6 +79,7 @@ def test_stream_maintains_index_to_rebuild_parity(spark, tmp_path, corpus):
     assert maintained == rebuilt
 
 
+@pytest.mark.slow
 def test_replayed_batches_converge_without_a_ledger(spark, tmp_path, corpus):
     """A fresh checkpoint reprocesses every file (worst-case replay);
     the idempotent upsert converges to the same state — byte-wise on
@@ -108,6 +110,7 @@ def test_replayed_batches_converge_without_a_ledger(spark, tmp_path, corpus):
     assert codes.select("vec_id").distinct().count() == 40
 
 
+@pytest.mark.slow
 def test_stream_maintains_residual_index(spark, tmp_path, corpus):
     """A RESIDUAL index maintains through the same stream path: the meta
     flag dispatches each micro-batch's encode to residual math, and the
@@ -156,6 +159,7 @@ def test_stream_maintains_residual_index(spark, tmp_path, corpus):
     assert maintained == rebuilt
 
 
+@pytest.mark.slow
 def test_drift_check_triggers_exactly_one_refit(spark, tmp_path):
     """The r13 drift->refit loop: an in-distribution batch passes the
     cadence check silently, a planted hard-shift batch trips

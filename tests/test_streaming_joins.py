@@ -3,6 +3,8 @@ left-outer NULL emission once the watermark finalizes unmatched rows."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import types as T
@@ -80,6 +82,7 @@ def test_interval_join_matches_within_window(spark, tmp_path):
     assert r.amount == 5.0 and r.right_ts == BASE + dt.timedelta(minutes=10)
 
 
+@pytest.mark.slow
 def test_interval_join_left_outer_emits_after_watermark(spark, tmp_path):
     imp_src, conv_src = str(tmp_path / "imp"), str(tmp_path / "conv")
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")

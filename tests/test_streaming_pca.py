@@ -179,6 +179,7 @@ _cuts_st = st.lists(st.integers(1, 15), max_size=2, unique=True)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(vecs=_vecs_st, cuts=_cuts_st)
+@pytest.mark.slow
 def test_fuzz_batched_moments_equal_direct(spark, vecs, cuts):
     rows = [(i, list(t)) for i, t in enumerate(vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
@@ -204,6 +205,7 @@ def test_fuzz_batched_moments_equal_direct(spark, vecs, cuts):
         assert math.isclose(as_, s, rel_tol=1e-9, abs_tol=1e-9)
 
 
+@pytest.mark.slow
 def test_cli_pca_from_state_and_communities(spark, tmp_path, batches, capsys):
     import json as _json
 

@@ -4,6 +4,7 @@ maintained state always answers exactly like a direct aggregate."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -218,6 +219,7 @@ def test_missing_paths_read_as_none_not_errors(spark, tmp_path):
     assert _try_read_parquet(spark, str(tmp_path / "nope")) is None
 
 
+@pytest.mark.slow
 def test_stream_end_to_end_matches_direct_aggregate(spark, tmp_path):
     src = str(tmp_path / "src")
     sp = str(tmp_path / "state")

@@ -3,6 +3,8 @@ versions increase, displaced items leave, duplicate items keep best score."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import types as T
 
 from gdelt_2_0_event_database_pipeline_spark.streaming.ingest import read_event_stream
@@ -33,6 +35,7 @@ def _drain(out_stream, out_dir, ckpt):
     q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_streaming_topk_across_batches(spark, tmp_path):
     src, ckpt, out = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
 

@@ -3,6 +3,7 @@ new keys, rewrites only touched partitions, converges under replay."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -61,6 +62,7 @@ def test_merge_upsert_batch_semantics(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_upsert_stream_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     lake = str(tmp_path / "lake")

@@ -625,6 +625,7 @@ def _intervals(draw):
 
 @settings(max_examples=15, deadline=None)
 @given(_intervals(), _intervals())
+@pytest.mark.slow
 def test_interval_intersect_property(spark, xs, ys):
     from gdelt_2_0_event_database_pipeline_spark.operators.temporal import (
         interval_intersect,

@@ -183,6 +183,7 @@ def test_pack_first_fit_invariants(spark):
     assert again == {(r.doc_id, r.pack_id) for r in out}
 
 
+@pytest.mark.slow
 def test_select_token_budget_matches_global_window(spark):
     """Bucketed cumulative selection must equal the naive global-window
     form, avoid single-task sorts, and be partitioning-independent."""

@@ -370,6 +370,15 @@ def semantic_dedup(
             "__v__",
             "__n__",
         )
+        # materialized once (lazy; the first consuming job runs it): the
+        # frame feeds THREE consumers — both self-join sides and the
+        # survivor anti-join — and without the cut Catalyst re-derives the
+        # corpus×centroids argmax pass (and the centroid subtree inside it)
+        # per consumer (guide §2.4; the triangle_count edge-list
+        # precedent). The checkpoint is the SemDeDup working set
+        # (id, cluster, vector, norm) — the same bytes every variant of the
+        # algorithm keeps live for its pair step.
+        .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_cos = dot(F.col("a.__v__"), F.col("b.__v__")) / (

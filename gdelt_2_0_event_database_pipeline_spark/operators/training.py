@@ -654,18 +654,28 @@ def dsir_importance(
 
     spark = df.sparkSession
     buckets = spark.range(dim).select(F.col("id").cast("long").alias("__b__"))
-    tdist = _dist(target)
-    sdist = _dist(df)
+    # each distribution is consumed TWICE (the λ join and its own total-sum
+    # broadcast) — without the cut Catalyst duplicates the whole
+    # tokenize+explode+aggregate subtree per consumer, scanning each corpus
+    # twice (guide §2.4). The frames are ≤ dim rows (64), so the lazy
+    # localCheckpoint is O(1)-sized and materialized by the first job.
+    # the corpus TOTALS are global-window sums over the joined dim-row
+    # frame instead of separate aggregate+crossJoin arms: the old shape
+    # made Catalyst re-derive each corpus's whole tokenize+explode+
+    # aggregate subtree a SECOND time for its total (guide §2.4 duplicated
+    # subtrees — each corpus scanned twice). Every dist bucket is pmod-dim,
+    # so the buckets frame retains every dist row and the window sum
+    # equals the old total exactly (sum of longs; NULL gaps ignored, and
+    # an empty dist yields NULL — the same NULL the old empty-frame
+    # aggregate produced). The window runs over dim=64 rows.
+    _w_all = Window.partitionBy()
+    tdist = _dist(target).withColumnRenamed("__ct__", "__tc__")
+    sdist = _dist(df).withColumnRenamed("__ct__", "__sc__")
     lam = (
-        buckets.join(tdist.withColumnRenamed("__ct__", "__tc__"), "__b__", "left")
-        .join(sdist.withColumnRenamed("__ct__", "__sc__"), "__b__", "left")
-        .crossJoin(
-            F.broadcast(
-                tdist.agg(F.sum("__ct__").alias("__tt__")).crossJoin(
-                    sdist.agg(F.sum("__ct__").alias("__st__"))
-                )
-            )
-        )
+        buckets.join(tdist, "__b__", "left")
+        .join(sdist, "__b__", "left")
+        .withColumn("__tt__", F.sum("__tc__").over(_w_all))
+        .withColumn("__st__", F.sum("__sc__").over(_w_all))
         .select(
             "__b__",
             F.round(
